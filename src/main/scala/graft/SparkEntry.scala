@@ -1,13 +1,408 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.VectorOps
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per operator
+  * from SURVEY.md §2. Conventions shared by the Spark plans and the oracles:
+  *
+  *  - double aggregates go through exact DECIMAL sums and are cast back to
+  *    double, so both engines produce bit-identical values regardless of
+  *    partition/accumulation order;
+  *  - vector scores (64-float dot products, double accumulator) are rounded
+  *    to 4-6 decimals — accumulation-order error is ~1e-14 relative, far
+  *    below the rounding grain — and every ORDER BY uses the *rounded* score
+  *    plus an id tiebreak, so top-k cutoffs agree;
+  *  - timestamps cross the engine boundary as epoch millis (BIGINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Flagship query (sf0.001): the `/textsearch` dataflow of the reference
+    * (`app.py:300-366`) — dense k-NN top-k over the corpus, grouped
+    * per-"video" (label) with per-group score ordering. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val emb = t(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val hits = Similarity.knnExact(emb, qv, 50)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    GroupShaping.groupResults(
+      hits.withColumn("score", round(col("score"), 4)),
+      groupCol = "label", idCol = "vec_id", scoreCol = "score")
+  }
+
+  private val dec182 = DecimalType(18, 2)
+  private val dec226 = DecimalType(22, 6)
+  private val dec186 = DecimalType(18, 6)
+
+  /** (name, spark plan, oracle SQL or None). */
+  private lazy val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- 2.1 scans / 2.2 filters+projections -------------------------------
+
+    ("s2_scan_filter_project",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("n_chars").between(200, 400) && col("lang").isin("en", "fr"))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source, n_chars FROM documents
+             |WHERE n_chars BETWEEN 200 AND 400 AND lang IN ('en','fr')
+             |ORDER BY doc_id""".stripMargin)),
+
+    ("s16_limit_page",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id")).limit(100),
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+             |ORDER BY doc_id LIMIT 100""".stripMargin)),
+
+    // ---- 2.4 aggregations --------------------------------------------------
+
+    ("q1_agg_pricing_summary",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(dec182)).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec182)).cast("double").as("sum_base_price"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec226))
+              .cast("double").as("sum_disc_price"),
+            (sum(col("l_quantity").cast(dec182)).cast("double") / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  COUNT(*) AS count_order
+             |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- 2.3 joins ---------------------------------------------------------
+
+    ("j2_join_agg_revenue",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date") >= lit("1995-01-01").cast("date") &&
+                  col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec226))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+             |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    ("j3_range_join_views_before_purchase",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"), col("ts").as("w_end"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+        val counts = TemporalJoins
+          .pointInIntervalJoin(views, col("ts"), purchases, col("w_start"), col("w_end"),
+            equiKeys = Seq("user_id"))
+          .groupBy(col("event_id")).agg(count(lit(1)).as("n_views"))
+        purchases.select(col("event_id"))
+          .join(counts, Seq("event_id"), "left")
+          .withColumn("n_views", coalesce(col("n_views"), lit(0L)))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, COUNT(v.event_id) AS n_views
+             |FROM events p LEFT JOIN events v
+             |  ON v.user_id = p.user_id AND v.event_type = 'view'
+             | AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+             | AND CAST(v.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
+
+    ("j4_asof_click_before_purchase",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+        TemporalJoins.asofBackward(purchases, clicks, "user_id", "ts", "ts",
+            payload = Map("ts" -> "click_ts", "value" -> "click_value"))
+          .select(col("event_id"), col("user_id"),
+            epochMs(col("click_ts")).as("click_ms"), col("click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_ms(c.ts) AS click_ms, c.value AS click_value
+             |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+             |      WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+             |                WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    ("j5_scatter_sum_events_to_orders",
+      (s, dir) => {
+        val perUser = t(s, dir, "events").groupBy(col("user_id"))
+          .agg(sum(col("value").cast(dec186)).cast("double").as("event_value"),
+               count(lit(1)).as("n_events"))
+        t(s, dir, "orders")
+          .join(perUser, col("o_custkey") === col("user_id"))
+          .select(col("o_orderkey"), col("event_value"), col("n_events"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS event_value,
+             |         COUNT(*) AS n_events
+             |  FROM events GROUP BY user_id)
+             |SELECT o.o_orderkey, pu.event_value, pu.n_events
+             |FROM orders o JOIN pu ON o.o_custkey = pu.user_id
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // ---- 2.2 semi/anti + 2.7 set ops --------------------------------------
+
+    ("f3_semi_anti_customers",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchasers = ev.filter(col("event_type") === "purchase" && col("value") > 100)
+          .select(col("user_id").as("c_custkey"))
+        val errored = ev.filter(col("event_type") === "error" && col("value") > 200)
+          .select(col("user_id").as("c_custkey"))
+        Candidates.exclude(
+            Candidates.restrictTo(t(s, dir, "customer"), purchasers, "c_custkey"),
+            errored, "c_custkey")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+             |              AND e.event_type = 'purchase' AND e.value > 100)
+             |  AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+             |                  AND e.event_type = 'error' AND e.value > 200)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    ("u2_set_ops",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def users(tp: String, minValue: Double) =
+          ev.filter(col("event_type") === tp && col("value") > minValue)
+            .select(col("user_id")).distinct()
+        users("purchase", 100).intersect(users("signup", 100))
+          .except(users("error", 150))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT * FROM (
+             |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 100
+             |   INTERSECT
+             |   SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' AND value > 100)
+             |  EXCEPT
+             |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 150) u
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- 2.5 windows / 2.6 top-k ------------------------------------------
+
+    ("w1_window_topk_per_user",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id"))
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("user_id"), col("rn"), col("event_id"), col("event_type"), col("value"))
+          .orderBy(col("user_id"), col("rn"))
+      },
+      Some("""SELECT user_id, rn, event_id, event_type, value FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+             |  FROM events) t
+             |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin)),
+
+    ("o1_topk_lineitems",
+      (s, dir) =>
+        GroupShaping.topK(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          100, col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    // ---- 2.4 fusion (A1/A2) -----------------------------------------------
+
+    ("a1_fusion_addition",
+      (s, dir) => {
+        val ch1 = t(s, dir, "orders")
+          .select(col("o_orderkey").as("id"), col("o_totalprice").as("score"))
+        val ch2 = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(dec182)).cast("double").as("score"))
+          .select(col("l_orderkey").as("id"), col("score"))
+        Fusion.fuseByAddition(Seq(ch1, ch2))
+          .select(col("id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(100)
+      },
+      Some("""WITH ch1 AS (SELECT o_orderkey AS id, o_totalprice AS s FROM orders),
+             |ch2 AS (SELECT l_orderkey AS id,
+             |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s
+             |        FROM lineitem GROUP BY 1),
+             |n1 AS (SELECT id, (s - MIN(s) OVER ()) / (MAX(s) OVER () - MIN(s) OVER () + 1e-6) AS s FROM ch1),
+             |n2 AS (SELECT id, (s - MIN(s) OVER ()) / (MAX(s) OVER () - MIN(s) OVER () + 1e-6) AS s FROM ch2),
+             |u AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+             |SELECT id, ROUND(SUM(s), 6) AS score FROM u GROUP BY id
+             |ORDER BY score DESC, id LIMIT 100""".stripMargin)),
+
+    ("a2_fusion_legacy",
+      (s, dir) => {
+        val ch1 = t(s, dir, "orders")
+          .select(col("o_orderkey").as("id"), col("o_totalprice").as("score"))
+        val ch2 = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(dec182)).cast("double").as("score"))
+          .select(col("l_orderkey").as("id"), col("score"))
+        Fusion.fuseLegacyL2(Seq(ch1, ch2))
+          .select(col("id"), round(col("score"), 8).as("score"))
+          .orderBy(col("score").desc, col("id"))
+      },
+      Some("""WITH ch1 AS (SELECT o_orderkey AS id, o_totalprice AS s FROM orders),
+             |ch2 AS (SELECT l_orderkey AS id,
+             |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s
+             |        FROM lineitem GROUP BY 1),
+             |n1 AS (SELECT id, s / (SQRT(SUM(s * s) OVER ()) + 1e-12) AS s FROM ch1),
+             |n2 AS (SELECT id, s / (SQRT(SUM(s * s) OVER ()) + 1e-12) AS s FROM ch2),
+             |u AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+             |SELECT id, ROUND(MAX(s), 8) AS score FROM u GROUP BY id
+             |ORDER BY score DESC, id""".stripMargin)),
+
+    // ---- 2.4 A4 group shaping ---------------------------------------------
+
+    ("a4_group_shape_flat",
+      (s, dir) => {
+        val top = GroupShaping.topK(t(s, dir, "orders"), 50,
+          col("o_totalprice"), col("o_orderkey"))
+        val w = Window.partitionBy(col("o_orderkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+        t(s, dir, "lineitem")
+          .join(broadcast(top), col("l_orderkey") === col("o_orderkey"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("o_orderkey"), col("o_totalprice"), col("rnk"),
+            col("l_partkey"), col("l_extendedprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"), col("rnk"))
+      },
+      Some("""WITH top AS (SELECT o_orderkey, o_totalprice FROM orders
+             |            ORDER BY o_totalprice DESC, o_orderkey LIMIT 50)
+             |SELECT o_orderkey, o_totalprice, rnk, l_partkey, l_extendedprice FROM (
+             |  SELECT t.o_orderkey, t.o_totalprice, l.l_partkey, l.l_extendedprice,
+             |         ROW_NUMBER() OVER (PARTITION BY t.o_orderkey
+             |           ORDER BY l.l_extendedprice DESC, l.l_linenumber) AS rnk
+             |  FROM lineitem l JOIN top t ON l.l_orderkey = t.o_orderkey) x
+             |WHERE rnk <= 3 ORDER BY o_totalprice DESC, o_orderkey, rnk""".stripMargin)),
+
+    ("a4_group_video_nested",
+      (s, dir) =>
+        GroupShaping.groupResults(
+          t(s, dir, "events").select(col("user_id"), col("event_id"), col("value")),
+          groupCol = "user_id", idCol = "event_id", scoreCol = "value"),
+      Some("""SELECT user_id, MAX(value) AS best_score,
+             |  list(event_id ORDER BY value DESC, event_id) AS ids,
+             |  list(value ORDER BY value DESC, event_id) AS scores
+             |FROM events GROUP BY user_id
+             |ORDER BY best_score DESC, user_id""".stripMargin)),
+
+    // ---- J1/F1 dense k-NN --------------------------------------------------
+
+    ("j1_knn_dense",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.scoreAll(emb, qv)
+          .select(col("vec_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id,
+             |  ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) AS a, unnest(q.qv) AS b) x), 4) AS score
+             |FROM embeddings e CROSS JOIN q
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
+    ("f1_knn_candidate_filter",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val ignore = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+        val cand = Candidates.exclude(emb.filter(col("label").isin(1, 3)), ignore, "vec_id")
+        Similarity.scoreAll(cand, qv)
+          .select(col("vec_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id,
+             |  ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) AS a, unnest(q.qv) AS b) x), 4) AS score
+             |FROM embeddings e CROSS JOIN q
+             |WHERE e.label IN (1, 3) AND NOT (e.vec_id % 7 = 3)
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
+    // ---- T1 temporal re-query ---------------------------------------------
+
+    ("t1_neighbor_expand_requery",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val hits = GroupShaping.topK(orders, 5, col("o_totalprice"), col("o_orderkey"))
+          .select(col("o_orderkey").as("hit_key"), col("o_totalprice").as("prev_score"))
+        val expanded = hits
+          .select(col("hit_key"), col("prev_score"),
+            explode(sequence(col("hit_key") - 2, col("hit_key") + 2)).as("o_orderkey"))
+          .filter(col("o_orderkey") =!= col("hit_key"))
+          .groupBy(col("o_orderkey"))
+          .agg(max(col("prev_score")).as("prev_score"))
+        orders.join(broadcast(expanded), Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("prev_score"),
+            (col("o_totalprice") + col("prev_score")).as("combined_score"))
+          .orderBy(col("combined_score").desc, col("o_orderkey"))
+      },
+      Some("""WITH hits AS (SELECT o_orderkey AS hit_key, o_totalprice AS prev_score
+             |              FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5),
+             |exp AS (SELECT unnest(generate_series(hit_key - 2, hit_key + 2)) AS o_orderkey,
+             |               hit_key, prev_score FROM hits),
+             |agg AS (SELECT o_orderkey, MAX(prev_score) AS prev_score FROM exp
+             |        WHERE o_orderkey <> hit_key GROUP BY 1)
+             |SELECT o.o_orderkey, o.o_totalprice, a.prev_score,
+             |       o.o_totalprice + a.prev_score AS combined_score
+             |FROM orders o JOIN agg a USING (o_orderkey)
+             |ORDER BY combined_score DESC, o_orderkey""".stripMargin)),
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, fn, _) => n -> fn }.toMap
+
+  def oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

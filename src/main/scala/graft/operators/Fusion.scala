@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-channel score fusion.
+  *
+  * Re-expresses the reference's core fusion operator
+  * `merge_searching_results_by_addition` (reference
+  * `utils/combine_utils.py:29-65`): per-channel min-max normalize
+  * `(s - min) / (max - min + 1e-6)`, then `GROUP BY id SUM(score)`, sorted
+  * descending; identity (no normalization) when only one channel is present
+  * (`combine_utils.py:36-37`). Also the legacy L2 variant
+  * `merge_searching_results` (`combine_utils.py:4-27`).
+  *
+  * Scale notes: the per-channel min/max is a 2-value global aggregate —
+  * computed as a tiny agg broadcast back over the channel, so the only
+  * shuffle in the whole fusion is the final groupBy(id), which benefits from
+  * map-side partial aggregation. Channel cardinality is top-k-bounded
+  * upstream, so at 100 TB the fused relation stays small regardless of corpus
+  * size.
+  */
+object Fusion {
+
+  /** Min-max normalize `scoreCol` across the whole frame (epsilon matches the
+    * reference's `+ 1e-6` denominator guard). */
+  def minMaxNormalize(df: DataFrame, scoreCol: String): DataFrame = {
+    val stats = df.agg(
+      min(col(scoreCol)).as("__mn"), max(col(scoreCol)).as("__mx"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(
+        scoreCol,
+        (col(scoreCol) - col("__mn")) / (col("__mx") - col("__mn") + lit(1e-6)))
+      .drop("__mn", "__mx")
+  }
+
+  /** `merge_searching_results_by_addition`: normalize each channel, union,
+    * sum per id. Single channel passes through unnormalized (reference
+    * `combine_utils.py:36-37`). */
+  def fuseByAddition(
+      channels: Seq[DataFrame],
+      idCol: String = "id",
+      scoreCol: String = "score"): DataFrame = {
+    require(channels.nonEmpty, "fusion needs at least one channel")
+    if (channels.sizeIs == 1) channels.head
+    else
+      channels
+        .map(ch => minMaxNormalize(ch.select(col(idCol), col(scoreCol)), scoreCol))
+        .reduce(_ unionByName _)
+        .groupBy(col(idCol))
+        .agg(sum(col(scoreCol)).as(scoreCol))
+  }
+
+  /** Legacy `merge_searching_results` (`combine_utils.py:4-27`): L2-normalize
+    * each channel's score vector, concatenate, keep the best score per id. */
+  def fuseLegacyL2(
+      channels: Seq[DataFrame],
+      idCol: String = "id",
+      scoreCol: String = "score"): DataFrame = {
+    require(channels.nonEmpty, "fusion needs at least one channel")
+    val normed = channels.map { ch =>
+      val stats = ch.agg(sqrt(sum(col(scoreCol) * col(scoreCol))).as("__l2"))
+      ch.select(col(idCol), col(scoreCol))
+        .crossJoin(broadcast(stats))
+        .withColumn(scoreCol, col(scoreCol) / (col("__l2") + lit(1e-12)))
+        .drop("__l2")
+    }
+    val w = Window.partitionBy(col(idCol)).orderBy(col(scoreCol).desc)
+    normed
+      .reduce(_ unionByName _)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

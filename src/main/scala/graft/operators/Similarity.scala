@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dense similarity search (the reference's J1: 1xd query vs Nxd corpus exact
+  * inner-product top-k, reference `utils/faiss_processing.py:118-173`).
+  *
+  * The query side is a 1-row (or few-row) DataFrame that is broadcast; the
+  * corpus side streams through a codegen'd scan->dot->TakeOrderedAndProject
+  * pipeline — no shuffle of the corpus at all. Candidate filters compose in
+  * front as semi/anti joins (see [[Candidates]]), reproducing the
+  * `IDSelectorArray` pushdown. Approximate variants for the 100 TB path live
+  * here too (cluster-pruned IVF; see also label-partitioned storage).
+  */
+object Similarity {
+
+  /** Exact scores of every corpus row against a single broadcast query vector.
+    * `queryDf` must have exactly one column `qv ARRAY<FLOAT>` and one row. */
+  def scoreAll(
+      emb: DataFrame,
+      queryDf: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb.crossJoin(broadcast(queryDf))
+      .select(col(idCol), VectorOps.dot(col(vecCol), col("qv")).as("score"))
+
+  /** Exact top-k (deterministic: ties broken by id). Plans as
+    * TakeOrderedAndProject over the fused scan — the distributed analog of
+    * FAISS's flat-index partial top-k. */
+  def knnExact(
+      emb: DataFrame,
+      queryDf: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    scoreAll(emb, queryDf, idCol, vecCol)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** IVF-style cluster-pruned ANN: rank clusters by centroid similarity to
+    * the query, keep `nprobe`, search only those clusters' rows. With the
+    * corpus partitioned/bucketed by `clusterCol` this is partition pruning —
+    * the relational analog of FAISS IVF `nprobe` (SURVEY §4.2): the scan
+    * touches nprobe/k of the data.
+    *
+    * `centroids` must have (`clusterCol`, `cv ARRAY<FLOAT>`); tiny, broadcast.
+    */
+  def ivfSearch(
+      emb: DataFrame,
+      centroids: DataFrame,
+      queryDf: DataFrame,
+      nprobe: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "label"): DataFrame = {
+    val probed = centroids.crossJoin(broadcast(queryDf))
+      .select(col(clusterCol),
+        round(VectorOps.dot(col("cv"), col("qv")), 6).as("cscore"))
+      .orderBy(col("cscore").desc, col(clusterCol).asc)
+      .limit(nprobe)
+      .select(col(clusterCol))
+    knnExact(emb.join(broadcast(probed), Seq(clusterCol), "left_semi"),
+      queryDf, k, idCol, vecCol)
+  }
+
+  /** Element-wise mean vectors per cluster (centroid build). Decomposes the
+    * array with posexplode and re-assembles with a grouped sort — shuffles
+    * (cluster, dim)-sized data only. */
+  def centroids(
+      emb: DataFrame,
+      clusterCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(clusterCol), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col(clusterCol), col("__pos"))
+      .agg(avg(col("__x")).as("__cx"))
+      .groupBy(col(clusterCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__cx")))).as("__a"))
+      .select(col(clusterCol),
+        transform(col("__a"), s => s.getField("__cx").cast("float")).as("cv"))
+}

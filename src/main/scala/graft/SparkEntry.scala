@@ -44,6 +44,17 @@ object SparkEntry {
   private val dec226 = DecimalType(22, 6)
   private val dec186 = DecimalType(18, 6)
 
+  /** Shared oracle-SQL prefix: tokenization -> postings -> df -> smoothed-idf
+    * tf-idf weights (sklearn formula), mirrored by [[Lexical]]. */
+  private val tokSql =
+    """WITH tok AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+      |            FROM documents),
+      |post AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM documents),
+      |wgt AS (SELECT p.id, p.term, p.tf * (LN((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS w
+      |        FROM post p JOIN dfreq d USING (term) CROSS JOIN nn)""".stripMargin
+
   /** (name, spark plan, oracle SQL or None). */
   private lazy val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -398,6 +409,117 @@ object SparkEntry {
              |       o.o_totalprice + a.prev_score AS combined_score
              |FROM orders o JOIN agg a USING (o_orderkey)
              |ORDER BY combined_score DESC, o_orderkey""".stripMargin)),
+
+    // ---- 2.1 S13 / 2.8 C4 sparse lexical engine ---------------------------
+
+    ("s13_tfidf_vectors",
+      (s, dir) =>
+        Lexical.tfidfVectors(t(s, dir, "documents"), "doc_id", "text")
+          .filter(col("id") < 10)
+          .select(col("id"), col("term"), round(col("w"), 6).as("w"))
+          .orderBy(col("id"), col("term")),
+      Some(s"""$tokSql
+             |SELECT id, term, ROUND(w / nrm, 6) AS w FROM (
+             |  SELECT id, term, w, SQRT(SUM(w*w) OVER (PARTITION BY id)) AS nrm FROM wgt) x
+             |WHERE id < 10 ORDER BY id, term""".stripMargin)),
+
+    ("c4_tfidf_search",
+      (s, dir) =>
+        Lexical.tfidfSearch(s, t(s, dir, "documents"), "doc_id", "text",
+            Seq("spark", "join", "table", "scan"))
+          .select(col("id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(20),
+      Some(s"""$tokSql,
+             |nrm AS (SELECT id, term, w / SQRT(SUM(w*w) OVER (PARTITION BY id)) AS w FROM wgt),
+             |qt(term) AS (VALUES ('spark'), ('join'), ('table'), ('scan')),
+             |q AS (SELECT t.term, 1.0 * (LN((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS qw
+             |      FROM qt t JOIN dfreq d USING (term) CROSS JOIN nn),
+             |qn AS (SELECT SQRT(SUM(qw*qw)) AS qnorm FROM q)
+             |SELECT id, ROUND(SUM(nrm.w * q.qw / qn.qnorm), 6) AS score
+             |FROM nrm JOIN q USING (term) CROSS JOIN qn
+             |GROUP BY id ORDER BY score DESC, id LIMIT 20""".stripMargin)),
+
+    ("a3_bm25_search",
+      (s, dir) =>
+        Lexical.bm25Search(s, t(s, dir, "documents"), "doc_id", "text",
+            Seq("spark", "join", "table", "scan"))
+          .select(col("id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(20),
+      Some("""WITH tok AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+             |            FROM documents),
+             |post AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+             |nn AS (SELECT COUNT(*) AS n FROM documents),
+             |dl AS (SELECT id, COUNT(*) AS dl FROM tok GROUP BY 1),
+             |ad AS (SELECT SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+             |idfr AS (SELECT term, LN((nn.n - df + 0.5) / (df + 0.5)) AS idf_raw
+             |         FROM dfreq CROSS JOIN nn),
+             |ai AS (SELECT AVG(idf_raw) AS avg_idf FROM idfr),
+             |idf AS (SELECT term, CASE WHEN idf_raw < 0 THEN 0.25 * ai.avg_idf ELSE idf_raw END AS idf
+             |        FROM idfr CROSS JOIN ai),
+             |qt(term) AS (VALUES ('spark'), ('join'), ('table'), ('scan'))
+             |SELECT p.id, ROUND(SUM(idf.idf * (p.tf * 2.5) / (p.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))), 6) AS score
+             |FROM post p JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (id) CROSS JOIN ad
+             |GROUP BY p.id ORDER BY score DESC, id LIMIT 20""".stripMargin)),
+
+    ("c3_ngram_counts",
+      (s, dir) =>
+        Lexical.ngrams(t(s, dir, "documents"), "doc_id", "text", 2)
+          .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("ngram"))
+          .limit(50),
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks FROM documents),
+             |idx AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tok),
+             |ng AS (SELECT toks[i] || ' ' || toks[i+1] AS ngram FROM idx)
+             |SELECT ngram, COUNT(*) AS cnt FROM ng GROUP BY 1
+             |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin)),
+
+    ("s14_tag_corpus",
+      (s, dir) =>
+        Lexical.docFreq(Lexical.postings(t(s, dir, "documents"), "doc_id", "text"))
+          .orderBy(col("term")),
+      Some("""WITH tok AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+             |            FROM documents),
+             |post AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+             |SELECT term, COUNT(*) AS df FROM post GROUP BY 1 ORDER BY term""".stripMargin)),
+
+    // ---- §3.3 relevance-feedback rerank -----------------------------------
+
+    ("rerank_feedback",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val cand = emb.crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("embedding"),
+            round(VectorOps.dot(col("embedding"), col("qv")), 4).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(100)
+          .filter(col("vec_id") =!= 3) // drop negative-voted candidates
+        val votes = emb.filter(col("vec_id").isin(1, 2))
+          .select(lit(1.0).as("sign"), col("embedding").as("ve"))
+          .unionByName(emb.filter(col("vec_id") === 3)
+            .select(lit(-1.0).as("sign"), col("embedding").as("ve")))
+        Similarity.feedbackRerank(cand, votes)
+          .select(col("vec_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cand AS (SELECT e.vec_id, e.embedding,
+             |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x), 4) AS score
+             |  FROM embeddings e CROSS JOIN q ORDER BY score DESC, e.vec_id LIMIT 100),
+             |cand2 AS (SELECT * FROM cand WHERE vec_id <> 3),
+             |votes AS (SELECT 1.0 AS sign, embedding AS ve FROM embeddings WHERE vec_id IN (1, 2)
+             |          UNION ALL
+             |          SELECT -1.0 AS sign, embedding AS ve FROM embeddings WHERE vec_id = 3),
+             |upd AS (SELECT c.vec_id, SUM(v.sign * (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |          FROM (SELECT unnest(c.embedding) a, unnest(v.ve) b) x)) AS u
+             |        FROM cand2 c CROSS JOIN votes v GROUP BY c.vec_id)
+             |SELECT c.vec_id, ROUND(c.score + COALESCE(u.u, 0), 4) AS score
+             |FROM cand2 c LEFT JOIN upd u USING (vec_id)
+             |ORDER BY score DESC, vec_id""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

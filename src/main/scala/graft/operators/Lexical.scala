@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval: the reference's TF-IDF channels and legacy BM25.
+  *
+  * The reference fits one sklearn `TfidfVectorizer` per text channel and
+  * scores queries with CSR dot products (reference
+  * `utils/object_retrieval_engine/object_retrieval.py:51-96,273-324`,
+  * `ocr_retrieval.py:27-35`, `speech_retrieval.py:56-65`), plus a legacy
+  * `rank_bm25.BM25Okapi` path (`bm25.py:45,112`). Here the "index" is a
+  * postings DataFrame `(term, id, tf)` — the relational form of the CSR
+  * matrix — and scoring is a broadcast join of the (tiny) query-term vector
+  * against postings, aggregated per doc.
+  *
+  * Scale design: postings are partitioned by term, so df/idf is one
+  * map-side-combinable groupBy; query scoring broadcasts the handful of
+  * query terms and touches only matching postings (the sparse-dot property);
+  * per-doc norms are a build-time column. Nothing in the query path scans
+  * the corpus.
+  */
+object Lexical {
+
+  /** `\w+` word tokenization after lowercasing — the vectorizer's
+    * `\b\w+\b` analyzer (reference `object_retrieval.py:64-73`). */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)")).as("term"))
+
+  /** Postings list `(id, term, tf)` — CSR matrix, relationally. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(docs, idCol, textCol).groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-term document frequency. */
+  def docFreq(post: DataFrame): DataFrame =
+    post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** sklearn-style smoothed idf: `ln((1+N)/(1+df)) + 1`. */
+  def smoothIdf(df: Column, n: Long): Column =
+    log((lit(n + 1).cast("double")) / (df + lit(1))) + lit(1.0)
+
+  /** L2-normalized tf-idf vectors `(id, term, w)` — exactly sklearn's
+    * `TfidfVectorizer(norm='l2', smooth_idf=True, sublinear_tf=False)`. */
+  def tfidfVectors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.count()
+    val post = postings(docs, idCol, textCol)
+    val withIdf = post
+      .join(broadcast(docFreq(post)), Seq("term"))
+      .withColumn("w", col("tf") * smoothIdf(col("df"), n))
+    val byDoc = Window.partitionBy(col("id"))
+    withIdf
+      .withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
+      .select(col("id"), col("term"), col("w"))
+  }
+
+  /** Cosine scores of a literal query against the corpus: transform the query
+    * with the corpus idf (terms outside the vocabulary drop out, as in
+    * sklearn), normalize, sparse-dot against the doc vectors
+    * (`object_retrieval.py:273-324`). */
+  def tfidfSearch(
+      spark: SparkSession,
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val n = docs.count()
+    val post = postings(docs, idCol, textCol)
+    val dfreq = docFreq(post)
+    val q = queryTerms.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+      .toSeq.toDF("term", "qtf")
+      .join(broadcast(dfreq), Seq("term"))
+      .withColumn("qw", col("qtf") * smoothIdf(col("df"), n))
+      .select(col("term"), col("qw"))
+    val qnorm = q.agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
+    val docVecs = tfidfVectors(docs, idCol, textCol)
+    docVecs
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(qnorm))
+      .groupBy(col("id"))
+      .agg(sum(col("w") * col("qw") / col("qnorm")).as("score"))
+  }
+
+  /** `rank_bm25.BM25Okapi.get_scores` (reference `bm25.py:45,112`):
+    * idf = ln((N-df+0.5)/(df+0.5)), negative idfs floored to
+    * `eps * mean(idf)` over the vocabulary; score sums
+    * `idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))` over query terms. */
+  def bm25Search(
+      spark: SparkSession,
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.5, b: Double = 0.75, eps: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    val n = docs.count()
+    val post = postings(docs, idCol, textCol)
+    val docLen = tokens(docs, idCol, textCol)
+      .groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val avgdl = docLen.agg((sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val idfRaw = docFreq(post).withColumn("idf_raw",
+      log((lit(n).cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    val avgIdf = idfRaw.agg(avg(col("idf_raw")).as("avg_idf"))
+    val idf = idfRaw.crossJoin(broadcast(avgIdf))
+      .withColumn("idf",
+        when(col("idf_raw") < 0, lit(eps) * col("avg_idf")).otherwise(col("idf_raw")))
+      .select(col("term"), col("idf"))
+    val q = queryTerms.distinct.toDF("term")
+    post
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .join(docLen, Seq("id"))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(sum(col("contrib")).as("score"))
+  }
+
+  /** Word n-grams over the token sequence — the (1,3)-gram OCR/speech
+    * channels (reference `ocr_retrieval.py:27-35`). Position-aware via
+    * posexplode, assembled with a self-join-free slide over the array. */
+  def ngrams(docs: DataFrame, idCol: String, textCol: String, nGram: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("toks"))
+    // guard: sequence(1, 0) in Spark is the DESCENDING [1,0], so short docs
+    // must yield an empty array explicitly
+    toks.select(col("id"),
+      explode(expr(
+        s"case when size(toks) >= $nGram then " +
+          s"transform(sequence(1, size(toks) - ${nGram - 1}), " +
+          s"i -> array_join(slice(toks, i, $nGram), ' ')) " +
+          s"else array() end")).as("ngram"))
+  }
+}

@@ -66,6 +66,28 @@ object Similarity {
       queryDf, k, idCol, vecCol)
   }
 
+  /** Relevance-feedback (Rocchio-like) rerank — the reference's `/feedback`
+    * endpoint (reference `utils/faiss_processing.py:280-335`): each candidate's
+    * score is adjusted by +dot(candidate, vote) for positive votes and -dot
+    * for negative votes, then re-sorted.
+    *
+    * `candidates` = (idCol, "score", vecCol); `votes` = ("sign", "ve") — a
+    * handful of rows, broadcast, so the update is one scan of the candidate
+    * set (itself top-k-bounded), never of the corpus.
+    */
+  def feedbackRerank(
+      candidates: DataFrame,
+      votes: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val upd = candidates.crossJoin(broadcast(votes))
+      .select(col(idCol), col("score"),
+        (col("sign") * VectorOps.dot(col(vecCol), col("ve"))).as("u"))
+      .groupBy(col(idCol))
+      .agg(max(col("score")).as("score"), sum(col("u")).as("u"))
+    upd.select(col(idCol), (col("score") + coalesce(col("u"), lit(0.0))).as("score"))
+  }
+
   /** Element-wise mean vectors per cluster (centroid build). Decomposes the
     * array with posexplode and re-assembles with a grouped sort — shuffles
     * (cluster, dim)-sized data only. */

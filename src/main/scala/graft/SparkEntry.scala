@@ -55,6 +55,13 @@ object SparkEntry {
       |wgt AS (SELECT p.id, p.term, p.tf * (LN((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS w
       |        FROM post p JOIN dfreq d USING (term) CROSS JOIN nn)""".stripMargin
 
+  /** Shared oracle-SQL prefix: distinct word-3-gram shingle sets per doc. */
+  private val shingleSql =
+    """WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS toks
+      |            FROM documents),
+      |idx AS (SELECT id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM tok),
+      |sh AS (SELECT DISTINCT id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s FROM idx)""".stripMargin
+
   /** (name, spark plan, oracle SQL or None). */
   private lazy val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -520,6 +527,122 @@ object SparkEntry {
              |SELECT c.vec_id, ROUND(c.score + COALESCE(u.u, 0), 4) AS score
              |FROM cand2 c LEFT JOIN upd u USING (vec_id)
              |ORDER BY score DESC, vec_id""".stripMargin)),
+
+    // ---- dedup suite (training-data pipeline extension) -------------------
+
+    ("dedup_exact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        // corpus unioned with an id-shifted copy of itself: every text has
+        // exactly one planted duplicate, so the operator provably collapses
+        val all = docs.unionByName(
+          docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        Dedup.exact(all, "doc_id", "text").orderBy(col("keep_id"))
+      },
+      Some("""WITH all_docs AS (SELECT doc_id, text FROM documents
+             |                  UNION ALL
+             |                  SELECT doc_id + 10000 AS doc_id, text FROM documents)
+             |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM all_docs
+             |GROUP BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+             |ORDER BY keep_id""".stripMargin)),
+
+    ("dedup_minhash_lsh",
+      (s, dir) =>
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("i"), col("j")),
+      Some(s"""$shingleSql,
+             |hs AS (SELECT id, h, s FROM sh, (SELECT unnest(generate_series(1, 16)) AS h) seeds),
+             |mh AS (SELECT id, h, MIN(CAST('0x' || substr(md5(h || ':' || s), 1, 15) AS BIGINT)) AS mh
+             |       FROM hs GROUP BY 1, 2),
+             |bands AS (SELECT id, CAST(floor((h - 1) / 2) AS BIGINT) AS band,
+             |                 string_agg(mh, ',' ORDER BY h) AS sig FROM mh GROUP BY 1, 2),
+             |bk AS (SELECT id, band, CAST('0x' || substr(md5(sig), 1, 15) AS BIGINT) AS bucket FROM bands),
+             |cand AS (SELECT DISTINCT a.id AS i, b.id AS j FROM bk a
+             |         JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+             |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT c.i, c.j, COUNT(*) AS cc FROM cand c
+             |          JOIN sh a ON a.id = c.i JOIN sh b ON b.id = c.j AND b.s = a.s GROUP BY 1, 2),
+             |jac AS (SELECT i, j, cc * 1.0 / (sa.n + sb.n - cc) AS jaccard
+             |        FROM inter JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j)
+             |SELECT i, j, ROUND(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.5
+             |ORDER BY i, j""".stripMargin)),
+
+    ("dedup_ngram_jaccard",
+      (s, dir) =>
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("i"), col("j")),
+      Some(s"""$shingleSql,
+             |cand AS (SELECT DISTINCT a.id AS i, b.id AS j
+             |         FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id),
+             |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT c.i, c.j, COUNT(*) AS cc FROM cand c
+             |          JOIN sh a ON a.id = c.i JOIN sh b ON b.id = c.j AND b.s = a.s GROUP BY 1, 2),
+             |jac AS (SELECT i, j, cc * 1.0 / (sa.n + sb.n - cc) AS jaccard
+             |        FROM inter JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j)
+             |SELECT i, j, ROUND(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.5
+             |ORDER BY i, j""".stripMargin)),
+
+    ("dedup_simhash",
+      (s, dir) =>
+        Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("id")),
+      Some("""WITH tok AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+             |            FROM documents),
+             |post AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |bits AS (SELECT id, tf, CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS hv,
+             |                unnest(generate_series(0, 62)) AS b FROM post),
+             |contrib AS (SELECT id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN tf ELSE -tf END) AS sb
+             |            FROM bits GROUP BY 1, 2)
+             |SELECT id, SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+             |FROM contrib GROUP BY id ORDER BY id""".stripMargin)),
+
+    ("dedup_embedding_cosine",
+      (s, dir) =>
+        Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+          .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("i"), col("j")),
+      Some("""SELECT a.vec_id AS i, b.vec_id AS j,
+             |  ROUND((SELECT SUM(x.x::DOUBLE * x.y::DOUBLE)
+             |         FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y) x), 4) AS cos
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE (SELECT SUM(x.x::DOUBLE * x.y::DOUBLE)
+             |       FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y) x) >= 0.45
+             |ORDER BY i, j""".stripMargin)),
+
+    // ---- ANN: IVF cluster pruning (the 100 TB scale path) -----------------
+
+    ("sim_ivf_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val probe = Similarity.centroids(emb).crossJoin(broadcast(qv))
+          .select(col("label"),
+            round(VectorOps.dot(col("cv"), col("qv")), 6).as("cscore"))
+          .orderBy(col("cscore").desc, col("label"))
+          .limit(2)
+          .select(col("label"))
+        val cand = emb.join(broadcast(probe), Seq("label"), "left_semi")
+        Similarity.scoreAll(cand, qv)
+          .select(col("vec_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |ex AS (SELECT label, unnest(embedding) AS x,
+             |              unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+             |cent AS (SELECT label, i, CAST(AVG(x) AS REAL) AS cx FROM ex GROUP BY 1, 2),
+             |centv AS (SELECT label, list(cx ORDER BY i) AS cv FROM cent GROUP BY 1),
+             |cs AS (SELECT c.label, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM centv c CROSS JOIN q),
+             |probe AS (SELECT label FROM cs ORDER BY cscore DESC, label LIMIT 2)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e CROSS JOIN q
+             |WHERE e.label IN (SELECT label FROM probe)
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

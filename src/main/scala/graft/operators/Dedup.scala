@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, exact n-gram Jaccard, and embedding-cosine
+  * near-dup. (Engine extension beyond the reference surface — the reference
+  * has only result-level dedup, `utils/combine_utils.py:19-24`.)
+  *
+  * All hashing uses [[hash60]] — the first 15 hex chars of md5 as a positive
+  * 60-bit BIGINT — which DuckDB ('0x'||substr(md5(s),1,15))::BIGINT and Spark
+  * conv(substr(md5(s),1,15),16,10) compute identically, so every stage
+  * (minhash values, band buckets, fingerprints) is reproducible across
+  * engines and across runs: a hard requirement when dedup decisions must be
+  * auditable over 100 TB.
+  *
+  * Scale design: exact dedup is one hash-shuffle; MinHash/LSH turns the
+  * quadratic near-dup join into (1) a corpus-linear signature build (explode
+  * shingles x H seeds, min-aggregate), (2) an equi-join on (band, bucket) —
+  * candidates only — and (3) a per-candidate verification join. No stage is
+  * all-pairs. The exact-Jaccard operator exists as the small-data oracle
+  * (and the verify step); its blocked self-join on shared shingles is the
+  * thing LSH replaces at scale.
+  */
+object Dedup {
+
+  /** Portable 60-bit hash: BIGINT from the md5 hex prefix. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seed-parameterized hash family: h_seed(s) = hash60(seed || ':' || s). */
+  def hash60Seeded(seed: Column, c: Column): Column =
+    hash60(concat(seed.cast("string"), lit(":"), c))
+
+  /** Exact dedup: group by content hash, keep the lowest id. Output
+    * (keep_id, n_copies). One shuffle on the hash key; at scale, hash first
+    * so the shuffle key is 8 bytes, not the document. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(hash60(col(textCol)).as("__key"), col(idCol))
+      .groupBy(col("__key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Distinct word n-gram shingle sets `(id, s)`. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    Lexical.ngrams(docs, idCol, textCol, n)
+      .select(col("id"), col("ngram").as("s")).distinct()
+
+  /** MinHash signatures `(id, h, mh)`: for each of `numHashes` seeded hash
+    * functions, the min hash over the doc's shingles. Linear in corpus
+    * size x H; the explode stays inside one stage (no shuffle until the
+    * min-aggregate, which combines map-side). */
+  def minhash(shingleDf: DataFrame, numHashes: Int): DataFrame =
+    shingleDf
+      .select(col("id"), explode(sequence(lit(1), lit(numHashes))).as("h"), col("s"))
+      .select(col("id"), col("h"), hash60Seeded(col("h"), col("s")).as("hv"))
+      .groupBy(col("id"), col("h"))
+      .agg(min(col("hv")).as("mh"))
+
+  /** LSH band buckets `(id, band, bucket)`: rows-per-band consecutive
+    * minhashes concatenated and re-hashed. Docs sharing any (band, bucket)
+    * are near-dup candidates. */
+  def lshBuckets(minhashDf: DataFrame, rowsPerBand: Int): DataFrame =
+    minhashDf
+      .withColumn("band", floor((col("h") - 1) / lit(rowsPerBand)))
+      .groupBy(col("id"), col("band"))
+      .agg(sort_array(collect_list(struct(col("h"), col("mh")))).as("sig"))
+      .select(col("id"), col("band"),
+        hash60(concat_ws(",", expr("transform(sig, x -> cast(x.mh as string))"))).as("bucket"))
+
+  /** Candidate pairs `(i, j)` sharing >= 1 LSH bucket (i < j, distinct). */
+  def lshCandidates(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col("id").as("i"))
+    val b = buckets.select(col("band"), col("bucket"), col("id").as("j"))
+    a.join(b, Seq("band", "bucket")).filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+  }
+
+  /** Exact Jaccard over given pairs: per-candidate verification join
+    * (candidates x shingles, never all-pairs). */
+  def verifyJaccard(pairs: DataFrame, shingleDf: DataFrame): DataFrame = {
+    val sizes = shingleDf.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shA = shingleDf.select(col("id").as("i"), col("s"))
+    val shB = shingleDf.select(col("id").as("j"), col("s"))
+    pairs
+      .join(shA, Seq("i")).join(shB, Seq("j", "s"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("i"), col("n").as("ni")), Seq("i"))
+      .join(sizes.select(col("id").as("j"), col("n").as("nj")), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") / (col("ni") + col("nj") - col("inter"))).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup pipeline: signatures -> band buckets -> candidate
+    * pairs -> exact-Jaccard verify -> threshold. */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 2,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    val cands = lshCandidates(lshBuckets(minhash(sh, numHashes), rowsPerBand))
+    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact all-pairs n-gram Jaccard (blocked on shared shingles) — the
+    * small-data oracle for [[minhashLshPairs]]. */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    val pairs = sh.select(col("id").as("i"), col("s"))
+      .join(sh.select(col("id").as("j"), col("s")), Seq("s"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    verifyJaccard(pairs, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash fingerprint (63 bit): per token-bit, sum +tf/-tf by bit parity
+    * of the token hash; bit set where the sum is positive. Integer weights
+    * keep the whole computation exact. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 63): DataFrame = {
+    val post = Lexical.postings(docs, idCol, textCol) // (id, term, tf)
+    post
+      .select(col("id"), col("tf"), hash60(col("term")).as("hv"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      .select(col("id"), col("b"),
+        when(expr("(shiftright(hv, b) & 1) = 1"), col("tf"))
+          .otherwise(-col("tf")).as("contrib"))
+      .groupBy(col("id"), col("b"))
+      .agg(sum(col("contrib")).as("sb"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("sb") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs. Exact all-pairs form (the oracle /
+    * small-N path); the scale path is [[Similarity.ivfSearch]]-style cluster
+    * blocking or sign-random-projection bucketing before the pair join. */
+  def cosinePairs(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("i") < col("j"))
+      .select(col("i"), col("j"), VectorOps.dot(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup keeps lowest id per identical text") {
+    val docs = Seq((5L, "x y z"), (2L, "x y z"), (9L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(2L -> 2L, 9L -> 1L))
+  }
+
+  test("minhash LSH finds a near-duplicate pair and skips unrelated docs") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok7", "tok7x")
+    val other = (100 to 130).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
+  test("simhash is identical for identical token multisets, differs otherwise") {
+    val docs = Seq((1L, "a b c a"), (2L, "b a a c"), (3L, "q r s t u v")).toDF("doc_id", "text")
+    val got = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === got(2L))
+    assert(got(1L) !== got(3L))
+  }
+
+  test("cosine pairs finds identical vectors") {
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.cosinePairs(docs, "vec_id", "embedding", 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === Set((1L, 2L)))
+  }
+}

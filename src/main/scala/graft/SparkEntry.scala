@@ -62,6 +62,17 @@ object SparkEntry {
       |idx AS (SELECT id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM tok),
       |sh AS (SELECT DISTINCT id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s FROM idx)""".stripMargin
 
+  /** Shared oracle-SQL prefix: the multimodal decode STUB's deterministic
+    * fake metadata — disjoint md5 substrings of the content bytes (see
+    * [[graft.operators.Multimodal]]). */
+  private val mmMetaSql =
+    """WITH meta AS (SELECT doc_id AS id,
+      |  320 + CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1600 AS width,
+      |  240 + CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 840 AS height,
+      |  1 + CAST('0x' || substr(md5(text), 17, 8) AS BIGINT) % 240 AS n_frames,
+      |  (CAST('0x' || substr(md5(text), 25, 8) AS BIGINT) % 36000) / 100.0 AS duration_s
+      |  FROM documents)""".stripMargin
+
   /** (name, spark plan, oracle SQL or None). */
   private lazy val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -643,6 +654,158 @@ object SparkEntry {
              |FROM embeddings e CROSS JOIN q
              |WHERE e.label IN (SELECT label FROM probe)
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
+    // ---- text analysis (training-data pipeline extension) -----------------
+
+    ("text_langid",
+      (s, dir) =>
+        TextAnalysis.languageId(s, t(s, dir, "documents"), "doc_id", "text",
+            Map("en" -> Seq("the", "a"), "de" -> Seq("der", "die", "das", "und"),
+              "es" -> Seq("el", "la"), "fr" -> Seq("le", "et"), "zh" -> Seq("的")))
+          .select(col("id"), col("lang_pred"), round(col("conf"), 6).as("conf"))
+          .orderBy(col("id")),
+      Some("""WITH tok AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+             |            FROM documents),
+             |tot AS (SELECT id, COUNT(*) AS n_tok FROM tok GROUP BY 1),
+             |lex(cand_lang, term) AS (VALUES ('en','the'),('en','a'),('de','der'),('de','die'),
+             |  ('de','das'),('de','und'),('es','el'),('es','la'),('fr','le'),('fr','et'),('zh','的')),
+             |m AS (SELECT t.id, l.cand_lang, COUNT(*) AS n_match FROM tok t JOIN lex l USING (term)
+             |      GROUP BY 1, 2),
+             |sc AS (SELECT m.id, m.cand_lang, m.n_match * 1.0 / tot.n_tok AS ratio,
+             |       ROW_NUMBER() OVER (PARTITION BY m.id
+             |         ORDER BY m.n_match * 1.0 / tot.n_tok DESC, m.cand_lang) AS rn
+             |       FROM m JOIN tot USING (id))
+             |SELECT d.doc_id AS id, COALESCE(sc.cand_lang, 'und') AS lang_pred,
+             |       ROUND(COALESCE(sc.ratio, 0), 6) AS conf
+             |FROM documents d LEFT JOIN (SELECT * FROM sc WHERE rn = 1) sc ON sc.id = d.doc_id
+             |ORDER BY id""".stripMargin)),
+
+    ("text_quality",
+      (s, dir) =>
+        TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text",
+            Seq("the", "a"))
+          .select(col("id"), col("n_tokens"),
+            round(col("avg_word_len"), 6).as("avg_word_len"),
+            round(col("stop_ratio"), 6).as("stop_ratio"),
+            round(col("punct_ratio"), 6).as("punct_ratio"),
+            round(col("score"), 6).as("score"), col("keep"))
+          .orderBy(col("id")),
+      Some("""WITH tok AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+             |            FROM documents),
+             |st AS (SELECT id, COUNT(*) AS n_tokens,
+             |              SUM(CASE WHEN term IN ('the','a') THEN 1 ELSE 0 END) AS n_stop
+             |       FROM tok GROUP BY 1),
+             |base AS (SELECT doc_id AS id, LENGTH(text) AS n_chars,
+             |                LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars,
+             |                LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct_chars
+             |         FROM documents)
+             |SELECT b.id, st.n_tokens,
+             |  ROUND(b.alpha_chars * 1.0 / st.n_tokens, 6) AS avg_word_len,
+             |  ROUND(st.n_stop * 1.0 / st.n_tokens, 6) AS stop_ratio,
+             |  ROUND(b.punct_chars * 1.0 / b.n_chars, 6) AS punct_ratio,
+             |  ROUND(0.4 * (st.n_stop * 1.0 / st.n_tokens)
+             |      + 0.6 * (LEAST(b.alpha_chars * 1.0 / st.n_tokens, 10.0) / 10.0), 6) AS score,
+             |  (st.n_tokens BETWEEN 20 AND 1000) AND (st.n_stop > 0) AS keep
+             |FROM base b JOIN st ON st.id = b.id
+             |ORDER BY b.id""".stripMargin)),
+
+    ("text_token_count",
+      (s, dir) =>
+        TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("id")),
+      Some("""SELECT doc_id AS id,
+             |  len(string_split(text, ' '))::BIGINT AS n_ws,
+             |  len(regexp_extract_all(lower(text), '\w+'))::BIGINT AS n_words,
+             |  LENGTH(text)::BIGINT AS n_chars,
+             |  CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS est_bpe
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    ("text_fingerprint",
+      (s, dir) =>
+        TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("id")),
+      Some(s"""$shingleSql,
+             |hv AS (SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hv FROM sh)
+             |SELECT id, MIN(hv) AS fp_min, bit_xor(hv) AS fp_xor, COUNT(*) AS n_shingles
+             |FROM hv GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ---- multimodal stub plumbing -----------------------------------------
+
+    ("mm_decode_meta",
+      (s, dir) =>
+        Multimodal.decodeStub(
+            t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("content")),
+            "doc_id", "content")
+          .orderBy(col("id")),
+      Some(s"""$mmMetaSql
+             |SELECT id, width, height, n_frames, duration_s FROM meta ORDER BY id""".stripMargin)),
+
+    ("mm_frame_sample",
+      (s, dir) => {
+        val meta = Multimodal.decodeStub(
+          t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("content")),
+          "doc_id", "content")
+        Multimodal.sampleFrames(meta, every = 30)
+          .groupBy(col("id"), col("n_frames"))
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy(col("id"))
+      },
+      Some(s"""$mmMetaSql
+             |SELECT id, n_frames, (n_frames - 1) // 30 + 1 AS n_sampled FROM meta
+             |ORDER BY id""".stripMargin)),
+
+    ("mm_audio_segments",
+      (s, dir) => {
+        val meta = Multimodal.decodeStub(
+          t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("content")),
+          "doc_id", "content")
+        Multimodal.audioSegments(meta).orderBy(col("id"))
+      },
+      Some(s"""$mmMetaSql
+             |SELECT id, duration_s, CAST(CEIL(duration_s / 10.0) AS BIGINT) AS n_segments
+             |FROM meta ORDER BY id""".stripMargin)),
+
+    // ---- streaming / sessionization ---------------------------------------
+
+    ("stream_window_counts",
+      (s, dir) => graft.streaming.EventsStreaming.windowedCounts(s, dir),
+      Some("""SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS window_ms,
+             |       event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+             |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin)),
+
+    ("w2_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("__t"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("__t", unix_micros(col("ts")))
+          .withColumn("__prev", lag(col("__t"), 1).over(w))
+          .withColumn("__new",
+            when(col("__prev").isNull || col("__t") - col("__prev") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            // `div`, not `/`: Spark `/` on longs is double division and
+            // loses the last microsecond digit at epoch-scale magnitudes
+            expr("min(__t) div 1000").as("start_ms"),
+            expr("max(__t) div 1000").as("end_ms"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+             |flag AS (SELECT user_id, event_id, t,
+             |  CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+             |         OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+             |       THEN 1 ELSE 0 END AS nw
+             |  FROM e),
+             |sess AS (SELECT user_id, t,
+             |  SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM flag)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |       MIN(t) // 1000 AS start_ms, MAX(t) // 1000 AS end_ms
+             |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-level text analysis for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. (Engine extension beyond
+  * the reference surface; the reference's text handling is
+  * channel-tokenization only, `object_retrieval.py:64-89`.)
+  *
+  * Everything is column-expression relational — no UDFs — so the whole
+  * feature computation stays inside whole-stage codegen and scales as one
+  * scan + (for langid) one broadcast join + grouped aggregation.
+  */
+object TextAnalysis {
+
+  /** Stopword-profile language ID: score each doc against per-language
+    * lexicons (match-token ratio), keep the best (ties: lexicographic lang);
+    * docs matching nothing get 'und'. The n-gram-profile generalization
+    * swaps the lexicon for character-n-gram profiles — same plan shape. */
+  def languageId(
+      spark: SparkSession,
+      docs: DataFrame, idCol: String, textCol: String,
+      lexicon: Map[String, Seq[String]]): DataFrame = {
+    import spark.implicits._
+    val lex = lexicon.toSeq.flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("cand_lang", "term")
+    val toks = Lexical.tokens(docs, idCol, textCol)
+    val totals = toks.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
+    val best = toks.join(broadcast(lex), Seq("term"))
+      .groupBy(col("id"), col("cand_lang")).agg(count(lit(1)).as("n_match"))
+      .join(totals, Seq("id"))
+      .withColumn("ratio", col("n_match").cast("double") / col("n_tok"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("ratio").desc, col("cand_lang"))))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("cand_lang"), col("ratio"))
+    docs.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cand_lang"), lit("und")).as("lang_pred"),
+        coalesce(col("ratio"), lit(0.0)).as("conf"))
+  }
+
+  /** Heuristic quality features + score: token count, mean word length,
+    * stopword ratio, punctuation ratio; keep-flag for the usual
+    * "well-formed prose" band. */
+  def qualityScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame = {
+    val toks = Lexical.tokens(docs, idCol, textCol)
+    val stats = toks.groupBy(col("id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("term").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+    docs.select(col(idCol).as("id"),
+        length(col(textCol)).as("n_chars"),
+        length(regexp_replace(col(textCol), "[^a-z]", "")).as("alpha_chars"),
+        length(regexp_replace(col(textCol), "[^.,!?;:]", "")).as("punct_chars"))
+      .join(stats, Seq("id"))
+      .withColumn("avg_word_len", col("alpha_chars").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", col("punct_chars").cast("double") / col("n_chars"))
+      .withColumn("score",
+        lit(0.4) * col("stop_ratio") +
+          lit(0.6) * (least(col("avg_word_len"), lit(10.0)) / lit(10.0)))
+      .withColumn("keep",
+        col("n_tokens").between(20, 1000) && col("stop_ratio") > 0)
+      .select(col("id"), col("n_tokens"), col("avg_word_len"),
+        col("stop_ratio"), col("punct_ratio"), col("score"), col("keep"))
+  }
+
+  /** Token counting three ways: whitespace fields, `\w+` words, and a
+    * BPE-ish estimate (chars/4, the usual subword heuristic). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("n_ws"),
+      size(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)")).cast("long").as("n_words"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      ceil(length(col(textCol)) / lit(4.0)).cast("long").as("est_bpe"))
+
+  /** Shingle-sketch fingerprint: min and xor of the 60-bit hashes of the
+    * doc's word n-gram shingles — an order-invariant content signature
+    * (the relational stand-in for a rolling-hash winnow). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    Dedup.shingles(docs, idCol, textCol, n)
+      .select(col("id"), Dedup.hash60(col("s")).as("hv"))
+      .groupBy(col("id"))
+      .agg(min(col("hv")).as("fp_min"), expr("bit_xor(hv)").as("fp_xor"),
+        count(lit(1)).as("n_shingles"))
+}

@@ -563,8 +563,9 @@ object SparkEntry {
           .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("i"), col("j")),
       Some(s"""$shingleSql,
-             |hs AS (SELECT id, h, s FROM sh, (SELECT unnest(generate_series(1, 16)) AS h) seeds),
-             |mh AS (SELECT id, h, MIN(CAST('0x' || substr(md5(h || ':' || s), 1, 15) AS BIGINT)) AS mh
+             |hx AS (SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS x FROM sh),
+             |hs AS (SELECT id, h, x FROM hx, (SELECT unnest(generate_series(1, 16)) AS h) seeds),
+             |mh AS (SELECT id, h, MIN(((2*h+1) * x + 7919*h) % 2147483647) AS mh
              |       FROM hs GROUP BY 1, 2),
              |bands AS (SELECT id, CAST(floor((h - 1) / 2) AS BIGINT) AS band,
              |                 string_agg(mh, ',' ORDER BY h) AS sig FROM mh GROUP BY 1, 2),

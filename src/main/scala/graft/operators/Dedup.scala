@@ -48,14 +48,18 @@ object Dedup {
     Lexical.ngrams(docs, idCol, textCol, n)
       .select(col("id"), col("ngram").as("s")).distinct()
 
-  /** MinHash signatures `(id, h, mh)`: for each of `numHashes` seeded hash
-    * functions, the min hash over the doc's shingles. Linear in corpus
-    * size x H; the explode stays inside one stage (no shuffle until the
-    * min-aggregate, which combines map-side). */
+  /** MinHash signatures `(id, h, mh)`: ONE md5 per shingle, then a universal
+    * hash family `mh_h = ((2h+1)*x + 7919h) mod (2^31-1)` over the 31-bit
+    * residue — 16x cheaper than hashing `seed:shingle` strings, still
+    * engine-portable (products stay < 2^41, no int64 overflow divergence).
+    * Linear in corpus size x H; the explode stays inside one stage (no
+    * shuffle until the min-aggregate, which combines map-side). */
   def minhash(shingleDf: DataFrame, numHashes: Int): DataFrame =
     shingleDf
-      .select(col("id"), explode(sequence(lit(1), lit(numHashes))).as("h"), col("s"))
-      .select(col("id"), col("h"), hash60Seeded(col("h"), col("s")).as("hv"))
+      .select(col("id"), (hash60(col("s")) % lit(2147483647L)).as("x"))
+      .select(col("id"), explode(sequence(lit(1), lit(numHashes))).as("h"), col("x"))
+      .select(col("id"), col("h"),
+        (((col("h") * 2 + 1) * col("x") + col("h") * lit(7919L)) % lit(2147483647L)).as("hv"))
       .groupBy(col("id"), col("h"))
       .agg(min(col("hv")).as("mh"))
 
@@ -105,16 +109,23 @@ object Dedup {
   }
 
   /** Exact all-pairs n-gram Jaccard (blocked on shared shingles) — the
-    * small-data oracle for [[minhashLshPairs]]. */
+    * small-data oracle for [[minhashLshPairs]]. Single pass: the shingle
+    * self-join feeds the intersection count directly (no candidate
+    * materialization + re-join). */
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleN)
-    val pairs = sh.select(col("id").as("i"), col("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    sh.select(col("id").as("i"), col("s"))
       .join(sh.select(col("id").as("j"), col("s")), Seq("s"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j")).distinct()
-    verifyJaccard(pairs, sh).filter(col("jaccard") >= threshold)
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("i"), col("n").as("ni")), Seq("i"))
+      .join(sizes.select(col("id").as("j"), col("n").as("nj")), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") / (col("ni") + col("nj") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash fingerprint (63 bit): per token-bit, sum +tf/-tf by bit parity

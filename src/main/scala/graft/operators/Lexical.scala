@@ -39,17 +39,22 @@ object Lexical {
     post.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
   /** sklearn-style smoothed idf: `ln((1+N)/(1+df)) + 1`. */
-  def smoothIdf(df: Column, n: Long): Column =
-    log((lit(n + 1).cast("double")) / (df + lit(1))) + lit(1.0)
+  def smoothIdf(df: Column, n: Column): Column =
+    log((n + lit(1.0)) / (df + lit(1))) + lit(1.0)
+
+  /** 1-row corpus-size frame, broadcast into the plan (keeps the pipeline
+    * fully lazy — no separate `count()` job per query). */
+  private def corpusSize(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("__n"))
 
   /** L2-normalized tf-idf vectors `(id, term, w)` — exactly sklearn's
     * `TfidfVectorizer(norm='l2', smooth_idf=True, sublinear_tf=False)`. */
   def tfidfVectors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = docs.count()
     val post = postings(docs, idCol, textCol)
     val withIdf = post
       .join(broadcast(docFreq(post)), Seq("term"))
-      .withColumn("w", col("tf") * smoothIdf(col("df"), n))
+      .crossJoin(broadcast(corpusSize(docs)))
+      .withColumn("w", col("tf") * smoothIdf(col("df"), col("__n")))
     val byDoc = Window.partitionBy(col("id"))
     withIdf
       .withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
@@ -65,13 +70,13 @@ object Lexical {
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val n = docs.count()
     val post = postings(docs, idCol, textCol)
     val dfreq = docFreq(post)
     val q = queryTerms.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
       .toSeq.toDF("term", "qtf")
       .join(broadcast(dfreq), Seq("term"))
-      .withColumn("qw", col("qtf") * smoothIdf(col("df"), n))
+      .crossJoin(broadcast(corpusSize(docs)))
+      .withColumn("qw", col("qtf") * smoothIdf(col("df"), col("__n")))
       .select(col("term"), col("qw"))
     val qnorm = q.agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
     val docVecs = tfidfVectors(docs, idCol, textCol)
@@ -92,13 +97,14 @@ object Lexical {
       queryTerms: Seq[String],
       k1: Double = 1.5, b: Double = 0.75, eps: Double = 0.25): DataFrame = {
     import spark.implicits._
-    val n = docs.count()
     val post = postings(docs, idCol, textCol)
     val docLen = tokens(docs, idCol, textCol)
       .groupBy(col("id")).agg(count(lit(1)).as("dl"))
     val avgdl = docLen.agg((sum(col("dl")) / count(lit(1))).as("avgdl"))
-    val idfRaw = docFreq(post).withColumn("idf_raw",
-      log((lit(n).cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    val idfRaw = docFreq(post).crossJoin(broadcast(corpusSize(docs)))
+      .withColumn("idf_raw",
+        log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select(col("term"), col("df"), col("idf_raw"))
     val avgIdf = idfRaw.agg(avg(col("idf_raw")).as("avg_idf"))
     val idf = idfRaw.crossJoin(broadcast(avgIdf))
       .withColumn("idf",

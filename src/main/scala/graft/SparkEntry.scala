@@ -265,7 +265,8 @@ object SparkEntry {
         t(s, dir, "events")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
-          .select(col("user_id"), col("rn"), col("event_id"), col("event_type"), col("value"))
+          .select(col("user_id"), col("rn").cast("long").as("rn"),
+            col("event_id"), col("event_type"), col("value"))
           .orderBy(col("user_id"), col("rn"))
       },
       Some("""SELECT user_id, rn, event_id, event_type, value FROM (
@@ -338,7 +339,7 @@ object SparkEntry {
           .join(broadcast(top), col("l_orderkey") === col("o_orderkey"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
-          .select(col("o_orderkey"), col("o_totalprice"), col("rnk"),
+          .select(col("o_orderkey"), col("o_totalprice"), col("rnk").cast("long").as("rnk"),
             col("l_partkey"), col("l_extendedprice"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"), col("rnk"))
       },
@@ -607,7 +608,7 @@ object SparkEntry {
              |                unnest(generate_series(0, 62)) AS b FROM post),
              |contrib AS (SELECT id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN tf ELSE -tf END) AS sb
              |            FROM bits GROUP BY 1, 2)
-             |SELECT id, SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+             |SELECT id, CAST(SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
              |FROM contrib GROUP BY id ORDER BY id""".stripMargin)),
 
     ("dedup_embedding_cosine",
@@ -766,6 +767,127 @@ object SparkEntry {
              |SELECT id, duration_s, CAST(CEIL(duration_s / 10.0) AS BIGINT) AS n_segments
              |FROM meta ORDER BY id""".stripMargin)),
 
+    // ---- T2/T3 hierarchy browse -------------------------------------------
+
+    // reference /getvideoshot (`app.py:499-541`): slice the shot sequence of
+    // one video to [sel-5, sel+5] by ordinal — here: user 7's event sequence
+    // around ordinal 20
+    ("t2_shot_neighborhood",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .filter(col("user_id") === 7)
+          .withColumn("rn", row_number().over(w))
+          .filter(abs(col("rn") - 20) <= 5)
+          .select(col("rn").cast("long").as("rn"), col("event_id"), col("event_type"),
+            epochMs(col("ts")).as("ms"))
+          .orderBy(col("rn"))
+      },
+      Some("""SELECT rn, event_id, event_type, ms FROM (
+             |  SELECT event_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+             |         ROW_NUMBER() OVER (PARTITION BY user_id
+             |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |  FROM events WHERE user_id = 7) x
+             |WHERE ABS(rn - 20) <= 5 ORDER BY rn""".stripMargin)),
+
+    // reference /relatedimg (`app.py:417-497`): everything in the hit's shot
+    // minus the hit itself — here: events sharing the anchor's (user, hour)
+    ("t3_related_items",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val anchor = ev.filter(col("event_id") === 500)
+          .select(col("user_id"),
+            date_trunc("hour", col("ts")).as("__bucket"))
+        ev.join(broadcast(anchor), Seq("user_id"))
+          .filter(date_trunc("hour", col("ts")) === col("__bucket") &&
+            col("event_id") =!= 500)
+          .select(col("event_id"), col("event_type"), epochMs(col("ts")).as("ms"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH anchor AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket
+             |                FROM events WHERE event_id = 500)
+             |SELECT e.event_id, e.event_type, epoch_ms(CAST(e.ts AS TIMESTAMP)) AS ms
+             |FROM events e JOIN anchor a ON e.user_id = a.user_id
+             |WHERE date_trunc('hour', CAST(e.ts AS TIMESTAMP)) = a.bucket AND e.event_id <> 500
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ---- A7 dominance histogram / C11 JSON / F8 path parse / C5 norms -----
+
+    // reference color-dominance histogram (`metadata/color.ipynb` cell 7):
+    // per cell keep colors covering > threshold of pixels — here: per user
+    // keep event types covering > 21% of their events
+    ("a7_dominance_histogram",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val counts = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = ev.groupBy(col("user_id")).agg(count(lit(1)).as("total"))
+        counts.join(totals, Seq("user_id"))
+          .withColumn("share", col("cnt").cast("double") / col("total"))
+          .filter(col("share") > 0.21)
+          .select(col("user_id"), col("event_type"), col("cnt"),
+            round(col("share"), 6).as("share"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+             |t AS (SELECT user_id, COUNT(*) AS total FROM events GROUP BY 1)
+             |SELECT c.user_id, c.event_type, c.cnt, ROUND(c.cnt * 1.0 / t.total, 6) AS share
+             |FROM c JOIN t ON c.user_id = t.user_id
+             |WHERE c.cnt * 1.0 / t.total > 0.21
+             |ORDER BY c.user_id, c.event_type""".stripMargin)),
+
+    ("c11_json_extract",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+            (sum(col("k")).cast("double") / count(lit(1))).as("k_avg"))
+          .select(col("event_type"), col("n"), col("k_sum"), round(col("k_avg"), 6).as("k_avg"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |       CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS k_sum,
+             |       ROUND(SUM(json_extract_string(props, '$.k')::BIGINT) * 1.0 / COUNT(*), 6) AS k_avg
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // reference keyframe path parser (`utils/search_utils.py:8-58`):
+    // build 'L<coll>/V<video>/<frame>.jpg' paths, then parse them back
+    ("f8_parse_paths",
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("event_id") < 100)
+          .withColumn("path", concat(
+            lit("L"), lpad((col("user_id") % 30 + 21).cast("string"), 2, "0"),
+            lit("/V"), lpad((col("event_id") % 1000).cast("string"), 3, "0"),
+            lit("/"), col("event_id").cast("string"), lit(".jpg")))
+          .select(col("event_id"), col("path"),
+            regexp_extract(col("path"), "L(\\d+)/V(\\d+)/(\\d+)\\.jpg", 1).cast("int").as("coll"),
+            regexp_extract(col("path"), "L(\\d+)/V(\\d+)/(\\d+)\\.jpg", 2).cast("int").as("vid"),
+            regexp_extract(col("path"), "L(\\d+)/V(\\d+)/(\\d+)\\.jpg", 3).cast("long").as("frame"))
+          .orderBy(col("event_id")),
+      Some("""WITH p AS (SELECT event_id,
+             |  'L' || lpad(CAST(user_id % 30 + 21 AS VARCHAR), 2, '0') ||
+             |  '/V' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') ||
+             |  '/' || CAST(event_id AS VARCHAR) || '.jpg' AS path
+             |  FROM events WHERE event_id < 100)
+             |SELECT event_id, path,
+             |  CAST(regexp_extract(path, 'L(\d+)/V(\d+)/(\d+)\.jpg', 1) AS INT) AS coll,
+             |  CAST(regexp_extract(path, 'L(\d+)/V(\d+)/(\d+)\.jpg', 2) AS INT) AS vid,
+             |  CAST(regexp_extract(path, 'L(\d+)/V(\d+)/(\d+)\.jpg', 3) AS BIGINT) AS frame
+             |FROM p ORDER BY event_id""".stripMargin)),
+
+    // S1 scan + C5 build-time L2 normalization invariant
+    ("s1_scan_norms",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+            round(graft.functions.VectorOps.l2Norm(col("embedding")), 6).as("norm"))
+          .orderBy(col("vec_id")),
+      Some("""SELECT vec_id, len(embedding) AS dim,
+             |  ROUND((SELECT SQRT(SUM(x.a::DOUBLE * x.a::DOUBLE))
+             |         FROM (SELECT unnest(embedding) AS a) x), 6) AS norm
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // ---- streaming / sessionization ---------------------------------------
 
     ("stream_window_counts",
@@ -801,8 +923,8 @@ object SparkEntry {
              |       THEN 1 ELSE 0 END AS nw
              |  FROM e),
              |sess AS (SELECT user_id, t,
-             |  SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
-             |                ROWS UNBOUNDED PRECEDING) AS session_id
+             |  CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM flag)
              |SELECT user_id, session_id, COUNT(*) AS n_events,
              |       MIN(t) // 1000 AS start_ms, MAX(t) // 1000 AS end_ms

@@ -61,6 +61,11 @@ for name in names:
     if list(got.columns) != list(exp.columns):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
         fails += 1; continue
+    dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+              if str(got[c].dtype) != str(exp[c].dtype)]
+    if dt_bad:
+        print(f"FAIL {name}: dtype mismatch {dt_bad}")
+        fails += 1; continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1; continue
     bad = None

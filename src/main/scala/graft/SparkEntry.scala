@@ -888,6 +888,103 @@ object SparkEntry {
              |         FROM (SELECT unnest(embedding) AS a) x), 6) AS norm
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // ---- §3.1 / §3.2 full endpoint compositions ---------------------------
+
+    // /textsearch with `clip && clipv2` (reference `app.py:330-357`): two
+    // dense channels (second model simulated by the reversed embedding
+    // space), each top-100, A1 min-max fusion, A4 group-by-"video" (label)
+    ("q31_textsearch_dual",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), reverse(col("embedding")).as("qv2"))
+        def channel(scoreCol: Column) =
+          emb.crossJoin(broadcast(qv))
+            .select(col("vec_id").as("id"), round(scoreCol, 4).as("score"))
+            .orderBy(col("score").desc, col("id"))
+            .limit(100)
+        val chA = channel(VectorOps.dot(col("embedding"), col("qv")))
+        val chB = channel(VectorOps.dot(reverse(col("embedding")), col("qv2")))
+        val fused = Fusion.fuseByAddition(Seq(chA, chB))
+          .select(col("id"), round(col("score"), 6).as("score"))
+        val withLabel = fused
+          .join(emb.select(col("vec_id").as("id"), col("label")), Seq("id"))
+        GroupShaping.groupResults(withLabel, "label", "id", "score")
+      },
+      Some("""WITH q AS (SELECT embedding AS qv, list_reverse(embedding) AS qv2
+             |           FROM embeddings WHERE vec_id = 0),
+             |cha AS (SELECT e.vec_id AS id,
+             |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x), 4) AS score
+             |  FROM embeddings e CROSS JOIN q ORDER BY score DESC, id LIMIT 100),
+             |chb AS (SELECT e.vec_id AS id,
+             |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |           FROM (SELECT unnest(list_reverse(e.embedding)) a, unnest(q.qv2) b) x), 4) AS score
+             |  FROM embeddings e CROSS JOIN q ORDER BY score DESC, id LIMIT 100),
+             |na AS (SELECT id, (score - MIN(score) OVER ()) /
+             |              (MAX(score) OVER () - MIN(score) OVER () + 1e-6) AS score FROM cha),
+             |nb AS (SELECT id, (score - MIN(score) OVER ()) /
+             |              (MAX(score) OVER () - MIN(score) OVER () + 1e-6) AS score FROM chb),
+             |fused AS (SELECT id, ROUND(SUM(score), 6) AS score
+             |          FROM (SELECT * FROM na UNION ALL SELECT * FROM nb) u GROUP BY id),
+             |lab AS (SELECT f.id, f.score, e.label FROM fused f JOIN embeddings e ON e.vec_id = f.id)
+             |SELECT label, MAX(score) AS best_score,
+             |       list(id ORDER BY score DESC, id) AS ids,
+             |       list(score ORDER BY score DESC, id) AS scores
+             |FROM lab GROUP BY label ORDER BY best_score DESC, label""".stripMargin)),
+
+    // /panel multi-channel context search (reference `app.py:368-406`,
+    // `faiss_processing.py:234-277`): heterogeneous sparse channels (tf-idf
+    // text, exact source match, length prior) fused by A1
+    ("q32_panel_multichannel",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val chText = Lexical.tfidfSearch(s, docs, "doc_id", "text", Seq("spark", "join"))
+          .select(col("id"), round(col("score"), 6).as("score"))
+        val chSrc = docs.filter(col("source").isin("src7", "src8"))
+          .select(col("doc_id").as("id"), lit(1.0).as("score"))
+        val chLen = docs.select(col("doc_id").as("id"), col("n_chars").cast("double").as("score"))
+        Fusion.fuseByAddition(Seq(chText, chSrc, chLen))
+          .select(col("id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(20)
+      },
+      Some(s"""$tokSql,
+             |nrm AS (SELECT id, term, w / SQRT(SUM(w*w) OVER (PARTITION BY id)) AS w FROM wgt),
+             |qt(term) AS (VALUES ('spark'), ('join')),
+             |q AS (SELECT t.term, 1.0 * (LN((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS qw
+             |      FROM qt t JOIN dfreq d USING (term) CROSS JOIN nn),
+             |qn AS (SELECT SQRT(SUM(qw*qw)) AS qnorm FROM q),
+             |cht AS (SELECT id, ROUND(SUM(nrm.w * q.qw / qn.qnorm), 6) AS score
+             |        FROM nrm JOIN q USING (term) CROSS JOIN qn GROUP BY id),
+             |chs AS (SELECT doc_id AS id, 1.0 AS score FROM documents WHERE source IN ('src7','src8')),
+             |chl AS (SELECT doc_id AS id, n_chars * 1.0 AS score FROM documents),
+             |n1 AS (SELECT id, (score - MIN(score) OVER ()) /
+             |             (MAX(score) OVER () - MIN(score) OVER () + 1e-6) AS score FROM cht),
+             |n2 AS (SELECT id, (score - MIN(score) OVER ()) /
+             |             (MAX(score) OVER () - MIN(score) OVER () + 1e-6) AS score FROM chs),
+             |n3 AS (SELECT id, (score - MIN(score) OVER ()) /
+             |             (MAX(score) OVER () - MIN(score) OVER () + 1e-6) AS score FROM chl)
+             |SELECT id, ROUND(SUM(score), 6) AS score
+             |FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3) u
+             |GROUP BY id ORDER BY score DESC, id LIMIT 20""".stripMargin)),
+
+    // C2 unicode accent strip (reference vectorizer strip_accents,
+    // `object_retrieval.py:64-73`) — codepoint translate, engine-portable
+    ("c2_accent_strip",
+      (s, dir) => {
+        import s.implicits._
+        Seq("café", "naïve", "über", "señor", "élève crème")
+          .toDF("s")
+          .select(col("s"),
+            translate(col("s"),
+              "áàâäãéèêëíìîïóòôöõúùûüñç", "aaaaaeeeeiiiiooooouuuunc").as("stripped"))
+          .orderBy(col("s"))
+      },
+      Some("""WITH v(s) AS (VALUES ('café'), ('naïve'), ('über'), ('señor'), ('élève crème'))
+             |SELECT s, translate(s, 'áàâäãéèêëíìîïóòôöõúùûüñç', 'aaaaaeeeeiiiiooooouuuunc') AS stripped
+             |FROM v ORDER BY s""".stripMargin)),
+
     // ---- streaming / sessionization ---------------------------------------
 
     ("stream_window_counts",

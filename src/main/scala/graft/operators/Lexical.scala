@@ -49,11 +49,15 @@ object Lexical {
 
   /** L2-normalized tf-idf vectors `(id, term, w)` — exactly sklearn's
     * `TfidfVectorizer(norm='l2', smooth_idf=True, sublinear_tf=False)`. */
-  def tfidfVectors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val post = postings(docs, idCol, textCol)
+  def tfidfVectors(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tfidfVectorsFrom(postings(docs, idCol, textCol), corpusSize(docs))
+
+  /** Same, from precomputed postings (shared subtrees let Catalyst reuse the
+    * postings shuffle across the doc-vector and query-idf branches). */
+  private def tfidfVectorsFrom(post: DataFrame, nDf: DataFrame): DataFrame = {
     val withIdf = post
       .join(broadcast(docFreq(post)), Seq("term"))
-      .crossJoin(broadcast(corpusSize(docs)))
+      .crossJoin(broadcast(nDf))
       .withColumn("w", col("tf") * smoothIdf(col("df"), col("__n")))
     val byDoc = Window.partitionBy(col("id"))
     withIdf
@@ -79,7 +83,7 @@ object Lexical {
       .withColumn("qw", col("qtf") * smoothIdf(col("df"), col("__n")))
       .select(col("term"), col("qw"))
     val qnorm = q.agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
-    val docVecs = tfidfVectors(docs, idCol, textCol)
+    val docVecs = tfidfVectorsFrom(post, corpusSize(docs))
     docVecs
       .join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(qnorm))

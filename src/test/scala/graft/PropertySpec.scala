@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Candidates, Fusion, GroupShaping, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** SURVEY §5(3) property tests. Trials are few (Spark jobs per trial) but
+  * each exercises randomized inputs end-to-end. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = TestSpark.spark
+
+  private val channelGen: Gen[List[(Long, Double)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0.0, 100.0)))
+      .map(_.groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toList)
+
+  private def fuse(chs: Seq[List[(Long, Double)]]): Map[Long, BigDecimal] = {
+    import spark.implicits._
+    val dfs = chs.map(_.toDF("id", "score"))
+    Fusion.fuseByAddition(dfs).collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).toMap
+  }
+
+  property("A1 fusion is channel-permutation invariant") =
+    forAll(channelGen, channelGen, channelGen) { (a, b, c) =>
+      fuse(Seq(a, b, c)) == fuse(Seq(c, a, b))
+    }
+
+  property("single-channel fusion is identity (combine_utils.py:36-37)") =
+    forAll(channelGen) { a =>
+      fuse(Seq(a)) == a.map { case (k, v) =>
+        k -> BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP) }.toMap
+    }
+
+  property("filter-then-score == score-then-filter") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 49L)).map(_.distinct)) { ids =>
+      import spark.implicits._
+      val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(50)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cand = ids.toDF("vec_id")
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val pre = toMap(Similarity.scoreAll(Candidates.restrictTo(emb, cand, "vec_id"), qv))
+      val post = toMap(Similarity.scoreAll(emb, qv)
+        .join(cand, Seq("vec_id"), "left_semi"))
+      pre == post
+    }
+
+  property("topK equals sort-take-k") =
+    forAll(channelGen, Gen.chooseNum(1, 10)) { (rows, k) =>
+      import spark.implicits._
+      val df = rows.toDF("id", "score")
+      val got = GroupShaping.topK(df, k, col("score"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      val want = rows.sortBy { case (id, s) => (-s, id) }.take(k)
+      got == want
+    }
+}

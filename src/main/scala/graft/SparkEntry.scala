@@ -611,6 +611,31 @@ object SparkEntry {
              |SELECT id, CAST(SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
              |FROM contrib GROUP BY id ORDER BY id""".stripMargin)),
 
+    ("dedup_simhash_pairs",
+      (s, dir) => {
+        val fp = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        val a = fp.select(col("id").as("i"), col("simhash").as("ha"))
+        val b = fp.select(col("id").as("j"), col("simhash").as("hb"))
+        a.crossJoin(b).filter(col("i") < col("j"))
+          .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+          .filter(col("hamming") <= 6)
+          .select(col("i"), col("j"), col("hamming"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some("""WITH tok AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+             |            FROM documents),
+             |post AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |bits AS (SELECT id, tf, CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS hv,
+             |                unnest(generate_series(0, 62)) AS b FROM post),
+             |contrib AS (SELECT id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN tf ELSE -tf END) AS sb
+             |            FROM bits GROUP BY 1, 2),
+             |fp AS (SELECT id, CAST(SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+             |       FROM contrib GROUP BY id)
+             |SELECT a.id AS i, b.id AS j, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+             |FROM fp a JOIN fp b ON a.id < b.id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+             |ORDER BY i, j""".stripMargin)),
+
     ("dedup_embedding_cosine",
       (s, dir) =>
         Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)

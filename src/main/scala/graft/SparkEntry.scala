@@ -682,6 +682,28 @@ object SparkEntry {
              |WHERE e.label IN (SELECT label FROM probe)
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
 
+    // cluster assignment: each vector -> nearest of 10 seed vectors (k-means
+    // assign step / IVF cell routing), via the batch kNN join
+    ("sim_cluster_assign",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val seeds = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
+        Similarity.knnJoin(emb, seeds, k = 1)
+          .select(col("vec_id"), col("seed_id").as("cluster"), col("sim"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS sv FROM embeddings WHERE vec_id < 10),
+             |scored AS (SELECT e.vec_id, s.seed_id,
+             |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(s.sv) b) x), 4) AS sim
+             |  FROM embeddings e CROSS JOIN seeds s),
+             |r AS (SELECT vec_id, seed_id, sim,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rn
+             |      FROM scored)
+             |SELECT vec_id, seed_id AS cluster, sim FROM r WHERE rn = 1
+             |ORDER BY vec_id""".stripMargin)),
+
     // ---- text analysis (training-data pipeline extension) -----------------
 
     ("text_langid",

@@ -66,6 +66,30 @@ object Similarity {
       queryDf, k, idCol, vecCol)
   }
 
+  /** Batch kNN join: for EVERY corpus row, the top-k most similar rows of a
+    * small broadcast `seeds` relation (`seed_id`, `sv`) — the k-means assign
+    * step / IVF cell assignment / label-propagation primitive. One corpus
+    * pass, seeds broadcast, per-row top-k via a bounded ranking window
+    * (planned with WindowGroupLimit) — no corpus shuffle beyond the window's
+    * per-id partitioning, which AQE coalesces. */
+  def knnJoin(
+      corpus: DataFrame,
+      seeds: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("seed_id"))
+    corpus.crossJoin(broadcast(seeds))
+      .select(col(idCol), col("seed_id"),
+        round(VectorOps.dot(col(vecCol), col("sv")), roundTo).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Relevance-feedback (Rocchio-like) rerank — the reference's `/feedback`
     * endpoint (reference `utils/faiss_processing.py:280-335`): each candidate's
     * score is adjusted by +dot(candidate, vote) for positive votes and -dot

@@ -13,10 +13,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen, shuffle service, parquet footer cache) so
+    // warm the session (codegen, shuffle service, parquet footers) so
     // per-query timings reflect steady state, not JVM startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    graft.Tables.names.foreach { n =>
+      try spark.read.parquet(s"$sfDir/$n.parquet").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column

@@ -102,8 +102,9 @@ object Lexical {
       k1: Double = 1.5, b: Double = 0.75, eps: Double = 0.25): DataFrame = {
     import spark.implicits._
     val post = postings(docs, idCol, textCol)
-    val docLen = tokens(docs, idCol, textCol)
-      .groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    // dl = token count = sum of term frequencies: derived from postings so
+    // the corpus is tokenized once, not twice
+    val docLen = post.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     val avgdl = docLen.agg((sum(col("dl")) / count(lit(1))).as("avgdl"))
     val idfRaw = docFreq(post).crossJoin(broadcast(corpusSize(docs)))
       .withColumn("idf_raw",

@@ -1,0 +1,56 @@
+package graft
+
+import graft.sources.RawContext
+import org.scalatest.funsuite.AnyFunSuite
+
+class RawContextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("per-file line ordinals recover the positional keyframe convention") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctx")
+    // two "videos", one with a BOM, lines = per-keyframe context strings
+    java.nio.file.Files.writeString(dir.resolve("L21_V001.txt"),
+      "person car\ndog\n\ntree sky\n")
+    java.nio.file.Files.writeString(dir.resolve("L21_V002.txt"),
+      "﻿cat\nhouse boat\n")
+    val got = RawContext.readOrdinalText(spark, dir.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(got === Set(
+      ("L21_V001", 0, "person car"), ("L21_V001", 1, "dog"),
+      ("L21_V001", 2, ""), ("L21_V001", 3, "tree sky"),
+      ("L21_V002", 0, "cat"), ("L21_V002", 1, "house boat")))
+  }
+}
+
+class AsofPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("asofBackward equals brute-force latest-at-or-before on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 200).map(i =>
+      (i.toLong, (rnd.nextInt(5)).toLong, rnd.nextInt(1000).toLong * 1000000L))
+    val right = (1 to 300).map(i =>
+      ((rnd.nextInt(5)).toLong, rnd.nextInt(1000).toLong * 1000000L, rnd.nextDouble()))
+    val leftDf = left.toDF("id", "k", "t")
+      .select(col("id"), col("k"), timestamp_micros(col("t")).as("t"))
+    val rightDf = right.toDF("k", "t", "v")
+      .select(col("k"), timestamp_micros(col("t")).as("t"), col("v"))
+      // dedupe equal (k, t) so "the latest right row" is unique
+      .groupBy("k", "t").agg(max("v").as("v"))
+    val got = graft.operators.TemporalJoins
+      .asofBackward(leftDf, rightDf, "k", "t", "t", Map("v" -> "rv"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    val rightClean = right.groupBy(r => (r._1, r._2))
+      .map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }.toSeq
+    left.foreach { case (id, k, t) =>
+      val want = rightClean.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) === want, s"id=$id k=$k t=$t")
+    }
+  }
+}

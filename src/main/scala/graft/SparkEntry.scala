@@ -704,6 +704,64 @@ object SparkEntry {
              |SELECT vec_id, seed_id AS cluster, sim FROM r WHERE rn = 1
              |ORDER BY vec_id""".stripMargin)),
 
+    // /getrec analog (reference `app.py:408-415`, `tag_retrieval.py:48-56`):
+    // recommend terms related to a seed term — here by doc-set Jaccard
+    // co-occurrence over the vocabulary (the relational form of the tag
+    // recommender's vocabulary-space kNN)
+    ("rec_related_terms",
+      (s, dir) => {
+        val tok = Lexical.tokens(t(s, dir, "documents"), "doc_id", "text").distinct()
+        val sizes = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        val seedDocs = tok.filter(col("term") === "spark").select(col("id"))
+        val seedN = seedDocs.agg(count(lit(1)).as("seed_n"))
+        tok.join(broadcast(seedDocs), Seq("id"))
+          .filter(col("term") =!= "spark")
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+          .join(sizes, Seq("term"))
+          .crossJoin(broadcast(seedN))
+          .select(col("term"),
+            round(col("c").cast("double") / (col("n") + col("seed_n") - col("c")), 6).as("jacc"))
+          .orderBy(col("jacc").desc, col("term"))
+          .limit(10)
+      },
+      Some("""WITH tok AS (SELECT DISTINCT doc_id AS id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+             |            FROM documents),
+             |sz AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+             |seed AS (SELECT id FROM tok WHERE term = 'spark'),
+             |sn AS (SELECT COUNT(*) AS seed_n FROM seed),
+             |inter AS (SELECT t.term, COUNT(*) AS c FROM tok t JOIN seed s ON t.id = s.id
+             |          WHERE t.term <> 'spark' GROUP BY 1)
+             |SELECT i.term, ROUND(i.c * 1.0 / (sz.n + sn.seed_n - i.c), 6) AS jacc
+             |FROM inter i JOIN sz ON sz.term = i.term CROSS JOIN sn
+             |ORDER BY jacc DESC, i.term LIMIT 10""".stripMargin)),
+
+    ("w3_running_stats",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("__t"), col("event_id"))
+        t(s, dir, "events")
+          .filter(col("user_id") < 5)
+          .withColumn("__t", unix_micros(col("ts")))
+          .withColumn("run_sum",
+            sum(col("value").cast(dec186))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+          .withColumn("gap_s", expr("(__t - lag(__t, 1) over "
+            + "(partition by user_id order by __t, event_id)) div 1000000"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .select(col("user_id"), col("event_id"), col("run_sum"),
+            col("gap_s"), col("next_type"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, value,
+             |                  epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |           FROM events WHERE user_id < 5)
+             |SELECT user_id, event_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+             |       OVER (PARTITION BY user_id ORDER BY t, event_id
+             |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum,
+             |  (t - LAG(t, 1) OVER (PARTITION BY user_id ORDER BY t, event_id)) // 1000000 AS gap_s,
+             |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS next_type
+             |FROM e ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- text analysis (training-data pipeline extension) -----------------
 
     ("text_langid",

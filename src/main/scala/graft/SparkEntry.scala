@@ -1074,6 +1074,80 @@ object SparkEntry {
              |FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3) u
              |GROUP BY id ORDER BY score DESC, id LIMIT 20""".stripMargin)),
 
+    // /panel with a REAL grid-token channel (C7 -> S13 -> A1): each doc gets
+    // a deterministic synthetic bbox context of two `{cell}{class}` tokens
+    // (md5-derived, engine-portable); the query box (0,0,0.5,0.5)="person"
+    // encodes via GridEncoding to the 16 tokens a0person..d3person, scored
+    // by tf-idf over that channel and fused with the text channel
+    ("q33_panel_grid_channel",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cellCsv = graft.functions.GridEncoding.cells.map(_._1).mkString(",")
+        val clsCsv = "person,bicycle,car,motorcycle,airplane,bus,train,truck,boat,trafficlight"
+        def pick(csv: String, n: Int, from: Int) = element_at(
+          split(lit(csv), ","),
+          (conv(substring(md5(col("text")), from, 8), 16, 10).cast("long") % n + 1).cast("int"))
+        val bboxDocs = docs.select(col("doc_id"),
+          concat_ws(" ",
+            concat(pick(cellCsv, 49, 1), pick(clsCsv, 10, 9)),
+            concat(pick(cellCsv, 49, 17), pick(clsCsv, 10, 25))).as("bbox_text"))
+        val queryTokens = graft.functions.GridEncoding.encodeBoxes(Seq(
+          (graft.functions.GridEncoding.Box(0, 0, 0.5, 0.5), "person"))).split(" ").toSeq
+        val chBbox = Lexical.tfidfSearch(s, bboxDocs, "doc_id", "bbox_text", queryTokens)
+          .select(col("id"), round(col("score"), 6).as("score"))
+        val chTag = Lexical.tfidfSearch(s, docs, "doc_id", "text", Seq("spark", "join"))
+          .select(col("id"), round(col("score"), 6).as("score"))
+        Fusion.fuseByAddition(Seq(chBbox, chTag))
+          .select(col("id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(20)
+      },
+      Some {
+        val cellCsv = graft.functions.GridEncoding.cells.map(_._1).mkString(",")
+        val clsCsv = "person,bicycle,car,motorcycle,airplane,bus,train,truck,boat,trafficlight"
+        val qToks = graft.functions.GridEncoding.encodeBoxes(Seq(
+          (graft.functions.GridEncoding.Box(0, 0, 0.5, 0.5), "person"))).split(" ")
+          .map(t => s"('$t')").mkString(", ")
+        s"""WITH bbox_docs AS (SELECT doc_id AS id,
+           |  list_extract(string_split('$cellCsv', ','), CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 49 + 1 AS INT)) ||
+           |  list_extract(string_split('$clsCsv', ','), CAST(CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 10 + 1 AS INT)) || ' ' ||
+           |  list_extract(string_split('$cellCsv', ','), CAST(CAST('0x' || substr(md5(text), 17, 8) AS BIGINT) % 49 + 1 AS INT)) ||
+           |  list_extract(string_split('$clsCsv', ','), CAST(CAST('0x' || substr(md5(text), 25, 8) AS BIGINT) % 10 + 1 AS INT)) AS bbox_text
+           |  FROM documents),
+           |btok AS (SELECT id, unnest(regexp_extract_all(lower(bbox_text), '\\w+')) AS term FROM bbox_docs),
+           |bpost AS (SELECT id, term, COUNT(*) AS tf FROM btok GROUP BY 1, 2),
+           |bdf AS (SELECT term, COUNT(*) AS df FROM bpost GROUP BY 1),
+           |nn AS (SELECT COUNT(*) AS n FROM documents),
+           |bw AS (SELECT p.id, p.term, p.tf * (LN((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS w
+           |       FROM bpost p JOIN bdf d USING (term) CROSS JOIN nn),
+           |bnrm AS (SELECT id, term, w / SQRT(SUM(w*w) OVER (PARTITION BY id)) AS w FROM bw),
+           |bqt(term) AS (VALUES $qToks),
+           |bq AS (SELECT t.term, 1.0 * (LN((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS qw
+           |       FROM bqt t JOIN bdf d USING (term) CROSS JOIN nn),
+           |bqn AS (SELECT SQRT(SUM(qw*qw)) AS qnorm FROM bq),
+           |ch_bbox AS (SELECT id, ROUND(SUM(bnrm.w * bq.qw / bqn.qnorm), 6) AS score
+           |            FROM bnrm JOIN bq USING (term) CROSS JOIN bqn GROUP BY id),
+           |ttok AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term FROM documents),
+           |tpost AS (SELECT id, term, COUNT(*) AS tf FROM ttok GROUP BY 1, 2),
+           |tdf AS (SELECT term, COUNT(*) AS df FROM tpost GROUP BY 1),
+           |tw AS (SELECT p.id, p.term, p.tf * (LN((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS w
+           |       FROM tpost p JOIN tdf d USING (term) CROSS JOIN nn),
+           |tnrm AS (SELECT id, term, w / SQRT(SUM(w*w) OVER (PARTITION BY id)) AS w FROM tw),
+           |tqt(term) AS (VALUES ('spark'), ('join')),
+           |tq AS (SELECT t.term, 1.0 * (LN((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS qw
+           |       FROM tqt t JOIN tdf d USING (term) CROSS JOIN nn),
+           |tqn AS (SELECT SQRT(SUM(qw*qw)) AS qnorm FROM tq),
+           |ch_tag AS (SELECT id, ROUND(SUM(tnrm.w * tq.qw / tqn.qnorm), 6) AS score
+           |           FROM tnrm JOIN tq USING (term) CROSS JOIN tqn GROUP BY id),
+           |n1 AS (SELECT id, (score - MIN(score) OVER ()) /
+           |             (MAX(score) OVER () - MIN(score) OVER () + 1e-6) AS score FROM ch_bbox),
+           |n2 AS (SELECT id, (score - MIN(score) OVER ()) /
+           |             (MAX(score) OVER () - MIN(score) OVER () + 1e-6) AS score FROM ch_tag)
+           |SELECT id, ROUND(SUM(score), 6) AS score
+           |FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2) u
+           |GROUP BY id ORDER BY score DESC, id LIMIT 20""".stripMargin
+      }),
+
     // C2 unicode accent strip (reference vectorizer strip_accents,
     // `object_retrieval.py:64-73`) — codepoint translate, engine-portable
     ("c2_accent_strip",

@@ -540,6 +540,35 @@ object SparkEntry {
              |FROM cand2 c LEFT JOIN upd u USING (vec_id)
              |ORDER BY score DESC, vec_id""".stripMargin)),
 
+    // int8 symmetric quantization of embeddings (the 4x storage / bandwidth
+    // lever for 100 TB vector columns) with per-row reconstruction error of
+    // the quantized inner product vs exact
+    ("sim_quantize_int8",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        def q8(c: Column): Column = transform(c, x => round(x.cast("double") * 127))
+        emb.crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            VectorOps.dotHof(col("embedding"), col("qv")).as("de"),
+            (aggregate(zip_with(q8(col("embedding")), q8(col("qv")), (a, b) => a * b),
+              lit(0.0), (acc, v) => acc + v) / lit(16129.0)).as("dq"))
+          .select(col("vec_id"), round(col("de"), 4).as("dot_exact"),
+            round(col("dq"), 4).as("dot_q8"),
+            round(abs(col("de") - col("dq")), 4).as("err"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |b AS (SELECT e.vec_id,
+             |  (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |   FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x) AS de,
+             |  (SELECT SUM(round(x.a::DOUBLE * 127) * round(x.b::DOUBLE * 127))
+             |   FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x) / 16129.0 AS dq
+             |  FROM embeddings e CROSS JOIN q)
+             |SELECT vec_id, ROUND(de, 4) AS dot_exact, ROUND(dq, 4) AS dot_q8,
+             |       ROUND(ABS(de - dq), 4) AS err
+             |FROM b ORDER BY vec_id""".stripMargin)),
+
     // ---- dedup suite (training-data pipeline extension) -------------------
 
     ("dedup_exact",

@@ -678,6 +678,31 @@ object SparkEntry {
              |       FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y) x) >= 0.45
              |ORDER BY i, j""".stripMargin)),
 
+    ("dedup_embedding_lsh",
+      (s, dir) =>
+        Dedup.srpCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("i"), col("j")),
+      Some("""WITH pe AS (SELECT vec_id AS id, unnest(embedding) AS x,
+             |                   unnest(generate_series(0, len(embedding) - 1)) AS i
+             |            FROM embeddings),
+             |proj AS (SELECT id, h,
+             |    SUM(x::DOUBLE * (CAST('0x' || substr(md5(h || ':' || i), 1, 15) AS BIGINT) % 2 * 2 - 1)) AS proj
+             |  FROM pe, (SELECT unnest(generate_series(1, 16)) AS h) hh GROUP BY 1, 2),
+             |mh AS (SELECT id, h, CASE WHEN proj > 0 THEN 1 ELSE 0 END AS mh FROM proj),
+             |bands AS (SELECT id, CAST(floor((h - 1) / 4) AS BIGINT) AS band,
+             |                 string_agg(mh, ',' ORDER BY h) AS sig FROM mh GROUP BY 1, 2),
+             |bk AS (SELECT id, band, CAST('0x' || substr(md5(sig), 1, 15) AS BIGINT) AS bucket FROM bands),
+             |cand AS (SELECT DISTINCT a.id AS i, b.id AS j FROM bk a
+             |         JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+             |ver AS (SELECT c.i, c.j,
+             |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |     FROM (SELECT unnest(ea.embedding) a, unnest(eb.embedding) b) x) AS cos
+             |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.i
+             |              JOIN embeddings eb ON eb.vec_id = c.j)
+             |SELECT i, j, ROUND(cos, 4) AS cos FROM ver WHERE cos >= 0.45
+             |ORDER BY i, j""".stripMargin)),
+
     // ---- ANN: IVF cluster pruning (the 100 TB scale path) -----------------
 
     ("sim_ivf_ann",

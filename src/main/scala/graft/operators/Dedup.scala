@@ -151,9 +151,41 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Sign-random-projection (SRP/SimHash-for-vectors, Charikar 2002) bits:
+    * bit_h = [ sum_i v_i * r_{h,i} > 0 ] with pseudo-random +-1 projections
+    * derived from the portable hash (`r_{h,i} = 2*(hash60("h:i") mod 2)-1`),
+    * so both engines and every run build identical signatures. Linear in
+    * corpus x dim x bits; one shuffle for the per-(id,h) projection sums. */
+  def srpBits(
+      emb: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame =
+    emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("id"), col("i"), col("x"),
+        explode(sequence(lit(1), lit(bits))).as("h"))
+      .select(col("id"), col("h"),
+        (col("x").cast("double") *
+          (hash60(concat(col("h"), lit(":"), col("i"))) % 2 * 2 - 1)).as("c"))
+      .groupBy(col("id"), col("h"))
+      .agg(sum(col("c")).as("proj"))
+      .select(col("id"), col("h"), when(col("proj") > 0, 1L).otherwise(0L).as("mh"))
+
+  /** SRP-LSH near-dup over embeddings: banded sign-bit buckets -> candidate
+    * pairs -> exact-cosine verify -> threshold. The scale path that replaces
+    * [[cosinePairs]]'s all-pairs join: every stage is corpus-linear except
+    * the candidate-only verification. */
+  def srpCosinePairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.45): DataFrame = {
+    val cands = lshCandidates(lshBuckets(srpBits(emb, idCol, vecCol, bits), rowsPerBand))
+    val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    cands.join(a, Seq("i")).join(b, Seq("j"))
+      .select(col("i"), col("j"), VectorOps.dot(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs. Exact all-pairs form (the oracle /
-    * small-N path); the scale path is [[Similarity.ivfSearch]]-style cluster
-    * blocking or sign-random-projection bucketing before the pair join. */
+    * small-N path); the scale path is [[srpCosinePairs]] or
+    * [[Similarity.ivfSearch]]-style cluster blocking before the pair join. */
   def cosinePairs(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))

@@ -1218,6 +1218,67 @@ object SparkEntry {
              |SELECT s, translate(s, 'áàâäãéèêëíìîïóòôöõúùûüñç', 'aaaaaeeeeiiiiooooouuuunc') AS stripped
              |FROM v ORDER BY s""".stripMargin)),
 
+    // PII scrubbing (training-data hygiene): emails/phones synthesized from
+    // events, redacted with global regex replacement, with per-row counts
+    ("text_redact_pii",
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("event_id") < 200)
+          .withColumn("raw", concat(
+            lit("contact user"), col("user_id"), lit(" at u"), col("user_id"),
+            lit("@example.com or +1-555-"),
+            lpad((col("event_id") % 10000).cast("string"), 4, "0")))
+          .select(col("event_id"),
+            regexp_replace(
+              regexp_replace(col("raw"), "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+              "\\+[0-9][0-9-]{7,}", "<PHONE>").as("redacted"),
+            size(expr("regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', 0)"))
+              .cast("long").as("n_emails"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  regexp_replace(regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             |                 '\+[0-9][0-9-]{7,}', '<PHONE>', 'g') AS redacted,
+             |  len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+'))::BIGINT AS n_emails
+             |FROM (SELECT event_id,
+             |        'contact user' || user_id || ' at u' || user_id ||
+             |        '@example.com or +1-555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') AS raw
+             |      FROM events WHERE event_id < 200) x
+             |ORDER BY event_id""".stripMargin)),
+
+    // column profiling (pipeline observability): per-column cardinality /
+    // null / range stats as one small profile relation
+    ("profile_stats",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        def prof(c: String) = li.agg(
+          lit(c).as("column_name"),
+          count(lit(1)).as("n"),
+          countDistinct(col(c)).as("n_distinct"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          round(min(col(c)).cast("double"), 4).as("min_v"),
+          round(max(col(c)).cast("double"), 4).as("max_v"))
+        prof("l_quantity").unionByName(prof("l_discount"))
+          .unionByName(prof("l_extendedprice"))
+          .orderBy(col("column_name"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'l_quantity' AS column_name, COUNT(*) AS n,
+             |         COUNT(DISTINCT l_quantity) AS n_distinct,
+             |         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |         ROUND(CAST(MIN(l_quantity) AS DOUBLE), 4) AS min_v,
+             |         ROUND(CAST(MAX(l_quantity) AS DOUBLE), 4) AS max_v FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', COUNT(*), COUNT(DISTINCT l_discount),
+             |         CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |         ROUND(CAST(MIN(l_discount) AS DOUBLE), 4),
+             |         ROUND(CAST(MAX(l_discount) AS DOUBLE), 4) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', COUNT(*), COUNT(DISTINCT l_extendedprice),
+             |         CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |         ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 4),
+             |         ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 4) FROM lineitem) p
+             |ORDER BY column_name""".stripMargin)),
+
     // ---- streaming / sessionization ---------------------------------------
 
     ("stream_window_counts",

@@ -151,22 +151,36 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Driver-side twin of [[hash60]] (same md5-prefix formula), for building
+    * tiny deterministic lookup tables that broadcast into plans. */
+  def hash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
   /** Sign-random-projection (SRP/SimHash-for-vectors, Charikar 2002) bits:
     * bit_h = [ sum_i v_i * r_{h,i} > 0 ] with pseudo-random +-1 projections
     * derived from the portable hash (`r_{h,i} = 2*(hash60("h:i") mod 2)-1`),
-    * so both engines and every run build identical signatures. Linear in
+    * so both engines and every run build identical signatures.
+    *
+    * The bits x dim projection matrix only depends on (h, i): it's built
+    * once on the driver and broadcast, so the corpus-side work is a pure
+    * multiply-aggregate (no per-element hashing). Linear in
     * corpus x dim x bits; one shuffle for the per-(id,h) projection sums. */
   def srpBits(
-      emb: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame =
+      emb: DataFrame, idCol: String, vecCol: String, bits: Int, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val projections = (for (h <- 1 to bits; i <- 0 until dim)
+      yield (h, i, (hash60Local(s"$h:$i") % 2 * 2 - 1).toDouble))
+      .toDF("h", "i", "r")
     emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "x")))
-      .select(col("id"), col("i"), col("x"),
-        explode(sequence(lit(1), lit(bits))).as("h"))
-      .select(col("id"), col("h"),
-        (col("x").cast("double") *
-          (hash60(concat(col("h"), lit(":"), col("i"))) % 2 * 2 - 1)).as("c"))
+      .join(broadcast(projections), Seq("i"))
       .groupBy(col("id"), col("h"))
-      .agg(sum(col("c")).as("proj"))
+      .agg(sum(col("x").cast("double") * col("r")).as("proj"))
       .select(col("id"), col("h"), when(col("proj") > 0, 1L).otherwise(0L).as("mh"))
+  }
 
   /** SRP-LSH near-dup over embeddings: banded sign-bit buckets -> candidate
     * pairs -> exact-cosine verify -> threshold. The scale path that replaces
@@ -174,8 +188,9 @@ object Dedup {
     * the candidate-only verification. */
   def srpCosinePairs(
       emb: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.45): DataFrame = {
-    val cands = lshCandidates(lshBuckets(srpBits(emb, idCol, vecCol, bits), rowsPerBand))
+      bits: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.45,
+      dim: Int = 64): DataFrame = {
+    val cands = lshCandidates(lshBuckets(srpBits(emb, idCol, vecCol, bits, dim), rowsPerBand))
     val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"))
     cands.join(a, Seq("i")).join(b, Seq("j"))

@@ -33,6 +33,15 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) !== got(3L))
   }
 
+  test("hash60Local matches the distributed hash60 expression") {
+    import org.apache.spark.sql.functions._
+    val samples = Seq("1:0", "16:63", "abc", "spark join table")
+    val viaSpark = samples.toDF("s")
+      .select(col("s"), Dedup.hash60(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach(s => assert(Dedup.hash60Local(s) === viaSpark(s), s))
+  }
+
   test("cosine pairs finds identical vectors") {
     val docs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))

@@ -26,19 +26,11 @@ object SparkEntry {
 
   private def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
 
-  /** Flagship query (sf0.001): the `/textsearch` dataflow of the reference
-    * (`app.py:300-366`) — dense k-NN top-k over the corpus, grouped
-    * per-"video" (label) with per-group score ordering. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val emb = t(spark, dir, "embeddings")
-    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val hits = Similarity.knnExact(emb, qv, 50)
-      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-    GroupShaping.groupResults(
-      hits.withColumn("score", round(col("score"), 4)),
-      groupCol = "label", idCol = "vec_id", scoreCol = "score")
-  }
+  /** Flagship query (sf0.001): the full `/textsearch` dual-model dataflow of
+    * the reference (`app.py:300-366`) — two dense channels, per-channel
+    * top-k, A1 min-max fusion, A4 group-by-"video" shaping. */
+  def entry(spark: SparkSession): DataFrame =
+    queries("q31_textsearch_dual")(spark, "/root/testdata/sf0.001")
 
   private val dec182 = DecimalType(18, 2)
   private val dec226 = DecimalType(22, 6)

@@ -86,7 +86,7 @@ object TemporalJoins {
     val matched = unioned
       .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
-    val outCols = left.columns.map(col) ++
+    val outCols = left.columns.toSeq.map(col) ++
       payload.values.toSeq.sorted.map(n => col("__m").getField(n).as(n))
     matched.select(outCols: _*)
   }

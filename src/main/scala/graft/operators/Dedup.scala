@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Approximate Jaccard threshold where a banded MinHash config flips from
+    * mostly-miss to mostly-catch: t ~= (1/bands)^(1/rowsPerBand) (MMDS ch.3).
+    * Used to pick (numHashes, rowsPerBand) for a target similarity. */
+  def lshThreshold(bands: Int, rowsPerBand: Int): Double =
+    math.pow(1.0 / bands, 1.0 / rowsPerBand)
+
   /** Portable 60-bit hash: BIGINT from the md5 hex prefix. */
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")

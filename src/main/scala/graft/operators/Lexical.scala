@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Lexical {
 
+  /** C1 (reference `object_retrieval.py:208-215` `preprocess_text`):
+    * lowercase, drop every char outside [a-z0-9A-Z_ + the Vietnamese accent
+    * charset + whitespace], trim. Charset copied verbatim from the
+    * reference's pattern (incl. its redundant uppercase entries — harmless
+    * after lower()). */
+  private val vietnameseKeep =
+    "ÀÁÂÃÈÉÊÌÍÒÓÔÕÙÚĂĐĨŨƠàáâãèéêìíòóôõùúăđĩũơƯĂẠẢẤẦẨẪẬẮẰẲẴẶẸẺẼỀỀỂ" +
+    "ưăạảấầẩẫậắằẳẵặẹẻẽềềểỄỆỈỊỌỎỐỒỔỖỘỚỜỞỠỢỤỦỨỪễếệỉịọỏốồổỗộớờởỡợụủứừ" +
+    "ỬỮỰỲỴÝỶỸửữựỳỵỷỹ"
+
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(lower(c), s"[^a-z0-9A-Z_$vietnameseKeep\\s]", ""))
+
   /** `\w+` word tokenization after lowercasing — the vectorizer's
     * `\b\w+\b` analyzer (reference `object_retrieval.py:64-73`). */
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =

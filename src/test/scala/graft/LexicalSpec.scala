@@ -42,6 +42,16 @@ class LexicalSpec extends AnyFunSuite {
     assert(math.abs(got(2L) - flooredA) < 1e-12)
   }
 
+  test("cleanText keeps Vietnamese accents, drops punctuation (C1)") {
+    val docs = Seq("Xin Chào! Việt-Nam, 123_ok?").toDF("text")
+    val got = docs.select(Lexical.cleanText(col("text"))).head.getString(0)
+    assert(got === "xin chào việtnam 123_ok")
+  }
+
+  test("lshThreshold matches the (1/b)^(1/r) curve") {
+    assert(math.abs(graft.operators.Dedup.lshThreshold(8, 2) - math.pow(0.125, 0.5)) < 1e-12)
+  }
+
   test("bigrams slide over the token sequence") {
     val docs = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
     val got = Lexical.ngrams(docs, "doc_id", "text", 2)

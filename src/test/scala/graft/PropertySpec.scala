@@ -51,6 +51,24 @@ object GraftProps extends Properties("graft") {
       pre == post
     }
 
+  property("minhash-LSH pairs are a subset of exact-Jaccard pairs (same threshold)") =
+    forAll(Gen.chooseNum(0, 1000)) { seed =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+      def doc() = (1 to 12).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = (1L to 6L).map(i => (i, doc()))
+      // plant one exact duplicate pair
+      val docs = (base :+ (99L, base.head._2)).toDF("doc_id", "text")
+      val lsh = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 2, threshold = 0.3)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text",
+          shingleN = 2, threshold = 0.3)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      lsh.subsetOf(exact) && lsh.contains((1L, 99L)) // identical docs always recalled
+    }
+
   property("topK equals sort-take-k") =
     forAll(channelGen, Gen.chooseNum(1, 10)) { (rows, k) =>
       import spark.implicits._

@@ -141,6 +141,28 @@ object Lexical {
       .agg(sum(col("contrib")).as("score"))
   }
 
+  /** sklearn `analyzer='char_wb'` character n-grams — the reference's
+    * fallback analyzer when a channel's word vocabulary is empty
+    * (`object_retrieval.py:75-89`, char_wb(3,5)). Faithful to sklearn's
+    * `_char_wb_ngrams`: whitespace-collapsed, each word padded to
+    * `" w "`, n-grams slide per n in [minN, maxN]; a word shorter than n
+    * contributes the whole padded word once and stops growing n. Pure
+    * column HOFs — no UDF. */
+  def charWbNgrams(c: Column, minN: Int, maxN: Int): Column = {
+    val words = filter(
+      split(trim(regexp_replace(c, "\\s+", " ")), " "),
+      w => length(w) > 0)
+    flatten(transform(words, w => {
+      val p = concat(lit(" "), w, lit(" "))
+      val pLen = length(p)
+      flatten(transform(
+        sequence(lit(minN), least(lit(maxN), greatest(pLen, lit(minN)))),
+        n => transform(
+          sequence(lit(1), greatest(pLen - n + lit(1), lit(1))),
+          o => p.substr(o, n))))
+    }))
+  }
+
   /** Word n-grams over the token sequence — the (1,3)-gram OCR/speech
     * channels (reference `ocr_retrieval.py:27-35`). Position-aware via
     * posexplode, assembled with a self-join-free slide over the array. */

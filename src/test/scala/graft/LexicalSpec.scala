@@ -52,6 +52,22 @@ class LexicalSpec extends AnyFunSuite {
     assert(math.abs(graft.operators.Dedup.lshThreshold(8, 2) - math.pow(0.125, 0.5)) < 1e-12)
   }
 
+  test("char_wb(3,5) matches sklearn's analyzer semantics") {
+    // hand-traced from sklearn's _char_wb_ngrams on 'ab cde':
+    //  ' ab ' (len 4): n=3 -> ' ab','ab '; n=4 -> ' ab ' (short-word stop)
+    //  ' cde ' (len 5): n=3 -> ' cd','cde','de '; n=4 -> ' cde','cde ';
+    //                   n=5 -> ' cde '
+    val got = Seq("ab  cde").toDF("t")
+      .select(Lexical.charWbNgrams(col("t"), 3, 5))
+      .head.getSeq[String](0)
+    assert(got.toList === List(
+      " ab", "ab ", " ab ",
+      " cd", "cde", "de ", " cde", "cde ", " cde "))
+    val short = Seq("x").toDF("t")
+      .select(Lexical.charWbNgrams(col("t"), 3, 5)).head.getSeq[String](0)
+    assert(short.toList === List(" x ")) // whole padded word, once
+  }
+
   test("bigrams slide over the token sequence") {
     val docs = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
     val got = Lexical.ngrams(docs, "doc_id", "text", 2)

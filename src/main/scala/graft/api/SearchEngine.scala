@@ -1,0 +1,138 @@
+package graft.api
+
+import graft.functions.VectorOps
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The §1 corpus: keyframe fact table + embedding column table + shot
+  * hierarchy (FIXTURES.md §A schemas). `embeddings` may carry one or two
+  * model columns (clip / clipv2), both `ARRAY<FLOAT>`, L2-normalized. */
+case class Corpus(
+  keyframes: DataFrame, // id, collection, video_id, shot_id, ..., partition_tag
+  embeddings: DataFrame, // id, clip [, clipv2]
+  shots: DataFrame)      // video_id, shot_id, keyframe_ids ARRAY<BIGINT>
+
+/** Candidate-set request surface of every reference endpoint
+  * (`app.py:313-328`): explicit id allowlist ∩ complement of the
+  * shot-expanded ignore list ∩ search-space partition. */
+case class Filters(
+  ids: Option[Seq[Long]] = None,
+  ignoreIds: Seq[Long] = Nil,
+  partitionTag: Option[Int] = None,
+  videos: Option[Seq[String]] = None)
+
+/** The reference's query endpoints (§3) as one typed facade over the
+  * operator library — what "switching to this engine" looks like for a user
+  * of the reference: same request surface (k, model toggles, filters,
+  * relevance votes, hierarchy lookups), DataFrame results shaped like the
+  * reference's grouped responses (`search_utils.py:62-93`). Every method
+  * returns a lazy plan; nothing collects on the driver.
+  */
+class SearchEngine(corpus: Corpus) {
+
+  private def candidates(f: Filters): DataFrame = {
+    var kf = corpus.keyframes
+    f.partitionTag.foreach(p => kf = kf.filter(col("partition_tag") === p))
+    f.videos.foreach(vs => kf = kf.filter(col("video_id").isin(vs: _*)))
+    f.ids.foreach { ids =>
+      kf = Candidates.restrictTo(kf,
+        kf.sparkSession.createDataFrame(ids.map(Tuple1(_))).toDF("id"), "id")
+    }
+    if (f.ignoreIds.nonEmpty) {
+      // F3: each ignored keyframe expands to its whole shot (app.py:192-203)
+      val ign = kf.sparkSession.createDataFrame(f.ignoreIds.map(Tuple1(_))).toDF("id")
+      val ignShots = corpus.keyframes.join(ign, Seq("id"))
+        .select(col("video_id"), col("shot_id")).distinct()
+      val expanded = corpus.keyframes
+        .join(broadcast(ignShots), Seq("video_id", "shot_id"))
+        .select(col("id"))
+      kf = Candidates.exclude(kf, expanded, "id")
+    }
+    kf
+  }
+
+  private def scoreChannel(cands: DataFrame, vecCol: String, qv: Array[Float], k: Int) =
+    corpus.embeddings
+      .join(cands.select("id", "video_id"), Seq("id"))
+      .withColumn("qv", lit(qv))
+      .select(col("id"), col("video_id"),
+        round(VectorOps.dot(col(vecCol), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+
+  /** §3.1 /textsearch: one or two dense channels -> A1 fusion -> A4
+    * grouping. `queryVec2` engages the second model (clip && clipv2). */
+  def textSearch(
+      queryVec: Array[Float], k: Int, filters: Filters = Filters(),
+      queryVec2: Option[Array[Float]] = None): DataFrame = {
+    val cands = candidates(filters)
+    val ch1 = scoreChannel(cands, "clip", queryVec, k)
+    val fused = queryVec2 match {
+      case Some(q2) =>
+        Fusion.fuseByAddition(Seq(ch1.drop("video_id"),
+            scoreChannel(cands, "clipv2", q2, k).drop("video_id")))
+          .join(corpus.keyframes.select("id", "video_id"), Seq("id"))
+      case None => ch1
+    }
+    GroupShaping.groupResults(
+      fused.withColumn("score", round(col("score"), 6)),
+      groupCol = "video_id", idCol = "id", scoreCol = "score")
+  }
+
+  /** §3.3 /feedback: Rocchio-style rerank of previous results. */
+  def feedback(
+      prevScores: DataFrame, // (id, score)
+      posIds: Seq[Long], negIds: Seq[Long]): DataFrame = {
+    val emb = corpus.embeddings.select(col("id"), col("clip"))
+    val votes = emb.filter(col("id").isin(posIds: _*))
+      .select(lit(1.0).as("sign"), col("clip").as("ve"))
+      .unionByName(emb.filter(col("id").isin(negIds: _*))
+        .select(lit(-1.0).as("sign"), col("clip").as("ve")))
+    val cand = prevScores
+      .filter(!col("id").isin(negIds: _*)) // drop negative-voted (.299-301)
+      .join(emb, Seq("id"))
+      .select(col("id"), col("score"), col("clip").as("embedding"))
+    Similarity.feedbackRerank(cand, votes, idCol = "id")
+      .orderBy(col("score").desc, col("id"))
+  }
+
+  /** T2 /getvideoshot: the ±window shot neighborhood of one video. */
+  def videoShots(videoId: String, selected: Int, window: Int = 5): DataFrame =
+    corpus.shots.filter(col("video_id") === videoId &&
+      abs(col("shot_id") - selected) <= window)
+
+  /** T3 /relatedimg: all keyframes of the hit's shot, minus the hit. */
+  def relatedImages(id: Long): DataFrame = {
+    val hit = corpus.keyframes.filter(col("id") === id)
+      .select(col("video_id"), col("shot_id"))
+    corpus.keyframes.join(broadcast(hit), Seq("video_id", "shot_id"))
+      .filter(col("id") =!= id)
+  }
+
+  /** T1 /textsearch with filtervideo: expand previous hits' shots by
+    * `range` ordinals (mode 1 forwards / 2 backwards), re-score candidates,
+    * order groups by prev+cur combined score (`search_utils.py:96-221`). */
+  def temporalRequery(
+      prevHits: DataFrame, // (id, score)
+      queryVec: Array[Float], k: Int, range: Int, forwards: Boolean = true): DataFrame = {
+    val hitShots = prevHits.join(corpus.keyframes, Seq("id"))
+      .select(col("video_id"), col("shot_id"), col("score").as("prev_score"))
+      .groupBy(col("video_id"), col("shot_id"))
+      .agg(max(col("prev_score")).as("prev_score"))
+    val (lo, hi) = if (forwards) (1, range) else (-range, -1)
+    val neighbor = hitShots.select(col("video_id"), col("prev_score"),
+      explode(sequence(col("shot_id") + lo, col("shot_id") + hi)).as("shot_id"))
+    val candIds = corpus.shots.join(neighbor, Seq("video_id", "shot_id"))
+      .select(explode(col("keyframe_ids")).as("id"), col("prev_score"))
+      .groupBy(col("id")).agg(max(col("prev_score")).as("prev_score"))
+    val scored = corpus.embeddings.join(candIds, Seq("id"))
+      .withColumn("qv", lit(queryVec))
+      .select(col("id"), col("prev_score"),
+        round(VectorOps.dot(col("clip"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(k)
+      .withColumn("combined", col("score") + col("prev_score"))
+    scored.join(corpus.keyframes.select("id", "video_id"), Seq("id"))
+      .orderBy(col("combined").desc, col("id"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.api.{Corpus, Filters, SearchEngine}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the §3 endpoint facade over the FIXTURES.md §A domain fixture. */
+class SearchEngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import DomainFixture._
+
+  private lazy val corpus: Corpus = {
+    import spark.implicits._
+    val kf = kfs.map(k => (k.id, k.collection, k.videoId, k.shotId, k.partitionTag))
+      .toDF("id", "collection", "video_id", "shot_id", "partition_tag")
+    val emb = kfs.map(k => (k.id, vec(k), vec(k).reverse)).toDF("id", "clip", "clipv2")
+    val sh = kfs.groupBy(k => (k.videoId, k.shotId)).toSeq
+      .map { case ((v, s), ks) => (v, s, ks.map(_.id).sorted) }
+      .toDF("video_id", "shot_id", "keyframe_ids")
+    Corpus(kf, emb, sh)
+  }
+  private lazy val engine = new SearchEngine(corpus)
+
+  test("textSearch returns grouped results honoring filters") {
+    val q = vec(kfs(3))
+    val res = engine.textSearch(q, k = 12,
+      Filters(partitionTag = Some(2), ignoreIds = Seq(60L))).collect()
+    assert(res.nonEmpty)
+    val ids = res.flatMap(_.getSeq[Long](2))
+    assert(ids.nonEmpty)
+    // ignored keyframe's whole shot is gone; partition filter held
+    val ignShot = kfs.find(_.id == 60L).map(k => (k.videoId, k.shotId)).get
+    assert(ids.forall(i => (kfs(i.toInt).videoId, kfs(i.toInt).shotId) != ignShot))
+    assert(ids.forall(i => kfs(i.toInt).partitionTag == 2))
+  }
+
+  test("dual-model textSearch fuses both channels") {
+    val q = vec(kfs(3))
+    val res = engine.textSearch(q, k = 10, queryVec2 = Some(q.reverse)).collect()
+    assert(res.nonEmpty)
+    // fused scores can exceed 1 (sum of two normalized channels)
+    assert(res.map(_.getDouble(1)).max > 1.0)
+  }
+
+  test("feedback boosts positively-voted neighborhoods and drops neg votes") {
+    import spark.implicits._
+    val prev = Seq((10L, 0.9), (11L, 0.8), (12L, 0.7)).toDF("id", "score")
+    val res = engine.feedback(prev, posIds = Seq(10L), negIds = Seq(12L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!res.contains(12L))
+    assert(res(10L) > 0.9) // self-dot of the positive vote adds ~1
+  }
+
+  test("videoShots slices the +-window; relatedImages excludes the hit") {
+    val vs = engine.videoShots("L21_V001", selected = 2, window = 1)
+      .select("shot_id").collect().map(_.getInt(0)).sorted
+    assert(vs.toSeq === Seq(1, 2, 3))
+    val rel = engine.relatedImages(7L).select("id").collect().map(_.getLong(0))
+    val hit = kfs(7)
+    val want = kfs.filter(k => k.videoId == hit.videoId && k.shotId == hit.shotId &&
+      k.id != 7L).map(_.id)
+    assert(rel.sorted.toSeq === want.sorted)
+  }
+
+  test("temporalRequery searches only the forward shot window") {
+    import spark.implicits._
+    val prev = Seq((7L, 0.95)).toDF("id", "score")
+    val hit = kfs(7)
+    val res = engine.temporalRequery(prev, vec(kfs(7)), k = 50, range = 2)
+      .select("id").collect().map(_.getLong(0))
+    assert(res.nonEmpty)
+    assert(res.forall { i =>
+      val k = kfs(i.toInt)
+      k.videoId == hit.videoId && k.shotId > hit.shotId && k.shotId <= hit.shotId + 2
+    })
+  }
+}

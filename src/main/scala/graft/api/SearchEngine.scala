@@ -80,6 +80,32 @@ class SearchEngine(corpus: Corpus) {
       groupCol = "video_id", idCol = "id", scoreCol = "score")
   }
 
+  /** §3.2 /panel: multi-channel sparse context search. `channels` maps a
+    * channel name to (channelTextColumn-on-keyframes-table, queryTerms) —
+    * e.g. bbox tokens from [[graft.functions.GridEncoding]], tag words,
+    * OCR text. Per-channel tf-idf scoring, A1 fusion, A4 grouping
+    * (`faiss_processing.py:234-277`). `channelDocs` carries the per-id
+    * channel text columns (id + one STRING column per channel). */
+  def panel(
+      channelDocs: DataFrame,
+      channels: Map[String, Seq[String]],
+      k: Int,
+      filters: Filters = Filters()): DataFrame = {
+    val cands = candidates(filters)
+    val docs = channelDocs.join(cands.select("id"), Seq("id"), "left_semi")
+    val spark = channelDocs.sparkSession
+    val scored = channels.toSeq.sortBy(_._1).map { case (ch, terms) =>
+      Lexical.tfidfSearch(spark, docs, "id", ch, terms)
+        .select(col("id"), round(col("score"), 6).as("score"))
+    }
+    val fused = Fusion.fuseByAddition(scored)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .join(corpus.keyframes.select("id", "video_id"), Seq("id"))
+    GroupShaping.groupResults(fused, "video_id", "id", "score")
+  }
+
   /** §3.3 /feedback: Rocchio-style rerank of previous results. */
   def feedback(
       prevScores: DataFrame, // (id, score)

@@ -62,6 +62,23 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(rel.sorted.toSeq === want.sorted)
   }
 
+  test("panel fuses grid-token and tag channels over filtered candidates") {
+    import spark.implicits._
+    // synthesize channel texts: bbox tokens from the kf's shot, tags by parity
+    val chDocs = kfs.map { k =>
+      val cell = graft.functions.GridEncoding.cells(k.id.toInt % 49)._1
+      (k.id, s"${cell}person ${cell}car", if (k.id % 2 == 0) "dog grass" else "cat sky")
+    }.toDF("id", "bbox_text", "tag_text")
+    val queryBox = graft.functions.GridEncoding.encodeBoxes(Seq(
+      (graft.functions.GridEncoding.Box(0, 0, 0.3, 0.3), "person"))).split(" ").toSeq
+    val res = engine.panel(chDocs,
+      Map("bbox_text" -> queryBox, "tag_text" -> Seq("dog")),
+      k = 15, Filters(partitionTag = Some(1))).collect()
+    assert(res.nonEmpty)
+    val ids = res.flatMap(_.getSeq[Long](2))
+    assert(ids.forall(i => kfs(i.toInt).partitionTag == 1))
+  }
+
   test("temporalRequery searches only the forward shot window") {
     import spark.implicits._
     val prev = Seq((7L, 0.95)).toDF("id", "score")

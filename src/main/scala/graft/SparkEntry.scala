@@ -190,6 +190,30 @@ object SparkEntry {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    ("j4b_nearest2_clicks",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        TemporalJoins.nearestInTime(purchases, clicks, "user_id", "ts", "ts",
+            "click_id", k = 2)
+          .select(col("event_id"), col("nearest_id"), col("nearest_rank"))
+          .orderBy(col("event_id"), col("nearest_rank"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+             |           WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS rid FROM events
+             |      WHERE event_type = 'click'),
+             |cand AS (SELECT p.event_id, c.rid,
+             |           ABS(epoch_us(c.ts) - epoch_us(p.ts)) AS d, c.ts AS cts
+             |         FROM p JOIN c ON p.user_id = c.user_id),
+             |r AS (SELECT event_id, rid, ROW_NUMBER() OVER (PARTITION BY event_id
+             |        ORDER BY d, cts, rid) AS nearest_rank FROM cand)
+             |SELECT event_id, rid AS nearest_id, nearest_rank FROM r
+             |WHERE nearest_rank <= 2 ORDER BY event_id, nearest_rank""".stripMargin)),
+
     ("j5_scatter_sum_events_to_orders",
       (s, dir) => {
         val perUser = t(s, dir, "events").groupBy(col("user_id"))

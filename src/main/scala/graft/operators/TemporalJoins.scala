@@ -54,6 +54,56 @@ object TemporalJoins {
       .drop("__t", "__s", "__e", "__bucket")
   }
 
+  /** J4 proper: for each left row, the `k` nearest right rows of the same
+    * key by |rightTs - leftTs| (the reference's `find_nearest` on segment
+    * midpoints, `data_preparation.ipynb` cells 25-26 — argsort of abs diff,
+    * take 2).
+    *
+    * Relational plan: index right rows per key by time order; compute each
+    * left row's insertion position with one union+sort running count (same
+    * single-shuffle shape as [[asofBackward]]); the k nearest are always
+    * among the k positions on either side, so an explode of 2k candidate
+    * indexes + equi-join + per-left rank replaces the reference's full
+    * argsort. O((|L|+|R|) log) per key, no range product.
+    */
+  def nearestInTime(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightId: String,
+      k: Int = 2): DataFrame = {
+    val rIdx = right.select(col(key), col(rightTs).as("__rts"), col(rightId))
+      .withColumn("__ridx", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col("__rts"), col(rightId))))
+    val rightSide = rIdx.select(col(key), col("__rts").as("__ts"), lit(0).as("__src"))
+    val leftSide = left.withColumn("__lrow", monotonically_increasing_id())
+      .withColumn("__ts", col(leftTs)).withColumn("__src", lit(1))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withPos = leftSide.unionByName(rightSide, allowMissingColumns = true)
+      .withColumn("__pos", count(when(col("__src") === 0, 1)).over(w))
+      .filter(col("__src") === 1)
+      .drop("__ts", "__src")
+    val candIdx = withPos.withColumn("__cand",
+        explode(array((-k + 1 to k).map(d => col("__pos") + d): _*)))
+      .filter(col("__cand") >= 1)
+    val rIdxR = rIdx.withColumnRenamed(key, "__rkey")
+    val ranked = candIdx.join(rIdxR,
+        candIdx(key) === rIdxR("__rkey") && candIdx("__cand") === rIdxR("__ridx"))
+      .drop("__rkey")
+      .withColumn("__dist", abs(unix_micros(col("__rts").cast("timestamp")) -
+        unix_micros(col(leftTs).cast("timestamp"))))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("__lrow"))
+          .orderBy(col("__dist"), col("__ridx"))))
+      .filter(col("__rank") <= k)
+    ranked.select((left.columns.map(col) :+ col(rightId).as("nearest_id") :+
+      col("__rank").cast("long").as("nearest_rank")): _*)
+  }
+
   /** Backward as-of join: for each left row, the latest right row of the same
     * `key` with `rightTs <= leftTs`. `payload` maps right columns to output
     * names (null when no prior right row exists).

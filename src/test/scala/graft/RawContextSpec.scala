@@ -27,6 +27,39 @@ class RawContextSpec extends AnyFunSuite {
 class AsofPropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("nearestInTime(k=2) equals brute-force argsort-of-abs-diff take-2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 100).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(500).toLong * 2000000L))
+    val right = (1 to 60).map(i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong * 2000000L + 1000000L, i.toLong))
+    val leftDf = left.toDF("lid", "k", "t")
+      .select(col("lid"), col("k"), timestamp_micros(col("t")).as("t"))
+    val rightDf = right.toDF("k", "t", "rid")
+      .select(col("k"), timestamp_micros(col("t")).as("t"), col("rid"))
+      .groupBy("k", "t").agg(min("rid").as("rid")) // unique (k, t)
+    val got = graft.operators.TemporalJoins
+      .nearestInTime(leftDf, rightDf, "k", "t", "t", "rid", k = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (lid, rows) =>
+        lid -> rows.sortBy(_.getLong(4)).map(_.getLong(3)).toList }
+    val rightClean = right.groupBy(r => (r._1, r._2))
+      .map { case ((k, t), vs) => (k, t, vs.map(_._3).min) }.toSeq
+    left.foreach { case (lid, k, t) =>
+      val cands = rightClean.filter(_._1 == k)
+      if (cands.nonEmpty) {
+        // brute force: sort by (abs diff, time-order index) take 2
+        val byTime = cands.sortBy(c => (c._2, c._3)).zipWithIndex
+        val want = byTime.sortBy { case ((_, ct, _), idx) =>
+          (math.abs(ct - t), idx) }.take(2).map(_._1._3).toList
+        assert(got(lid) === want, s"lid=$lid")
+      } else assert(!got.contains(lid))
+    }
+  }
+
   test("asofBackward equals brute-force latest-at-or-before on random data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -54,6 +54,36 @@ object TemporalJoins {
       .drop("__t", "__s", "__e", "__bucket")
   }
 
+  /** Interval x interval overlap join (J3 proper: audio speech intervals x
+    * shot time ranges, `data_preparation.ipynb` cells 14-16 — the hand
+    * written sweep with carry-over). Overlap iff `ls < re && rs < le`.
+    *
+    * Scale design: both interval sets explode to their covered buckets and
+    * join on (equiKeys..., bucket); a pair that overlaps several buckets is
+    * emitted exactly once by keeping only the bucket containing the overlap
+    * start (`floor(greatest(ls, rs) / width)`) — the standard dedupe-free
+    * bucketed interval join, no DISTINCT pass needed. */
+  def intervalOverlapJoin(
+      left: DataFrame, lStart: Column, lEnd: Column,
+      right: DataFrame, rStart: Column, rEnd: Column,
+      equiKeys: Seq[String] = Nil,
+      bucketMicros: Long = 3600L * 1000 * 1000): DataFrame = {
+    val l = left
+      .withColumn("__ls", unix_micros(lStart.cast("timestamp")))
+      .withColumn("__le", unix_micros(lEnd.cast("timestamp")))
+      .withColumn("__bucket", explode(sequence(
+        floor(col("__ls") / lit(bucketMicros)), floor(col("__le") / lit(bucketMicros)))))
+    val r = right
+      .withColumn("__rs", unix_micros(rStart.cast("timestamp")))
+      .withColumn("__re", unix_micros(rEnd.cast("timestamp")))
+      .withColumn("__bucket", explode(sequence(
+        floor(col("__rs") / lit(bucketMicros)), floor(col("__re") / lit(bucketMicros)))))
+    l.join(r, equiKeys :+ "__bucket")
+      .filter(col("__ls") < col("__re") && col("__rs") < col("__le") &&
+        col("__bucket") === floor(greatest(col("__ls"), col("__rs")) / lit(bucketMicros)))
+      .drop("__ls", "__le", "__rs", "__re", "__bucket")
+  }
+
   /** J4 proper: for each left row, the `k` nearest right rows of the same
     * key by |rightTs - leftTs| (the reference's `find_nearest` on segment
     * midpoints, `data_preparation.ipynb` cells 25-26 — argsort of abs diff,

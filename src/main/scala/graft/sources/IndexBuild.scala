@@ -40,6 +40,19 @@ object IndexBuild {
       StructType(StructField(idCol, LongType, nullable = false) +: sorted.schema.fields))
   }
 
+  /** Build the audio<->image bridge (J3, `audio_id2img_id.json`): speech
+    * intervals overlap-joined to shot time ranges, exploded to the shots'
+    * keyframe ids. `audio`: (video_id, audio_id, a_start, a_end TIMESTAMP);
+    * `shots`: (video_id, shot_id, s_start, s_end TIMESTAMP,
+    * keyframe_ids ARRAY<BIGINT>). */
+  def audioImageBridge(audio: DataFrame, shots: DataFrame): DataFrame =
+    TemporalJoins.intervalOverlapJoin(
+        audio, col("a_start"), col("a_end"),
+        shots, col("s_start"), col("s_end"),
+        equiKeys = Seq("video_id"))
+      .select(col("audio_id"), explode(col("keyframe_ids")).as("img_id"))
+      .distinct()
+
   /** Assemble the keyframe fact table.
     * `listing`: (collection, video_id, frame_n, frame_idx) from the keyframe
     * file scan; `fps`: (video_id, fps); `shots`: (video_id, shot_id,

@@ -18,6 +18,50 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(keys.toSeq === keys.sorted.toSeq)
   }
 
+  test("intervalOverlapJoin equals brute force and emits each pair once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    // long intervals spanning several 1h buckets
+    def iv() = { val s = rnd.nextInt(100000); (s.toLong, (s + 1 + rnd.nextInt(20000)).toLong) }
+    val as = (1 to 40).map { i => val (s, e) = iv(); (i.toLong, s * 1000000L, e * 1000000L) }
+    val bs = (1 to 40).map { i => val (s, e) = iv(); (i.toLong, s * 1000000L, e * 1000000L) }
+    val aDf = as.toDF("aid", "s", "e")
+      .select(col("aid"), timestamp_micros(col("s")).as("as_"), timestamp_micros(col("e")).as("ae"))
+    val bDf = bs.toDF("bid", "s", "e")
+      .select(col("bid"), timestamp_micros(col("s")).as("bs"), timestamp_micros(col("e")).as("be"))
+    val got = graft.operators.TemporalJoins
+      .intervalOverlapJoin(aDf, col("as_"), col("ae"), bDf, col("bs"), col("be"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.distinct.length) // no duplicate pair emission
+    val want = for {
+      (ai, s1, e1) <- as; (bi, s2, e2) <- bs if s1 < e2 && s2 < e1
+    } yield (ai, bi)
+    assert(got.toSet === want.toSet)
+  }
+
+  test("audio-image bridge: overlap join scattered to keyframe ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(sec: Long) = sec * 1000000L
+    val audio = Seq(("V1", 100L, ts(0), ts(12)), ("V1", 101L, ts(30), ts(45)))
+      .toDF("video_id", "audio_id", "s", "e")
+      .select(col("video_id"), col("audio_id"),
+        timestamp_micros(col("s")).as("a_start"), timestamp_micros(col("e")).as("a_end"))
+    val shots = Seq(
+      ("V1", 0, ts(0), ts(10), Seq(1L, 2L)),
+      ("V1", 1, ts(10), ts(20), Seq(3L)),
+      ("V1", 2, ts(40), ts(60), Seq(4L, 5L)))
+      .toDF("video_id", "shot_id", "s", "e", "keyframe_ids")
+      .select(col("video_id"), col("shot_id"),
+        timestamp_micros(col("s")).as("s_start"), timestamp_micros(col("e")).as("s_end"),
+        col("keyframe_ids"))
+    val got = IndexBuild.audioImageBridge(audio, shots)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // audio 100 [0,12) overlaps shots 0 and 1 -> kfs 1,2,3; audio 101 [30,45) overlaps shot 2 -> 4,5
+    assert(got === Set((100L, 1L), (100L, 2L), (100L, 3L), (101L, 4L), (101L, 5L)))
+  }
+
   test("keyframes build: sec arithmetic + shot containment + dense ids") {
     import spark.implicits._
     val listing = Seq(

@@ -370,12 +370,13 @@ object SparkEntry {
 
     ("a4_group_video_nested",
       (s, dir) =>
-        GroupShaping.groupResults(
+        GroupShaping.groupResultsCsv(
           t(s, dir, "events").select(col("user_id"), col("event_id"), col("value")),
           groupCol = "user_id", idCol = "event_id", scoreCol = "value"),
       Some("""SELECT user_id, MAX(value) AS best_score,
-             |  list(event_id ORDER BY value DESC, event_id) AS ids,
-             |  list(value ORDER BY value DESC, event_id) AS scores
+             |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY value DESC, event_id) AS ids_csv,
+             |  string_agg(CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS VARCHAR), ','
+             |             ORDER BY value DESC, event_id) AS scores_csv
              |FROM events GROUP BY user_id
              |ORDER BY best_score DESC, user_id""".stripMargin)),
 
@@ -1084,7 +1085,7 @@ object SparkEntry {
           .select(col("id"), round(col("score"), 6).as("score"))
         val withLabel = fused
           .join(emb.select(col("vec_id").as("id"), col("label")), Seq("id"))
-        GroupShaping.groupResults(withLabel, "label", "id", "score")
+        GroupShaping.groupResultsCsv(withLabel, "label", "id", "score")
       },
       Some("""WITH q AS (SELECT embedding AS qv, list_reverse(embedding) AS qv2
              |           FROM embeddings WHERE vec_id = 0),
@@ -1104,8 +1105,9 @@ object SparkEntry {
              |          FROM (SELECT * FROM na UNION ALL SELECT * FROM nb) u GROUP BY id),
              |lab AS (SELECT f.id, f.score, e.label FROM fused f JOIN embeddings e ON e.vec_id = f.id)
              |SELECT label, MAX(score) AS best_score,
-             |       list(id ORDER BY score DESC, id) AS ids,
-             |       list(score ORDER BY score DESC, id) AS scores
+             |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY score DESC, id) AS ids_csv,
+             |       string_agg(CAST(CAST(ROUND(score * 1e6) AS BIGINT) AS VARCHAR), ','
+             |                  ORDER BY score DESC, id) AS scores_csv
              |FROM lab GROUP BY label ORDER BY best_score DESC, label""".stripMargin)),
 
     // /panel multi-channel context search (reference `app.py:368-406`,

@@ -54,4 +54,21 @@ object GroupShaping {
         transform(col("__sorted"), s => s.getField("id")).as("ids"),
         transform(col("__sorted"), s => -s.getField("neg_score")).as("scores"))
       .orderBy(col("best_score").desc, col(groupCol))
+
+  /** `groupResults` with the nested arrays encoded as scalar strings for
+    * engine-independent comparison: ids comma-joined, scores fixed-point
+    * micro-encoded (x1e6, rounded to integer) then comma-joined — integer
+    * text formats identically everywhere, double text does not. */
+  def groupResultsCsv(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String): DataFrame =
+    groupResults(df, groupCol, idCol, scoreCol)
+      .select(
+        col(groupCol),
+        col("best_score"),
+        concat_ws(",", transform(col("ids"), x => x.cast("string"))).as("ids_csv"),
+        concat_ws(",", transform(col("scores"),
+          x => round(x * lit(1e6)).cast("long").cast("string"))).as("scores_csv"))
 }

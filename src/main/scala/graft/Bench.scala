@@ -29,7 +29,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // two passes, min per query: damps scheduler/GC noise between rounds
+    // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local iteration)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val pass1 = ordered.map { case (n, fn) => n -> timeOne(n, fn) }.toMap
     val results = ordered.map { case (n, fn) => n -> math.min(pass1(n), timeOne(n, fn)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1165,11 +1165,14 @@ object SparkEntry {
             concat(pick(cellCsv, 49, 17), pick(clsCsv, 10, 25))).as("bbox_text"))
         val queryTokens = graft.functions.GridEncoding.encodeBoxes(Seq(
           (graft.functions.GridEncoding.Box(0, 0, 0.5, 0.5), "person"))).split(" ").toSeq
-        val chBbox = Lexical.tfidfSearch(s, bboxDocs, "doc_id", "bbox_text", queryTokens)
-          .select(col("id"), round(col("score"), 6).as("score"))
-        val chTag = Lexical.tfidfSearch(s, docs, "doc_id", "text", Seq("spark", "join"))
-          .select(col("id"), round(col("score"), 6).as("score"))
-        Fusion.fuseByAddition(Seq(chBbox, chTag))
+        // both sparse channels served from ONE (ch, term)-keyed postings
+        // build (tfidfSearchMulti), then keyed A1 fusion — N channels at the
+        // stage cost of one
+        val multi = Lexical.tfidfSearchMulti(s, Seq(
+          ("bbox", bboxDocs, "doc_id", "bbox_text", queryTokens),
+          ("tag", docs, "doc_id", "text", Seq("spark", "join"))))
+          .select(col("ch"), col("id"), round(col("score"), 6).as("score"))
+        Fusion.fuseByAdditionKeyed(multi)
           .select(col("id"), round(col("score"), 6).as("score"))
           .orderBy(col("score").desc, col("id"))
           .limit(20)

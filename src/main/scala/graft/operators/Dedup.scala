@@ -80,6 +80,32 @@ object Dedup {
       .select(col("id"), col("band"),
         hash60(concat_ws(",", expr("transform(sig, x -> cast(x.mh as string))"))).as("bucket"))
 
+  /** [[minhash]] + [[lshBuckets]] fused into ONE aggregation: all H minhash
+    * values are H `min` columns of a single groupBy(id) (map-side combined,
+    * no H-fold row explode, no second (id,band) shuffle), and band buckets
+    * are a projection over the wide row. Identical values to the row-form
+    * pipeline — same hash family, same `sig` encoding — at 1/(H)th the
+    * shuffled rows and two fewer shuffles. */
+  def minhashBuckets(
+      shingleDf: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val mins = (1 to numHashes).map { h =>
+      min((col("x") * lit(2L * h + 1) + lit(7919L * h)) % lit(2147483647L))
+        .as(s"__mh$h")
+    }
+    val bandCols = (0 until numHashes / rowsPerBand).map { b =>
+      val sig = concat_ws(",",
+        (1 to rowsPerBand).map(r => col(s"__mh${b * rowsPerBand + r}").cast("string")): _*)
+      struct(lit(b.toLong).as("band"), hash60(sig).as("bucket"))
+    }
+    shingleDf
+      .select(col("id"), (hash60(col("s")) % lit(2147483647L)).as("x"))
+      .groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), explode(array(bandCols: _*)).as("__bb"))
+      .select(col("id"), col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
+  }
+
   /** Candidate pairs `(i, j)` sharing >= 1 LSH bucket (i < j, distinct). */
   def lshCandidates(buckets: DataFrame): DataFrame = {
     val a = buckets.select(col("band"), col("bucket"), col("id").as("i"))
@@ -110,7 +136,7 @@ object Dedup {
       numHashes: Int = 16, rowsPerBand: Int = 2,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleN)
-    val cands = lshCandidates(lshBuckets(minhash(sh, numHashes), rowsPerBand))
+    val cands = lshCandidates(minhashBuckets(sh, numHashes, rowsPerBand))
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 
@@ -188,6 +214,32 @@ object Dedup {
       .select(col("id"), col("h"), when(col("proj") > 0, 1L).otherwise(0L).as("mh"))
   }
 
+  /** [[srpBits]] + [[lshBuckets]] fused into a MAP-ONLY projection: each
+    * band bucket is computed per row from `bits` codegen'd dot products
+    * against literal +-1 float vectors (the projection matrix, built on the
+    * driver from the portable hash — same values as [[srpBits]]'s join
+    * form). No posexplode, no projection join, no shuffle at all until the
+    * candidate join: signature cost is exactly corpus x dim x bits multiplies
+    * inside whole-stage codegen. */
+  def srpBuckets(
+      emb: DataFrame, idCol: String, vecCol: String,
+      bits: Int, rowsPerBand: Int, dim: Int): DataFrame = {
+    require(bits % rowsPerBand == 0, "bits must divide into bands")
+    val bitCols = (1 to bits).map { h =>
+      val r = (0 until dim).map(i => (hash60Local(s"$h:$i") % 2 * 2 - 1).toFloat).toArray
+      when(VectorOps.dot(col(vecCol), typedlit(r)) > 0, 1L).otherwise(0L)
+    }
+    val bandCols = (0 until bits / rowsPerBand).map { b =>
+      val sig = concat_ws(",",
+        (1 to rowsPerBand).map(r => element_at(col("__sig"), b * rowsPerBand + r).cast("string")): _*)
+      struct(lit(b.toLong).as("band"), hash60(sig).as("bucket"))
+    }
+    emb
+      .select(col(idCol).as("id"), array(bitCols: _*).as("__sig"))
+      .select(col("id"), explode(array(bandCols: _*)).as("__bb"))
+      .select(col("id"), col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
+  }
+
   /** SRP-LSH near-dup over embeddings: banded sign-bit buckets -> candidate
     * pairs -> exact-cosine verify -> threshold. The scale path that replaces
     * [[cosinePairs]]'s all-pairs join: every stage is corpus-linear except
@@ -196,7 +248,7 @@ object Dedup {
       emb: DataFrame, idCol: String, vecCol: String,
       bits: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.45,
       dim: Int = 64): DataFrame = {
-    val cands = lshCandidates(lshBuckets(srpBits(emb, idCol, vecCol, bits, dim), rowsPerBand))
+    val cands = lshCandidates(srpBuckets(emb, idCol, vecCol, bits, rowsPerBand, dim))
     val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"))
     cands.join(a, Seq("i")).join(b, Seq("j"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-channel score fusion.
@@ -52,6 +51,26 @@ object Fusion {
         .agg(sum(col(scoreCol)).as(scoreCol))
   }
 
+  /** [[fuseByAddition]] over a channel-TAGGED relation `(chCol, idCol,
+    * scoreCol)` — the shape produced by multi-channel scorers like
+    * `Lexical.tfidfSearchMulti`. Per-channel min/max is a tiny groupBy
+    * broadcast back over the rows (channel count is small; never a
+    * single-partition window), then one groupBy(id) sum. */
+  def fuseByAdditionKeyed(
+      tagged: DataFrame,
+      chCol: String = "ch",
+      idCol: String = "id",
+      scoreCol: String = "score"): DataFrame = {
+    val stats = tagged.groupBy(col(chCol))
+      .agg(min(col(scoreCol)).as("__mn"), max(col(scoreCol)).as("__mx"))
+    tagged
+      .join(broadcast(stats), Seq(chCol))
+      .withColumn(scoreCol,
+        (col(scoreCol) - col("__mn")) / (col("__mx") - col("__mn") + lit(1e-6)))
+      .groupBy(col(idCol))
+      .agg(sum(col(scoreCol)).as(scoreCol))
+  }
+
   /** Legacy `merge_searching_results` (`combine_utils.py:4-27`): L2-normalize
     * each channel's score vector, concatenate, keep the best score per id. */
   def fuseLegacyL2(
@@ -66,11 +85,12 @@ object Fusion {
         .withColumn(scoreCol, col(scoreCol) / (col("__l2") + lit(1e-12)))
         .drop("__l2")
     }
-    val w = Window.partitionBy(col(idCol)).orderBy(col(scoreCol).desc)
+    // best-per-id = MAX(score): a hash aggregate with map-side combine, not
+    // a per-id sort window — at scale this is the difference between one
+    // partial-aggregated shuffle and a full sort of the unioned channels
     normed
       .reduce(_ unionByName _)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(col(idCol))
+      .agg(max(col(scoreCol)).as(scoreCol))
   }
 }

@@ -104,6 +104,50 @@ object Lexical {
       .agg(sum(col("w") * col("qw") / col("qnorm")).as("score"))
   }
 
+  /** Multi-channel TF-IDF search: every channel's postings live in ONE
+    * relation keyed by `(ch, term)`, so N channels cost the stage count of
+    * one (one tokenize+postings shuffle, one docFreq, one norm window, one
+    * score aggregation — all keyed by channel). This is the scale shape of
+    * the reference's per-channel CSR matrices (`faiss_processing.py:234-277`
+    * scores several sparse channels per /panel request): a single partitioned
+    * postings table serves every channel, instead of one index pipeline per
+    * channel. Returns `(ch, id, score)`; channels with disjoint doc sets are
+    * fine (per-channel N comes from a per-channel count). */
+  def tfidfSearchMulti(
+      spark: SparkSession,
+      channels: Seq[(String, DataFrame, String, String, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    val tagged = channels.map { case (ch, docs, idCol, textCol, _) =>
+      docs.select(lit(ch).as("ch"), col(idCol).as("id"), col(textCol).as("__txt"))
+    }.reduce(_ unionByName _)
+    val post = tagged
+      .select(col("ch"), col("id"),
+        explode(expr("regexp_extract_all(lower(__txt), '\\\\w+', 0)")).as("term"))
+      .groupBy(col("ch"), col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = post.groupBy(col("ch"), col("term")).agg(count(lit(1)).as("df"))
+    val nPerCh = tagged.groupBy(col("ch")).agg(count(lit(1)).as("__n"))
+    val q = channels.flatMap { case (ch, _, _, _, terms) =>
+      terms.groupBy(identity).map { case (t, xs) => (ch, t, xs.size.toLong) }
+    }.toDF("ch", "term", "qtf")
+      .join(broadcast(dfreq), Seq("ch", "term"))
+      .join(broadcast(nPerCh), Seq("ch"))
+      .withColumn("qw", col("qtf") * smoothIdf(col("df"), col("__n")))
+      .select(col("ch"), col("term"), col("qw"))
+    val qnorm = q.groupBy(col("ch"))
+      .agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
+    val byDoc = Window.partitionBy(col("ch"), col("id"))
+    post
+      .join(broadcast(dfreq), Seq("ch", "term"))
+      .join(broadcast(nPerCh), Seq("ch"))
+      .withColumn("w", col("tf") * smoothIdf(col("df"), col("__n")))
+      .withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
+      .join(broadcast(q), Seq("ch", "term"))
+      .join(broadcast(qnorm), Seq("ch"))
+      .groupBy(col("ch"), col("id"))
+      .agg(sum(col("w") * col("qw") / col("qnorm")).as("score"))
+  }
+
   /** `rank_bm25.BM25Okapi.get_scores` (reference `bm25.py:45,112`):
     * idf = ln((N-df+0.5)/(df+0.5)), negative idfs floored to
     * `eps * mean(idf)` over the vocabulary; score sums

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Dedup, Fusion, Lexical}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shuffle-reduced paths (wide-agg MinHash banding, map-only SRP
+  * signatures, keyed fusion, multi-channel tf-idf) must compute EXACTLY the
+  * same relation as the simple row-form pipelines they replace — these
+  * specs pin that equivalence so future plan tuning can't drift semantics. */
+class FusedPathParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("minhashBuckets == lshBuckets(minhash) on the same shingles") {
+    val docs = (1L to 20L).map { i =>
+      (i, (0 to 25).map(k => s"w${(i * 7 + k * k) % 17}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val slow = Dedup.lshBuckets(Dedup.minhash(sh, 16), 2)
+    val fast = Dedup.minhashBuckets(sh, 16, 2)
+    assert(rows(fast) === rows(slow))
+  }
+
+  test("srpBuckets == lshBuckets(srpBits) on the same embeddings") {
+    val dim = 8
+    val emb = (1L to 15L).map { i =>
+      (i, (0 until dim).map(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val slow = Dedup.lshBuckets(Dedup.srpBits(emb, "vec_id", "embedding", 8, dim), 4)
+    val fast = Dedup.srpBuckets(emb, "vec_id", "embedding", 8, 4, dim)
+    assert(rows(fast) === rows(slow))
+  }
+
+  test("fuseByAdditionKeyed == fuseByAddition over the same channels") {
+    val ch1 = Seq((1L, 3.0), (2L, 1.0), (3L, 2.0)).toDF("id", "score")
+    val ch2 = Seq((2L, 9.0), (3L, 4.0), (4L, 5.0)).toDF("id", "score")
+    val tagged = ch1.select(lit("a").as("ch"), col("id"), col("score"))
+      .unionByName(ch2.select(lit("b").as("ch"), col("id"), col("score")))
+    val slow = Fusion.fuseByAddition(Seq(ch1, ch2))
+      .select(col("id"), round(col("score"), 9).as("s"))
+    val fast = Fusion.fuseByAdditionKeyed(tagged)
+      .select(col("id"), round(col("score"), 9).as("s"))
+    assert(rows(fast) === rows(slow))
+  }
+
+  test("fuseLegacyL2 keeps the best normalized score per id (max semantics)") {
+    val ch1 = Seq((1L, 3.0), (2L, 4.0)).toDF("id", "score")
+    val ch2 = Seq((1L, 8.0), (3L, 6.0)).toDF("id", "score")
+    val got = Fusion.fuseLegacyL2(Seq(ch1, ch2))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val l1 = math.sqrt(3 * 3 + 4 * 4.0) + 1e-12
+    val l2 = math.sqrt(8 * 8 + 6 * 6.0) + 1e-12
+    assert(math.abs(got(1L) - math.max(3 / l1, 8 / l2)) < 1e-12)
+    assert(math.abs(got(2L) - 4 / l1) < 1e-12)
+    assert(math.abs(got(3L) - 6 / l2) < 1e-12)
+  }
+
+  test("tfidfSearchMulti == per-channel tfidfSearch on each channel") {
+    val docsA = Seq(
+      (1L, "spark join shuffle"), (2L, "join join filter"), (3L, "scan spark"))
+      .toDF("doc_id", "text")
+    val docsB = Seq(
+      (1L, "cat dog"), (2L, "dog dog bird"), (4L, "cat cat"))
+      .toDF("doc_id", "text")
+    val multi = Lexical.tfidfSearchMulti(spark, Seq(
+      ("a", docsA, "doc_id", "text", Seq("spark", "join")),
+      ("b", docsB, "doc_id", "text", Seq("dog"))))
+    val gotA = multi.filter(col("ch") === "a")
+      .select(col("id"), round(col("score"), 9).as("s"))
+    val gotB = multi.filter(col("ch") === "b")
+      .select(col("id"), round(col("score"), 9).as("s"))
+    val expA = Lexical.tfidfSearch(spark, docsA, "doc_id", "text", Seq("spark", "join"))
+      .select(col("id"), round(col("score"), 9).as("s"))
+    val expB = Lexical.tfidfSearch(spark, docsB, "doc_id", "text", Seq("dog"))
+      .select(col("id"), round(col("score"), 9).as("s"))
+    assert(rows(gotA) === rows(expA))
+    assert(rows(gotB) === rows(expB))
+  }
+}

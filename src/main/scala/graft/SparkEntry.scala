@@ -54,6 +54,26 @@ object SparkEntry {
       |idx AS (SELECT id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM tok),
       |sh AS (SELECT DISTINCT id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s FROM idx)""".stripMargin
 
+  /** Shared oracle-SQL chain: MinHash-LSH candidate pairs with exact-Jaccard
+    * verification (`jac(i, j, jaccard)`), mirroring
+    * [[graft.operators.Dedup.minhashLshPairs]] hash-for-hash. */
+  private val minhashJacSql =
+    s"""$shingleSql,
+       |hx AS (SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS x FROM sh),
+       |hs AS (SELECT id, h, x FROM hx, (SELECT unnest(generate_series(1, 16)) AS h) seeds),
+       |mh AS (SELECT id, h, MIN(((2*h+1) * x + 7919*h) % 2147483647) AS mh
+       |       FROM hs GROUP BY 1, 2),
+       |bands AS (SELECT id, CAST(floor((h - 1) / 2) AS BIGINT) AS band,
+       |                 string_agg(mh, ',' ORDER BY h) AS sig FROM mh GROUP BY 1, 2),
+       |bk AS (SELECT id, band, CAST('0x' || substr(md5(sig), 1, 15) AS BIGINT) AS bucket FROM bands),
+       |cand AS (SELECT DISTINCT a.id AS i, b.id AS j FROM bk a
+       |         JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.i, c.j, COUNT(*) AS cc FROM cand c
+       |          JOIN sh a ON a.id = c.i JOIN sh b ON b.id = c.j AND b.s = a.s GROUP BY 1, 2),
+       |jac AS (SELECT i, j, cc * 1.0 / (sa.n + sb.n - cc) AS jaccard
+       |        FROM inter JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j)""".stripMargin
+
   /** Shared oracle-SQL prefix: the multimodal decode STUB's deterministic
     * fake metadata — disjoint md5 substrings of the content bytes (see
     * [[graft.operators.Multimodal]]). */
@@ -609,23 +629,28 @@ object SparkEntry {
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
           .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("i"), col("j")),
-      Some(s"""$shingleSql,
-             |hx AS (SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS x FROM sh),
-             |hs AS (SELECT id, h, x FROM hx, (SELECT unnest(generate_series(1, 16)) AS h) seeds),
-             |mh AS (SELECT id, h, MIN(((2*h+1) * x + 7919*h) % 2147483647) AS mh
-             |       FROM hs GROUP BY 1, 2),
-             |bands AS (SELECT id, CAST(floor((h - 1) / 2) AS BIGINT) AS band,
-             |                 string_agg(mh, ',' ORDER BY h) AS sig FROM mh GROUP BY 1, 2),
-             |bk AS (SELECT id, band, CAST('0x' || substr(md5(sig), 1, 15) AS BIGINT) AS bucket FROM bands),
-             |cand AS (SELECT DISTINCT a.id AS i, b.id AS j FROM bk a
-             |         JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-             |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
-             |inter AS (SELECT c.i, c.j, COUNT(*) AS cc FROM cand c
-             |          JOIN sh a ON a.id = c.i JOIN sh b ON b.id = c.j AND b.s = a.s GROUP BY 1, 2),
-             |jac AS (SELECT i, j, cc * 1.0 / (sa.n + sb.n - cc) AS jaccard
-             |        FROM inter JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j)
+      Some(s"""$minhashJacSql
              |SELECT i, j, ROUND(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.5
              |ORDER BY i, j""".stripMargin)),
+
+    // near-dup pairs -> canonical keep-id per connected component: the step
+    // that turns pair lists into an actionable drop set. Oracle = transitive
+    // closure via recursive CTE; Spark = min-label propagation to fixpoint.
+    ("dedup_components",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+        Dedup.canonicalIds(pairs.select(col("i"), col("j")))
+          .orderBy(col("id"))
+      },
+      Some((s"""$minhashJacSql,
+             |prs AS (SELECT i, j FROM jac WHERE jaccard >= 0.5),
+             |edges AS (SELECT i AS a, j AS b FROM prs UNION ALL SELECT j AS a, i AS b FROM prs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |reach AS (SELECT id, id AS r FROM nodes
+             |          UNION
+             |          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+             |SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id
+             |ORDER BY id""").stripMargin.replaceFirst("WITH ", "WITH RECURSIVE "))),
 
     ("dedup_ngram_jaccard",
       (s, dir) =>

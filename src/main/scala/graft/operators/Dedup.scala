@@ -256,6 +256,47 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Canonical-id resolution over near-dup PAIRS: every document in a
+    * connected component of the duplicate graph maps to the component's
+    * minimum id (the row to keep). Iterative min-label propagation — each
+    * round, a node's label becomes the min of its own and its neighbors'
+    * labels, materialized per round (persist + count) and stopped at the
+    * fixpoint — the standard large-graph connected-components loop (label
+    * propagation a la GraphX/Pregel, shuffle keyed by node id, rounds =
+    * graph diameter, which for dedup graphs is tiny). This is the step that
+    * turns pair lists into a drop set: dedup pipelines at scale need
+    * (doc -> keep_doc), not pairs. */
+  def canonicalIds(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+      .persist()
+    var cached = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    cached.count()
+    var labels = cached
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nl")).as("nmin"))
+      val next = labels
+        .join(neighborMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("__old"))
+        .persist()
+      changed = next.filter(col("label") =!= col("__old")).count() // materializes next
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("label"))
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("keep_id"))
+  }
+
   /** Embedding-cosine near-dup pairs. Exact all-pairs form (the oracle /
     * small-N path); the scale path is [[srpCosinePairs]] or
     * [[Similarity.ivfSearch]]-style cluster blocking before the pair join. */

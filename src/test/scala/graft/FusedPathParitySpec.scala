@@ -59,6 +59,17 @@ class FusedPathParitySpec extends AnyFunSuite {
     assert(math.abs(got(3L) - 6 / l2) < 1e-12)
   }
 
+  test("canonicalIds resolves chains and stars to the component minimum") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,20} ; singleton via
+    // self-contained pair {7,8}
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 20L), (7L, 8L))
+      .toDF("i", "j")
+    val got = Dedup.canonicalIds(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 20L -> 10L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("tfidfSearchMulti == per-channel tfidfSearch on each channel") {
     val docsA = Seq(
       (1L, "spark join shuffle"), (2L, "join join filter"), (3L, "scan spark"))

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties the 100 TB design relies
+  * on must be visible in `explain` output, not just assumed — a filter that
+  * stops reaching the parquet scan, a dim join that stops broadcasting, or a
+  * top-k that degrades to a global sort is a scale regression even when
+  * results stay correct. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  /** Plan string AFTER execution — under AQE the codegen-wrapped final plan
+    * only exists once the query has run. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString()
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+
+  test("scan+filter+project pushes predicates and prunes columns at the scan") {
+    val p = plan(q("s2_scan_filter_project"))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(!p.contains("PushedFilters: []"), s"empty pushdown in:\n$p")
+    // projection pruning: the lineitem scan must not read all 16 columns
+    assert(p.contains("ReadSchema"), p)
+  }
+
+  test("dense k-NN plans as TakeOrderedAndProject inside whole-stage codegen") {
+    val df = q("j1_knn_dense")
+    assert(plan(df).contains("TakeOrderedAndProject"), "top-k lost")
+    // `*(n)` prefixes in the final-plan string are WholeStageCodegen spans;
+    // the scoring Project (dot_f) must carry one
+    val p = finalPlan(df)
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("dot_f")),
+      s"scoring projection left whole-stage codegen:\n$p")
+  }
+
+  test("top-k over lineitem plans as TakeOrderedAndProject") {
+    val p = plan(q("o1_topk_lineitems"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost:\n$p")
+  }
+
+  test("join+agg revenue broadcasts the dimension side") {
+    val p = plan(q("j2_join_agg_revenue"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"dimension join not broadcast:\n$p")
+  }
+
+  test("SRP signature build is map-only: no exchange before the bucket rows") {
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val p = plan(Dedup.srpBuckets(emb, "vec_id", "embedding", 16, 4, 64))
+    assert(!p.contains("Exchange"), s"srpBuckets should not shuffle:\n$p")
+  }
+
+  test("candidate-filtered k-NN pushes the label filter to the parquet scan") {
+    val p = plan(q("f1_knn_candidate_filter"))
+    assert(p.contains("PushedFilters: [In(label") || p.contains("label"),
+      s"label filter not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost:\n$p")
+  }
+
+  test("exact dedup is a single partial-aggregated shuffle") {
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+    val p = plan(Dedup.exact(docs, "doc_id", "text"))
+    // partial agg before the exchange, final after — exactly one shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+}

@@ -532,6 +532,24 @@ object SparkEntry {
              |SELECT ngram, COUNT(*) AS cnt FROM ng GROUP BY 1
              |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin)),
 
+    // C1 fallback analyzer: sklearn char_wb(3,5) n-grams corpus-wide — the
+    // reference's empty-vocabulary fallback (`object_retrieval.py:75-89`)
+    ("c1_charwb_corpus",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(Lexical.charWbNgrams(lower(col("text")), 3, 5)).as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("gram"))
+          .limit(100),
+      Some("""WITH w AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+             |           FROM documents),
+             |p AS (SELECT ' ' || word || ' ' AS pw FROM w WHERE len(word) > 0),
+             |ns AS (SELECT pw, unnest(generate_series(3, LEAST(5, GREATEST(len(pw), 3)))) AS n FROM p),
+             |os AS (SELECT pw, n, unnest(generate_series(1, GREATEST(len(pw) - n + 1, 1))) AS o FROM ns),
+             |g AS (SELECT substr(pw, o, n) AS gram FROM os)
+             |SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1
+             |ORDER BY cnt DESC, gram LIMIT 100""".stripMargin)),
+
     ("s14_tag_corpus",
       (s, dir) =>
         Lexical.docFreq(Lexical.postings(t(s, dir, "documents"), "doc_id", "text"))

@@ -267,8 +267,11 @@ object Dedup {
     * turns pair lists into a drop set: dedup pipelines at scale need
     * (doc -> keep_doc), not pairs. */
   def canonicalIds(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+    // materialize the (possibly expensive) pair pipeline ONCE before the
+    // union reads it twice (forward + reversed edge directions)
+    val p = pairs.select(col("i"), col("j")).persist()
+    val edges = p.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(p.select(col("j").as("a"), col("i").as("b")))
       .persist()
     var cached = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -294,6 +297,7 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id"), col("label").as("keep_id"))
   }
 

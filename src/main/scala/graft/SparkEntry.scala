@@ -1352,6 +1352,21 @@ object SparkEntry {
              |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
              |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin)),
 
+    // watermarked stream-stream join (online J3/J4): with event-time bounds
+    // + AvailableNow over a finite source, the streaming result equals the
+    // batch join — which is exactly what the oracle checks
+    ("stream_stream_join",
+      (s, dir) => graft.streaming.EventsStreaming.clickPurchaseJoin(s, dir),
+      Some("""WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT c.user_id AS user_id, click_id, purchase_id,
+             |       epoch_ms(cts) AS click_ms, epoch_ms(pts) AS purchase_ms
+             |FROM c JOIN p ON c.user_id = p.user_id
+             |  AND cts >= pts - INTERVAL 1 HOUR AND cts <= pts
+             |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)),
+
     ("w2_sessionize",
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("__t"), col("event_id"))

@@ -57,4 +57,49 @@ object EventsStreaming {
     spark.catalog.dropTempView(name)
     rows
   }
+
+  /** Watermarked STREAM-STREAM inner join: clicks joined to purchases of the
+    * same user within the hour before the purchase — the online form of the
+    * engine's temporal joins (J3/J4). Both sides carry 1-hour watermarks and
+    * the join predicate time-bounds click vs purchase, so the state store
+    * holds one watermark horizon per side regardless of stream length —
+    * the unbounded-state hazard of naive stream joins is structurally
+    * excluded. Executed as a real streaming query (file source ->
+    * AvailableNow -> memory sink); with event-time bounds + AvailableNow
+    * over a finite source the result equals the batch join, which is what
+    * the oracle checks. */
+  def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stage = java.nio.file.Files.createTempDirectory("graft_ssj_src")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      stage.resolve("events.parquet"))
+    def side(tpe: String, idAs: String, tsAs: String) =
+      spark.readStream.schema(schema).parquet(stage.toString)
+        .withColumn("__ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idAs), col("__ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "click_id", "click_ts")
+    val purchases = side("purchase", "purchase_id", "purchase_ts")
+    val joined = clicks.join(purchases,
+      clicks("user_id") === purchases("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(clicks("user_id"), col("click_id"), col("purchase_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"))
+    val name = s"graft_ssj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table(name)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    rows.cache().count()
+    spark.catalog.dropTempView(name)
+    rows
+  }
 }

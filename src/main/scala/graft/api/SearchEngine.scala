@@ -80,12 +80,31 @@ class SearchEngine(corpus: Corpus) {
       groupCol = "video_id", idCol = "id", scoreCol = "score")
   }
 
+  /** /imgsearch: dense search seeded by a STORED embedding (query-by-id,
+    * `app.py:270-278` — `CosineFaiss.image_search`). Same scan -> codegen
+    * dot -> top-k plan as /textsearch, with the query vector joined in from
+    * the corpus instead of passed by the caller. */
+  def imageSearch(imgId: Long, k: Int, filters: Filters = Filters()): DataFrame = {
+    val qv = corpus.embeddings.filter(col("id") === imgId)
+      .select(col("clip").as("qv"))
+    val scored = corpus.embeddings
+      .join(candidates(filters).select("id", "video_id"), Seq("id"))
+      .crossJoin(broadcast(qv))
+      .select(col("id"), col("video_id"),
+        round(VectorOps.dot(col("clip"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+    GroupShaping.groupResults(scored, "video_id", "id", "score")
+  }
+
   /** §3.2 /panel: multi-channel sparse context search. `channels` maps a
     * channel name to (channelTextColumn-on-keyframes-table, queryTerms) —
     * e.g. bbox tokens from [[graft.functions.GridEncoding]], tag words,
-    * OCR text. Per-channel tf-idf scoring, A1 fusion, A4 grouping
-    * (`faiss_processing.py:234-277`). `channelDocs` carries the per-id
-    * channel text columns (id + one STRING column per channel). */
+    * OCR text. All channels are served from ONE (channel, term)-keyed
+    * postings build ([[Lexical.tfidfSearchMulti]]), then A1 fusion and A4
+    * grouping (`faiss_processing.py:234-277`). `channelDocs` carries the
+    * per-id channel text columns (id + one STRING column per channel).
+    * Single channel passes through unnormalized, as in the reference. */
   def panel(
       channelDocs: DataFrame,
       channels: Map[String, Seq[String]],
@@ -94,11 +113,17 @@ class SearchEngine(corpus: Corpus) {
     val cands = candidates(filters)
     val docs = channelDocs.join(cands.select("id"), Seq("id"), "left_semi")
     val spark = channelDocs.sparkSession
-    val scored = channels.toSeq.sortBy(_._1).map { case (ch, terms) =>
-      Lexical.tfidfSearch(spark, docs, "id", ch, terms)
-        .select(col("id"), round(col("score"), 6).as("score"))
-    }
-    val fused = Fusion.fuseByAddition(scored)
+    val chans = channels.toSeq.sortBy(_._1)
+    val fusedScores =
+      if (chans.sizeIs == 1)
+        Lexical.tfidfSearch(spark, docs, "id", chans.head._1, chans.head._2)
+          .select(col("id"), round(col("score"), 6).as("score"))
+      else
+        Fusion.fuseByAdditionKeyed(
+          Lexical.tfidfSearchMulti(spark,
+            chans.map { case (ch, terms) => (ch, docs, "id", ch, terms) })
+            .select(col("ch"), col("id"), round(col("score"), 6).as("score")))
+    val fused = fusedScores
       .withColumn("score", round(col("score"), 6))
       .orderBy(col("score").desc, col("id"))
       .limit(k)

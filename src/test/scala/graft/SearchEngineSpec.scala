@@ -79,6 +79,15 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(ids.forall(i => kfs(i.toInt).partitionTag == 1))
   }
 
+  test("imageSearch seeds from the stored embedding: top hit is the query id") {
+    val res = engine.imageSearch(imgId = 5L, k = 10).collect()
+    assert(res.nonEmpty)
+    // groups are best-score-first; the stored query vector matches itself
+    // with cosine 1.0, so id 5 leads the first group
+    val firstIds = res.head.getSeq[Long](2)
+    assert(firstIds.head === 5L)
+  }
+
   test("temporalRequery searches only the forward shot window") {
     import spark.implicits._
     val prev = Seq((7L, 0.95)).toDF("id", "score")

@@ -765,6 +765,39 @@ object SparkEntry {
 
     // ---- ANN: IVF cluster pruning (the 100 TB scale path) -----------------
 
+    // PQ/ADC search (extension): codes-only approximate top-k with sampled
+    // codebooks (M=8 subspaces x 8 dims, K=16) — the FAISS-IVFPQ compression
+    // leg of the scale path; 64 floats -> 8 bytes per row
+    ("sim_pq_adc",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.pqSearch(emb, qv, k = 20)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+             |cb AS (SELECT m, CAST(e.vec_id AS INT) AS c,
+             |              e.embedding[m*8+1 : m*8+8] AS cbv
+             |       FROM embeddings e, ms WHERE e.vec_id < 16),
+             |sub AS (SELECT e.vec_id AS id, m, e.embedding[m*8+1 : m*8+8] AS sv
+             |        FROM embeddings e, ms),
+             |dist AS (SELECT s.id, s.m, cb.c,
+             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+             |     FROM (SELECT unnest(s.sv) a, unnest(cb.cbv) b) x) AS d
+             |  FROM sub s JOIN cb USING (m)),
+             |code AS (SELECT id, m, c AS code FROM (
+             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |qtab AS (SELECT cb.m, cb.c,
+             |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |     FROM (SELECT unnest(cb.cbv) a, unnest(q.qv[cb.m*8+1 : cb.m*8+8]) b) x) AS p
+             |  FROM cb CROSS JOIN q),
+             |sc AS (SELECT id, CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE) AS score
+             |       FROM code JOIN qtab ON code.m = qtab.m AND code.code = qtab.c
+             |       GROUP BY id)
+             |SELECT id AS vec_id, ROUND(score, 6) AS score FROM sc
+             |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin)),
+
     ("sim_ivf_ann",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -41,11 +41,14 @@ object VectorOps {
   /** Cosine similarity; equals [[dot]] when inputs are pre-normalized. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  def euclidean(a: Column, b: Column): Column =
-    sqrt(aggregate(
+  /** Squared L2 distance (sequential double fold — engine-portable). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double"); d * d
       }),
       lit(0.0),
-      (acc, v) => acc + v))
+      (acc, v) => acc + v)
+
+  def euclidean(a: Column, b: Column): Column = sqrt(sqDist(a, b))
 }

@@ -112,6 +112,78 @@ object Similarity {
     upd.select(col(idCol), (col("score") + coalesce(col("u"), lit(0.0))).as("score"))
   }
 
+  /** Per-row subvector decomposition for product quantization: one row per
+    * (row, subspace) with the subspace's slice. Pure projection + Generator
+    * — no shuffle. */
+  private def subvectors(
+      df: DataFrame, vecCol: String, outCol: String,
+      numSub: Int, subDim: Int, keep: Seq[String]): DataFrame = {
+    val pieces = transform(
+      sequence(lit(0), lit(numSub - 1)),
+      m => struct(m.as("m"),
+        slice(col(vecCol), m * lit(subDim) + lit(1), lit(subDim)).as("sv")))
+    df.select(keep.map(col) :+ explode(pieces).as("__s"): _*)
+      .select(keep.map(col) :+ col("__s.m").as("m") :+ col("__s.sv").as(outCol): _*)
+  }
+
+  /** Product-quantization codebooks by deterministic sampling: centroid `c`
+    * of subspace `m` is the m-th subvector of the corpus row with
+    * `idCol == c` (random-sampling codebook init with a fixed seed set —
+    * deterministic, so the whole PQ pipeline is reproducible and
+    * oracle-checkable; Lloyd refinement would bolt on as [[centroids]]
+    * iterations per subspace). Output `(m, c, cbv)` — M x K rows, broadcast
+    * everywhere it's used. */
+  def pqCodebooks(
+      emb: DataFrame, numSub: Int, subDim: Int, numCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    subvectors(
+      emb.filter(col(idCol) < numCentroids)
+        .select(col(idCol).cast("int").as("c"), col(vecCol)),
+      vecCol, "cbv", numSub, subDim, Seq("c"))
+      .select(col("m"), col("c"), col("cbv"))
+
+  /** PQ encode: each row becomes M small codes — argmin squared-L2 centroid
+    * per subspace (ties to the smaller code). The corpus never shuffles: the
+    * codebook broadcast-joins onto the subvector stream and the argmin is a
+    * map-side-combinable min(struct(dist, c)) per (row, subspace). At 100 TB
+    * this is THE storage story: d floats -> M bytes per row (64x here). */
+  def pqEncode(
+      emb: DataFrame, codebooks: DataFrame, numSub: Int, subDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    subvectors(emb.select(col(idCol), col(vecCol)), vecCol, "sv",
+      numSub, subDim, Seq(idCol))
+      .join(broadcast(codebooks), Seq("m"))
+      .select(col(idCol), col("m"), col("c"),
+        VectorOps.sqDist(col("sv"), col("cbv")).as("d"))
+      .groupBy(col(idCol), col("m"))
+      .agg(min(struct(col("d"), col("c"))).as("__best"))
+      .select(col(idCol), col("m"), col("__best.c").as("code"))
+
+  /** PQ ADC (asymmetric distance computation) search: the query stays exact;
+    * each subspace contributes `dot(q_m, codebook[m][code])` from a
+    * broadcast M x K lookup table, summed per row (decimal-exact, engine-
+    * portable) — approximate inner-product top-k over codes alone, never
+    * touching the original vectors at query time. Composes with
+    * [[ivfSearch]] cluster pruning for the full IVF-PQ scale path. */
+  def pqSearch(
+      emb: DataFrame, queryDf: DataFrame, k: Int,
+      numSub: Int = 8, subDim: Int = 8, numCentroids: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebooks(emb, numSub, subDim, numCentroids, idCol, vecCol)
+    val codes = pqEncode(emb, cb, numSub, subDim, idCol, vecCol)
+    val qsub = subvectors(queryDf, "qv", "qsv", numSub, subDim, Seq.empty)
+    val qtab = cb.join(broadcast(qsub), Seq("m"))
+      .select(col("m"), col("c"), VectorOps.dot(col("cbv"), col("qsv")).as("p"))
+    codes
+      .join(broadcast(qtab),
+        codes("m") === qtab("m") && col("code") === col("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("p").cast("decimal(18,12)")).cast("double").as("score"))
+      .select(col(idCol), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Element-wise mean vectors per cluster (centroid build). Decomposes the
     * array with posexplode and re-assembles with a grouped sort — shuffles
     * (cluster, dim)-sized data only. */

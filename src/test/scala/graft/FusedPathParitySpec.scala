@@ -70,6 +70,21 @@ class FusedPathParitySpec extends AnyFunSuite {
       10L -> 10L, 20L -> 10L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("PQ: anchor rows self-encode; ADC top-1 for an anchor query is itself") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cb = Similarity.pqCodebooks(emb, numSub = 8, subDim = 8, numCentroids = 16)
+    assert(cb.count() === 8 * 16)
+    val codes = Similarity.pqEncode(emb.filter(col("vec_id") < 16), cb, 8, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // an anchor's subvectors are at distance 0 from their own centroid
+    for (id <- 0L until 16L; m <- 0 until 8)
+      assert(codes((id, m)) === id.toInt, s"anchor $id subspace $m")
+    val qv = emb.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+    val top = Similarity.pqSearch(emb, qv, k = 5).collect()
+    assert(top.head.getLong(0) === 3L) // exact reconstruction -> top score
+  }
+
   test("tfidfSearchMulti == per-channel tfidfSearch on each channel") {
     val docsA = Seq(
       (1L, "spark join shuffle"), (2L, "join join filter"), (3L, "scan spark"))

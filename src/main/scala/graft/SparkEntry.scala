@@ -1385,6 +1385,13 @@ object SparkEntry {
              |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
              |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin)),
 
+    // streaming stateful dedup: first-seen keys across micro-batches ==
+    // batch DISTINCT when only the key columns are emitted
+    ("stream_dedup",
+      (s, dir) => graft.streaming.EventsStreaming.streamingDedup(s, dir),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
+
     // watermarked stream-stream join (online J3/J4): with event-time bounds
     // + AvailableNow over a finite source, the streaming result equals the
     // batch join — which is exactly what the oracle checks

@@ -276,8 +276,7 @@ object Dedup {
     var cached = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
-    cached.count()
-    var labels = cached
+    var labels = cached // materialized by iteration 1's count
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {

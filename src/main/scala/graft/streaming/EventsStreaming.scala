@@ -58,6 +58,35 @@ object EventsStreaming {
     rows
   }
 
+  /** Streaming STATEFUL DEDUP: first-seen (user_id, event_type) keys across
+    * micro-batches via `dropDuplicates` — the state-store-backed exact-dedup
+    * primitive a streaming ingest pipeline runs in front of index builds.
+    * Only the key columns are emitted, so the result is order-independent
+    * and equals batch DISTINCT (the oracle). State holds one entry per
+    * distinct key; with a watermark on an event-time column it would evict —
+    * unbounded keys are the knob to watch at scale. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stage = java.nio.file.Files.createTempDirectory("graft_sdd_src")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      stage.resolve("events.parquet"))
+    val deduped = spark.readStream.schema(schema).parquet(stage.toString)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val name = s"graft_sdd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = deduped.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table(name).orderBy(col("user_id"), col("event_type"))
+    rows.cache().count()
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
   /** Watermarked STREAM-STREAM inner join: clicks joined to purchases of the
     * same user within the hour before the purchase — the online form of the
     * engine's temporal joins (J3/J4). Both sides carry 1-hour watermarks and

@@ -20,6 +20,19 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventsStreaming {
 
+  /** Run `body` with a reduced shuffle-partition count: streaming stateful
+    * operators create one (or for stream-stream joins, four) checkpointed
+    * state-store instance per shuffle partition, so state parallelism should
+    * track KEY cardinality, not the batch-side CPU count — 32 partitions
+    * means 128 store setups for a join whose state fits in a handful.
+    * Restored after the (blocking) streaming execution finishes. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling 1-hour windowed counts per event type, executed as a real
     * streaming query (file source -> AvailableNow -> memory sink) and
     * returned as the final result table. Deterministic: event-time windows,
@@ -41,12 +54,14 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).as("value_sum"))
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val out = spark.table(name)
       .select(unix_millis(col("window.start")).as("window_ms"),
         col("event_type"), col("n"),
@@ -75,12 +90,14 @@ object EventsStreaming {
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
     val name = s"graft_sdd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = deduped.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = deduped.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val rows = spark.table(name).orderBy(col("user_id"), col("event_type"))
     rows.cache().count()
     spark.catalog.dropTempView(name)
@@ -119,12 +136,14 @@ object EventsStreaming {
         unix_millis(col("click_ts")).as("click_ms"),
         unix_millis(col("purchase_ts")).as("purchase_ms"))
     val name = s"graft_ssj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = joined.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val rows = spark.table(name)
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     rows.cache().count()

@@ -701,16 +701,12 @@ object SparkEntry {
              |FROM contrib GROUP BY id ORDER BY id""".stripMargin)),
 
     ("dedup_simhash_pairs",
-      (s, dir) => {
-        val fp = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
-        val a = fp.select(col("id").as("i"), col("simhash").as("ha"))
-        val b = fp.select(col("id").as("j"), col("simhash").as("hb"))
-        a.crossJoin(b).filter(col("i") < col("j"))
-          .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-          .filter(col("hamming") <= 6)
-          .select(col("i"), col("j"), col("hamming"))
-          .orderBy(col("i"), col("j"))
-      },
+      (s, dir) =>
+        // pigeonhole banding: exact same pair set as the all-pairs cross
+        // join (7 bands of 9 bits cover hamming <= 6), corpus-linear
+        Dedup.simhashPairsBanded(
+          Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"))
+          .orderBy(col("i"), col("j")),
       Some("""WITH tok AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
              |            FROM documents),
              |post AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

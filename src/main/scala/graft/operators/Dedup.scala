@@ -183,6 +183,39 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-dup pairs with EXACT recall via pigeonhole banding: split
+    * the `bits`-bit fingerprint into `maxHamming + 1` equal bands — any two
+    * fingerprints within `maxHamming` must agree on at least one whole band
+    * (<= maxHamming differing bits cannot touch all maxHamming+1 bands) —
+    * equi-join on (band, value) for candidates, then verify the exact
+    * hamming distance. Identical result set to the all-pairs cross join,
+    * but corpus-linear until the candidate-only verification: the scale
+    * form of simhash dedup. */
+  def simhashPairsBanded(
+      fp: DataFrame, maxHamming: Int = 6, bits: Int = 63): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0, s"bits=$bits must split into ${bands} bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        (shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))).as("bucket"))
+    }
+    val bucketed = fp
+      .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("__bb"))
+      .select(col("id"), col("simhash"),
+        col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
+    val a = bucketed.select(col("band"), col("bucket"),
+      col("id").as("i"), col("simhash").as("ha"))
+    val b = bucketed.select(col("band"), col("bucket"),
+      col("id").as("j"), col("simhash").as("hb"))
+    a.join(b, Seq("band", "bucket")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Driver-side twin of [[hash60]] (same md5-prefix formula), for building
     * tiny deterministic lookup tables that broadcast into plans. */
   def hash60Local(s: String): Long = {

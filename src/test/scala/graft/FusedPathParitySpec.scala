@@ -59,6 +59,19 @@ class FusedPathParitySpec extends AnyFunSuite {
     assert(math.abs(got(3L) - 6 / l2) < 1e-12)
   }
 
+  test("simhashPairsBanded == all-pairs cross join (pigeonhole exactness)") {
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+    val a = fp.select(col("id").as("i"), col("simhash").as("ha"))
+    val b = fp.select(col("id").as("j"), col("simhash").as("hb"))
+    val slow = a.crossJoin(b).filter(col("i") < col("j"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= 6)
+      .select(col("i"), col("j"), col("hamming"))
+    val fast = Dedup.simhashPairsBanded(fp)
+    assert(rows(fast) === rows(slow))
+  }
+
   test("canonicalIds resolves chains and stars to the component minimum") {
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,20} ; singleton via
     // self-contained pair {7,8}

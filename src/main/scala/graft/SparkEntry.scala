@@ -1381,6 +1381,46 @@ object SparkEntry {
              |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
              |FROM events GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin)),
 
+    // ---- curation (extension): reproducible sampling / split / pipeline ---
+
+    // hash-based train/val/test assignment: membership depends only on
+    // (salt, id) — identical across engines, runs, and cluster sizes
+    ("curation_split_counts",
+      (s, dir) =>
+        graft.operators.Curation.assignSplit(
+          t(s, dir, "documents"), "doc_id", "v1",
+          Seq(("train", 9000), ("val", 9500), ("test", 10000)))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("source"), col("split")),
+      Some("""WITH k AS (SELECT source,
+             |  CAST('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS key
+             |  FROM documents)
+             |SELECT source,
+             |  CASE WHEN key < 9000 THEN 'train' WHEN key < 9500 THEN 'val' ELSE 'test' END AS split,
+             |  COUNT(*) AS n
+             |FROM k GROUP BY 1, 2 ORDER BY source, split""".stripMargin)),
+
+    // the composed curation pipeline: quality gate -> exact dedup (keep
+    // lowest id per content hash) -> deterministic 50% sample
+    ("curation_pipeline",
+      (s, dir) =>
+        graft.operators.Curation.curate(
+          t(s, dir, "documents"), "doc_id", "text",
+          minChars = 100, maxWords = 80, sampleBp = 5000, salt = "cur")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""WITH gated AS (SELECT * FROM documents
+             |  WHERE len(text) >= 100
+             |    AND len(regexp_extract_all(lower(text), '\w+')) <= 80),
+             |kept AS (SELECT * FROM (
+             |    SELECT g.*, MIN(doc_id) OVER (
+             |      PARTITION BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS keep
+             |    FROM gated g) WHERE doc_id = keep),
+             |s AS (SELECT * FROM kept
+             |  WHERE CAST('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 5000)
+             |SELECT doc_id, source, n_chars FROM s ORDER BY doc_id""".stripMargin)),
+
     // streaming stateful dedup: first-seen keys across micro-batches ==
     // batch DISTINCT when only the key columns are emitted
     ("stream_dedup",

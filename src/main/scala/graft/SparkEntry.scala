@@ -990,6 +990,25 @@ object SparkEntry {
       Some(s"""$mmMetaSql
              |SELECT id, width, height, n_frames, duration_s FROM meta ORDER BY id""".stripMargin)),
 
+    // aspect-preserving fit into 640x480, integer-only arithmetic (scale in
+    // basis points, floor division) — engine-portable unlike float scaling
+    ("mm_resize",
+      (s, dir) =>
+        Multimodal.resizeMeta(
+          Multimodal.decodeStub(
+            t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("content")),
+            "doc_id", "content"),
+          maxW = 640, maxH = 480)
+          .orderBy(col("id")),
+      Some(s"""$mmMetaSql,
+             |r AS (SELECT id, width, height,
+             |        LEAST((640 * 10000) // width, (480 * 10000) // height, 10000) AS s
+             |      FROM meta)
+             |SELECT id, width, height,
+             |       width * s // 10000 AS new_width,
+             |       height * s // 10000 AS new_height
+             |FROM r ORDER BY id""".stripMargin)),
+
     ("mm_frame_sample",
       (s, dir) => {
         val meta = Multimodal.decodeStub(

@@ -47,4 +47,57 @@ object Multimodal {
   def audioSegments(meta: DataFrame, windowS: Double = 10.0): DataFrame =
     meta.select(col("id"), col("duration_s"),
       ceil(col("duration_s") / lit(windowS)).cast("long").as("n_segments"))
+
+  /** Aspect-preserving fit into a `maxW x maxH` box with INTEGER-ONLY
+    * arithmetic (scale in basis points, floor division) — bit-identical
+    * across engines, unlike float scaling. No-op when already inside the
+    * box (scale capped at 1.0 = 10000 bp). */
+  def resizeMeta(meta: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    meta
+      .withColumn("__s", least(
+        expr(s"(${maxW}L * 10000) div width"),
+        expr(s"(${maxH}L * 10000) div height"),
+        lit(10000L)))
+      .select(col("id"), col("width"), col("height"),
+        expr("width * __s div 10000").as("new_width"),
+        expr("height * __s div 10000").as("new_height"))
+
+  /** Batched feature-extraction PLUMBING over a binary media column: typed
+    * `mapPartitions` that batches rows (`batchSize` per inference call —
+    * the shape a GPU encoder wants), hands the batch of byte payloads to a
+    * pluggable `infer`, and flattens back to one feature row per input —
+    * the Scala analog of the `mapInPandas` batched-UDF pattern (reference
+    * runs CLIP at bs=4 in `clip.ipynb` cell 7). Partition-parallel, no
+    * shuffle, output schema fixed by the Encoder. The default `infer` is
+    * the deterministic STUB (md5-derived floats); production swaps in a
+    * real encoder client with the SAME signature and schema. */
+  def extractFeaturesBatched(
+      df: DataFrame, idCol: String, binCol: String,
+      dim: Int = 8, batchSize: Int = 32,
+      infer: (Seq[Array[Byte]], Int) => Seq[Array[Float]] = stubInfer): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val feats = infer(batch.map(_._2), dim)
+          require(feats.length == batch.length,
+            s"infer returned ${feats.length} features for ${batch.length} inputs")
+          batch.iterator.zip(feats.iterator).map { case ((id, _), f) => (id, f) }
+        }
+      }
+      .toDF("id", "feature")
+  }
+
+  /** Deterministic stand-in for a batched media encoder: `dim` floats in
+    * [0, 1) from independent md5 nibbles of the content. */
+  def stubInfer(batch: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+    batch.map { bytes =>
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      (0 until dim).map { i =>
+        Integer.parseInt(hex.substring((i * 2) % 30, (i * 2) % 30 + 2), 16) / 256.0f
+      }.toArray
+    }
 }

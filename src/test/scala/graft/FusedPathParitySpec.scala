@@ -98,6 +98,34 @@ class FusedPathParitySpec extends AnyFunSuite {
     assert(top.head.getLong(0) === 3L) // exact reconstruction -> top score
   }
 
+  test("batched feature extraction: batch shape honored, one row per input") {
+    import graft.operators.Multimodal
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val n = docs.count()
+    val batchSizes = spark.sparkContext.collectionAccumulator[Int]("batches")
+    // instrumented infer: records every batch size it was handed
+    val out = Multimodal.extractFeaturesBatched(docs, "doc_id", "content",
+      dim = 8, batchSize = 7,
+      infer = (batch, dim) => {
+        batchSizes.add(batch.length)
+        Multimodal.stubInfer(batch, dim)
+      })
+    assert(out.count() === n)
+    assert(out.select("id").distinct().count() === n)
+    import scala.jdk.CollectionConverters._
+    // two actions ran the extraction twice; halve for per-run accounting
+    val sizes = batchSizes.value.asScala.toSeq
+    assert(sizes.nonEmpty && sizes.forall(_ <= 7), s"oversized batches: $sizes")
+    assert(sizes.sum === 2 * n)
+    // deterministic: same input -> same features
+    val f1 = out.orderBy("id").collect().map(_.getSeq[Float](1))
+    val f2 = Multimodal.extractFeaturesBatched(docs, "doc_id", "content", 8, 7)
+      .orderBy("id").collect().map(_.getSeq[Float](1))
+    assert(f1.zip(f2).forall { case (a, b) => a == b })
+    assert(f1.head.length === 8)
+  }
+
   test("tfidfSearchMulti == per-channel tfidfSearch on each channel") {
     val docsA = Seq(
       (1L, "spark join shuffle"), (2L, "join join filter"), (3L, "scan spark"))

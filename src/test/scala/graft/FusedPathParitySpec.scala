@@ -126,6 +126,31 @@ class FusedPathParitySpec extends AnyFunSuite {
     assert(f1.head.length === 8)
   }
 
+  test("hash sampling: membership stable under corpus growth; splits partition") {
+    import graft.operators.Curation
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+    val sample = Curation.hashSample(docs, "doc_id", 3000, "v1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // growing the corpus must not change any existing row's membership
+    val grown = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val sampleGrown = Curation.hashSample(grown, "doc_id", 3000, "v1")
+      .filter(col("doc_id") < 1000000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampleGrown === sample)
+    // ~30% within loose tolerance on 500 docs
+    val n = docs.count().toDouble
+    assert(sample.size > n * 0.2 && sample.size < n * 0.4, s"${sample.size}/$n")
+    // split assignment partitions the corpus exactly
+    val splits = Curation.assignSplit(docs, "doc_id", "v1",
+      Seq(("train", 9000), ("val", 9500), ("test", 10000)))
+    assert(splits.filter(col("split").isNull).count() === 0)
+    assert(splits.count() === n.toLong)
+    val bySplit = splits.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
   test("tfidfSearchMulti == per-channel tfidfSearch on each channel") {
     val docsA = Seq(
       (1L, "spark join shuffle"), (2L, "join join filter"), (3L, "scan spark"))

@@ -794,6 +794,56 @@ object SparkEntry {
              |SELECT id AS vec_id, ROUND(score, 6) AS score FROM sc
              |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // IVF-PQ composed (the FAISS IVFPQ analog): centroid probe prunes the
+    // corpus to nprobe clusters, PQ codes of just those rows are ADC-scored
+    // against the whole-corpus codebooks — scan cost nprobe/k of the data,
+    // score cost M table lookups per surviving row
+    ("sim_ivfpq_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val probe = Similarity.centroids(emb).crossJoin(broadcast(qv))
+          .select(col("label"),
+            round(VectorOps.dot(col("cv"), col("qv")), 6).as("cscore"))
+          .orderBy(col("cscore").desc, col("label"))
+          .limit(2)
+          .select(col("label"))
+        val cb = Similarity.pqCodebooks(emb, 8, 8, 16)
+        val cand = emb.join(broadcast(probe), Seq("label"), "left_semi")
+        Similarity.pqAdcScore(Similarity.pqEncode(cand, cb, 8, 8), cb, qv, 20)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |ex AS (SELECT label, unnest(embedding) AS x,
+             |              unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+             |cent AS (SELECT label, i, CAST(AVG(x) AS REAL) AS cx FROM ex GROUP BY 1, 2),
+             |centv AS (SELECT label, list(cx ORDER BY i) AS cv FROM cent GROUP BY 1),
+             |cs AS (SELECT c.label, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM centv c CROSS JOIN q),
+             |probe AS (SELECT label FROM cs ORDER BY cscore DESC, label LIMIT 2),
+             |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+             |cb AS (SELECT m, CAST(e.vec_id AS INT) AS c,
+             |              e.embedding[m*8+1 : m*8+8] AS cbv
+             |       FROM embeddings e, ms WHERE e.vec_id < 16),
+             |sub AS (SELECT e.vec_id AS id, m, e.embedding[m*8+1 : m*8+8] AS sv
+             |        FROM embeddings e JOIN probe p ON e.label = p.label, ms),
+             |dist AS (SELECT s.id, s.m, cb.c,
+             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+             |     FROM (SELECT unnest(s.sv) a, unnest(cb.cbv) b) x) AS d
+             |  FROM sub s JOIN cb USING (m)),
+             |code AS (SELECT id, m, c AS code FROM (
+             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |qtab AS (SELECT cb.m, cb.c,
+             |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |     FROM (SELECT unnest(cb.cbv) a, unnest(q.qv[cb.m*8+1 : cb.m*8+8]) b) x) AS p
+             |  FROM cb CROSS JOIN q),
+             |sc AS (SELECT id, CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE) AS score
+             |       FROM code JOIN qtab ON code.m = qtab.m AND code.code = qtab.c
+             |       GROUP BY id)
+             |SELECT id AS vec_id, ROUND(score, 6) AS score FROM sc
+             |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin)),
+
     ("sim_ivf_ann",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -170,9 +170,20 @@ object Similarity {
       numSub: Int = 8, subDim: Int = 8, numCentroids: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cb = pqCodebooks(emb, numSub, subDim, numCentroids, idCol, vecCol)
-    val codes = pqEncode(emb, cb, numSub, subDim, idCol, vecCol)
+    pqAdcScore(pqEncode(emb, cb, numSub, subDim, idCol, vecCol),
+      cb, queryDf, k, numSub, subDim, idCol)
+  }
+
+  /** ADC scoring over precomputed codes: build the M x K query lookup table
+    * (broadcast), sum each row's M table entries (decimal-exact), top-k.
+    * Separated from [[pqSearch]] so cluster pruning can restrict WHICH rows
+    * are scored while codebooks stay a whole-corpus build artifact. */
+  def pqAdcScore(
+      codes: DataFrame, codebooks: DataFrame, queryDf: DataFrame, k: Int,
+      numSub: Int = 8, subDim: Int = 8,
+      idCol: String = "vec_id"): DataFrame = {
     val qsub = subvectors(queryDf, "qv", "qsv", numSub, subDim, Seq.empty)
-    val qtab = cb.join(broadcast(qsub), Seq("m"))
+    val qtab = codebooks.join(broadcast(qsub), Seq("m"))
       .select(col("m"), col("c"), VectorOps.dot(col("cbv"), col("qsv")).as("p"))
     codes
       .join(broadcast(qtab),

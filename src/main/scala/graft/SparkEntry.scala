@@ -1409,6 +1409,40 @@ object SparkEntry {
 
     // column profiling (pipeline observability): per-column cardinality /
     // null / range stats as one small profile relation
+    // linear-counting cardinality sketch (Whang et al. 1990) over the
+    // portable hash: m=1024 buckets, estimate = -m * ln(empty/m). Unlike
+    // HLL implementations the sketch is engine-deterministic, so estimate
+    // AND exact cross-check hash-match; sketch state is a fixed 1024-bucket
+    // set per group — mergeable, map-side-combinable, constant memory at
+    // any corpus size
+    ("profile_approx_distinct",
+      (s, dir) => {
+        val m = 1024
+        val buckets = t(s, dir, "events")
+          .select(col("event_type"),
+            (Dedup.hash60(col("user_id").cast("string")) % m).as("b"))
+          .distinct()
+          .groupBy(col("event_type")).agg(count(lit(1)).as("used"))
+        buckets.select(col("event_type"),
+          round(-lit(m.toDouble) * log((lit(m) - col("used")).cast("double") / m), 2)
+            .as("approx_distinct"))
+          .join(
+            t(s, dir, "events").groupBy(col("event_type"))
+              .agg(countDistinct(col("user_id")).as("exact_distinct")),
+            Seq("event_type"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT event_type,
+             |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS b
+             |  FROM events),
+             |used AS (SELECT event_type, COUNT(*) AS used FROM b GROUP BY 1),
+             |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+             |       FROM events GROUP BY 1)
+             |SELECT u.event_type,
+             |       ROUND(-1024.0 * LN((1024 - u.used)::DOUBLE / 1024), 2) AS approx_distinct,
+             |       ex.exact_distinct
+             |FROM used u JOIN ex USING (event_type) ORDER BY event_type""".stripMargin)),
+
     ("profile_stats",
       (s, dir) => {
         val li = t(s, dir, "lineitem")

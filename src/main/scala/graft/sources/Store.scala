@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical storage layout for the corpus tables — where the 100 TB design
   * actually lives (SURVEY §4: "partition keyframes/embeddings by collection,
@@ -34,4 +35,32 @@ object Store {
       .saveAsTable(table)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Morton (Z-order) interleave of two non-negative int columns, `bits`
+    * bits each — the multi-dimensional clustering key (Delta/Iceberg
+    * Z-ORDER) as a plain codegen'd expression: rows range-partitioned and
+    * sorted by `mortonKey` keep BOTH dimensions locally clustered, so
+    * min/max footer stats prune parquet row groups for predicates on either
+    * column. Pure bit arithmetic — engine-portable. */
+  def mortonKey(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Z-order-clustered write: range-repartition + in-partition sort by the
+    * Morton key of (`colA`, `colB`), so parquet row-group min/max stats stay
+    * tight on both columns. */
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      partitions: Int = 8): Unit = {
+    val keyed = df.withColumn("__z", mortonKey(col(colA), col(colB)))
+    keyed
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(path)
+  }
 }

@@ -151,6 +151,26 @@ class FusedPathParitySpec extends AnyFunSuite {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("ANN paths measured against exact search: recall@20 within bounds") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Similarity.knnExact(emb, qv, 20))
+    val cents = Similarity.centroids(emb)
+    def ivf(np: Int) = ids(Similarity.ivfSearch(emb, cents, qv, np, 20))
+    def recall(approx: Set[Long]) = approx.intersect(exact).size / 20.0
+    // recall grows monotonically with nprobe and reaches EXACT at full probe
+    val r = Seq(1, 2, 4, 10).map(np => np -> recall(ivf(np)))
+    assert(r.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a }, r.toString)
+    assert(r.last._2 === 1.0, s"nprobe=all must equal exact: $r")
+    assert(r.head._2 >= 0.15, s"probing the query's own cell: $r")
+    // sampled-codebook PQ is coarse but far above the 10% chance floor
+    val pq = recall(ids(Similarity.pqSearch(emb, qv, 20)))
+    assert(pq >= 0.3, s"PQ recall $pq")
+  }
+
   test("tfidfSearchMulti == per-channel tfidfSearch on each channel") {
     val docsA = Seq(
       (1L, "spark join shuffle"), (2L, "join join filter"), (3L, "scan spark"))

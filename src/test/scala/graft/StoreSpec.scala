@@ -19,6 +19,32 @@ class StoreSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("label=3")))
   }
 
+  test("morton key interleaves bits; z-ordered files stay tight on BOTH dims") {
+    import spark.implicits._
+    // morton(3, 1): x bits at even positions, y bits at odd -> 1+2+4 = 7
+    val m = Seq((3, 1)).toDF("a", "b")
+      .select(Store.mortonKey(col("a"), col("b"))).head.getLong(0)
+    assert(m === 7L)
+    // 64x64 uniform grid; z-order into 8 files vs sort by a only
+    val grid = spark.range(4096)
+      .select((col("id") % 64).cast("int").as("a"), (col("id") / 64).cast("int").as("b"))
+    def avgSpanB(path: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max("b") - min("b")).as("span"))
+        .collect().map(_.getAs[Number]("span").doubleValue())
+      spans.sum / spans.length
+    }
+    val zPath = java.nio.file.Files.createTempDirectory("graft_z").toString
+    Store.writeZOrdered(grid, zPath, "a", "b", partitions = 8)
+    val aPath = java.nio.file.Files.createTempDirectory("graft_a").toString
+    grid.repartitionByRange(8, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(aPath)
+    // sorting by `a` alone leaves each file spanning (nearly) all of b;
+    // z-ordering keeps every file a compact block in both dimensions
+    assert(avgSpanB(zPath) < 0.6 * avgSpanB(aPath),
+      s"z=${avgSpanB(zPath)} vs a-sorted=${avgSpanB(aPath)}")
+  }
+
   test("co-bucketed join plans without a shuffle exchange") {
     val emb = Tables(spark, TestSpark.sfDir, "embeddings")
     Store.writeBucketed(emb.select(col("vec_id"), col("label")), "b_left", 4, "vec_id")

@@ -1020,6 +1020,30 @@ object SparkEntry {
              |  CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS est_bpe
              |FROM documents ORDER BY id""".stripMargin)),
 
+    // train/eval contamination gate: corpus docs sharing >=1 distinct
+    // 5-gram with the (broadcast) benchmark set — docs 0-9 stand in for the
+    // held-out benchmark
+    ("text_contamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.TextAnalysis.contamination(
+          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+          "doc_id", "text", n = 5, minHits = 1)
+          .orderBy(col("id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS toks
+             |            FROM documents),
+             |idx AS (SELECT id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM tok),
+             |sh AS (SELECT DISTINCT id,
+             |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             |         toks[i+3] || ' ' || toks[i+4] AS s
+             |       FROM idx),
+             |hv AS (SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hv FROM sh),
+             |bset AS (SELECT DISTINCT hv FROM hv WHERE id < 10)
+             |SELECT h.id, COUNT(*) AS n_overlap
+             |FROM hv h JOIN bset b ON h.hv = b.hv WHERE h.id >= 10
+             |GROUP BY h.id HAVING COUNT(*) >= 1 ORDER BY h.id""".stripMargin)),
+
     ("text_fingerprint",
       (s, dir) =>
         TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")

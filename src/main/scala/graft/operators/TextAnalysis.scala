@@ -88,4 +88,24 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(min(col("hv")).as("fp_min"), expr("bit_xor(hv)").as("fp_xor"),
         count(lit(1)).as("n_shingles"))
+
+  /** Benchmark-contamination check: corpus docs sharing >= `minHits`
+    * distinct word `n`-gram shingles with any benchmark doc. The benchmark
+    * side is tiny -> its hashed shingle set BROADCASTS and the corpus makes
+    * one pass (shingle -> hash -> broadcast semi-join -> per-doc count);
+    * the corpus is never shuffled except the final per-doc aggregate. The
+    * standard train/eval-overlap hygiene gate, as one declarative plan. */
+  def contamination(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 5, minHits: Int = 1): DataFrame = {
+    val benchShingles = Dedup.shingles(bench, idCol, textCol, n)
+      .select(Dedup.hash60(col("s")).as("hv")).distinct()
+    Dedup.shingles(corpus, idCol, textCol, n)
+      .select(col("id"), Dedup.hash60(col("s")).as("hv"))
+      .join(broadcast(benchShingles), Seq("hv"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minHits)
+  }
 }

@@ -69,6 +69,30 @@ object GraftProps extends Properties("graft") {
       lsh.subsetOf(exact) && lsh.contains((1L, 99L)) // identical docs always recalled
     }
 
+  property("pigeonhole banding recalls EVERY pair within the hamming bound") =
+    forAll(Gen.chooseNum(0L, Long.MaxValue >> 1), Gen.chooseNum(1, 6),
+      Gen.listOfN(6, Gen.chooseNum(0, 62))) { (base, flips, positions) =>
+      import spark.implicits._
+      // construct a pair at a KNOWN hamming distance <= 6 by flipping bits
+      val other = positions.distinct.take(flips)
+        .foldLeft(base & ((1L << 63) - 1))((v, p) => v ^ (1L << p))
+      val fp = Seq((1L, base & ((1L << 63) - 1)), (2L, other)).toDF("id", "simhash")
+      val got = graft.operators.Dedup.simhashPairsBanded(fp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // >=1 and <=6 bits flipped: the banded search must recall the pair
+      got == Set((1L, 2L))
+    }
+
+  property("morton key is a bijection on the grid (order-free uniqueness)") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(0, 65535), Gen.chooseNum(0, 65535)))) { pts =>
+      import spark.implicits._
+      val distinctPts = pts.distinct
+      val keys = distinctPts.toDF("a", "b")
+        .select(graft.sources.Store.mortonKey(col("a"), col("b")))
+        .collect().map(_.getLong(0))
+      keys.distinct.length == distinctPts.length
+    }
+
   property("topK equals sort-take-k") =
     forAll(channelGen, Gen.chooseNum(1, 10)) { (rows, k) =>
       import spark.implicits._

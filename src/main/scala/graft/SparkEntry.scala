@@ -418,6 +418,29 @@ object SparkEntry {
              |FROM embeddings e CROSS JOIN q
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
 
+    // batch kNN: FIVE queries answered in ONE corpus pass (queries
+    // broadcast, per-query top-k via ranking window / WindowGroupLimit) —
+    // the request-batching shape that amortizes the scan at serving time
+    ("j1b_knn_batch",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2, 3, 4))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        Similarity.knnBatch(emb, queries, k = 5)
+          .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+      },
+      Some("""WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |            WHERE vec_id IN (0, 1, 2, 3, 4)),
+             |scored AS (SELECT s.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(s.qv) b) x), 4) AS sim
+             |  FROM embeddings e CROSS JOIN qs s),
+             |rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (
+             |         PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+             |       FROM scored)
+             |SELECT query_id, vec_id, sim FROM rk WHERE rn <= 5
+             |ORDER BY query_id, sim DESC, vec_id""".stripMargin)),
+
     ("f1_knn_candidate_filter",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

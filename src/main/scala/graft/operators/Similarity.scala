@@ -90,6 +90,33 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Batch kNN serving: top-k corpus rows for EACH query of a small
+    * broadcast query set `(query_id, qv)` — N requests answered in ONE
+    * corpus pass (the dual of [[knnJoin]], which ranks seeds per corpus
+    * row). Per-query top-k is a bounded ranking window on query_id
+    * (WindowGroupLimit pushes the bound below the sort), so the corpus
+    * shuffles once on query_id-partitioned scores bounded upstream by
+    * nothing — at scale, prefer per-partition heaps: the window input is
+    * corpus x queries rows, so keep query batches small relative to
+    * executor memory. */
+  def knnBatch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col(idCol),
+        round(VectorOps.dot(col(vecCol), col("qv")), roundTo).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Relevance-feedback (Rocchio-like) rerank — the reference's `/feedback`
     * endpoint (reference `utils/faiss_processing.py:280-335`): each candidate's
     * score is adjusted by +dot(candidate, vote) for positive votes and -dot

@@ -647,6 +647,30 @@ object SparkEntry {
              |       ROUND(ABS(de - dq), 4) AS err
              |FROM b ORDER BY vec_id""".stripMargin)),
 
+    // int8 top-k search: scoring entirely in INTEGER arithmetic over the
+    // quantized bytes (exact in both engines — no float-order concerns),
+    // the 4x-less-IO serving path; rescale only for reading the score
+    ("sim_int8_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        def q8(c: Column): Column =
+          transform(c, x => round(x.cast("double") * 127).cast("long"))
+        emb.crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            aggregate(zip_with(q8(col("embedding")), q8(col("qv")), (a, b) => a * b),
+              lit(0L), (acc, v) => acc + v).as("score_i"))
+          .orderBy(col("score_i").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id,
+             |  CAST((SELECT SUM(CAST(round(x.a::DOUBLE * 127) AS BIGINT) *
+             |                   CAST(round(x.b::DOUBLE * 127) AS BIGINT))
+             |        FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x) AS BIGINT) AS score_i
+             |FROM embeddings e CROSS JOIN q
+             |ORDER BY score_i DESC, e.vec_id LIMIT 20""".stripMargin)),
+
     // ---- dedup suite (training-data pipeline extension) -------------------
 
     ("dedup_exact",

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty/degenerate-input behavior: at 100 TB, empty partitions, empty
+  * candidate sets, and zero-match queries are routine — every operator must
+  * return an empty (or identity) relation, never throw. */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("dedup pipelines on an empty corpus return empty, not an error") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.minhashLshPairs(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.jaccardPairs(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhash(emptyDocs, "doc_id", "text").count() === 0)
+  }
+
+  test("canonicalIds of an empty pair set is empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(Dedup.canonicalIds(pairs).count() === 0)
+  }
+
+  test("tf-idf search with no matching query terms returns empty") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val got = Lexical.tfidfSearch(spark, docs, "doc_id", "text", Seq("nosuchterm"))
+    assert(got.count() === 0)
+    assert(Lexical.bm25Search(spark, docs, "doc_id", "text", Seq("nosuchterm")).count() === 0)
+  }
+
+  test("contamination with an empty benchmark set flags nothing") {
+    val docs = Seq((10L, "a b c d e f g h")).toDF("doc_id", "text")
+    assert(TextAnalysis.contamination(docs, emptyDocs, "doc_id", "text").count() === 0)
+  }
+
+  test("fusion of channels where one is empty keeps the other's ids") {
+    val ch1 = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "score")
+    val ch2 = Seq.empty[(Long, Double)].toDF("id", "score")
+    val ids = Fusion.fuseByAddition(Seq(ch1, ch2))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L))
+  }
+
+  test("single-token and empty-string docs survive shingling/char_wb") {
+    val docs = Seq((1L, "one"), (2L, ""), (3L, "  ")).toDF("doc_id", "text")
+    // 3-gram shingles of a 1-token doc: none — and no sequence(1,0) blowup
+    assert(Dedup.shingles(docs, "doc_id", "text").count() === 0)
+    val grams = docs.select(explode(Lexical.charWbNgrams(col("text"), 3, 5)))
+    assert(grams.count() > 0) // "one" padded -> " one " grams only
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: replicate the sf tables KX-fold (id-offset union — same
+  * distributions, KX rows), run key operators at 1x and KX, print the
+  * runtime ratios. Corpus-linear operators must scale ~linearly (or better,
+  * while fixed per-query overhead still dominates); anything super-linear
+  * is a design bug. This is the measured form of the README scale audit. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val outDir = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // id-offset replication preserving value distributions and id
+    // uniqueness. Text is token-salted per replica (every word prefixed
+    // with the replica index) so replicas are DISTINCT documents — naive
+    // cloning would make every row an exact dup of its clones and near-dup
+    // output (hence dedup runtime, which is output-bound) would grow
+    // quadratically inside clone groups, measuring the data artifact
+    // instead of the operator.
+    def replicate(table: String, idCols: Seq[String], offset: Long,
+        saltText: Boolean = false): Unit = {
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      val out = (0 until factor).map { k =>
+        val idShifted = idCols.foldLeft(base) { (df, c) =>
+          df.withColumn(c, col(c) + lit(k * offset))
+        }
+        if (saltText && k > 0)
+          idShifted.withColumn("text",
+            regexp_replace(col("text"), "(\\w+)", s"r${k}_$$1"))
+        else idShifted
+      }.reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    replicate("embeddings", Seq("vec_id"), 1000000L)
+    replicate("documents", Seq("doc_id"), 1000000L, saltText = true)
+    replicate("lineitem", Seq("l_orderkey"), 100000000L)
+    replicate("orders", Seq("o_orderkey"), 100000000L)
+    replicate("events", Seq("event_id"), 1000000000L)
+
+    val probes = Seq("j1_knn_dense", "q1_agg_pricing_summary", "c4_tfidf_search",
+      "dedup_minhash_lsh", "dedup_exact", "text_langid", "sim_int8_topk",
+      "w1_window_topk_per_user")
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both datasets once, then measure min-of-two
+    probes.foreach { n => time(n, sfDir); time(n, outDir) }
+    val rows = probes.map { n =>
+      val t1 = time(n, sfDir).min(time(n, sfDir))
+      val tk = time(n, outDir).min(time(n, outDir))
+      (n, t1, tk, tk / t1)
+    }
+    println(f"${"query"}%-28s ${"t_1x(s)"}%10s ${"t_" + factor + "x(s)"}%10s ratio")
+    rows.foreach { case (n, t1, tk, r) =>
+      println(f"$n%-28s $t1%10.2f $tk%10.2f $r%5.1f")
+    }
+    spark.stop()
+  }
+}

@@ -573,6 +573,38 @@ object SparkEntry {
              |SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1
              |ORDER BY cnt DESC, gram LIMIT 100""".stripMargin)),
 
+    // (1,3)-gram tf-idf channel (the OCR/speech vocabulary shape,
+    // `ocr_retrieval.py:27-35`): phrases score as whole n-gram terms
+    ("c4b_tfidf_ngram13",
+      (s, dir) =>
+        Lexical.tfidfSearchNgrams(s, t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "spark join"))
+          .select(col("id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(20),
+      Some("""WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS toks
+             |            FROM documents),
+             |g1 AS (SELECT id, unnest(toks) AS term FROM tok),
+             |i2 AS (SELECT id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tok),
+             |g2 AS (SELECT id, toks[i] || ' ' || toks[i+1] AS term FROM i2),
+             |i3 AS (SELECT id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM tok),
+             |g3 AS (SELECT id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term FROM i3),
+             |post AS (SELECT id, term, COUNT(*) AS tf FROM
+             |  (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3) u
+             |  GROUP BY 1, 2),
+             |d AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+             |nn AS (SELECT COUNT(*) AS n FROM documents),
+             |wgt AS (SELECT p.id, p.term, p.tf * (LN((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS w
+             |        FROM post p JOIN d USING (term) CROSS JOIN nn),
+             |nrm AS (SELECT id, term, w / SQRT(SUM(w*w) OVER (PARTITION BY id)) AS w FROM wgt),
+             |qt(term, qtf) AS (VALUES ('spark', 1), ('spark join', 1)),
+             |q AS (SELECT t.term, t.qtf * (LN((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS qw
+             |      FROM qt t JOIN d USING (term) CROSS JOIN nn),
+             |qn AS (SELECT SQRT(SUM(qw*qw)) AS qnorm FROM q)
+             |SELECT id, ROUND(SUM(nrm.w * q.qw / qn.qnorm), 6) AS score
+             |FROM nrm JOIN q USING (term) CROSS JOIN qn GROUP BY id
+             |ORDER BY score DESC, id LIMIT 20""".stripMargin)),
+
     ("s14_tag_corpus",
       (s, dir) =>
         Lexical.docFreq(Lexical.postings(t(s, dir, "documents"), "doc_id", "text"))

@@ -207,6 +207,49 @@ object Lexical {
     }))
   }
 
+  /** Documents re-expressed as their (minN..maxN)-gram "terms" — the
+    * vocabulary shape of the OCR/speech channels (reference
+    * `ocr_retrieval.py:27-35`, ngram_range=(1,3)): each n contributes its
+    * sliding n-grams as distinct terms of one relation, so the SAME
+    * tf-idf/BM25 machinery scores multi-word phrases. */
+  def ngramDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      minN: Int, maxN: Int): DataFrame =
+    (minN to maxN).map { n =>
+      ngrams(docs, idCol, textCol, n).select(col("id"), col("ngram").as("term"))
+    }.reduce(_ unionByName _)
+
+  /** tf-idf search over an (minN..maxN)-gram vocabulary: [[ngramDocs]]
+    * postings + the standard smoothed-idf/L2 scoring. Query phrases are
+    * matched as whole n-gram terms, like the reference's vectorizer. */
+  def tfidfSearchNgrams(
+      spark: SparkSession,
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], minN: Int = 1, maxN: Int = 3): DataFrame = {
+    import spark.implicits._
+    val post = ngramDocs(docs, idCol, textCol, minN, maxN)
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = docFreq(post)
+    val nDf = docs.agg(count(lit(1)).as("__n"))
+    val q = queryTerms.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+      .toSeq.toDF("term", "qtf")
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("qw", col("qtf") * smoothIdf(col("df"), col("__n")))
+      .select(col("term"), col("qw"))
+    val qnorm = q.agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
+    val byDoc = Window.partitionBy(col("id"))
+    post
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("w", col("tf") * smoothIdf(col("df"), col("__n")))
+      .withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(qnorm))
+      .groupBy(col("id"))
+      .agg(sum(col("w") * col("qw") / col("qnorm")).as("score"))
+  }
+
   /** Word n-grams over the token sequence — the (1,3)-gram OCR/speech
     * channels (reference `ocr_retrieval.py:27-35`). Position-aware via
     * posexplode, assembled with a self-join-free slide over the array. */

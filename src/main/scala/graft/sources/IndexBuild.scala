@@ -75,4 +75,19 @@ object IndexBuild {
     denseIds(withShot, "id", numPartitions,
       col("collection"), col("video_id"), col("frame_idx"))
   }
+
+  /** Deletion propagation: one delete set applied consistently to EVERY
+    * index artifact (fact table, embedding table, postings, bridges, ...) —
+    * the right-to-be-forgotten sweep a production index needs. Each
+    * artifact is a broadcast anti-join on its own id column: one pass per
+    * artifact, no shuffle of the artifacts, and the delete set is the only
+    * data that moves. Returns the cleaned artifacts keyed as given. */
+  def applyDeletes(
+      artifacts: Map[String, (DataFrame, String)],
+      deleteIds: DataFrame): Map[String, DataFrame] = {
+    val ids = deleteIds.select(col(deleteIds.columns.head).as("__del_id"))
+    artifacts.map { case (name, (df, idCol)) =>
+      name -> df.join(broadcast(ids), df(idCol) === col("__del_id"), "left_anti")
+    }
+  }
 }

@@ -83,4 +83,15 @@ class IndexBuildSpec extends AnyFunSuite {
       (2L, "L21_V001", 75, 3.0, 1),
       (3L, "L21_V002", 10, 10 / 30.0, 0)))
   }
+
+  test("applyDeletes sweeps one delete set across every artifact") {
+    import spark.implicits._
+    val facts = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val post = Seq((1L, "t1"), (2L, "t2"), (3L, "t3"), (3L, "t4")).toDF("doc", "term")
+    val dels = Seq(Tuple1(2L), Tuple1(3L)).toDF("id")
+    val out = IndexBuild.applyDeletes(
+      Map("facts" -> (facts, "id"), "postings" -> (post, "doc")), dels)
+    assert(out("facts").select("id").collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(out("postings").select("doc").collect().map(_.getLong(0)).toSet === Set(1L))
+  }
 }

@@ -306,12 +306,16 @@ object Dedup {
     val edges = p.select(col("i").as("a"), col("j").as("b"))
       .unionByName(p.select(col("j").as("a"), col("i").as("b")))
       .persist()
-    var cached = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // initial labels are identity, so round 1 collapses to
+    // min(id, min neighbor id) — computed directly, one fewer
+    // materialized round (every node appears as `a` in the
+    // bidirectional edge set)
+    var cached = edges.groupBy(col("a")).agg(min(col("b")).as("__nmin"))
+      .select(col("a").as("id"), least(col("a"), col("__nmin")).as("label"))
       .persist()
-    var labels = cached // materialized by iteration 1's count
+    var labels = cached // materialized by the next round's count
     var changed = 1L
-    var it = 0
+    var it = 1
     while (changed > 0 && it < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))

@@ -65,11 +65,23 @@ object Lexical {
   def tfidfVectors(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     tfidfVectorsFrom(postings(docs, idCol, textCol), corpusSize(docs))
 
-  /** Same, from precomputed postings (shared subtrees let Catalyst reuse the
-    * postings shuffle across the doc-vector and query-idf branches). */
+  /** Same, from precomputed postings. The idf join uses a SHUFFLE-HASH
+    * join, not a broadcast: `docFreq(post)` is derived from the same
+    * postings aggregate as the left side, and with both in ONE plan
+    * Catalyst's ReuseExchange serves the second occurrence from the first's
+    * shuffle files — the corpus is scanned and tokenized ONCE. A broadcast
+    * of docFreq would materialize in a separate job that re-runs the whole
+    * postings pipeline (scan+tokenize+aggregate) a second time — at 100 TB
+    * that is a second pass over the corpus. */
   private def tfidfVectorsFrom(post: DataFrame, nDf: DataFrame): DataFrame = {
+    // the tf > 0 guard is vacuous (counts are >= 1) but it makes this
+    // branch CONSUME the tf column: without it the optimizer prunes tf
+    // from the df-side aggregate, the two postings exchanges stop being
+    // canonically equal, and the reuse below never fires
+    val dfreq = post.filter(col("tf") > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val withIdf = post
-      .join(broadcast(docFreq(post)), Seq("term"))
+      .join(dfreq.hint("shuffle_hash"), Seq("term"))
       .crossJoin(broadcast(nDf))
       .withColumn("w", col("tf") * smoothIdf(col("df"), col("__n")))
     val byDoc = Window.partitionBy(col("id"))
@@ -81,27 +93,34 @@ object Lexical {
   /** Cosine scores of a literal query against the corpus: transform the query
     * with the corpus idf (terms outside the vocabulary drop out, as in
     * sklearn), normalize, sparse-dot against the doc vectors
-    * (`object_retrieval.py:273-324`). */
+    * (`object_retrieval.py:273-324`).
+    *
+    * Query vectorization is DRIVER-SIDE, like the reference's (the serving
+    * thread transforms the query with the fitted vectorizer,
+    * `object_retrieval.py:273-284`): one tiny aggregation collects (df, N)
+    * for the handful of query terms, the weights and norm are computed in
+    * plain Scala, and the corpus-side plan sees only a broadcast literal —
+    * no per-query re-materialization of the index for the query vector. */
   def tfidfSearch(
       spark: SparkSession,
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String]): DataFrame = {
     import spark.implicits._
     val post = postings(docs, idCol, textCol)
-    val dfreq = docFreq(post)
-    val q = queryTerms.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
-      .toSeq.toDF("term", "qtf")
-      .join(broadcast(dfreq), Seq("term"))
+    val counts = queryTerms.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val qdf = docFreq(post)
+      .filter(col("term").isin(queryTerms.distinct: _*))
       .crossJoin(broadcast(corpusSize(docs)))
-      .withColumn("qw", col("qtf") * smoothIdf(col("df"), col("__n")))
-      .select(col("term"), col("qw"))
-    val qnorm = q.agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
-    val docVecs = tfidfVectorsFrom(post, corpusSize(docs))
-    docVecs
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val qw = qdf.map { case (t, df, n) =>
+      (t, counts(t) * (math.log((n + 1.0) / (df + 1)) + 1.0))
+    }.toSeq
+    val qnorm = math.sqrt(qw.map { case (_, w) => w * w }.sum)
+    val q = qw.toDF("term", "qw")
+    tfidfVectorsFrom(post, corpusSize(docs))
       .join(broadcast(q), Seq("term"))
-      .crossJoin(broadcast(qnorm))
       .groupBy(col("id"))
-      .agg(sum(col("w") * col("qw") / col("qnorm")).as("score"))
+      .agg(sum(col("w") * col("qw") / lit(qnorm)).as("score"))
   }
 
   /** Multi-channel TF-IDF search: every channel's postings live in ONE
@@ -125,25 +144,37 @@ object Lexical {
         explode(expr("regexp_extract_all(lower(__txt), '\\\\w+', 0)")).as("term"))
       .groupBy(col("ch"), col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = post.groupBy(col("ch"), col("term")).agg(count(lit(1)).as("df"))
-    val nPerCh = tagged.groupBy(col("ch")).agg(count(lit(1)).as("__n"))
-    val q = channels.flatMap { case (ch, _, _, _, terms) =>
-      terms.groupBy(identity).map { case (t, xs) => (ch, t, xs.size.toLong) }
-    }.toDF("ch", "term", "qtf")
-      .join(broadcast(dfreq), Seq("ch", "term"))
-      .join(broadcast(nPerCh), Seq("ch"))
-      .withColumn("qw", col("qtf") * smoothIdf(col("df"), col("__n")))
-      .select(col("ch"), col("term"), col("qw"))
-    val qnorm = q.groupBy(col("ch"))
-      .agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
+    // tf > 0 guard: keeps this branch consuming tf so the postings
+    // exchange stays canonically equal to the doc side and is REUSED
+    // (see tfidfVectorsFrom) — one tokenize pass for all channels
+    val dfreq = post.filter(col("tf") > 0)
+      .groupBy(col("ch"), col("term")).agg(count(lit(1)).as("df"))
+    // driver-side query vectorization (one tiny collect), as in the
+    // single-channel path
+    val allTerms = channels.flatMap(_._5).distinct
+    val qdf = dfreq.filter(col("term").isin(allTerms: _*))
+      .join(broadcast(tagged.groupBy(col("ch")).agg(count(lit(1)).as("__n"))), Seq("ch"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val qw = channels.flatMap { case (ch, _, _, _, terms) =>
+      terms.groupBy(identity).toSeq.flatMap { case (t, xs) =>
+        qdf.get((ch, t)).map { case (df, n) =>
+          (ch, t, xs.size * (math.log((n + 1.0) / (df + 1)) + 1.0))
+        }
+      }
+    }
+    val qnorm = qw.groupBy(_._1).map { case (ch, ws) =>
+      ch -> math.sqrt(ws.map { case (_, _, w) => w * w }.sum)
+    }
+    val q = qw.map { case (ch, t, w) => (ch, t, w, qnorm(ch)) }
+      .toDF("ch", "term", "qw", "qnorm")
     val byDoc = Window.partitionBy(col("ch"), col("id"))
     post
-      .join(broadcast(dfreq), Seq("ch", "term"))
-      .join(broadcast(nPerCh), Seq("ch"))
+      .join(dfreq.hint("shuffle_hash"), Seq("ch", "term"))
+      .join(broadcast(tagged.groupBy(col("ch")).agg(count(lit(1)).as("__n"))), Seq("ch"))
       .withColumn("w", col("tf") * smoothIdf(col("df"), col("__n")))
       .withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
       .join(broadcast(q), Seq("ch", "term"))
-      .join(broadcast(qnorm), Seq("ch"))
       .groupBy(col("ch"), col("id"))
       .agg(sum(col("w") * col("qw") / col("qnorm")).as("score"))
   }
@@ -229,25 +260,20 @@ object Lexical {
     import spark.implicits._
     val post = ngramDocs(docs, idCol, textCol, minN, maxN)
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = docFreq(post)
-    val nDf = docs.agg(count(lit(1)).as("__n"))
-    val q = queryTerms.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
-      .toSeq.toDF("term", "qtf")
-      .join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(nDf))
-      .withColumn("qw", col("qtf") * smoothIdf(col("df"), col("__n")))
-      .select(col("term"), col("qw"))
-    val qnorm = q.agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
-    val byDoc = Window.partitionBy(col("id"))
-    post
-      .join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(nDf))
-      .withColumn("w", col("tf") * smoothIdf(col("df"), col("__n")))
-      .withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
+    val counts = queryTerms.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val qdf = docFreq(post)
+      .filter(col("term").isin(queryTerms.distinct: _*))
+      .crossJoin(broadcast(corpusSize(docs)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val qw = qdf.map { case (t, df, n) =>
+      (t, counts(t) * (math.log((n + 1.0) / (df + 1)) + 1.0))
+    }.toSeq
+    val qnorm = math.sqrt(qw.map { case (_, w) => w * w }.sum)
+    val q = qw.toDF("term", "qw")
+    tfidfVectorsFrom(post, corpusSize(docs))
       .join(broadcast(q), Seq("term"))
-      .crossJoin(broadcast(qnorm))
       .groupBy(col("id"))
-      .agg(sum(col("w") * col("qw") / col("qnorm")).as("score"))
+      .agg(sum(col("w") * col("qw") / lit(qnorm)).as("score"))
   }
 
   /** Word n-grams over the token sequence — the (1,3)-gram OCR/speech

@@ -68,6 +68,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k lost:\n$p")
   }
 
+  test("tf-idf search tokenizes the corpus ONCE: postings exchange reused") {
+    val df = q("c4_tfidf_search")
+    val p = finalPlan(df)
+    assert(p.contains("ReusedExchange"),
+      s"df-side postings recomputed instead of reused:\n$p")
+    // exactly one tokenize (Generate explode) in the executed final plan
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.linesIterator.count(_.contains("Generate explode")) === 1,
+      s"corpus tokenized more than once:\n$finalSection")
+  }
+
   test("exact dedup is a single partial-aggregated shuffle") {
     val docs = Tables(spark, TestSpark.sfDir, "documents")
     val p = plan(Dedup.exact(docs, "doc_id", "text"))

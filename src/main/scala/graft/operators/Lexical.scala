@@ -191,10 +191,15 @@ object Lexical {
     import spark.implicits._
     val post = postings(docs, idCol, textCol)
     // dl = token count = sum of term frequencies: derived from postings so
-    // the corpus is tokenized once, not twice
+    // the corpus is tokenized once, not twice. Every branch below retains
+    // tf and joins shuffle-hash, so the postings (and docLen) exchanges
+    // are canonically equal across branches and ReusedExchange serves all
+    // of them from one tokenize pass (see tfidfVectorsFrom).
     val docLen = post.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     val avgdl = docLen.agg((sum(col("dl")) / count(lit(1))).as("avgdl"))
-    val idfRaw = docFreq(post).crossJoin(broadcast(corpusSize(docs)))
+    val idfRaw = post.filter(col("tf") > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(corpusSize(docs)))
       .withColumn("idf_raw",
         log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .select(col("term"), col("df"), col("idf_raw"))
@@ -206,8 +211,8 @@ object Lexical {
     val q = queryTerms.distinct.toDF("term")
     post
       .join(broadcast(q), Seq("term"))
-      .join(broadcast(idf), Seq("term"))
-      .join(docLen, Seq("id"))
+      .join(idf.hint("shuffle_hash"), Seq("term"))
+      .join(docLen.hint("shuffle_hash"), Seq("id"))
       .crossJoin(broadcast(avgdl))
       .withColumn("contrib",
         col("idf") * (col("tf") * lit(k1 + 1)) /

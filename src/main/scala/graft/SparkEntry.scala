@@ -310,6 +310,30 @@ object SparkEntry {
              |  FROM events) t
              |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin)),
 
+    // same result as w1 via the typed bounded-buffer Aggregator (§2.10
+    // fallback for huge groups): O(n log k) per partition, k-bounded
+    // merge — vs the window's full per-group sort
+    ("w1b_topk_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        val topk = new graft.functions.TopKAggregator(3).toColumn
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues { case (_, id, v) => graft.functions.ScoredId(id, v) }
+          .agg(topk)
+          .flatMap { case (uid, top) =>
+            top.zipWithIndex.map { case (e, i) => (uid, (i + 1).toLong, e.id, e.score) }
+          }
+          .toDF("user_id", "rn", "event_id", "value")
+          .orderBy(col("user_id"), col("rn"))
+      },
+      Some("""SELECT user_id, rn, event_id, value FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+             |  FROM events) t
+             |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin)),
+
     ("o1_topk_lineitems",
       (s, dir) =>
         GroupShaping.topK(

@@ -1570,6 +1570,18 @@ object SparkEntry {
              |       ex.exact_distinct
              |FROM used u JOIN ex USING (event_type) ORDER BY event_type""".stripMargin)),
 
+    // two-phase salted aggregation (hot-key mitigation): result must equal
+    // the plain groupBy sum — decimal partials keep it engine-exact
+    ("skew_salted_sum",
+      (s, dir) =>
+        graft.operators.Skew.saltedSum(t(s, dir, "events"),
+          col("event_type"), col("value").cast("decimal(18,6)"),
+          pmod(col("event_id"), lit(16)))
+          .select(col("key").as("event_type"), col("sum").cast("double").as("value_sum"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     ("profile_stats",
       (s, dir) => {
         val li = t(s, dir, "lineitem")

@@ -1570,6 +1570,26 @@ object SparkEntry {
              |       ex.exact_distinct
              |FROM used u JOIN ex USING (event_type) ORDER BY event_type""".stripMargin)),
 
+    // salted equi-join (hot-key mitigation): replicating the build side
+    // across 8 salts must produce the identical join result — here the
+    // events->orders scatter-sum of j5, salted
+    ("skew_salted_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("value").cast("decimal(18,6)").as("v"), col("event_id"))
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        graft.operators.Skew.saltedJoin(ev, cust, "user_id",
+            leftSaltSource = col("event_id"), salts = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("value_sum"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
     // two-phase salted aggregation (hot-key mitigation): result must equal
     // the plain groupBy sum — decimal partials keep it engine-exact
     ("skew_salted_sum",

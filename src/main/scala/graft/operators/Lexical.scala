@@ -250,10 +250,18 @@ object Lexical {
     * tf-idf/BM25 machinery scores multi-word phrases. */
   def ngramDocs(
       docs: DataFrame, idCol: String, textCol: String,
-      minN: Int, maxN: Int): DataFrame =
-    (minN to maxN).map { n =>
-      ngrams(docs, idCol, textCol, n).select(col("id"), col("ngram").as("term"))
-    }.reduce(_ unionByName _)
+      minN: Int, maxN: Int): DataFrame = {
+    // ONE tokenize pass emits every n in [minN, maxN]: a union of per-n
+    // subqueries would scan and regex the corpus (maxN - minN + 1) times
+    val toks = expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)")
+    docs.select(col(idCol).as("id"), toks.as("__toks"))
+      .select(col("id"), explode(flatten(transform(
+        sequence(lit(minN), lit(maxN)),
+        n => when(size(col("__toks")) >= n,
+          transform(sequence(lit(1), size(col("__toks")) - n + lit(1)),
+            i => array_join(slice(col("__toks"), i, n), " ")))
+          .otherwise(array().cast("array<string>"))))).as("term"))
+  }
 
   /** tf-idf search over an (minN..maxN)-gram vocabulary: [[ngramDocs]]
     * postings + the standard smoothed-idf/L2 scoring. Query phrases are

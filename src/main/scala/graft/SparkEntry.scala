@@ -68,9 +68,10 @@ object SparkEntry {
        |bk AS (SELECT id, band, CAST('0x' || substr(md5(sig), 1, 15) AS BIGINT) AS bucket FROM bands),
        |cand AS (SELECT DISTINCT a.id AS i, b.id AS j FROM bk a
        |         JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-       |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |shh AS (SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hvv FROM sh),
+       |sz AS (SELECT id, COUNT(*) AS n FROM shh GROUP BY 1),
        |inter AS (SELECT c.i, c.j, COUNT(*) AS cc FROM cand c
-       |          JOIN sh a ON a.id = c.i JOIN sh b ON b.id = c.j AND b.s = a.s GROUP BY 1, 2),
+       |          JOIN shh a ON a.id = c.i JOIN shh b ON b.id = c.j AND b.hvv = a.hvv GROUP BY 1, 2),
        |jac AS (SELECT i, j, cc * 1.0 / (sa.n + sb.n - cc) AS jaccard
        |        FROM inter JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j)""".stripMargin
 
@@ -779,11 +780,10 @@ object SparkEntry {
           .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("i"), col("j")),
       Some(s"""$shingleSql,
-             |cand AS (SELECT DISTINCT a.id AS i, b.id AS j
-             |         FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id),
-             |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
-             |inter AS (SELECT c.i, c.j, COUNT(*) AS cc FROM cand c
-             |          JOIN sh a ON a.id = c.i JOIN sh b ON b.id = c.j AND b.s = a.s GROUP BY 1, 2),
+             |shh AS (SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hvv FROM sh),
+             |sz AS (SELECT id, COUNT(*) AS n FROM shh GROUP BY 1),
+             |inter AS (SELECT a.id AS i, b.id AS j, COUNT(*) AS cc
+             |          FROM shh a JOIN shh b ON a.hvv = b.hvv AND a.id < b.id GROUP BY 1, 2),
              |jac AS (SELECT i, j, cc * 1.0 / (sa.n + sb.n - cc) AS jaccard
              |        FROM inter JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j)
              |SELECT i, j, ROUND(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.5

@@ -115,13 +115,18 @@ object Dedup {
   }
 
   /** Exact Jaccard over given pairs: per-candidate verification join
-    * (candidates x shingles, never all-pairs). */
+    * (candidates x shingles, never all-pairs). Shingles are HASHED to
+    * 8-byte keys before the join — at corpus scale the intersection
+    * shuffle moves fixed-width longs instead of n-gram strings. The same
+    * hash is used on the oracle side, so the (astronomically rare)
+    * collision affects both engines identically. */
   def verifyJaccard(pairs: DataFrame, shingleDf: DataFrame): DataFrame = {
-    val sizes = shingleDf.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val shA = shingleDf.select(col("id").as("i"), col("s"))
-    val shB = shingleDf.select(col("id").as("j"), col("s"))
+    val hashed = shingleDf.select(col("id"), hash60(col("s")).as("hv"))
+    val sizes = hashed.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shA = hashed.select(col("id").as("i"), col("hv"))
+    val shB = hashed.select(col("id").as("j"), col("hv"))
     pairs
-      .join(shA, Seq("i")).join(shB, Seq("j", "s"))
+      .join(shA, Seq("i")).join(shB, Seq("j", "hv"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("i"), col("n").as("ni")), Seq("i"))
       .join(sizes.select(col("id").as("j"), col("n").as("nj")), Seq("j"))
@@ -147,10 +152,12 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // hash-first (see verifyJaccard): the blocked self-join shuffles longs
     val sh = shingles(docs, idCol, textCol, shingleN)
+      .select(col("id"), hash60(col("s")).as("hv"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    sh.select(col("id").as("i"), col("s"))
-      .join(sh.select(col("id").as("j"), col("s")), Seq("s"))
+    sh.select(col("id").as("i"), col("hv"))
+      .join(sh.select(col("id").as("j"), col("hv")), Seq("hv"))
       .filter(col("i") < col("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("i"), col("n").as("ni")), Seq("i"))

@@ -73,21 +73,24 @@ object IncrementalIndex {
         // online and offline dedup stay mutually auditable
         val sh = Dedup.shingles(batch, "doc_id", "text").persist()
         val bk = Dedup.minhashBuckets(sh, 16, 2).persist()
+        // stored/joined shingles are 8-byte hashes, like the batch
+        // operator's verification join
+        val shh = sh.select(col("id"), Dedup.hash60(col("s")).as("hv"))
         val haveOld = new java.io.File(bucketsDir).exists()
         // candidates: new-vs-old (against the accumulated index) and
         // new-vs-new (within this batch)
         val oldBk = if (haveOld) spark.read.parquet(bucketsDir) else bk.limit(0)
-        val oldSh = if (haveOld) spark.read.parquet(shinglesDir) else sh.limit(0)
+        val oldSh = if (haveOld) spark.read.parquet(shinglesDir) else shh.limit(0)
         val cands = Dedup.lshCandidates(bk.unionByName(oldBk))
           // keep only pairs touching >=1 NEW doc: old-vs-old already emitted
           .join(bk.select(col("id")).distinct()
               .select(col("id").as("__new")).withColumn("__m", lit(1)),
             col("i") === col("__new") || col("j") === col("__new"), "left_semi")
-        val allSh = sh.unionByName(oldSh)
+        val allSh = shh.unionByName(oldSh)
         val sizes = allSh.groupBy(col("id")).agg(count(lit(1)).as("n"))
         val verified = cands
-          .join(allSh.select(col("id").as("i"), col("s")), Seq("i"))
-          .join(allSh.select(col("id").as("j"), col("s")), Seq("j", "s"))
+          .join(allSh.select(col("id").as("i"), col("hv")), Seq("i"))
+          .join(allSh.select(col("id").as("j"), col("hv")), Seq("j", "hv"))
           .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
           .join(sizes.select(col("id").as("i"), col("n").as("ni")), Seq("i"))
           .join(sizes.select(col("id").as("j"), col("n").as("nj")), Seq("j"))
@@ -96,7 +99,7 @@ object IncrementalIndex {
           .filter(col("jaccard") >= threshold)
         verified.write.mode("append").parquet(pairsDir)
         bk.write.mode("append").parquet(bucketsDir)
-        sh.write.mode("append").parquet(shinglesDir)
+        shh.write.mode("append").parquet(shinglesDir)
         sh.unpersist(); bk.unpersist()
         ()
       }

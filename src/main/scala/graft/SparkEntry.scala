@@ -26,6 +26,58 @@ object SparkEntry {
 
   private def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
 
+  /** The C7 grid-token channel's synthetic per-doc bbox context — two
+    * deterministic md5-derived `{cell}{class}` tokens per doc (shared by the
+    * q33 plan, the panel index build, and the q33 oracle). */
+  private[graft] def bboxDocs(docs: DataFrame): DataFrame = {
+    val cellCsv = graft.functions.GridEncoding.cells.map(_._1).mkString(",")
+    val clsCsv = "person,bicycle,car,motorcycle,airplane,bus,train,truck,boat,trafficlight"
+    def pick(csv: String, n: Int, from: Int) = element_at(
+      split(lit(csv), ","),
+      (conv(substring(md5(col("text")), from, 8), 16, 10).cast("long") % n + 1).cast("int"))
+    docs.select(col("doc_id"),
+      concat_ws(" ",
+        concat(pick(cellCsv, 49, 1), pick(clsCsv, 10, 9)),
+        concat(pick(cellCsv, 49, 17), pick(clsCsv, 10, 25))).as("bbox_text"))
+  }
+
+  /** Per-JVM memoized fitted sparse indexes over the `documents` table —
+    * the build-once/query-many artifact store behind every sparse-search
+    * query (VERDICT r2 #1): the first sparse query of a run fits and
+    * persists the index (ONE corpus tokenize), every later query reads the
+    * term-pruned artifacts. In production these live in [[graft.sources.Store]]
+    * managed locations and refresh via
+    * [[graft.streaming.IncrementalIndex.updatePostings]] +
+    * [[Lexical.writeIndexFromPostings]]; here they key off the dataset dir
+    * under java.io.tmpdir so Verify/Bench runs are self-contained. */
+  private object SparseArtifacts {
+    private val built = scala.collection.mutable.Set.empty[String]
+    private def root(dir: String, variant: String): String =
+      s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+        s"${dir.replaceAll("[^a-zA-Z0-9._-]", "_")}/$variant"
+
+    def unigram(s: SparkSession, dir: String): Lexical.SparseIndex = synchronized {
+      val p = root(dir, "unigram")
+      if (built.add(p)) Lexical.writeIndex(s, t(s, dir, "documents"), "doc_id", "text", p)
+      else Lexical.readIndex(s, p)
+    }
+    def ngram13(s: SparkSession, dir: String): Lexical.SparseIndex = synchronized {
+      val p = root(dir, "ngram13")
+      if (built.add(p))
+        Lexical.writeIndexNgrams(s, t(s, dir, "documents"), "doc_id", "text", 1, 3, p)
+      else Lexical.readIndex(s, p)
+    }
+    def panel(s: SparkSession, dir: String): Lexical.MultiSparseIndex = synchronized {
+      val p = root(dir, "panel")
+      if (built.add(p)) {
+        val docs = t(s, dir, "documents")
+        Lexical.writeMultiIndex(s, Seq(
+          ("bbox", bboxDocs(docs), "doc_id", "bbox_text"),
+          ("tag", docs, "doc_id", "text")), p)
+      } else Lexical.readMultiIndex(s, p)
+    }
+  }
+
   /** Flagship query (sf0.001): the full `/textsearch` dual-model dataflow of
     * the reference (`app.py:300-366`) — two dense channels, per-channel
     * top-k, A1 min-max fusion, A4 group-by-"video" shaping. */
@@ -518,7 +570,7 @@ object SparkEntry {
 
     ("s13_tfidf_vectors",
       (s, dir) =>
-        Lexical.tfidfVectors(t(s, dir, "documents"), "doc_id", "text")
+        SparseArtifacts.unigram(s, dir).vectors
           .filter(col("id") < 10)
           .select(col("id"), col("term"), round(col("w"), 6).as("w"))
           .orderBy(col("id"), col("term")),
@@ -527,9 +579,11 @@ object SparkEntry {
              |  SELECT id, term, w, SQRT(SUM(w*w) OVER (PARTITION BY id)) AS nrm FROM wgt) x
              |WHERE id < 10 ORDER BY id, term""".stripMargin)),
 
+    // artifact-fed: scores the query against the FITTED index (no corpus
+    // tokenize in the query job — asserted by PlanShapeSpec)
     ("c4_tfidf_search",
       (s, dir) =>
-        Lexical.tfidfSearch(s, t(s, dir, "documents"), "doc_id", "text",
+        Lexical.tfidfSearchIndexed(s, SparseArtifacts.unigram(s, dir),
             Seq("spark", "join", "table", "scan"))
           .select(col("id"), round(col("score"), 6).as("score"))
           .orderBy(col("score").desc, col("id"))
@@ -546,7 +600,7 @@ object SparkEntry {
 
     ("a3_bm25_search",
       (s, dir) =>
-        Lexical.bm25Search(s, t(s, dir, "documents"), "doc_id", "text",
+        Lexical.bm25SearchIndexed(s, SparseArtifacts.unigram(s, dir),
             Seq("spark", "join", "table", "scan"))
           .select(col("id"), round(col("score"), 6).as("score"))
           .orderBy(col("score").desc, col("id"))
@@ -602,7 +656,7 @@ object SparkEntry {
     // `ocr_retrieval.py:27-35`): phrases score as whole n-gram terms
     ("c4b_tfidf_ngram13",
       (s, dir) =>
-        Lexical.tfidfSearchNgrams(s, t(s, dir, "documents"), "doc_id", "text",
+        Lexical.tfidfSearchIndexed(s, SparseArtifacts.ngram13(s, dir),
           Seq("spark", "spark join"))
           .select(col("id"), round(col("score"), 6).as("score"))
           .orderBy(col("score").desc, col("id"))
@@ -1384,7 +1438,8 @@ object SparkEntry {
     ("q32_panel_multichannel",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val chText = Lexical.tfidfSearch(s, docs, "doc_id", "text", Seq("spark", "join"))
+        val chText = Lexical.tfidfSearchIndexed(s, SparseArtifacts.unigram(s, dir),
+            Seq("spark", "join"))
           .select(col("id"), round(col("score"), 6).as("score"))
         val chSrc = docs.filter(col("source").isin("src7", "src8"))
           .select(col("doc_id").as("id"), lit(1.0).as("score"))
@@ -1421,24 +1476,14 @@ object SparkEntry {
     // by tf-idf over that channel and fused with the text channel
     ("q33_panel_grid_channel",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val cellCsv = graft.functions.GridEncoding.cells.map(_._1).mkString(",")
-        val clsCsv = "person,bicycle,car,motorcycle,airplane,bus,train,truck,boat,trafficlight"
-        def pick(csv: String, n: Int, from: Int) = element_at(
-          split(lit(csv), ","),
-          (conv(substring(md5(col("text")), from, 8), 16, 10).cast("long") % n + 1).cast("int"))
-        val bboxDocs = docs.select(col("doc_id"),
-          concat_ws(" ",
-            concat(pick(cellCsv, 49, 1), pick(clsCsv, 10, 9)),
-            concat(pick(cellCsv, 49, 17), pick(clsCsv, 10, 25))).as("bbox_text"))
         val queryTokens = graft.functions.GridEncoding.encodeBoxes(Seq(
           (graft.functions.GridEncoding.Box(0, 0, 0.5, 0.5), "person"))).split(" ").toSeq
-        // both sparse channels served from ONE (ch, term)-keyed postings
-        // build (tfidfSearchMulti), then keyed A1 fusion — N channels at the
-        // stage cost of one
-        val multi = Lexical.tfidfSearchMulti(s, Seq(
-          ("bbox", bboxDocs, "doc_id", "bbox_text", queryTokens),
-          ("tag", docs, "doc_id", "text", Seq("spark", "join"))))
+        // both sparse channels served from ONE fitted (ch, term)-keyed
+        // index (writeMultiIndex builds it once per run), then keyed A1
+        // fusion — N channels at the query cost of one term-pruned scan
+        val multi = Lexical.tfidfSearchMultiIndexed(s, SparseArtifacts.panel(s, dir), Seq(
+          ("bbox", queryTokens),
+          ("tag", Seq("spark", "join"))))
           .select(col("ch"), col("id"), round(col("score"), 6).as("score"))
         Fusion.fuseByAdditionKeyed(multi)
           .select(col("id"), round(col("score"), 6).as("score"))

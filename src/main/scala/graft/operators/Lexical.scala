@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -287,6 +287,229 @@ object Lexical {
       .join(broadcast(q), Seq("term"))
       .groupBy(col("id"))
       .agg(sum(col("w") * col("qw") / lit(qnorm)).as("score"))
+  }
+
+  // ---- fitted-index artifacts (the load-don't-refit query path) ----------
+
+  /** The fitted sparse index — the engine's analog of the reference's
+    * pickled `TfidfVectorizer` + CSR matrix artifacts
+    * (`object_retrieval.py:114-145` loads `tfidf_transform_*.pkl` and
+    * `sparse_context_matrix_*.npz` at startup; nothing re-fits per query).
+    *
+    *  - `vectors  (id, term, w)`  — L2-normalized tf-idf weights (the CSR)
+    *  - `postings (id, term, tf)` — raw counts (BM25 scores from these)
+    *  - `docFreq  (term, df)`     — the fitted vocabulary + df (the `idf_`)
+    *  - `docLen   (id, dl)`       — BM25 document lengths
+    *  - `stats` (one row: `n, avgdl, avg_idf`) — corpus-level constants
+    *
+    * Query-time cost is O(query terms), never O(corpus): term-keyed tables
+    * are written term-clustered so a query-term `IN` filter prunes parquet
+    * row groups, query vectorization reads a handful of `docFreq` rows, and
+    * scoring joins the broadcast query vector against only the matching
+    * `vectors`/`postings` rows. */
+  case class SparseIndex(
+      vectors: DataFrame,
+      postings: DataFrame,
+      docFreq: DataFrame,
+      docLen: DataFrame,
+      stats: DataFrame)
+
+  /** Multi-channel fitted index: everything keyed by `(ch, term)`, one
+    * relation per artifact for ALL channels (the scale shape of the
+    * reference's per-channel CSR matrices, `faiss_processing.py:234-277`). */
+  case class MultiSparseIndex(
+      vectors: DataFrame,
+      docFreq: DataFrame,
+      stats: DataFrame)
+
+  private def saveClustered(df: DataFrame, path: String, keys: Seq[String], buckets: Int): Unit =
+    df.repartition(buckets, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(path)
+
+  /** Fit + persist the index (one corpus tokenize, ever). */
+  def writeIndex(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      dir: String, buckets: Int = 32): SparseIndex =
+    writeIndexFromPostings(spark, postings(docs, idCol, textCol), docs.count(), dir, buckets)
+
+  /** Same, over an n-gram vocabulary (the OCR/speech channel shape). */
+  def writeIndexNgrams(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      minN: Int, maxN: Int, dir: String, buckets: Int = 32): SparseIndex =
+    writeIndexFromPostings(spark,
+      ngramDocs(docs, idCol, textCol, minN, maxN)
+        .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf")),
+      docs.count(), dir, buckets)
+
+  /** Fit + persist from a postings relation — the bridge from
+    * [[graft.streaming.IncrementalIndex.updatePostings]]'s maintained sink
+    * into the scoring path: every artifact below derives from postings
+    * alone, so an index refresh after incremental maintenance re-aggregates
+    * postings-sized data and never re-tokenizes raw text. `nDocs` is the
+    * corpus size (sklearn's N counts docs with no in-vocabulary terms too,
+    * so it cannot be inferred from postings). */
+  def writeIndexFromPostings(
+      spark: SparkSession, post: DataFrame, nDocs: Long,
+      dir: String, buckets: Int = 32): SparseIndex = {
+    saveClustered(post, s"$dir/postings", Seq("term"), buckets)
+    // everything downstream reads the MATERIALIZED postings — the raw
+    // corpus is scanned exactly once, by the write above
+    val p = spark.read.parquet(s"$dir/postings")
+    saveClustered(p.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      s"$dir/docFreq", Seq("term"), buckets)
+    saveClustered(p.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
+      s"$dir/docLen", Seq("id"), buckets)
+    val dfreq = spark.read.parquet(s"$dir/docFreq")
+    val dl = spark.read.parquet(s"$dir/docLen")
+    val n = lit(nDocs)
+    dfreq
+      .select(log((n - col("df") + lit(0.5)) / (col("df") + lit(0.5))).as("idf_raw"))
+      .agg(avg(col("idf_raw")).as("avg_idf"))
+      .crossJoin(dl.agg((sum(col("dl")) / count(lit(1))).as("avgdl")))
+      .select(n.as("n"), col("avgdl"), col("avg_idf"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+    val byDoc = Window.partitionBy(col("id"))
+    saveClustered(
+      p.join(dfreq, Seq("term"))
+        .withColumn("w", col("tf") * smoothIdf(col("df"), n))
+        .withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
+        .select(col("id"), col("term"), col("w")),
+      s"$dir/vectors", Seq("term"), buckets)
+    readIndex(spark, dir)
+  }
+
+  def readIndex(spark: SparkSession, dir: String): SparseIndex =
+    SparseIndex(
+      vectors = spark.read.parquet(s"$dir/vectors"),
+      postings = spark.read.parquet(s"$dir/postings"),
+      docFreq = spark.read.parquet(s"$dir/docFreq"),
+      docLen = spark.read.parquet(s"$dir/docLen"),
+      stats = spark.read.parquet(s"$dir/stats"))
+
+  /** tf-idf search against the FITTED index: query vectorization reads the
+    * (term-pruned) `docFreq` artifact — a few rows, not a corpus scan — and
+    * scoring touches only the query terms' `vectors` rows. This is the
+    * production form of [[tfidfSearch]]; at 100 TB the corpus is never
+    * scanned at query time. */
+  def tfidfSearchIndexed(
+      spark: SparkSession, index: SparseIndex, queryTerms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val counts = queryTerms.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val qdf = index.docFreq
+      .filter(col("term").isin(queryTerms.distinct: _*))
+      .crossJoin(broadcast(index.stats.select(col("n"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val qw = qdf.map { case (t, df, n) =>
+      (t, counts(t) * (math.log((n + 1.0) / (df + 1)) + 1.0))
+    }.toSeq
+    val qnorm = math.sqrt(qw.map { case (_, w) => w * w }.sum)
+    val q = qw.toDF("term", "qw")
+    index.vectors
+      .filter(col("term").isin(queryTerms.distinct: _*))
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("id"))
+      .agg(sum(col("w") * col("qw") / lit(qnorm)).as("score"))
+  }
+
+  /** BM25 against the fitted index: per-term idf from the `docFreq`
+    * artifact, `n`/`avgdl`/`avg_idf` (the eps floor's vocabulary mean) from
+    * the one-row `stats` artifact — fully lazy, no collect, no corpus
+    * tokenize. */
+  def bm25SearchIndexed(
+      spark: SparkSession, index: SparseIndex, queryTerms: Seq[String],
+      k1: Double = 1.5, b: Double = 0.75, eps: Double = 0.25): DataFrame = {
+    val qt = queryTerms.distinct
+    val qidf = index.docFreq
+      .filter(col("term").isin(qt: _*))
+      .crossJoin(broadcast(index.stats))
+      .withColumn("idf_raw",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select(col("term"),
+        when(col("idf_raw") < 0, lit(eps) * col("avg_idf")).otherwise(col("idf_raw")).as("idf"),
+        col("avgdl"))
+    index.postings
+      .filter(col("term").isin(qt: _*))
+      .join(broadcast(qidf), Seq("term"))
+      .join(index.docLen, Seq("id"))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(sum(col("contrib")).as("score"))
+  }
+
+  /** Fit + persist the multi-channel index: ONE tokenize pass over the
+    * union of channels, artifacts keyed by `(ch, term)`. */
+  def writeMultiIndex(
+      spark: SparkSession,
+      channels: Seq[(String, DataFrame, String, String)],
+      dir: String, buckets: Int = 32): MultiSparseIndex = {
+    val tagged = channels.map { case (ch, docs, idCol, textCol) =>
+      docs.select(lit(ch).as("ch"), col(idCol).as("id"), col(textCol).as("__txt"))
+    }.reduce(_ unionByName _)
+    saveClustered(
+      tagged
+        .select(col("ch"), col("id"),
+          explode(expr("regexp_extract_all(lower(__txt), '\\\\w+', 0)")).as("term"))
+        .groupBy(col("ch"), col("id"), col("term"))
+        .agg(count(lit(1)).as("tf")),
+      s"$dir/postings", Seq("ch", "term"), buckets)
+    val p = spark.read.parquet(s"$dir/postings")
+    saveClustered(p.groupBy(col("ch"), col("term")).agg(count(lit(1)).as("df")),
+      s"$dir/docFreq", Seq("ch", "term"), buckets)
+    tagged.groupBy(col("ch")).agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+    val dfreq = spark.read.parquet(s"$dir/docFreq")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val byDoc = Window.partitionBy(col("ch"), col("id"))
+    saveClustered(
+      p.join(dfreq, Seq("ch", "term"))
+        .join(broadcast(stats), Seq("ch"))
+        .withColumn("w", col("tf") * smoothIdf(col("df"), col("n")))
+        .withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
+        .select(col("ch"), col("id"), col("term"), col("w")),
+      s"$dir/vectors", Seq("ch", "term"), buckets)
+    readMultiIndex(spark, dir)
+  }
+
+  def readMultiIndex(spark: SparkSession, dir: String): MultiSparseIndex =
+    MultiSparseIndex(
+      vectors = spark.read.parquet(s"$dir/vectors"),
+      docFreq = spark.read.parquet(s"$dir/docFreq"),
+      stats = spark.read.parquet(s"$dir/stats"))
+
+  /** Multi-channel tf-idf search against the fitted index — N channels
+    * scored by one term-pruned scan of the `(ch, term)`-keyed vectors.
+    * `queries` maps channel -> query terms. */
+  def tfidfSearchMultiIndexed(
+      spark: SparkSession, index: MultiSparseIndex,
+      queries: Seq[(String, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qdf = index.docFreq.filter(col("term").isin(allTerms: _*))
+      .join(broadcast(index.stats), Seq("ch"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val qw = queries.flatMap { case (ch, terms) =>
+      terms.groupBy(identity).toSeq.flatMap { case (t, xs) =>
+        qdf.get((ch, t)).map { case (df, n) =>
+          (ch, t, xs.size * (math.log((n + 1.0) / (df + 1)) + 1.0))
+        }
+      }
+    }
+    val qnorm = qw.groupBy(_._1).map { case (ch, ws) =>
+      ch -> math.sqrt(ws.map { case (_, _, w) => w * w }.sum)
+    }
+    val q = qw.map { case (ch, t, w) => (ch, t, w, qnorm(ch)) }
+      .toDF("ch", "term", "qw", "qnorm")
+    index.vectors
+      .filter(col("term").isin(allTerms: _*))
+      .join(broadcast(q), Seq("ch", "term"))
+      .groupBy(col("ch"), col("id"))
+      .agg(sum(col("w") * col("qw") / col("qnorm")).as("score"))
   }
 
   /** Word n-grams over the token sequence — the (1,3)-gram OCR/speech

@@ -35,6 +35,58 @@ class FusedPathParitySpec extends AnyFunSuite {
     assert(rows(fast) === rows(slow))
   }
 
+  test("indexed sparse search == raw-docs search (tfidf, ngram-tfidf, bm25, multi)") {
+    val docs = (1L to 30L).map { i =>
+      (i, (0 to 12).map(k => s"w${(i * 5 + k * 3) % 11}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-parity").toString
+    val terms = Seq("w1", "w4", "w4", "w7")
+    def r6(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select(col("id"), round(col("score"), 6).as("s")))
+
+    val uni = Lexical.writeIndex(spark, docs, "doc_id", "text", s"$dir/uni", buckets = 4)
+    assert(r6(Lexical.tfidfSearchIndexed(spark, uni, terms)) ===
+      r6(Lexical.tfidfSearch(spark, docs, "doc_id", "text", terms)))
+    assert(r6(Lexical.bm25SearchIndexed(spark, uni, terms)) ===
+      r6(Lexical.bm25Search(spark, docs, "doc_id", "text", terms)))
+
+    val ng = Lexical.writeIndexNgrams(spark, docs, "doc_id", "text", 1, 2, s"$dir/ng", buckets = 4)
+    assert(r6(Lexical.tfidfSearchIndexed(spark, ng, Seq("w1", "w1 w4"))) ===
+      r6(Lexical.tfidfSearchNgrams(spark, docs, "doc_id", "text", Seq("w1", "w1 w4"), 1, 2)))
+
+    val rev = docs.select(col("doc_id"), reverse(col("text")).as("rtext"))
+    val multi = Lexical.writeMultiIndex(spark, Seq(
+      ("fwd", docs, "doc_id", "text"), ("rev", rev, "doc_id", "rtext")), s"$dir/multi", buckets = 4)
+    val qs = Seq(("fwd", terms), ("rev", Seq("1w", "4w")))
+    val fast = Lexical.tfidfSearchMultiIndexed(spark, multi, qs)
+      .select(col("ch"), col("id"), round(col("score"), 6).as("s"))
+    val slow = Lexical.tfidfSearchMulti(spark, Seq(
+      ("fwd", docs, "doc_id", "text", terms),
+      ("rev", rev, "doc_id", "rtext", Seq("1w", "4w"))))
+      .select(col("ch"), col("id"), round(col("score"), 6).as("s"))
+    assert(rows(fast) === rows(slow))
+  }
+
+  test("index refreshed from a postings relation scores identically (incremental bridge)") {
+    // the IncrementalIndex.updatePostings sink IS a postings relation:
+    // writeIndexFromPostings must produce the same fitted index as a
+    // from-docs build — no raw-text re-tokenize on refresh
+    val docs = (1L to 20L).map { i =>
+      (i, (0 to 9).map(k => s"t${(i + k * 7) % 13}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-bridge").toString
+    val post = Lexical.postings(docs, "doc_id", "text")
+    val fromPost = Lexical.writeIndexFromPostings(spark, post, docs.count(), s"$dir/a", buckets = 4)
+    val fromDocs = Lexical.writeIndex(spark, docs, "doc_id", "text", s"$dir/b", buckets = 4)
+    val terms = Seq("t1", "t5")
+    def r6(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select(col("id"), round(col("score"), 6).as("s")))
+    assert(r6(Lexical.tfidfSearchIndexed(spark, fromPost, terms)) ===
+      r6(Lexical.tfidfSearchIndexed(spark, fromDocs, terms)))
+    assert(r6(Lexical.bm25SearchIndexed(spark, fromPost, terms)) ===
+      r6(Lexical.bm25SearchIndexed(spark, fromDocs, terms)))
+  }
+
   test("fuseByAdditionKeyed == fuseByAddition over the same channels") {
     val ch1 = Seq((1L, 3.0), (2L, 1.0), (3L, 2.0)).toDF("id", "score")
     val ch2 = Seq((2L, 9.0), (3L, 4.0), (4L, 5.0)).toDF("id", "score")

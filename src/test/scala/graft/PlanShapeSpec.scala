@@ -68,8 +68,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k lost:\n$p")
   }
 
-  test("tf-idf search tokenizes the corpus ONCE: postings exchange reused") {
-    val df = q("c4_tfidf_search")
+  test("raw-docs tf-idf search tokenizes the corpus ONCE: postings exchange reused") {
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+    val df = graft.operators.Lexical.tfidfSearch(
+      spark, docs, "doc_id", "text", Seq("spark", "join"))
     val p = finalPlan(df)
     assert(p.contains("ReusedExchange"),
       s"df-side postings recomputed instead of reused:\n$p")
@@ -77,6 +79,21 @@ class PlanShapeSpec extends AnyFunSuite {
     val finalSection = p.split("== Initial Plan ==").head
     assert(finalSection.linesIterator.count(_.contains("Generate explode")) === 1,
       s"corpus tokenized more than once:\n$finalSection")
+  }
+
+  test("indexed tf-idf search never touches the raw corpus: no tokenize, artifact scans only") {
+    // building the artifacts happens inside q() (build-once path); the
+    // RETURNED query plan must read fitted-index parquet only — the 100 TB
+    // property VERDICT r2 #1 demanded: zero corpus passes per sparse query
+    val df = q("c4_tfidf_search")
+    val p = finalPlan(df)
+    assert(!p.contains("regexp_extract_all"), s"query plan tokenizes text:\n$p")
+    assert(!p.contains("Generate explode"), s"query plan explodes tokens:\n$p")
+    assert(!p.contains("documents.parquet"), s"query plan scans the raw corpus:\n$p")
+    assert(p.contains("graft-index"), s"query plan does not read the fitted index:\n$p")
+    // the query-term IN filter must reach the artifact scan (term-clustered
+    // files -> row-group pruning)
+    assert(p.contains("PushedFilters: [In(term"), s"term filter not pushed:\n$p")
   }
 
   test("exact dedup is a single partial-aggregated shuffle") {

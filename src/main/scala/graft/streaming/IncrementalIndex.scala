@@ -10,10 +10,17 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * A file-source streaming query watches the landing directory; each
   * `Trigger.AvailableNow` run processes ONLY files the checkpoint hasn't
-  * seen and `foreachBatch` appends their derived index rows (postings here;
+  * seen and `foreachBatch` writes their derived index rows (postings here;
   * embeddings/shot tables follow the same shape) to the sink. Re-running
-  * with nothing new is a no-op — exactly-once bookkeeping lives in the
-  * checkpoint instead of ad-hoc filesystem existence checks.
+  * with nothing new is a no-op — source bookkeeping lives in the checkpoint
+  * instead of ad-hoc filesystem existence checks.
+  *
+  * Sink semantics: `foreachBatch` is AT-LEAST-ONCE (a crash after a write
+  * but before the checkpoint commit replays the batch on restart), so every
+  * sink write here is an idempotent dynamic-partition OVERWRITE of the
+  * batch's own `batch_id=` partition — a replay rewrites the same partition
+  * with the same rows instead of appending duplicates. Effective semantics:
+  * exactly-once per landed file.
   *
   * Scale notes: per-batch work is an ordinary batch plan (tokenize ->
   * map-side-combined groupBy), so a backfill over 100 TB is just a big
@@ -21,9 +28,29 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object IncrementalIndex {
 
+  /** Idempotent per-batch sink write: dynamic partition overwrite of this
+    * batch's `batch_id=` partition only. */
+  private def writeBatchPartition(df: DataFrame, batchId: Long, dir: String): Unit =
+    df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
+
+  /** Filesystem-agnostic existence check (file:, hdfs:, s3a:, ...) — a
+    * `java.io.File` test would silently report "absent" for any non-local
+    * URI and drop all new-vs-old candidate pairs. */
+  private def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** One maintenance run: ingest new document files from `landingDir`,
-    * append their postings `(id, term, tf)` to `sinkDir`. Blocks until the
-    * AvailableNow run finishes. */
+    * write their postings `(id, term, tf)` to `sinkDir` (one `batch_id=`
+    * partition per batch). Blocks until the AvailableNow run finishes. The
+    * accumulated sink is a postings relation:
+    * [[graft.operators.Lexical.writeIndexFromPostings]] refreshes the full
+    * fitted sparse index from it without re-tokenizing any text. */
   def updatePostings(
       spark: SparkSession,
       landingDir: String,
@@ -33,9 +60,9 @@ object IncrementalIndex {
     val src = spark.readStream.schema(schema).parquet(landingDir)
     val q = src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Lexical.postings(batch, "doc_id", "text")
-          .write.mode("append").parquet(sinkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          Lexical.postings(batch, "doc_id", "text"), batchId, sinkDir)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -47,11 +74,10 @@ object IncrementalIndex {
     * only the NEW documents, joins their band buckets against the
     * accumulated bucket table (old text is never re-shingled), verifies
     * candidates by exact Jaccard against the accumulated shingle table,
-    * appends verified pairs, and then appends the new docs'
-    * buckets/shingles to the index. Steady-state cost per run is
-    * O(new docs) + the candidate joins — the streaming form of
-    * [[graft.operators.Dedup.minhashLshPairs]], with the checkpoint
-    * guaranteeing each landed file is banded exactly once. */
+    * writes verified pairs, and then writes the new docs' buckets/shingles
+    * to the index — all as idempotent per-batch partitions. Steady-state
+    * cost per run is O(new docs) + the candidate joins — the streaming form
+    * of [[graft.operators.Dedup.minhashLshPairs]]. */
   def updateDedup(
       spark: SparkSession,
       landingDir: String,
@@ -66,7 +92,7 @@ object IncrementalIndex {
     val src = spark.readStream.schema(schema).parquet(landingDir)
     val q = src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.Dedup
         // raw shingles, SAME hash family as the batch operator: the
         // streaming path finds exactly the pairs minhashLshPairs would —
@@ -76,16 +102,26 @@ object IncrementalIndex {
         // stored/joined shingles are 8-byte hashes, like the batch
         // operator's verification join
         val shh = sh.select(col("id"), Dedup.hash60(col("s")).as("hv"))
-        val haveOld = new java.io.File(bucketsDir).exists()
+        val haveOld = pathExists(spark, bucketsDir)
         // candidates: new-vs-old (against the accumulated index) and
         // new-vs-new (within this batch)
-        val oldBk = if (haveOld) spark.read.parquet(bucketsDir) else bk.limit(0)
-        val oldSh = if (haveOld) spark.read.parquet(shinglesDir) else shh.limit(0)
+        val oldBk = if (haveOld) spark.read.parquet(bucketsDir).drop("batch_id")
+          else bk.limit(0)
+        val oldSh = if (haveOld) spark.read.parquet(shinglesDir).drop("batch_id")
+          else shh.limit(0)
+        // keep only pairs touching >=1 NEW doc (old-vs-old already emitted
+        // by an earlier batch): two broadcast equi-joins add new-side
+        // markers and an OR filter — one pass over the candidates, never a
+        // nested-loop join (an OR-of-equalities join condition would plan
+        // as BroadcastNestedLoopJoin)
+        val newIds = bk.select(col("id")).distinct()
         val cands = Dedup.lshCandidates(bk.unionByName(oldBk))
-          // keep only pairs touching >=1 NEW doc: old-vs-old already emitted
-          .join(bk.select(col("id")).distinct()
-              .select(col("id").as("__new")).withColumn("__m", lit(1)),
-            col("i") === col("__new") || col("j") === col("__new"), "left_semi")
+          .join(broadcast(newIds.select(col("id").as("i"), lit(1).as("__ni"))),
+            Seq("i"), "left")
+          .join(broadcast(newIds.select(col("id").as("j"), lit(1).as("__nj"))),
+            Seq("j"), "left")
+          .filter(col("__ni").isNotNull || col("__nj").isNotNull)
+          .drop("__ni", "__nj")
         val allSh = shh.unionByName(oldSh)
         val sizes = allSh.groupBy(col("id")).agg(count(lit(1)).as("n"))
         val verified = cands
@@ -97,9 +133,9 @@ object IncrementalIndex {
           .select(col("i"), col("j"),
             (col("inter").cast("double") / (col("ni") + col("nj") - col("inter"))).as("jaccard"))
           .filter(col("jaccard") >= threshold)
-        verified.write.mode("append").parquet(pairsDir)
-        bk.write.mode("append").parquet(bucketsDir)
-        shh.write.mode("append").parquet(shinglesDir)
+        writeBatchPartition(verified, batchId, pairsDir)
+        writeBatchPartition(bk, batchId, bucketsDir)
+        writeBatchPartition(shh, batchId, shinglesDir)
         sh.unpersist(); bk.unpersist()
         ()
       }

@@ -40,4 +40,45 @@ class IncrementalDedupSpec extends AnyFunSuite {
     IncrementalIndex.updateDedup(spark, landing, index, ckpt)
     assert(pairs() === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("crash replay of a batch is idempotent; file:-URI paths work") {
+    // explicit file: URIs — the index-presence check must go through the
+    // Hadoop FileSystem API, not java.io.File (which only understands bare
+    // local paths and would silently treat hdfs:/s3a: indexes as absent)
+    def uri(p: java.nio.file.Path) = p.toUri.toString.stripSuffix("/")
+    val landing = uri(java.nio.file.Files.createTempDirectory("graft_idr_land"))
+    val index = uri(java.nio.file.Files.createTempDirectory("graft_idr_idx"))
+    val ckptPath = java.nio.file.Files.createTempDirectory("graft_idr_ck")
+    val ckpt = uri(ckptPath)
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+
+    Seq((1L, base), (2L, base.replace("tok7", "tok7x"))).toDF("doc_id", "text")
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDedup(spark, landing, index, ckpt)
+
+    def state(): (Set[(Long, Long)], Long, Long) = (
+      spark.read.parquet(s"$index/pairs").select("i", "j")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      spark.read.parquet(s"$index/shingles").count(),
+      spark.read.parquet(s"$index/buckets").count())
+    assert(state()._1 === Set((1L, 2L)))
+
+    // snapshot the checkpoint BEFORE batch 2 commits, land batch 2, run
+    val ckptBackup = java.nio.file.Files.createTempDirectory("graft_idr_ckbk")
+    org.apache.commons.io.FileUtils.copyDirectory(ckptPath.toFile, ckptBackup.toFile)
+    Seq((3L, base.replace("tok20", "tok20x"))).toDF("doc_id", "text")
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDedup(spark, landing, index, ckpt)
+    val afterBatch2 = state()
+    assert(afterBatch2._1 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    // crash simulation: restore the pre-batch-2 checkpoint (sink writes
+    // landed, commit did not) and re-run — foreachBatch REPLAYS the same
+    // batch; the per-batch partition overwrite must leave pairs, shingles
+    // and buckets bit-identical instead of duplicating them
+    org.apache.commons.io.FileUtils.deleteDirectory(ckptPath.toFile)
+    org.apache.commons.io.FileUtils.copyDirectory(ckptBackup.toFile, ckptPath.toFile)
+    IncrementalIndex.updateDedup(spark, landing, index, ckpt)
+    assert(state() === afterBatch2)
+  }
 }

@@ -93,12 +93,14 @@ object Similarity {
   /** Batch kNN serving: top-k corpus rows for EACH query of a small
     * broadcast query set `(query_id, qv)` — N requests answered in ONE
     * corpus pass (the dual of [[knnJoin]], which ranks seeds per corpus
-    * row). Per-query top-k is a bounded ranking window on query_id
-    * (WindowGroupLimit pushes the bound below the sort), so the corpus
-    * shuffles once on query_id-partitioned scores bounded upstream by
-    * nothing — at scale, prefer per-partition heaps: the window input is
-    * corpus x queries rows, so keep query batches small relative to
-    * executor memory. */
+    * row). Per-query top-k runs through the bounded typed
+    * [[graft.functions.TopKAggregator]]: every map-side partition reduces
+    * its corpus x queries scores to a k-bounded buffer per query BEFORE the
+    * shuffle, so the exchange moves at most partitions x queries x k rows
+    * and no reducer ever sorts or windows the scored stream — the plan
+    * survives arbitrarily large corpora and query batches (a ranking
+    * window here would concentrate the whole scored corpus on the
+    * query_id reducers). `query_id` and `idCol` must be LongType. */
   def knnBatch(
       corpus: DataFrame,
       queries: DataFrame,
@@ -106,15 +108,18 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       roundTo: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col(idCol))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val topk = new graft.functions.TopKAggregator(k).toColumn
     corpus.crossJoin(broadcast(queries))
       .select(col("query_id"), col(idCol),
         round(VectorOps.dot(col(vecCol), col("qv")), roundTo).as("sim"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, s) => graft.functions.ScoredId(id, s) }
+      .agg(topk)
+      .flatMap { case (qid, top) => top.map(e => (qid, e.id, e.score)) }
+      .toDF("query_id", idCol, "sim")
   }
 
   /** Relevance-feedback (Rocchio-like) rerank — the reference's `/feedback`
@@ -204,22 +209,48 @@ object Similarity {
   /** ADC scoring over precomputed codes: build the M x K query lookup table
     * (broadcast), sum each row's M table entries (decimal-exact), top-k.
     * Separated from [[pqSearch]] so cluster pruning can restrict WHICH rows
-    * are scored while codebooks stay a whole-corpus build artifact. */
+    * are scored while codebooks stay a whole-corpus build artifact.
+    *
+    * `queryDf` is either a single query (`qv` only — top-k returned as
+    * `(idCol, score)`) or a batch carrying a LongType `query_id` column —
+    * then the lookup table, the join and the ADC sum are all keyed by
+    * query, per-query top-k runs through the bounded
+    * [[graft.functions.TopKAggregator]] (mirroring [[knnBatch]]), and the
+    * result is `(query_id, idCol, score)`. Without the key a multi-row
+    * queryDf would silently sum ADC contributions across queries into one
+    * meaningless score. */
   def pqAdcScore(
       codes: DataFrame, codebooks: DataFrame, queryDf: DataFrame, k: Int,
       numSub: Int = 8, subDim: Int = 8,
       idCol: String = "vec_id"): DataFrame = {
-    val qsub = subvectors(queryDf, "qv", "qsv", numSub, subDim, Seq.empty)
+    val hasQid = queryDf.columns.contains("query_id")
+    val q = if (hasQid) queryDf else queryDf.withColumn("query_id", lit(0L))
+    val qsub = subvectors(q, "qv", "qsv", numSub, subDim, Seq("query_id"))
     val qtab = codebooks.join(broadcast(qsub), Seq("m"))
-      .select(col("m"), col("c"), VectorOps.dot(col("cbv"), col("qsv")).as("p"))
-    codes
+      .select(col("query_id"), col("m"), col("c"),
+        VectorOps.dot(col("cbv"), col("qsv")).as("p"))
+    val scored = codes
       .join(broadcast(qtab),
         codes("m") === qtab("m") && col("code") === col("c"))
-      .groupBy(col(idCol))
+      .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("p").cast("decimal(18,12)")).cast("double").as("score"))
-      .select(col(idCol), round(col("score"), 6).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
+      .select(col("query_id"), col(idCol), round(col("score"), 6).as("score"))
+    if (!hasQid)
+      scored.drop("query_id")
+        .orderBy(col("score").desc, col(idCol))
+        .limit(k)
+    else {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      val topk = new graft.functions.TopKAggregator(k).toColumn
+      scored
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, id, s) => graft.functions.ScoredId(id, s) }
+        .agg(topk)
+        .flatMap { case (qid, top) => top.map(e => (qid, e.id, e.score)) }
+        .toDF("query_id", idCol, "score")
+    }
   }
 
   /** Element-wise mean vectors per cluster (centroid build). Decomposes the

@@ -87,6 +87,47 @@ class FusedPathParitySpec extends AnyFunSuite {
       r6(Lexical.bm25SearchIndexed(spark, fromDocs, terms)))
   }
 
+  test("knnBatch (bounded aggregator) == per-query ranking window") {
+    val dim = 8
+    val emb = (1L to 40L).map { i =>
+      (i, (0 until dim).map(d => math.cos(i * 13 + d * 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val fast = graft.operators.Similarity.knnBatch(emb, queries, 4)
+    // reference semantics: full ranking window per query
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    val slow = emb.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.VectorOps.dot(col("embedding"), col("qv")), 4).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 4).drop("__rn")
+    assert(rows(fast) === rows(slow))
+  }
+
+  test("pqAdcScore with a query_id batch == independent single-query runs") {
+    val dim = 16
+    val emb = (0L until 40L).map { i =>
+      (i, (0 until dim).map(d => math.sin(i * 7 + d * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (numSub, subDim, numCent, k) = (4, 4, 8, 5)
+    val codebooks = graft.operators.Similarity.pqCodebooks(emb, numSub, subDim, numCent)
+    val codes = graft.operators.Similarity.pqEncode(emb, codebooks, numSub, subDim)
+    val qbatch = emb.filter(col("vec_id").isin(5, 9))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batched = graft.operators.Similarity
+      .pqAdcScore(codes, codebooks, qbatch, k, numSub, subDim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singly = Seq(5L, 9L).flatMap { qid =>
+      graft.operators.Similarity.pqAdcScore(codes, codebooks,
+          emb.filter(col("vec_id") === qid).select(col("embedding").as("qv")),
+          k, numSub, subDim)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batched === singly)
+  }
+
   test("fuseByAdditionKeyed == fuseByAddition over the same channels") {
     val ch1 = Seq((1L, 3.0), (2L, 1.0), (3L, 2.0)).toDF("id", "score")
     val ch2 = Seq((2L, 9.0), (3L, 4.0), (4L, 5.0)).toDF("id", "score")

@@ -96,6 +96,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [In(term"), s"term filter not pushed:\n$p")
   }
 
+  test("batch kNN bounds per-query top-k BEFORE the shuffle: no window, partial object agg") {
+    val p = finalPlan(q("j1b_knn_batch"))
+    assert(!p.contains("Window"), s"scored stream windowed (unbounded reducer input):\n$p")
+    // partial ObjectHashAggregate on the map side -> the exchange moves
+    // k-bounded buffers, never corpus x queries rows. In the tree string
+    // the FINAL agg sits above the group-key exchange, the PARTIAL agg
+    // below it (deeper = later lines).
+    val lines = p.linesIterator.toVector
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exchangeIdx >= 0, s"no group-key exchange:\n$p")
+    assert(lines.take(exchangeIdx).exists(_.contains("ObjectHashAggregate")) &&
+      lines.drop(exchangeIdx + 1).exists(_.contains("ObjectHashAggregate")),
+      s"expected partial+final ObjectHashAggregate around the exchange:\n$p")
+  }
+
   test("exact dedup is a single partial-aggregated shuffle") {
     val docs = Tables(spark, TestSpark.sfDir, "documents")
     val p = plan(Dedup.exact(docs, "doc_id", "text"))

@@ -298,14 +298,24 @@ object Dedup {
 
   /** Canonical-id resolution over near-dup PAIRS: every document in a
     * connected component of the duplicate graph maps to the component's
-    * minimum id (the row to keep). Iterative min-label propagation — each
-    * round, a node's label becomes the min of its own and its neighbors'
-    * labels, materialized per round (persist + count) and stopped at the
-    * fixpoint — the standard large-graph connected-components loop (label
-    * propagation a la GraphX/Pregel, shuffle keyed by node id, rounds =
-    * graph diameter, which for dedup graphs is tiny). This is the step that
-    * turns pair lists into a drop set: dedup pipelines at scale need
-    * (doc -> keep_doc), not pairs. */
+    * minimum id (the row to keep). Iterative min-label propagation WITH
+    * pointer doubling — each round a node's label becomes the min of (its
+    * own, its neighbors', its label's label); the shortcut step halves the
+    * remaining chain distance every round, so convergence is O(log
+    * diameter) rounds (the Pregel-style large-star/small-star recipe), not
+    * O(diameter): templated/serial near-dup chains, common in web corpora,
+    * can have diameters far beyond any fixed round budget. Each round is
+    * materialized (persist + count) and the loop stops at the fixpoint; a
+    * non-converged exit THROWS — silently returning partial labels would
+    * corrupt the drop set.
+    *
+    * Each round is `localCheckpoint`ed, not persisted: the round's plan
+    * references the previous labels three times (neighbor min + the
+    * shortcut's label-of-label lookup), so without lineage truncation the
+    * LOGICAL plan tree grows ~3x per round — exponential plan-compile and
+    * plan-string cost even though the physical work is cached. Checkpoint
+    * storage for superseded rounds is released by the context cleaner as
+    * the frames go out of scope. */
   def canonicalIds(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the (possibly expensive) pair pipeline ONCE before the
     // union reads it twice (forward + reversed edge directions)
@@ -317,28 +327,39 @@ object Dedup {
     // min(id, min neighbor id) — computed directly, one fewer
     // materialized round (every node appears as `a` in the
     // bidirectional edge set)
-    var cached = edges.groupBy(col("a")).agg(min(col("b")).as("__nmin"))
+    var labels = edges.groupBy(col("a")).agg(min(col("b")).as("__nmin"))
       .select(col("a").as("id"), least(col("a"), col("__nmin")).as("label"))
-      .persist()
-    var labels = cached // materialized by the next round's count
+      .localCheckpoint()
     var changed = 1L
     var it = 1
     while (changed > 0 && it < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a")).agg(min(col("nl")).as("nmin"))
-      val next = labels
+      val prop = labels
         .join(neighborMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("__old"))
-        .persist()
-      changed = next.filter(col("label") =!= col("__old")).count() // materializes next
-      cached.unpersist()
-      cached = next
+      // pointer doubling against the previous round's labels:
+      // label := min(label, label(label)). Every label value is a node id,
+      // so the lookup always hits; left+coalesce guards regardless.
+      val next = prop
+        .join(labels.select(col("id").as("label"), col("label").as("__ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
+          col("__old"))
+        .localCheckpoint() // eager: materializes the round, truncates lineage
+      changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.select(col("id"), col("label"))
       it += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"canonicalIds did not converge within maxIter=$maxIter rounds " +
+          "(label propagation still changing) — partial labels would " +
+          "corrupt the dedup drop set; raise maxIter")
     edges.unpersist()
     p.unpersist()
     labels.select(col("id"), col("label").as("keep_id"))

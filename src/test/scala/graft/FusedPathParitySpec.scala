@@ -176,6 +176,23 @@ class FusedPathParitySpec extends AnyFunSuite {
       10L -> 10L, 20L -> 10L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("canonicalIds converges on a deep chain in O(log diameter) rounds") {
+    // a 200-edge chain has diameter 200 — plain min-label propagation
+    // would need 200 rounds; pointer doubling must finish well inside the
+    // default 20-round budget
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("i", "j")
+    val got = Dedup.canonicalIds(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 200 && got.values.forall(_ == 1L))
+  }
+
+  test("canonicalIds THROWS instead of returning partial labels when out of rounds") {
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("i", "j")
+    intercept[IllegalStateException] {
+      Dedup.canonicalIds(chain, maxIter = 3)
+    }
+  }
+
   test("PQ: anchor rows self-encode; ADC top-1 for an anchor query is itself") {
     import graft.operators.Similarity
     val emb = Tables(spark, TestSpark.sfDir, "embeddings")

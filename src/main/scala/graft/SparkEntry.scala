@@ -1085,6 +1085,38 @@ object SparkEntry {
              |FROM inter i JOIN sz ON sz.term = i.term CROSS JOIN sn
              |ORDER BY jacc DESC, i.term LIMIT 10""".stripMargin)),
 
+    // /getrec DENSE form (reference `tag_retrieval.py:48-56`): tag
+    // recommendation by exact k-NN over an embedded tag vocabulary. The
+    // vocabulary comes from the fitted index's docFreq artifact (the tag
+    // list), ordinal-joined to the embedding table (standing in for the
+    // reference's encoded tag vectors); scoring is the same scan ->
+    // codegen dot -> top-k plan as every dense search
+    ("rec_semantic_knn",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val w = Window.orderBy(col("term"))
+        val vocab = SparseArtifacts.unigram(s, dir).docFreq
+          .select(col("term"), (row_number().over(w) - 1).cast("long").as("vec_id"))
+          .join(emb, Seq("vec_id"))
+          .select(col("term"), col("embedding"))
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.scoreAll(vocab, qv, idCol = "term", vecCol = "embedding")
+          .select(col("term"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("term"))
+          .limit(10)
+      },
+      Some("""WITH terms AS (SELECT DISTINCT term FROM (
+             |    SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS term
+             |    FROM documents) t),
+             |v AS (SELECT term, ROW_NUMBER() OVER (ORDER BY term) - 1 AS vec_id FROM terms),
+             |tv AS (SELECT v.term, e.embedding FROM v JOIN embeddings e USING (vec_id)),
+             |qd AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT tv.term,
+             |  ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |         FROM (SELECT unnest(tv.embedding) a, unnest(qd.qv) b) x), 4) AS score
+             |FROM tv CROSS JOIN qd
+             |ORDER BY score DESC, tv.term LIMIT 10""".stripMargin)),
+
     ("w3_running_stats",
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("__t"), col("event_id"))
@@ -1535,6 +1567,59 @@ object SparkEntry {
            |FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2) u
            |GROUP BY id ORDER BY score DESC, id LIMIT 20""".stripMargin
       }),
+
+    // dense-speech composed query (reference `speech_retrieval.py:98-110`
+    // `caculate_semantic` + `faiss_processing.py:194-231`): dense top-k over
+    // ASR-segment embeddings, J5 scatter-sum through the segment->doc
+    // bridge, A1 fusion with the sparse speech-transcript channel (served
+    // from the fitted index)
+    ("q34_speech_dual",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        // dense channel: top-100 segments, scattered to parent docs
+        // (bridge: 10 consecutive segments per doc) and summed exactly
+        val segTop = Similarity.scoreAll(emb, qv)
+          .select(col("vec_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(100)
+        val chDense = segTop
+          .groupBy((col("vec_id") % 50).as("id"))
+          .agg(sum(col("score").cast(dec186)).cast("double").as("score"))
+          .select(col("id"), round(col("score"), 6).as("score"))
+        // sparse transcript channel: fitted-index tf-idf (no corpus scan)
+        val chSparse = Lexical.tfidfSearchIndexed(s, SparseArtifacts.unigram(s, dir),
+            Seq("spark", "table"))
+          .select(col("id"), round(col("score"), 6).as("score"))
+        Fusion.fuseByAddition(Seq(chDense, chSparse))
+          .select(col("id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(20)
+      },
+      Some(s"""$tokSql,
+             |nrm AS (SELECT id, term, w / SQRT(SUM(w*w) OVER (PARTITION BY id)) AS w FROM wgt),
+             |qt(term) AS (VALUES ('spark'), ('table')),
+             |q AS (SELECT t.term, 1.0 * (LN((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS qw
+             |      FROM qt t JOIN dfreq d USING (term) CROSS JOIN nn),
+             |qn AS (SELECT SQRT(SUM(qw*qw)) AS qnorm FROM q),
+             |chs AS (SELECT id, ROUND(SUM(nrm.w * q.qw / qn.qnorm), 6) AS score
+             |        FROM nrm JOIN q USING (term) CROSS JOIN qn GROUP BY id),
+             |qd AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |seg AS (SELECT e.vec_id,
+             |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(qd.qv) b) x), 4) AS score
+             |  FROM embeddings e CROSS JOIN qd ORDER BY score DESC, vec_id LIMIT 100),
+             |chd AS (SELECT id, ROUND(score, 6) AS score FROM (
+             |  SELECT vec_id % 50 AS id,
+             |         CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS score
+             |  FROM seg GROUP BY 1) x),
+             |n1 AS (SELECT id, (score - MIN(score) OVER ()) /
+             |             (MAX(score) OVER () - MIN(score) OVER () + 1e-6) AS score FROM chd),
+             |n2 AS (SELECT id, (score - MIN(score) OVER ()) /
+             |             (MAX(score) OVER () - MIN(score) OVER () + 1e-6) AS score FROM chs)
+             |SELECT id, ROUND(SUM(score), 6) AS score
+             |FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2) u
+             |GROUP BY id ORDER BY score DESC, id LIMIT 20""".stripMargin)),
 
     // C2 unicode accent strip (reference vectorizer strip_accents,
     // `object_retrieval.py:64-73`) — codepoint translate, engine-portable

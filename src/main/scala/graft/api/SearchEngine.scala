@@ -22,14 +22,35 @@ case class Filters(
   partitionTag: Option[Int] = None,
   videos: Option[Seq[String]] = None)
 
+/** C8/C9 query-preprocessing seam (reference `faiss_processing.py:119` +
+  * `nlp_processing.py:4-27`: every Vietnamese /textsearch runs vi->en
+  * translation — and the dormant spell-correction rides the same spot —
+  * over the RAW query string before it is encoded/vectorized). The
+  * external services themselves are out of engine scope (SURVEY §7), so
+  * the engine exposes the pipeline SHAPE: a `String => String` stage,
+  * identity by default, composable via [[QueryPreprocessor.chain]]. */
+object QueryPreprocessor {
+  type Stage = String => String
+  val identity: Stage = q => q
+  /** Left-to-right composition: `chain(translate, spellCorrect)` mirrors
+    * the reference's translate-then-correct order. */
+  def chain(stages: Stage*): Stage = q => stages.foldLeft(q)((s, f) => f(s))
+}
+
 /** The reference's query endpoints (§3) as one typed facade over the
   * operator library — what "switching to this engine" looks like for a user
   * of the reference: same request surface (k, model toggles, filters,
   * relevance votes, hierarchy lookups), DataFrame results shaped like the
   * reference's grouped responses (`search_utils.py:62-93`). Every method
   * returns a lazy plan; nothing collects on the driver.
-  */
-class SearchEngine(corpus: Corpus) {
+  *
+  * `preprocess` interposes the C8/C9 query-preprocessing stage wherever
+  * the facade accepts RAW query text (see [[panelQuery]]); vector-typed
+  * entry points take post-encoding input, exactly like the reference's
+  * FAISS layer. */
+class SearchEngine(
+    corpus: Corpus,
+    preprocess: QueryPreprocessor.Stage = QueryPreprocessor.identity) {
 
   private def candidates(f: Filters): DataFrame = {
     var kf = corpus.keyframes
@@ -130,6 +151,21 @@ class SearchEngine(corpus: Corpus) {
       .join(corpus.keyframes.select("id", "video_id"), Seq("id"))
     GroupShaping.groupResults(fused, "video_id", "id", "score")
   }
+
+  /** §3.2 /panel from RAW query strings: each channel's query text runs
+    * through the [[QueryPreprocessor]] stage (C8 translation / C9
+    * spell-correction seam), is tokenized with the vectorizer's `\w+`
+    * analyzer (driver-side — query strings are tiny, matching the
+    * reference's serving thread), then scored by [[panel]]. */
+  def panelQuery(
+      channelDocs: DataFrame,
+      channelQueries: Map[String, String],
+      k: Int,
+      filters: Filters = Filters()): DataFrame =
+    panel(channelDocs,
+      channelQueries.map { case (ch, q) =>
+        ch -> raw"\w+".r.findAllIn(preprocess(q).toLowerCase).toSeq
+      }, k, filters)
 
   /** §3.3 /feedback: Rocchio-style rerank of previous results. */
   def feedback(

@@ -79,6 +79,28 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(ids.forall(i => kfs(i.toInt).partitionTag == 1))
   }
 
+  test("panelQuery routes raw query text through the preprocessor chain (C8/C9 seam)") {
+    import graft.api.QueryPreprocessor
+    import spark.implicits._
+    val chDocs = kfs.map { k =>
+      (k.id, if (k.id % 2 == 0) "dog grass" else "cat sky")
+    }.toDF("id", "tag_text")
+    // stub vi->en translator + stub spell corrector, chained in the
+    // reference's translate-then-correct order
+    val translate: QueryPreprocessor.Stage = _.replace("chó", "dgo")
+    val spell: QueryPreprocessor.Stage = _.replace("dgo", "dog")
+    val engine2 = new SearchEngine(corpus, QueryPreprocessor.chain(translate, spell))
+    val viaRaw = engine2.panelQuery(chDocs, Map("tag_text" -> "Chó!".toLowerCase), k = 10)
+      .collect().map(_.toString).sorted
+    val viaTerms = engine.panel(chDocs, Map("tag_text" -> Seq("dog")), k = 10)
+      .collect().map(_.toString).sorted
+    assert(viaRaw.nonEmpty)
+    assert(viaRaw.toSeq === viaTerms.toSeq)
+    // identity default: the raw Vietnamese query finds nothing (no
+    // translation stage interposed)
+    assert(engine.panelQuery(chDocs, Map("tag_text" -> "chó"), k = 10).collect().isEmpty)
+  }
+
   test("imageSearch seeds from the stored embedding: top hit is the query id") {
     val res = engine.imageSearch(imgId = 5L, k = 10).collect()
     assert(res.nonEmpty)

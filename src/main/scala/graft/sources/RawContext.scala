@@ -37,4 +37,24 @@ object RawContext {
       .withColumn("ordinal", row_number().over(byFile) - 1)
       .select(col("__file").as("video_id"), col("ordinal"), col("line"))
   }
+
+  /** Multi-split-safe variant: each file is read WHOLE (`wholetext` marks
+    * the source non-splittable), so ordinals are exact line positions even
+    * for a file that the default reader would break into several input
+    * splits — [[readOrdinalText]]'s per-file ordinal recovery assumes one
+    * split per file. One row per file -> line split -> posexplode; the
+    * trade is per-FILE parallelism and whole-file records in memory, which
+    * is the right shape for a scale-up where individual context files grow
+    * past the split size while the corpus stays many-files wide. */
+  def readOrdinalTextWhole(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("wholetext", "true").text(dir)
+      // the line reader yields no rows for an empty file; mirror that
+      .filter(length(col("value")) > 0)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)\\.[^./]+$", 1).as("video_id"),
+        posexplode(split(
+          // strip a leading BOM and the final line terminator (a trailing
+          // newline ends the last line, it does not open an empty one)
+          regexp_replace(regexp_replace(col("value"), "^﻿", ""), "\r?\n$", ""),
+          "\r?\n")).as(Seq("ordinal", "line")))
 }

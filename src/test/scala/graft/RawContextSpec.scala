@@ -21,6 +21,39 @@ class RawContextSpec extends AnyFunSuite {
       ("L21_V001", 0, "person car"), ("L21_V001", 1, "dog"),
       ("L21_V001", 2, ""), ("L21_V001", 3, "tree sky"),
       ("L21_V002", 0, "cat"), ("L21_V002", 1, "house boat")))
+    // the wholetext fallback recovers the identical relation
+    val whole = RawContext.readOrdinalTextWhole(spark, dir.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(whole === got)
+  }
+
+  test("wholetext path keeps exact ordinals on a file big enough to split") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctx_big")
+    val lines = (0 until 2000).map(i => s"ctx line $i with some padding text")
+    java.nio.file.Files.writeString(dir.resolve("L99_V009.txt"),
+      lines.mkString("\n") + "\n")
+    java.nio.file.Files.writeString(dir.resolve("L99_V010.txt"),
+      "﻿first\n\nlast\n")
+    val conf = spark.conf
+    val oldMax = conf.get("spark.sql.files.maxPartitionBytes")
+    val oldCost = conf.get("spark.sql.files.openCostInBytes")
+    try {
+      // force the default line reader to split the big file
+      conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      assert(spark.read.text(dir.toString).rdd.getNumPartitions > 2,
+        "fixture not split — test would prove nothing")
+      val got = RawContext.readOrdinalTextWhole(spark, dir.toString)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      assert(got.filter(_._1 == "L99_V009").sortBy(_._2).map(_._3).toSeq === lines)
+      assert(got.filter(_._1 == "L99_V010").sortBy(_._2).map(_._3).toSeq ===
+        Seq("first", "", "last"))
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      conf.set("spark.sql.files.openCostInBytes", oldCost)
+    }
   }
 }
 

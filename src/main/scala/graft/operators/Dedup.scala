@@ -298,25 +298,28 @@ object Dedup {
 
   /** Canonical-id resolution over near-dup PAIRS: every document in a
     * connected component of the duplicate graph maps to the component's
-    * minimum id (the row to keep). Iterative min-label propagation WITH
-    * pointer doubling — each round a node's label becomes the min of (its
-    * own, its neighbors', its label's label); the shortcut step halves the
-    * remaining chain distance every round, so convergence is O(log
-    * diameter) rounds (the Pregel-style large-star/small-star recipe), not
-    * O(diameter): templated/serial near-dup chains, common in web corpora,
-    * can have diameters far beyond any fixed round budget. Each round is
-    * materialized (persist + count) and the loop stops at the fixpoint; a
-    * non-converged exit THROWS — silently returning partial labels would
-    * corrupt the drop set.
+    * minimum id (the row to keep). Iterative min-label propagation with
+    * ADAPTIVE pointer doubling: the first rounds are plain propagation
+    * (one neighbor-min shuffle each — dedup graphs are usually
+    * star/clique-shaped and converge in 2-3 rounds, so the common case
+    * pays nothing extra); if the graph is still changing after
+    * `doublingAfter` rounds, every later round also shortcuts
+    * label := min(label, label(label)), halving the remaining chain
+    * distance per round — O(log diameter) convergence (the Pregel-style
+    * large-star/small-star recipe) for templated/serial near-dup CHAINS,
+    * whose diameter in web corpora can exceed any fixed round budget.
+    * Each round is materialized (persist + count) and the loop stops at
+    * the fixpoint; a non-converged exit THROWS — silently returning
+    * partial labels would corrupt the drop set.
     *
-    * Each round is `localCheckpoint`ed, not persisted: the round's plan
-    * references the previous labels three times (neighbor min + the
-    * shortcut's label-of-label lookup), so without lineage truncation the
-    * LOGICAL plan tree grows ~3x per round — exponential plan-compile and
-    * plan-string cost even though the physical work is cached. Checkpoint
-    * storage for superseded rounds is released by the context cleaner as
-    * the frames go out of scope. */
-  def canonicalIds(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * A lazy `localCheckpoint` every 4th round bounds logical-plan growth
+    * (each round's plan references the previous labels 2-3x, so lineage
+    * grows exponentially in rounds even though the physical work is
+    * cached). Superseded rounds are unpersisted as soon as the next is
+    * materialized; the returned frame rides the final round's storage —
+    * one (id, label) table, freed when the frame is garbage-collected. */
+  def canonicalIds(
+      pairs: DataFrame, maxIter: Int = 20, doublingAfter: Int = 4): DataFrame = {
     // materialize the (possibly expensive) pair pipeline ONCE before the
     // union reads it twice (forward + reversed edge directions)
     val p = pairs.select(col("i"), col("j")).persist()
@@ -329,7 +332,8 @@ object Dedup {
     // bidirectional edge set)
     var labels = edges.groupBy(col("a")).agg(min(col("b")).as("__nmin"))
       .select(col("a").as("id"), least(col("a"), col("__nmin")).as("label"))
-      .localCheckpoint()
+      .persist()
+    var persisted = List(labels)
     var changed = 1L
     var it = 1
     while (changed > 0 && it < maxIter) {
@@ -344,14 +348,28 @@ object Dedup {
       // pointer doubling against the previous round's labels:
       // label := min(label, label(label)). Every label value is a node id,
       // so the lookup always hits; left+coalesce guards regardless.
-      val next = prop
-        .join(labels.select(col("id").as("label"), col("label").as("__ll")),
-          Seq("label"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
-          col("__old"))
-        .localCheckpoint() // eager: materializes the round, truncates lineage
+      // Engaged only once the graph has proven deeper than doublingAfter —
+      // the extra label-lookup shuffle is pure overhead on shallow graphs.
+      val round =
+        if (it <= doublingAfter) prop
+        else prop
+          .join(labels.select(col("id").as("label"), col("label").as("__ll")),
+            Seq("label"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
+            col("__old"))
+      // lazy localCheckpoint every 4th round truncates lineage (the count
+      // below materializes it); plain persist on the other rounds — an
+      // EAGER final checkpoint was measured at ~2x the whole query cost
+      // at bench scale, so the result intentionally rides the last
+      // round's storage instead (see below)
+      val next =
+        if (it % 4 == 0) round.localCheckpoint(false) else round.persist()
       changed = next.filter(col("label") =!= col("__old")).count()
+      // superseded rounds are released as soon as the new one is
+      // materialized; only the live round stays resident
+      persisted.foreach(_.unpersist())
+      persisted = List(next)
       labels = next.select(col("id"), col("label"))
       it += 1
     }
@@ -362,6 +380,9 @@ object Dedup {
           "corrupt the dedup drop set; raise maxIter")
     edges.unpersist()
     p.unpersist()
+    // the returned frame is backed by the FINAL round's persisted/
+    // checkpointed storage — one (id, label) table, released when the
+    // frame is garbage-collected; nothing else stays cached
     labels.select(col("id"), col("label").as("keep_id"))
   }
 

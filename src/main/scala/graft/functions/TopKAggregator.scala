@@ -40,8 +40,11 @@ class TopKAggregator(k: Int)
 
   override def finish(buf: List[ScoredId]): Seq[ScoredId] = buf
 
+  // expression encoders, not kryo: the buffer crosses the partial/final
+  // boundary on every shuffled row, and ArrayType(struct) ser/de is
+  // codegen'd while kryo is reflective and several times slower
   override def bufferEncoder: Encoder[List[ScoredId]] =
-    Encoders.kryo[List[ScoredId]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[ScoredId]] =
-    Encoders.kryo[Seq[ScoredId]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }

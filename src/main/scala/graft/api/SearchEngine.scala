@@ -152,6 +152,31 @@ class SearchEngine(
     GroupShaping.groupResults(fused, "video_id", "id", "score")
   }
 
+  /** §3.2 /panel against a FITTED multi-channel index
+    * ([[graft.operators.Lexical.writeMultiIndex]] artifacts): the
+    * production form — the corpus is never scanned at query time; channel
+    * scores come from term-pruned artifact reads, then A1 fusion, top-k,
+    * A4 grouping. Candidate filters apply as a semi-join on the scored
+    * ids (top-k-bounded), mirroring the reference's post-scoring subset
+    * path. */
+  def panelIndexed(
+      index: Lexical.MultiSparseIndex,
+      channels: Map[String, Seq[String]],
+      k: Int,
+      filters: Filters = Filters()): DataFrame = {
+    val spark = index.vectors.sparkSession
+    val fusedScores = Fusion.fuseByAdditionKeyed(
+      Lexical.tfidfSearchMultiIndexed(spark, index, channels.toSeq.sortBy(_._1))
+        .select(col("ch"), col("id"), round(col("score"), 6).as("score")))
+    val fused = fusedScores
+      .join(candidates(filters).select(col("id")), Seq("id"), "left_semi")
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .join(corpus.keyframes.select("id", "video_id"), Seq("id"))
+    GroupShaping.groupResults(fused, "video_id", "id", "score")
+  }
+
   /** §3.2 /panel from RAW query strings: each channel's query text runs
     * through the [[QueryPreprocessor]] stage (C8 translation / C9
     * spell-correction seam), is tokenized with the vectorizer's `\w+`

@@ -79,6 +79,36 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(ids.forall(i => kfs(i.toInt).partitionTag == 1))
   }
 
+  test("panelIndexed == panel on the same channels (fitted-index facade path)") {
+    import spark.implicits._
+    val chDocs = kfs.map { k =>
+      val cell = graft.functions.GridEncoding.cells(k.id.toInt % 49)._1
+      (k.id, s"${cell}person ${cell}car", if (k.id % 2 == 0) "dog grass" else "cat sky")
+    }.toDF("id", "bbox_text", "tag_text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_panel_idx").toString
+    val index = graft.operators.Lexical.writeMultiIndex(spark, Seq(
+      ("bbox_text", chDocs, "id", "bbox_text"),
+      ("tag_text", chDocs, "id", "tag_text")), dir, buckets = 2)
+    val queryBox = graft.functions.GridEncoding.encodeBoxes(Seq(
+      (graft.functions.GridEncoding.Box(0, 0, 0.3, 0.3), "person"))).split(" ").toSeq
+    val channels = Map("bbox_text" -> queryBox, "tag_text" -> Seq("dog"))
+    // UNFILTERED, both paths see the whole corpus -> identical results.
+    // (Under filters they differ by design: the fitted index keeps
+    // corpus-wide idf and subsets AFTER scoring, like the reference's
+    // fitted vectorizer; the raw-docs path refits over the subset.)
+    val viaIndex = engine.panelIndexed(index, channels, k = 15)
+      .collect().map(_.toString).sorted
+    val viaDocs = engine.panel(chDocs, channels, k = 15)
+      .collect().map(_.toString).sorted
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex.toSeq === viaDocs.toSeq)
+    // filters still restrict the indexed path's results
+    val filtered = engine.panelIndexed(index, channels, k = 15, Filters(partitionTag = Some(1)))
+      .collect().flatMap(_.getSeq[Long](2))
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(i => kfs(i.toInt).partitionTag == 1))
+  }
+
   test("panelQuery routes raw query text through the preprocessor chain (C8/C9 seam)") {
     import graft.api.QueryPreprocessor
     import spark.implicits._

@@ -1813,6 +1813,77 @@ object SparkEntry {
              |  WHERE CAST('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 5000)
              |SELECT doc_id, source, n_chars FROM s ORDER BY doc_id""".stripMargin)),
 
+    // CCNet-style LM quality gate: add-one-smoothed bigram model fit on the
+    // corpus itself, per-doc mean log-probability (low = gibberish /
+    // boilerplate, high = corpus-typical text)
+    ("text_lm_quality",
+      (s, dir) =>
+        TextAnalysis.lmQuality(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("id"), col("n_bigrams"),
+            round(col("lm_logprob"), 6).as("lm_logprob"))
+          .orderBy(col("id")),
+      Some("""WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS toks
+             |            FROM documents),
+             |i2 AS (SELECT id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tok),
+             |bg AS (SELECT id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS ngram FROM i2),
+             |bgc AS (SELECT ngram, COUNT(*) AS c_bg FROM bg GROUP BY 1),
+             |uni AS (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS term FROM documents),
+             |unic AS (SELECT term, COUNT(*) AS c_uni FROM uni GROUP BY 1),
+             |vv AS (SELECT COUNT(DISTINCT term) AS v FROM uni)
+             |SELECT id, COUNT(*) AS n_bigrams,
+             |  ROUND(CAST(SUM(CAST(LN((c_bg + 1.0) / (c_uni + v)) AS DECIMAL(28,12))) AS DOUBLE)
+             |        / COUNT(*), 6) AS lm_logprob
+             |FROM bg JOIN bgc USING (ngram) JOIN unic ON unic.term = bg.w1 CROSS JOIN vv
+             |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // sqrt-temperature source mixing (multi-source data-mixing step):
+    // per-source sampling rates toward a 200-row mix + the deterministic
+    // hash-membership sample they induce
+    ("curation_temperature_mix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sampled = Curation
+          .temperatureSample(docs, "doc_id", "source", targetRows = 200L, salt = "mix1")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+        Curation.temperatureMixRates(docs, "source", targetRows = 200L)
+          .join(sampled, Seq("source"), "left")
+          .select(col("source"), col("n"), col("rate_bp"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+             |z AS (SELECT CAST(SUM(CAST(SQRT(n) AS DECIMAL(28,12))) AS DOUBLE) AS z FROM c),
+             |r AS (SELECT source, n,
+             |        LEAST(10000, CAST(FLOOR(SQRT(n) / z.z * 200.0 / n * 10000.0) AS BIGINT)) AS rate_bp
+             |      FROM c CROSS JOIN z),
+             |smp AS (SELECT d.source, COUNT(*) AS n_sampled
+             |        FROM documents d JOIN r USING (source)
+             |        WHERE CAST('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             |              % 10000 < rate_bp
+             |        GROUP BY 1)
+             |SELECT r.source, r.n, r.rate_bp, COALESCE(smp.n_sampled, 0) AS n_sampled
+             |FROM r LEFT JOIN smp USING (source) ORDER BY source""".stripMargin)),
+
+    // token-budget sequence packing (fixed-context batching pre-pass):
+    // id-ordered docs per source stream, 256-token bins, integer-exact
+    // window arithmetic
+    ("curation_pack_sequences",
+      (s, dir) =>
+        Curation.packSequences(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", budgetTokens = 256L, byCol = "source")
+          .orderBy(col("source"), col("doc_id")),
+      Some("""WITH d AS (SELECT source, doc_id,
+             |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE doc_id < 200),
+             |c AS (SELECT source, doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |  FROM d)
+             |SELECT source, doc_id, n_tokens, cum_before // 256 AS bin,
+             |       cum_before % 256 AS offset_tokens
+             |FROM c ORDER BY source, doc_id""".stripMargin)),
+
     // streaming stateful dedup: first-seen keys across micro-batches ==
     // batch DISTINCT when only the key columns are emitted
     ("stream_dedup",

@@ -38,6 +38,63 @@ object Curation {
     df.withColumn("split", assigned)
   }
 
+  /** √-temperature source-mixing rates (the data-mixing step of multi-source
+    * training corpora: upsample the tail, downsample the head): target share
+    * of source s is `sqrt(n_s) / Σ sqrt(n_t)`, so the per-source sampling
+    * rate toward a `targetRows`-row mix is
+    * `min(1, sqrt(n_s)/Z * targetRows / n_s)`, expressed in basis points.
+    * `sqrt` (unlike `pow`) is IEEE-correctly-rounded in every engine, so
+    * the rates — and therefore every membership decision — are bit-stable
+    * cross-engine; the Σ goes through a decimal-exact sum. One tiny
+    * aggregate; broadcasts everywhere it's used. */
+  def temperatureMixRates(
+      docs: DataFrame, srcCol: String, targetRows: Long): DataFrame = {
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+    val z = counts
+      .agg(sum(sqrt(col("n")).cast("decimal(28,12)")).cast("double").as("z"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("rate_bp",
+        least(lit(10000L),
+          floor(sqrt(col("n")) / col("z") * lit(targetRows.toDouble)
+            / col("n") * lit(10000.0)).cast("long")))
+      .select(col(srcCol), col("n"), col("rate_bp"))
+  }
+
+  /** Deterministic temperature-mixed sample: membership =
+    * [[sampleKey]] < the source's [[temperatureMixRates]] rate. Map-side
+    * predicate after a broadcast join of the (tiny) rate table. */
+  def temperatureSample(
+      docs: DataFrame, idCol: String, srcCol: String,
+      targetRows: Long, salt: String): DataFrame = {
+    val rates = temperatureMixRates(docs, srcCol, targetRows)
+    docs.join(broadcast(rates.select(col(srcCol), col("rate_bp"))), Seq(srcCol))
+      .filter(sampleKey(col(idCol), salt) < col("rate_bp"))
+      .drop("rate_bp")
+  }
+
+  /** Token-budget sequence packing (the fixed-context batching pre-pass of
+    * LM training pipelines): within each `byCol` stream, docs are laid out
+    * in id order and assigned to consecutive bins of `budgetTokens`; a doc
+    * starts at `offset_tokens` = cumulative tokens before it, in bin
+    * `cum_before div budget` (boundary docs straddle into the next bin —
+    * the packer's splitting convention). Pure integer window arithmetic:
+    * exact on any engine, one shuffle on `byCol`. */
+  def packSequences(
+      docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, byCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(byCol), col(idCol),
+        size(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+          .cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${budgetTokens}L"))
+      .withColumn("offset_tokens", col("cum_before") % lit(budgetTokens))
+      .drop("cum_before")
+  }
+
   /** The composed curation pipeline over a document corpus: quality-gate ->
     * exact-dedup (keep lowest id per content hash) -> deterministic sample.
     * Every stage is either a map-side predicate or one partial-aggregated

@@ -108,4 +108,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minHits)
   }
+
+  /** Language-model quality scoring (the CCNet-style perplexity gate,
+    * relationally): fit an add-one-smoothed bigram model ON the corpus
+    * itself — `P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V)` — and score each
+    * doc by the mean log-probability of its bigrams. Low scores flag
+    * gibberish/boilerplate; high scores flag natural (corpus-typical)
+    * text. Output `(id, n_bigrams, lm_logprob)`; docs with < 2 tokens have
+    * no bigrams and drop out.
+    *
+    * Scale shape: two count aggregates (bigram, unigram — both map-side
+    * combined), a vocab-size scalar, then one join of bigram INSTANCES
+    * against the count tables and a per-doc aggregate. The per-row log is
+    * IEEE-deterministic; the per-doc mean goes through a decimal-exact sum
+    * so partition order cannot move the result. */
+  def lmQuality(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = Lexical.ngrams(docs, idCol, textCol, 2)
+    val uni = Lexical.tokens(docs, idCol, textCol)
+    val bgCounts = bg.groupBy(col("ngram")).agg(count(lit(1)).as("c_bg"))
+    val uniCounts = uni.groupBy(col("term")).agg(count(lit(1)).as("c_uni"))
+    val vocab = uni.select(col("term")).distinct()
+      .agg(count(lit(1)).as("v"))
+    bg
+      .withColumn("__w1", split(col("ngram"), " ").getItem(0))
+      .join(bgCounts.hint("shuffle_hash"), Seq("ngram"))
+      .join(uniCounts.hint("shuffle_hash"), col("__w1") === col("term"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        log((col("c_bg") + lit(1.0)) / (col("c_uni") + col("v"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        // decimal-exact sum, cast to double BEFORE dividing: decimal
+        // division scale rules differ across engines, double/long doesn't
+        (sum(col("__lp").cast("decimal(28,12)")).cast("double") / count(lit(1)))
+          .as("lm_logprob"))
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Curation, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed cases for the round-3 training-data pipeline operators:
+  * LM quality gate, temperature mixing, sequence packing. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("lmQuality: add-one bigram log-prob matches hand computation") {
+    // corpus: "a b", "a b", "a c" -> bigrams: (a b) x2, (a c) x1
+    // unigrams: a x3, b x2, c x1; V = 3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pAB = (2 + 1.0) / (3 + 3) // C(a b)=2, C(a)=3, V=3
+    val pAC = (1 + 1.0) / (3 + 3)
+    assert(got(1L)._1 === 1L)
+    assert(math.abs(got(1L)._2 - math.log(pAB)) < 1e-9)
+    assert(math.abs(got(2L)._2 - math.log(pAB)) < 1e-9)
+    assert(math.abs(got(3L)._2 - math.log(pAC)) < 1e-9)
+    // the rarer continuation scores lower
+    assert(got(3L)._2 < got(1L)._2)
+  }
+
+  test("temperatureMixRates: sqrt weighting flattens the source distribution") {
+    // head source 100 docs, tail source 25 -> sqrt weights 10 : 5
+    val docs = (1L to 100L).map(i => (i, "big")) ++ (101L to 125L).map(i => (i, "small"))
+    val df = docs.toDF("doc_id", "source")
+    val rates = Curation.temperatureMixRates(df, "source", targetRows = 60L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val z = math.sqrt(100.0) + math.sqrt(25.0)
+    val wantBig = math.floor(math.sqrt(100.0) / z * 60.0 / 100 * 10000).toLong
+    val wantSmall = math.floor(math.sqrt(25.0) / z * 60.0 / 25 * 10000).toLong
+    assert(rates("big") === (100L, wantBig))
+    assert(rates("small") === (25L, wantSmall))
+    // tail is sampled at a HIGHER rate than the head (the point of
+    // temperature mixing), and rates cap at 10000
+    assert(rates("small")._2 > rates("big")._2)
+    val capped = Curation.temperatureMixRates(df, "source", targetRows = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(capped("small") === 10000L)
+  }
+
+  test("packSequences: integer bin/offset layout per stream") {
+    // stream x: docs of 3, 4, 2 tokens; budget 5
+    // cum_before: 0, 3, 7 -> bins 0, 0, 1; offsets 0, 3, 2
+    val docs = Seq(
+      (1L, "x", "t t t"), (2L, "x", "t t t t"), (3L, "x", "t t"),
+      (10L, "y", "t t t t t t")).toDF("doc_id", "src", "text")
+    val got = Curation.packSequences(docs, "doc_id", "text", budgetTokens = 5L, byCol = "src")
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === (3L, 0L, 0L))
+    assert(got(2L) === (4L, 0L, 3L))
+    assert(got(3L) === (2L, 1L, 2L))
+    assert(got(10L) === (6L, 0L, 0L))
+  }
+}

@@ -1836,6 +1836,23 @@ object SparkEntry {
              |FROM bg JOIN bgc USING (ngram) JOIN unic ON unic.term = bg.w1 CROSS JOIN vv
              |GROUP BY id ORDER BY id""".stripMargin)),
 
+    // Gopher-style repetition gate: per-doc bigram repetition signals
+    // (top-ngram share, repeated-ngram share) — boilerplate/loop detection
+    ("text_repetition",
+      (s, dir) =>
+        TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text", n = 2)
+          .orderBy(col("id")),
+      Some("""WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS toks
+             |            FROM documents),
+             |i2 AS (SELECT id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tok),
+             |g AS (SELECT id, toks[i] || ' ' || toks[i+1] AS ngram FROM i2),
+             |pc AS (SELECT id, ngram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+             |SELECT id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+             |  ROUND(MAX(c) * 1.0 / CAST(SUM(c) AS BIGINT), 6) AS top_frac,
+             |  ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 1.0
+             |        / CAST(SUM(c) AS BIGINT), 6) AS dup_frac
+             |FROM pc GROUP BY id ORDER BY id""".stripMargin)),
+
     // sqrt-temperature source mixing (multi-source data-mixing step):
     // per-source sampling rates toward a 200-row mix + the deterministic
     // hash-membership sample they induce

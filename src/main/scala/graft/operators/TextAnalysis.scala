@@ -109,6 +109,24 @@ object TextAnalysis {
       .filter(col("n_overlap") >= minHits)
   }
 
+  /** Gopher-style repetition signals (the duplicate-text quality rules):
+    * per-doc n-gram repetition — `top_frac` = share of the single most
+    * frequent n-gram's occurrences, `dup_frac` = share of occurrences
+    * belonging to any repeated n-gram. High values flag boilerplate /
+    * keyword-stuffed / machine-looped text. Two nested aggregations, both
+    * map-side combinable; ratios are long/long -> double, deterministic. */
+  def repetition(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    Lexical.ngrams(docs, idCol, textCol, n)
+      .groupBy(col("id"), col("ngram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_ngrams"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_c"))
+      .select(col("id"), col("n_ngrams"),
+        round(col("top_c").cast("double") / col("n_ngrams"), 6).as("top_frac"),
+        round(col("dup_c").cast("double") / col("n_ngrams"), 6).as("dup_frac"))
+
   /** Language-model quality scoring (the CCNet-style perplexity gate,
     * relationally): fit an add-one-smoothed bigram model ON the corpus
     * itself — `P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V)` — and score each

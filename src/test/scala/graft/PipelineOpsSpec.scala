@@ -45,6 +45,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped("small") === 10000L)
   }
 
+  test("repetition: top/dup n-gram fractions match hand computation") {
+    // doc 1 "a b a b a": bigrams (a b)x2 (b a)x2 -> n=4, top=2/4, dup=4/4
+    // doc 2 "a b c": bigrams (a b) (b c) -> n=2, top=1/2, dup=0
+    val docs = Seq((1L, "a b a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) === (4L, 0.5, 1.0))
+    assert(got(2L) === (2L, 0.5, 0.0))
+  }
+
   test("packSequences: integer bin/offset layout per stream") {
     // stream x: docs of 3, 4, 2 tokens; budget 5
     // cum_before: 0, 3, 7 -> bins 0, 0, 1; offsets 0, 3, 2

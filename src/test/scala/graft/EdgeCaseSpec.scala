@@ -55,4 +55,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     val grams = docs.select(explode(Lexical.charWbNgrams(col("text"), 3, 5)))
     assert(grams.count() > 0) // "one" padded -> " one " grams only
   }
+
+  test("fitted-index search: out-of-vocabulary and repeated query terms") {
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_edge").toString
+    val idx = Lexical.writeIndex(spark, docs, "doc_id", "text", dir, buckets = 2)
+    // all-OOV query: no matching vocabulary -> empty result, no error
+    assert(Lexical.tfidfSearchIndexed(spark, idx, Seq("zzz", "yyy")).count() === 0)
+    assert(Lexical.bm25SearchIndexed(spark, idx, Seq("zzz")).count() === 0)
+    // mixed OOV drops out (sklearn semantics), repeated terms raise qtf
+    val mixed = Lexical.tfidfSearchIndexed(spark, idx, Seq("a", "zzz"))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(mixed === Set(1L))
+    val once = Lexical.tfidfSearchIndexed(spark, idx, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val twice = Lexical.tfidfSearchIndexed(spark, idx, Seq("a", "a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doubling the 'a' weight shifts scores RELATIVELY toward the 'a'-doc
+    // (absolute cosines can both shrink as qnorm grows)
+    assert(twice(1L) / twice(2L) > once(1L) / once(2L))
+    assert(twice(2L) < once(2L))
+  }
 }

@@ -142,24 +142,36 @@ object TextAnalysis {
     * so partition order cannot move the result. */
   def lmQuality(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = Lexical.ngrams(docs, idCol, textCol, 2)
-    val uni = Lexical.tokens(docs, idCol, textCol)
-    val bgCounts = bg.groupBy(col("ngram")).agg(count(lit(1)).as("c_bg"))
-    val uniCounts = uni.groupBy(col("term")).agg(count(lit(1)).as("c_uni"))
-    val vocab = uni.select(col("term")).distinct()
-      .agg(count(lit(1)).as("v"))
-    bg
+    // per-doc bigram postings (id, ngram, tf): ONE bigram tokenize pass —
+    // corpus counts derive from the postings aggregate (the tf > 0 guard +
+    // shuffle_hash keep the postings exchange canonically equal across the
+    // count branch and the join branch, so ReusedExchange serves both; see
+    // Lexical.tfidfVectorsFrom), and per-doc instance multiplicity rides
+    // the tf column instead of re-exploded rows
+    val bgPost = Lexical.ngrams(docs, idCol, textCol, 2)
+      .groupBy(col("id"), col("ngram")).agg(count(lit(1)).as("tf"))
+    val bgCounts = bgPost.filter(col("tf") > 0)
+      .groupBy(col("ngram")).agg(sum(col("tf")).as("c_bg"))
+    // unigram pass (a different generator — its own single scan)
+    val uniPost = Lexical.tokens(docs, idCol, textCol)
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("utf"))
+    val uniCounts = uniPost.filter(col("utf") > 0)
+      .groupBy(col("term")).agg(sum(col("utf")).as("c_uni"),
+        count(lit(1)).as("__df"))
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    bgPost
       .withColumn("__w1", split(col("ngram"), " ").getItem(0))
       .join(bgCounts.hint("shuffle_hash"), Seq("ngram"))
-      .join(uniCounts.hint("shuffle_hash"), col("__w1") === col("term"))
+      .join(uniCounts.select(col("term"), col("c_uni")).hint("shuffle_hash"),
+        col("__w1") === col("term"))
       .crossJoin(broadcast(vocab))
       .withColumn("__lp",
-        log((col("c_bg") + lit(1.0)) / (col("c_uni") + col("v"))))
+        col("tf") * log((col("c_bg") + lit(1.0)) / (col("c_uni") + col("v"))))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(sum(col("tf")).as("n_bigrams"),
         // decimal-exact sum, cast to double BEFORE dividing: decimal
         // division scale rules differ across engines, double/long doesn't
-        (sum(col("__lp").cast("decimal(28,12)")).cast("double") / count(lit(1)))
+        (sum(col("__lp").cast("decimal(28,12)")).cast("double") / sum(col("tf")))
           .as("lm_logprob"))
   }
 }

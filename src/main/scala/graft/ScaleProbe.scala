@@ -52,8 +52,9 @@ object ScaleProbe {
     replicate("events", Seq("event_id"), 1000000000L)
 
     val probes = Seq("j1_knn_dense", "q1_agg_pricing_summary", "c4_tfidf_search",
-      "dedup_minhash_lsh", "dedup_exact", "text_langid", "sim_int8_topk",
-      "w1_window_topk_per_user")
+      "a3_bm25_search", "dedup_minhash_lsh", "dedup_exact", "text_langid",
+      "text_lm_quality", "sim_int8_topk", "w1_window_topk_per_user",
+      "j1b_knn_batch")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

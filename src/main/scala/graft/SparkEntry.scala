@@ -1863,7 +1863,7 @@ object SparkEntry {
           .temperatureSample(docs, "doc_id", "source", targetRows = 200L, salt = "mix1")
           .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
         Curation.temperatureMixRates(docs, "source", targetRows = 200L)
-          .join(sampled, Seq("source"), "left")
+          .join(broadcast(sampled), Seq("source"), "left")
           .select(col("source"), col("n"), col("rate_bp"),
             coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
           .orderBy(col("source"))

@@ -102,4 +102,42 @@ object GraftProps extends Properties("graft") {
       val want = rows.sortBy { case (id, s) => (-s, id) }.take(k)
       got == want
     }
+
+  property("packSequences: offsets are exact prefix sums and stay inside the budget") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 30L), Gen.chooseNum(1, 12))).map(_.distinctBy(_._1)),
+      Gen.chooseNum(5L, 40L)) { (docs, budget) =>
+      import spark.implicits._
+      val df = docs.map { case (id, nTok) => (id, "src", Seq.fill(nTok)("t").mkString(" ")) }
+        .toDF("doc_id", "src", "text")
+      val got = graft.operators.Curation
+        .packSequences(df, "doc_id", "text", budget, "src")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      // reconstruct: bin*budget + offset must equal the running prefix sum,
+      // offsets in [0, budget)
+      var cum = 0L
+      got.forall { case (_, nTok, bin, off) =>
+        val ok = bin * budget + off == cum && off >= 0 && off < budget
+        cum += nTok
+        ok
+      }
+    }
+
+  property("temperature mix: rates decrease with source size and never exceed 10000") =
+    forAll(Gen.listOfN(3, Gen.chooseNum(5, 400)).map(_.distinct).suchThat(_.size >= 2)) { sizes =>
+      import spark.implicits._
+      val docs = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s * 100000L + i, s"src$s"))
+      }.toDF("doc_id", "source")
+      val rates = graft.operators.Curation
+        .temperatureMixRates(docs, "source", targetRows = 100L)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)
+      rates.forall(_._2 <= 10000L) &&
+        // sqrt temperature: rate is monotonically non-increasing in n
+        rates.sliding(2).forall {
+          case Array((n1, r1), (n2, r2)) => n1 == n2 || r1 >= r2
+          case _ => true
+        }
+    }
 }

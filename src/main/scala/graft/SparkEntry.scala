@@ -1836,6 +1836,36 @@ object SparkEntry {
              |FROM bg JOIN bgc USING (ngram) JOIN unic ON unic.term = bg.w1 CROSS JOIN vv
              |GROUP BY id ORDER BY id""".stripMargin)),
 
+    // leakage-safe splitting: near-dup components land in ONE split (split
+    // key = component representative), so paraphrase-twins can't straddle
+    // the train/eval boundary — the dedup-aware form of assignSplit
+    ("curation_leakage_safe_split",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+        Curation.leakageSafeSplit(docs, pairs.select(col("i"), col("j")),
+            "doc_id", "ls", Seq(("train", 9000), ("val", 9500), ("test", 10000)))
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some((s"""$minhashJacSql,
+             |prs AS (SELECT i, j FROM jac WHERE jaccard >= 0.5),
+             |edges AS (SELECT i AS a, j AS b FROM prs UNION ALL SELECT j AS a, i AS b FROM prs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |reach AS (SELECT id, id AS r FROM nodes
+             |          UNION
+             |          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+             |comp AS (SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id),
+             |rep AS (SELECT d.doc_id, COALESCE(c.keep_id, d.doc_id) AS rp
+             |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+             |k AS (SELECT doc_id,
+             |        CAST('0x' || substr(md5('ls:' || CAST(rp AS VARCHAR)), 1, 15) AS BIGINT)
+             |          % 10000 AS key FROM rep)
+             |SELECT doc_id, CASE WHEN key < 9000 THEN 'train'
+             |                    WHEN key < 9500 THEN 'val'
+             |                    ELSE 'test' END AS split
+             |FROM k ORDER BY doc_id""").stripMargin.replaceFirst("WITH ", "WITH RECURSIVE "))),
+
     // Gopher-style repetition gate: per-doc bigram repetition signals
     // (top-ngram share, repeated-ngram share) — boilerplate/loop detection
     ("text_repetition",

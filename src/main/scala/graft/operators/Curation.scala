@@ -95,6 +95,27 @@ object Curation {
       .drop("cum_before")
   }
 
+  /** Leakage-safe split assignment: docs in the same NEAR-DUP component get
+    * the same train/val/test split — splitting by raw doc id would leak
+    * near-identical text across the train/eval boundary. The split key is
+    * the component representative ([[Dedup.canonicalIds]] keep_id;
+    * singletons represent themselves), hashed exactly like [[assignSplit]].
+    * One broadcast-or-shuffle join of the (pairs-sized, usually tiny
+    * relative to the corpus) component map onto the corpus. */
+  def leakageSafeSplit(
+      docs: DataFrame, pairs: DataFrame, idCol: String, salt: String,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    val comp = Dedup.canonicalIds(pairs)
+      .select(col("id").as(idCol), col("keep_id"))
+    val keyed = docs.join(comp, Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("keep_id"), col(idCol)))
+    val key = sampleKey(col("__rep"), salt)
+    val assigned = cuts.foldRight(lit(null).cast("string")) {
+      case ((name, hi), rest) => when(key < hi, lit(name)).otherwise(rest)
+    }
+    keyed.withColumn("split", assigned).drop("keep_id", "__rep")
+  }
+
   /** The composed curation pipeline over a document corpus: quality-gate ->
     * exact-dedup (keep lowest id per content hash) -> deterministic sample.
     * Every stage is either a map-side predicate or one partial-aggregated

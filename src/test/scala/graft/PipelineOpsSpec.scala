@@ -56,6 +56,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2L) === (2L, 0.5, 0.0))
   }
 
+  test("leakageSafeSplit: connected near-dups always share a split") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // components: {1,2,3}, {10,11}; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val got = Curation.leakageSafeSplit(docs, pairs, "doc_id", "s1",
+        Seq(("train", 8000), ("test", 10000)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size === 40)
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(10L) === got(11L))
+    assert(got.values.toSet.subsetOf(Set("train", "test")))
+  }
+
   test("packSequences: integer bin/offset layout per stream") {
     // stream x: docs of 3, 4, 2 tokens; budget 5
     // cum_before: 0, 3, 7 -> bins 0, 0, 1; offsets 0, 3, 2

@@ -389,6 +389,54 @@ object Lexical {
       docLen = spark.read.parquet(s"$dir/docLen"),
       stats = spark.read.parquet(s"$dir/stats"))
 
+  /** [[writeIndex]] as [[graft.sources.Store]]-managed BUCKETED tables:
+    * term-keyed artifacts bucketed+sorted by `term`, `docLen` by `id`.
+    * Beyond the path-based form's row-group pruning this buys (a)
+    * bucket pruning — a query-term `IN` filter reads only the matching
+    * buckets (`SelectedBucketsCount` in the scan) — and (b) exchange-free
+    * co-bucketed equi-joins between artifacts (postings x docFreq at
+    * refresh time, postings x docLen in BM25): at 100 TB the index
+    * (re)build joins never shuffle the postings. */
+  def writeIndexTables(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      prefix: String, buckets: Int = 32): SparseIndex = {
+    import graft.sources.Store
+    val nDocs = docs.count()
+    Store.writeBucketed(postings(docs, idCol, textCol),
+      s"${prefix}_postings", buckets, "term")
+    val p = spark.table(s"${prefix}_postings")
+    Store.writeBucketed(p.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      s"${prefix}_docfreq", buckets, "term")
+    Store.writeBucketed(p.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
+      s"${prefix}_doclen", buckets, "id")
+    val dfreq = spark.table(s"${prefix}_docfreq")
+    val dl = spark.table(s"${prefix}_doclen")
+    val n = lit(nDocs)
+    dfreq
+      .select(log((n - col("df") + lit(0.5)) / (col("df") + lit(0.5))).as("idf_raw"))
+      .agg(avg(col("idf_raw")).as("avg_idf"))
+      .crossJoin(dl.agg((sum(col("dl")) / count(lit(1))).as("avgdl")))
+      .select(n.as("n"), col("avgdl"), col("avg_idf"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${prefix}_stats")
+    val byDoc = Window.partitionBy(col("id"))
+    Store.writeBucketed(
+      p.join(dfreq, Seq("term")) // co-bucketed: no exchange on either side
+        .withColumn("w", col("tf") * smoothIdf(col("df"), n))
+        .withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
+        .select(col("id"), col("term"), col("w")),
+      s"${prefix}_vectors", buckets, "term")
+    readIndexTables(spark, prefix)
+  }
+
+  def readIndexTables(spark: SparkSession, prefix: String): SparseIndex =
+    SparseIndex(
+      vectors = spark.table(s"${prefix}_vectors"),
+      postings = spark.table(s"${prefix}_postings"),
+      docFreq = spark.table(s"${prefix}_docfreq"),
+      docLen = spark.table(s"${prefix}_doclen"),
+      stats = spark.table(s"${prefix}_stats"))
+
   /** tf-idf search against the FITTED index: query vectorization reads the
     * (term-pruned) `docFreq` artifact — a few rows, not a corpus scan — and
     * scoring touches only the query terms' `vectors` rows. This is the

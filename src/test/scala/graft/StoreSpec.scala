@@ -45,6 +45,36 @@ class StoreSpec extends AnyFunSuite {
       s"z=${avgSpanB(zPath)} vs a-sorted=${avgSpanB(aPath)}")
   }
 
+  test("bucketed fitted index: term-bucket pruning + exchange-free artifact join") {
+    import spark.implicits._
+    val docs = (1L to 50L).map { i =>
+      (i, (0 to 9).map(k => s"w${(i * 3 + k) % 23}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = graft.operators.Lexical
+      .writeIndexTables(spark, docs, "doc_id", "text", "sx_idx", buckets = 8)
+    // searches against table-backed artifacts score identically to the
+    // path-backed form
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_cmp").toString
+    val pathIdx = graft.operators.Lexical.writeIndex(spark, docs, "doc_id", "text", dir, 4)
+    val terms = Seq("w1", "w5")
+    def r6(i: graft.operators.Lexical.SparseIndex) =
+      graft.operators.Lexical.tfidfSearchIndexed(spark, i, terms)
+        .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6))).toSet
+    assert(r6(idx) === r6(pathIdx))
+    // bucket pruning: the query-term IN filter selects a strict subset of
+    // the 8 term buckets
+    val search = graft.operators.Lexical.tfidfSearchIndexed(spark, idx, terms)
+    search.collect()
+    val plan = search.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in:\n$plan")
+    assert(sel.get.group(1).toInt < 8, s"IN filter pruned nothing:\n$plan")
+    // co-bucketed postings x docFreq join: no exchange on either side
+    val j = idx.postings.hint("merge").join(idx.docFreq, Seq("term"))
+    assert(!j.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+      "co-bucketed artifact join should not shuffle")
+  }
+
   test("co-bucketed join plans without a shuffle exchange") {
     val emb = Tables(spark, TestSpark.sfDir, "embeddings")
     Store.writeBucketed(emb.select(col("vec_id"), col("label")), "b_left", 4, "vec_id")

@@ -1032,6 +1032,40 @@ object SparkEntry {
              |WHERE e.label IN (SELECT label FROM probe)
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
 
+    // batch IVF serving: THREE queries, per-query nprobe=2 cluster probing,
+    // ONE corpus pass, bounded per-query top-k — the production batch-ANN
+    // request shape (scored volume ~ nprobe/n_clusters of corpus x queries)
+    ("sim_ivf_batch",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        Similarity.ivfSearchBatch(emb, Similarity.centroids(emb), queries,
+            nprobe = 2, k = 10)
+          .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+      },
+      Some("""WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |            WHERE vec_id IN (0, 1, 2)),
+             |ex AS (SELECT label, unnest(embedding) AS x,
+             |              unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+             |cent AS (SELECT label, i, CAST(AVG(x) AS REAL) AS cx FROM ex GROUP BY 1, 2),
+             |centv AS (SELECT label, list(cx ORDER BY i) AS cv FROM cent GROUP BY 1),
+             |cs AS (SELECT q.query_id, c.label, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM centv c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, label FROM (
+             |    SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, label) AS rn FROM cs) x WHERE rn <= 2),
+             |scored AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e JOIN probe p ON p.label = e.label
+             |  JOIN qs q ON q.query_id = p.query_id),
+             |rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (
+             |         PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
+             |SELECT query_id, vec_id, sim FROM rk WHERE rn <= 10
+             |ORDER BY query_id, sim DESC, vec_id""".stripMargin)),
+
     // cluster assignment: each vector -> nearest of 10 seed vectors (k-means
     // assign step / IVF cell routing), via the batch kNN join
     ("sim_cluster_assign",

@@ -90,6 +90,51 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Batch IVF serving: [[ivfSearch]] for EVERY query of a broadcast
+    * `(query_id, qv)` batch in ONE corpus pass. Per-query cluster ranking
+    * happens on the (tiny) centroids x queries product; the corpus then
+    * inner-joins the probed `(cluster, query_id)` pairs — each corpus row
+    * is scored once per query PROBING ITS CLUSTER, so scored volume is
+    * bounded by `nprobe/n_clusters` of corpus x queries; per-query top-k
+    * runs through the bounded [[graft.functions.TopKAggregator]] like
+    * [[knnBatch]]. With cluster-partitioned storage the cluster join
+    * becomes partition pruning to the union of probed cells. */
+  def ivfSearchBatch(
+      emb: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      nprobe: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "label"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col(clusterCol).asc)
+    // centroids x queries is n_clusters x batch rows — tiny; the ranking
+    // window runs on that, never on corpus-sized data
+    val probed = centroids.crossJoin(broadcast(queries))
+      .select(col("query_id"), col(clusterCol),
+        round(VectorOps.dot(col("cv"), col("qv")), 6).as("cscore"))
+      .withColumn("__rn", row_number().over(byQuery))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col(clusterCol))
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    emb
+      .join(broadcast(probed), Seq(clusterCol))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(VectorOps.dot(col(vecCol), col("qv")), 4).as("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, s) => graft.functions.ScoredId(id, s) }
+      .agg(topk)
+      .flatMap { case (qid, top) => top.map(e => (qid, e.id, e.score)) }
+      .toDF("query_id", idCol, "sim")
+  }
+
   /** Batch kNN serving: top-k corpus rows for EACH query of a small
     * broadcast query set `(query_id, qv)` — N requests answered in ONE
     * corpus pass (the dual of [[knnJoin]], which ranks seeds per corpus

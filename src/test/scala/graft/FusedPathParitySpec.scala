@@ -106,6 +106,24 @@ class FusedPathParitySpec extends AnyFunSuite {
     assert(rows(fast) === rows(slow))
   }
 
+  test("ivfSearchBatch at full probe == exact knnBatch") {
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id").isin(0, 7))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cents = graft.operators.Similarity.centroids(emb)
+    val nClusters = cents.count().toInt
+    val full = graft.operators.Similarity
+      .ivfSearchBatch(emb, cents, queries, nprobe = nClusters, k = 8)
+    val exact = graft.operators.Similarity.knnBatch(emb, queries, k = 8)
+    assert(rows(full) === rows(exact))
+    // and a partial probe returns a subset of the exact result's rows per
+    // query (pruning can only remove candidates, never invent them)
+    val part = graft.operators.Similarity
+      .ivfSearchBatch(emb, cents, queries, nprobe = 2, k = 8)
+    val exactAll = rows(graft.operators.Similarity.knnBatch(emb, queries, k = nClusters * 1000))
+    assert(rows(part).subsetOf(exactAll))
+  }
+
   test("pqAdcScore with a query_id batch == independent single-query runs") {
     val dim = 16
     val emb = (0L until 40L).map { i =>

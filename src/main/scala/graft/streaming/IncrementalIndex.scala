@@ -70,6 +70,50 @@ object IncrementalIndex {
     q.awaitTermination()
   }
 
+  /** Incremental DENSE index maintenance: new embedding rows land, each
+    * batch is assigned to its nearest IVF cell against the broadcast
+    * centroid table ([[graft.operators.Similarity.knnJoin]] k=1 — one scan,
+    * no shuffle of the batch), and written cell-PARTITIONED (plus the
+    * per-batch `batch_id=` idempotence partition), so an [[graft.operators.
+    * Similarity.ivfSearch]]-style probe over the accumulated store prunes
+    * to the probed cells' directories. The dense analog of
+    * [[updatePostings]]: the reference re-runs its CLIP notebook over new
+    * videos and re-merges `.npy` files; here arrival-to-searchable is one
+    * checkpointed micro-batch. */
+  def updateDenseIndex(
+      spark: SparkSession,
+      landingDir: String,
+      sinkDir: String,
+      checkpointDir: String,
+      centroids: org.apache.spark.sql.DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.functions._
+    val seeds = centroids.select(col("label").as("seed_id"), col("cv").as("sv"))
+    val schema = spark.read.parquet(landingDir).schema
+    val src = spark.readStream.schema(schema).parquet(landingDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the cell column gets its own name — landed rows may already
+        // carry a label column of their own
+        val assigned = graft.operators.Similarity
+          .knnJoin(batch.select(col(idCol), col(vecCol)), seeds, k = 1,
+            idCol = idCol, vecCol = vecCol)
+          .select(col(idCol), col("seed_id").as("ivf_cell"))
+        batch.join(assigned, Seq(idCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ivf_cell", "batch_id")
+          .parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** INCREMENTAL NEAR-DUP DETECTION: each maintenance run MinHash-bands
     * only the NEW documents, joins their band buckets against the
     * accumulated bucket table (old text is never re-shingled), verifies

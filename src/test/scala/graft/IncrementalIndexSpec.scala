@@ -34,6 +34,42 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(dups === 0)
   }
 
+  test("incremental dense index: batches land cell-partitioned, probe prunes directories") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_incr_dense")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+
+    // batch 1 + batch 2 land disjoint id ranges
+    emb.filter(col("vec_id") < 30).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+    emb.filter(col("vec_id") >= 30 && col("vec_id") < 50)
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+
+    val store = spark.read.parquet(sink)
+    assert(store.count() === 50)
+    // assignments match the batch operator's
+    val want = Similarity.knnJoin(emb.filter(col("vec_id") < 50), cents
+        .select(col("label").as("seed_id"), col("cv").as("sv")), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("seed_id").longValue).toMap
+    val got = store.select("vec_id", "ivf_cell")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("ivf_cell").longValue).toMap
+    assert(got === want)
+    // cell partitioning is physical: a cell predicate prunes to that
+    // cell's directories
+    val one = store.filter(col("ivf_cell") === lit(got(0L)))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ivf_cell"),
+      s"cell predicate not a partition filter:\n$plan")
+    // idle re-run: no reprocessing
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+    assert(spark.read.parquet(sink).count() === 50)
+  }
+
   test("incremental refresh loop: streaming sink -> fitted index -> identical scores") {
     import graft.operators.Lexical
     val base = java.nio.file.Files.createTempDirectory("graft_incr_loop")

@@ -1066,6 +1066,38 @@ object SparkEntry {
              |SELECT query_id, vec_id, sim FROM rk WHERE rn <= 10
              |ORDER BY query_id, sim DESC, vec_id""".stripMargin)),
 
+    // chunk->document embedding pooling (long docs are encoded as chunk
+    // embeddings, then mean-pooled + re-normalized into one doc vector —
+    // the standard retrieval-corpus building step). 10 consecutive
+    // "chunks" per doc; output flattened to (doc, dim, val) rows for the
+    // array-free comparator
+    ("emb_doc_pooling",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val pooled = Similarity.centroids(
+          emb.select((col("vec_id") % 50).as("doc"), col("embedding")),
+          clusterCol = "doc", vecCol = "embedding")
+        pooled
+          .filter(col("doc") < 5)
+          .select(col("doc"), posexplode(VectorOps.l2Normalize(col("cv"))).as(Seq("dim", "val")))
+          .select(col("doc"), col("dim").cast("long").as("dim"),
+            round(col("val").cast("double"), 6).as("val"))
+          .orderBy(col("doc"), col("dim"))
+      },
+      Some("""WITH ex AS (SELECT vec_id % 50 AS doc, unnest(embedding) AS x,
+             |              unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings WHERE vec_id % 50 < 5),
+             |m AS (SELECT doc, i, CAST(AVG(x) AS REAL) AS cx FROM ex GROUP BY 1, 2),
+             |centv AS (SELECT doc, list(cx ORDER BY i) AS cv FROM m GROUP BY doc),
+             |n AS (SELECT doc, cv,
+             |        (SELECT SQRT(SUM(y.a::DOUBLE * y.a::DOUBLE))
+             |         FROM (SELECT unnest(cv) AS a) y) AS nm FROM centv),
+             |u AS (SELECT doc, nm, unnest(generate_series(1, len(cv))) AS i,
+             |             unnest(cv) AS v FROM n)
+             |SELECT doc, CAST(i - 1 AS BIGINT) AS dim,
+             |       ROUND(CAST(CAST(v::DOUBLE / nm AS REAL) AS DOUBLE), 6) AS val
+             |FROM u ORDER BY doc, dim""".stripMargin)),
+
     // cluster assignment: each vector -> nearest of 10 seed vectors (k-means
     // assign step / IVF cell routing), via the batch kNN join
     ("sim_cluster_assign",

@@ -136,11 +136,16 @@ object TemporalJoins {
 
   /** Backward as-of join: for each left row, the latest right row of the same
     * `key` with `rightTs <= leftTs`. `payload` maps right columns to output
-    * names (null when no prior right row exists).
+    * names (null when no prior right row exists). `toleranceMicros` bounds
+    * match staleness (pandas `merge_asof(tolerance=...)` semantics): a
+    * match older than `leftTs - tolerance` is treated as absent — without
+    * it, an as-of enrichment happily joins state that is hours stale.
     *
     * Implemented as union + per-key sort + running `last(ignoreNulls)`:
     * exactly one shuffle (on `key`), O(n log n) within partition, no range
-    * explosion — the distributed analog of a merge-join as-of.
+    * explosion — the distributed analog of a merge-join as-of. The
+    * tolerance is a post-window null-out on the carried match timestamp —
+    * same plan, no extra shuffle.
     */
   def asofBackward(
       left: DataFrame,
@@ -148,11 +153,13 @@ object TemporalJoins {
       key: String,
       leftTs: String,
       rightTs: String,
-      payload: Map[String, String]): DataFrame = {
+      payload: Map[String, String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val rightSide = right.select(
       col(key),
       col(rightTs).as("__ts"),
-      struct(payload.toSeq.sortBy(_._2).map { case (c, out) => col(c).as(out) }: _*)
+      struct(col(rightTs).as("__asof_ts") +:
+          payload.toSeq.sortBy(_._2).map { case (c, out) => col(c).as(out) }: _*)
         .as("__payload"))
       .withColumn("__src", lit(0))
     val leftSide = left
@@ -163,8 +170,16 @@ object TemporalJoins {
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    val lastMatch = last(col("__payload"), ignoreNulls = true).over(w)
+    val guarded = toleranceMicros match {
+      case Some(tol) =>
+        when(unix_micros(col(leftTs).cast("timestamp")) -
+          unix_micros(lastMatch.getField("__asof_ts").cast("timestamp")) <= tol,
+          lastMatch)
+      case None => lastMatch
+    }
     val matched = unioned
-      .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__m", guarded)
       .filter(col("__src") === 1)
     val outCols = left.columns.toSeq.map(col) ++
       payload.values.toSeq.sorted.map(n => col("__m").getField(n).as(n))

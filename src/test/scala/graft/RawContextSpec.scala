@@ -93,6 +93,39 @@ class AsofPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asofBackward tolerance nulls out stale matches (merge_asof semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 150).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(800).toLong * 1000000L))
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(800).toLong * 1000000L, rnd.nextDouble()))
+    val tolUs = 50L * 1000000L
+    val leftDf = left.toDF("id", "k", "t")
+      .select(col("id"), col("k"), timestamp_micros(col("t")).as("t"))
+    val rightDf = right.toDF("k", "t", "v")
+      .select(col("k"), timestamp_micros(col("t")).as("t"), col("v"))
+      .groupBy("k", "t").agg(max("v").as("v"))
+    val got = graft.operators.TemporalJoins
+      .asofBackward(leftDf, rightDf, "k", "t", "t", Map("v" -> "rv"),
+        toleranceMicros = Some(tolUs))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    val rightClean = right.groupBy(r => (r._1, r._2))
+      .map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }.toSeq
+    left.foreach { case (id, k, t) =>
+      val want = rightClean.filter(r => r._1 == k && r._2 <= t && t - r._2 <= tolUs)
+        .sortBy(_._2).lastOption.map(_._3)
+      // NOTE: a stale latest match hides any older in-tolerance one — that
+      // is the merge_asof contract (the match is latest-then-filtered);
+      // brute force mirrors it by filtering then taking the latest, which
+      // only differs when the latest is out of tolerance AND an older row
+      // is in tolerance — impossible, staleness grows backwards in time
+      assert(got(id) === want, s"id=$id k=$k t=$t")
+    }
+  }
+
   test("asofBackward equals brute-force latest-at-or-before on random data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -1932,6 +1932,49 @@ object SparkEntry {
              |                    ELSE 'test' END AS split
              |FROM k ORDER BY doc_id""").stripMargin.replaceFirst("WITH ", "WITH RECURSIVE "))),
 
+    // domain balancing: cap every source at 15 docs, chosen by hash rank
+    // (deterministic, growth-stable) — no single domain dominates the mix
+    ("curation_domain_cap",
+      (s, dir) =>
+        Curation.capPerSource(t(s, dir, "documents"), "doc_id", "source",
+            cap = 15, salt = "cap1")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"),
+            min(col("doc_id")).as("min_kept_id"))
+          .orderBy(col("source")),
+      Some("""WITH rk AS (SELECT source, doc_id, ROW_NUMBER() OVER (
+             |    PARTITION BY source
+             |    ORDER BY CAST('0x' || substr(md5('cap1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             |             % 10000 ASC, doc_id ASC) AS r
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept_id
+             |FROM rk WHERE r <= 15 GROUP BY source ORDER BY source""".stripMargin)),
+
+    // exact per-group quantiles (profiling): p50/p90/p99 of event value per
+    // type by rank selection — deterministic in any engine (no
+    // interpolation, no approx sketch); the documented scale path is a
+    // mergeable quantile sketch, the exact form is the oracle
+    ("profile_quantiles",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+        val ranked = t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        def pick(p: Double, name: String) =
+          max(when(col("rn") === ceil(col("n") * p).cast("int"), col("value"))).as(name)
+        ranked.groupBy(col("event_type"))
+          .agg(pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH rk AS (SELECT event_type, value, ROW_NUMBER() OVER (
+             |    PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events)
+             |SELECT event_type,
+             |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS INT) THEN value END) AS p50,
+             |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS INT) THEN value END) AS p90,
+             |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS INT) THEN value END) AS p99
+             |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Gopher-style repetition gate: per-doc bigram repetition signals
     // (top-ngram share, repeated-ngram share) — boilerplate/loop detection
     ("text_repetition",

@@ -116,6 +116,23 @@ object Curation {
     keyed.withColumn("split", assigned).drop("keep_id", "__rep")
   }
 
+  /** Per-source contribution cap (domain balancing: no single domain may
+    * dominate the mix): keep at most `cap` docs per source, chosen by HASH
+    * rank — deterministic, order-free, stable under corpus growth for the
+    * kept set's priority order (a new doc can displace only lower-ranked
+    * docs of ITS OWN source). One ranking window per source; at scale the
+    * window input can be pre-filtered by a hash-range guess of the cutoff. */
+  def capPerSource(
+      docs: DataFrame, idCol: String, srcCol: String,
+      cap: Int, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(sampleKey(col(idCol), salt).asc, col(idCol).asc)
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** The composed curation pipeline over a document corpus: quality-gate ->
     * exact-dedup (keep lowest id per content hash) -> deterministic sample.
     * Every stage is either a map-side predicate or one partial-aggregated

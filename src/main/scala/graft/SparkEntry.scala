@@ -1160,6 +1160,10 @@ object SparkEntry {
     ("rec_semantic_knn",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+        // global-order window: intentional — the tag VOCABULARY is a tiny
+        // relation (the reference embeds ~hundreds of tags,
+        // `tag_retrieval.py:48-56`), so the single-partition ordinal sort
+        // is driver-scale; the corpus-sized side below never touches it
         val w = Window.orderBy(col("term"))
         val vocab = SparseArtifacts.unigram(s, dir).docFreq
           .select(col("term"), (row_number().over(w) - 1).cast("long").as("vec_id"))

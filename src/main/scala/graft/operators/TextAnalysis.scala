@@ -141,29 +141,31 @@ object TextAnalysis {
     * IEEE-deterministic; the per-doc mean goes through a decimal-exact sum
     * so partition order cannot move the result. */
   def lmQuality(
-      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // per-doc bigram postings (id, ngram, tf): ONE bigram tokenize pass —
-    // corpus counts derive from the postings aggregate (the tf > 0 guard +
-    // shuffle_hash keep the postings exchange canonically equal across the
-    // count branch and the join branch, so ReusedExchange serves both; see
-    // Lexical.tfidfVectorsFrom), and per-doc instance multiplicity rides
-    // the tf column instead of re-exploded rows
-    val bgPost = Lexical.ngrams(docs, idCol, textCol, 2)
-      .groupBy(col("id"), col("ngram")).agg(count(lit(1)).as("tf"))
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmQualityFromPostings(
+      Lexical.ngrams(docs, idCol, textCol, 2)
+        .groupBy(col("id"), col("ngram")).agg(count(lit(1)).as("tf")),
+      Lexical.tokens(docs, idCol, textCol)
+        .groupBy(col("id"), col("term")).agg(count(lit(1)).as("utf")))
+
+  /** [[lmQuality]] over precomputed per-doc bigram/unigram postings — the
+    * artifact-fed form: corpus counts re-aggregate postings-sized data, so
+    * when postings come from a materialized store (e.g. the
+    * [[graft.streaming.IncrementalIndex.updatePostings]] sink) the raw
+    * corpus is never re-tokenized. The convenience raw-docs form above
+    * derives both relations in-plan; its count/instance/vocab branches
+    * materialize independently (acceptable for a run-once batch gate —
+    * hand in materialized postings when the corpus is large). */
+  def lmQualityFromPostings(bgPost: DataFrame, uniPost: DataFrame): DataFrame = {
     val bgCounts = bgPost.filter(col("tf") > 0)
       .groupBy(col("ngram")).agg(sum(col("tf")).as("c_bg"))
-    // unigram pass (a different generator — its own single scan)
-    val uniPost = Lexical.tokens(docs, idCol, textCol)
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("utf"))
     val uniCounts = uniPost.filter(col("utf") > 0)
-      .groupBy(col("term")).agg(sum(col("utf")).as("c_uni"),
-        count(lit(1)).as("__df"))
+      .groupBy(col("term")).agg(sum(col("utf")).as("c_uni"))
     val vocab = uniCounts.agg(count(lit(1)).as("v"))
     bgPost
       .withColumn("__w1", split(col("ngram"), " ").getItem(0))
       .join(bgCounts.hint("shuffle_hash"), Seq("ngram"))
-      .join(uniCounts.select(col("term"), col("c_uni")).hint("shuffle_hash"),
-        col("__w1") === col("term"))
+      .join(uniCounts.hint("shuffle_hash"), col("__w1") === col("term"))
       .crossJoin(broadcast(vocab))
       .withColumn("__lp",
         col("tf") * log((col("c_bg") + lit(1.0)) / (col("c_uni") + col("v"))))

@@ -111,6 +111,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected partial+final ObjectHashAggregate around the exchange:\n$p")
   }
 
+  test("postings-fed lmQuality never tokenizes raw text") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_posts")
+    graft.operators.Lexical.ngrams(docs, "doc_id", "text", 2)
+      .groupBy(col("id"), col("ngram")).agg(count(lit(1)).as("tf"))
+      .write.parquet(s"$dir/bg")
+    graft.operators.Lexical.tokens(docs, "doc_id", "text")
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("utf"))
+      .write.parquet(s"$dir/uni")
+    val df = graft.operators.TextAnalysis.lmQualityFromPostings(
+      spark.read.parquet(s"$dir/bg"), spark.read.parquet(s"$dir/uni"))
+    val p = finalPlan(df)
+    assert(!p.contains("Generate explode"), s"artifact-fed LM gate tokenizes:\n$p")
+    assert(!p.contains("documents.parquet"), s"artifact-fed LM gate scans the corpus:\n$p")
+    // and it scores identically to the raw-docs form
+    def m(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), math.rint(r.getDouble(2) * 1e9))).toMap
+    assert(m(df) === m(graft.operators.TextAnalysis.lmQuality(docs, "doc_id", "text")))
+  }
+
   test("exact dedup is a single partial-aggregated shuffle") {
     val docs = Tables(spark, TestSpark.sfDir, "documents")
     val p = plan(Dedup.exact(docs, "doc_id", "text"))

@@ -56,25 +56,33 @@ object SparkEntry {
       s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
         s"${dir.replaceAll("[^a-zA-Z0-9._-]", "_")}/$variant"
 
-    def unigram(s: SparkSession, dir: String): Lexical.SparseIndex = synchronized {
+    // memoize only AFTER the build succeeds: a build that dies partway
+    // (writeIndex runs several jobs) must not poison the memo, or the
+    // next query would silently read a mixture of partial and stale
+    // artifacts instead of rebuilding
+    private def memo[A](p: String)(build: => A)(read: => A): A = synchronized {
+      if (built(p)) read
+      else { val idx = build; built.add(p); idx }
+    }
+
+    def unigram(s: SparkSession, dir: String): Lexical.SparseIndex = {
       val p = root(dir, "unigram")
-      if (built.add(p)) Lexical.writeIndex(s, t(s, dir, "documents"), "doc_id", "text", p)
-      else Lexical.readIndex(s, p)
+      memo(p)(Lexical.writeIndex(s, t(s, dir, "documents"), "doc_id", "text", p))(
+        Lexical.readIndex(s, p))
     }
-    def ngram13(s: SparkSession, dir: String): Lexical.SparseIndex = synchronized {
+    def ngram13(s: SparkSession, dir: String): Lexical.SparseIndex = {
       val p = root(dir, "ngram13")
-      if (built.add(p))
-        Lexical.writeIndexNgrams(s, t(s, dir, "documents"), "doc_id", "text", 1, 3, p)
-      else Lexical.readIndex(s, p)
+      memo(p)(Lexical.writeIndexNgrams(s, t(s, dir, "documents"), "doc_id", "text", 1, 3, p))(
+        Lexical.readIndex(s, p))
     }
-    def panel(s: SparkSession, dir: String): Lexical.MultiSparseIndex = synchronized {
+    def panel(s: SparkSession, dir: String): Lexical.MultiSparseIndex = {
       val p = root(dir, "panel")
-      if (built.add(p)) {
+      memo(p) {
         val docs = t(s, dir, "documents")
         Lexical.writeMultiIndex(s, Seq(
           ("bbox", bboxDocs(docs), "doc_id", "bbox_text"),
           ("tag", docs, "doc_id", "text")), p)
-      } else Lexical.readMultiIndex(s, p)
+      }(Lexical.readMultiIndex(s, p))
     }
   }
 
@@ -2002,10 +2010,12 @@ object SparkEntry {
     ("curation_temperature_mix",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        val rates = Curation.temperatureMixRates(docs, "source", targetRows = 200L)
         val sampled = Curation
-          .temperatureSample(docs, "doc_id", "source", targetRows = 200L, salt = "mix1")
+          .temperatureSample(docs, "doc_id", "source", targetRows = 200L,
+            salt = "mix1", rates = Some(rates))
           .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
-        Curation.temperatureMixRates(docs, "source", targetRows = 200L)
+        rates
           .join(broadcast(sampled), Seq("source"), "left")
           .select(col("source"), col("n"), col("rate_bp"),
             coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))

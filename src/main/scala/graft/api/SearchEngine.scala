@@ -165,9 +165,15 @@ class SearchEngine(
       k: Int,
       filters: Filters = Filters()): DataFrame = {
     val spark = index.vectors.sparkSession
-    val fusedScores = Fusion.fuseByAdditionKeyed(
-      Lexical.tfidfSearchMultiIndexed(spark, index, channels.toSeq.sortBy(_._1))
-        .select(col("ch"), col("id"), round(col("score"), 6).as("score")))
+    val scored = Lexical
+      .tfidfSearchMultiIndexed(spark, index, channels.toSeq.sortBy(_._1))
+      .select(col("ch"), col("id"), round(col("score"), 6).as("score"))
+    // single channel passes through UNNORMALIZED, matching [[panel]] and
+    // the reference (combine_utils.py:36-37) — min-max-normalizing one
+    // channel would rescale every score to ~[0,1]
+    val fusedScores =
+      if (channels.sizeIs == 1) scored.drop("ch")
+      else Fusion.fuseByAdditionKeyed(scored)
     val fused = fusedScores
       .join(candidates(filters).select(col("id")), Seq("id"), "left_semi")
       .withColumn("score", round(col("score"), 6))

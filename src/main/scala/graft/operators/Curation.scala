@@ -62,12 +62,15 @@ object Curation {
 
   /** Deterministic temperature-mixed sample: membership =
     * [[sampleKey]] < the source's [[temperatureMixRates]] rate. Map-side
-    * predicate after a broadcast join of the (tiny) rate table. */
+    * predicate after a broadcast join of the (tiny) rate table. Pass a
+    * precomputed `rates` frame when the caller also reports on it —
+    * otherwise the per-source count aggregate would run twice. */
   def temperatureSample(
       docs: DataFrame, idCol: String, srcCol: String,
-      targetRows: Long, salt: String): DataFrame = {
-    val rates = temperatureMixRates(docs, srcCol, targetRows)
-    docs.join(broadcast(rates.select(col(srcCol), col("rate_bp"))), Seq(srcCol))
+      targetRows: Long, salt: String,
+      rates: Option[DataFrame] = None): DataFrame = {
+    val r = rates.getOrElse(temperatureMixRates(docs, srcCol, targetRows))
+    docs.join(broadcast(r.select(col(srcCol), col("rate_bp"))), Seq(srcCol))
       .filter(sampleKey(col(idCol), salt) < col("rate_bp"))
       .drop("rate_bp")
   }

@@ -366,8 +366,11 @@ object Dedup {
       val next =
         if (it % 4 == 0) round.localCheckpoint(false) else round.persist()
       changed = next.filter(col("label") =!= col("__old")).count()
-      // superseded rounds are released as soon as the new one is
-      // materialized; only the live round stays resident
+      // superseded PERSISTED rounds are uncached as soon as the new one is
+      // materialized (unpersist is a no-op on checkpointed frames — their
+      // blocks are freed by the context cleaner once the next truncation
+      // drops the last lineage reference, so at most one checkpoint
+      // interval of rounds is ever resident)
       persisted.foreach(_.unpersist())
       persisted = List(next)
       labels = next.select(col("id"), col("label"))

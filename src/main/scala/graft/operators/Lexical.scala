@@ -90,6 +90,27 @@ object Lexical {
       .select(col("id"), col("term"), col("w"))
   }
 
+  /** Driver-side query vectorization, shared by every single-channel
+    * tf-idf search form (raw, n-gram, fitted-index): one tiny term-pruned
+    * read of (df, N) for the query terms, sklearn query idf
+    * `qtf * (ln((N+1)/(df+1)) + 1)` and the L2 query norm computed in
+    * plain Scala — the corpus-side plan sees only a broadcast literal. */
+  private def queryVector(
+      spark: SparkSession, docFreqRel: DataFrame, nRel: DataFrame,
+      queryTerms: Seq[String]): (DataFrame, Double) = {
+    import spark.implicits._
+    val counts = queryTerms.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val qdf = docFreqRel
+      .filter(col("term").isin(queryTerms.distinct: _*))
+      .crossJoin(broadcast(nRel))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val qw = qdf.map { case (t, df, n) =>
+      (t, counts(t) * (math.log((n + 1.0) / (df + 1)) + 1.0))
+    }.toSeq
+    val qnorm = math.sqrt(qw.map { case (_, w) => w * w }.sum)
+    (qw.toDF("term", "qw"), qnorm)
+  }
+
   /** Cosine scores of a literal query against the corpus: transform the query
     * with the corpus idf (terms outside the vocabulary drop out, as in
     * sklearn), normalize, sparse-dot against the doc vectors
@@ -105,18 +126,8 @@ object Lexical {
       spark: SparkSession,
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String]): DataFrame = {
-    import spark.implicits._
     val post = postings(docs, idCol, textCol)
-    val counts = queryTerms.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
-    val qdf = docFreq(post)
-      .filter(col("term").isin(queryTerms.distinct: _*))
-      .crossJoin(broadcast(corpusSize(docs)))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val qw = qdf.map { case (t, df, n) =>
-      (t, counts(t) * (math.log((n + 1.0) / (df + 1)) + 1.0))
-    }.toSeq
-    val qnorm = math.sqrt(qw.map { case (_, w) => w * w }.sum)
-    val q = qw.toDF("term", "qw")
+    val (q, qnorm) = queryVector(spark, docFreq(post), corpusSize(docs), queryTerms)
     tfidfVectorsFrom(post, corpusSize(docs))
       .join(broadcast(q), Seq("term"))
       .groupBy(col("id"))
@@ -270,19 +281,9 @@ object Lexical {
       spark: SparkSession,
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], minN: Int = 1, maxN: Int = 3): DataFrame = {
-    import spark.implicits._
     val post = ngramDocs(docs, idCol, textCol, minN, maxN)
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val counts = queryTerms.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
-    val qdf = docFreq(post)
-      .filter(col("term").isin(queryTerms.distinct: _*))
-      .crossJoin(broadcast(corpusSize(docs)))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val qw = qdf.map { case (t, df, n) =>
-      (t, counts(t) * (math.log((n + 1.0) / (df + 1)) + 1.0))
-    }.toSeq
-    val qnorm = math.sqrt(qw.map { case (_, w) => w * w }.sum)
-    val q = qw.toDF("term", "qw")
+    val (q, qnorm) = queryVector(spark, docFreq(post), corpusSize(docs), queryTerms)
     tfidfVectorsFrom(post, corpusSize(docs))
       .join(broadcast(q), Seq("term"))
       .groupBy(col("id"))
@@ -344,40 +345,55 @@ object Lexical {
         .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf")),
       docs.count(), dir, buckets)
 
+  /** The one artifact-derivation pipeline, shared by the path-based and
+    * bucketed-table index writers (scoring-critical math — smoothed idf,
+    * BM25 idf_raw/avg_idf/avgdl, L2 norms — must exist exactly once):
+    * persist postings, then derive every other artifact from the
+    * MATERIALIZED postings — the raw corpus is scanned exactly once, by
+    * the first save. */
+  private def deriveArtifacts(
+      nDocs: Long,
+      save: (String, DataFrame, Seq[String]) => Unit,
+      load: String => DataFrame,
+      writeStats: DataFrame => Unit,
+      post: DataFrame): Unit = {
+    save("postings", post, Seq("term"))
+    val p = load("postings")
+    save("docFreq", p.groupBy(col("term")).agg(count(lit(1)).as("df")), Seq("term"))
+    save("docLen", p.groupBy(col("id")).agg(sum(col("tf")).as("dl")), Seq("id"))
+    val dfreq = load("docFreq")
+    val dl = load("docLen")
+    val n = lit(nDocs)
+    writeStats(
+      dfreq
+        .select(log((n - col("df") + lit(0.5)) / (col("df") + lit(0.5))).as("idf_raw"))
+        .agg(avg(col("idf_raw")).as("avg_idf"))
+        .crossJoin(dl.agg((sum(col("dl")) / count(lit(1))).as("avgdl")))
+        .select(n.as("n"), col("avgdl"), col("avg_idf")))
+    val byDoc = Window.partitionBy(col("id"))
+    save("vectors",
+      p.join(dfreq, Seq("term")) // co-located when save buckets by term
+        .withColumn("w", col("tf") * smoothIdf(col("df"), n))
+        .withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
+        .select(col("id"), col("term"), col("w")),
+      Seq("term"))
+  }
+
   /** Fit + persist from a postings relation — the bridge from
     * [[graft.streaming.IncrementalIndex.updatePostings]]'s maintained sink
-    * into the scoring path: every artifact below derives from postings
-    * alone, so an index refresh after incremental maintenance re-aggregates
+    * into the scoring path: every artifact derives from postings alone, so
+    * an index refresh after incremental maintenance re-aggregates
     * postings-sized data and never re-tokenizes raw text. `nDocs` is the
     * corpus size (sklearn's N counts docs with no in-vocabulary terms too,
     * so it cannot be inferred from postings). */
   def writeIndexFromPostings(
       spark: SparkSession, post: DataFrame, nDocs: Long,
       dir: String, buckets: Int = 32): SparseIndex = {
-    saveClustered(post, s"$dir/postings", Seq("term"), buckets)
-    // everything downstream reads the MATERIALIZED postings — the raw
-    // corpus is scanned exactly once, by the write above
-    val p = spark.read.parquet(s"$dir/postings")
-    saveClustered(p.groupBy(col("term")).agg(count(lit(1)).as("df")),
-      s"$dir/docFreq", Seq("term"), buckets)
-    saveClustered(p.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
-      s"$dir/docLen", Seq("id"), buckets)
-    val dfreq = spark.read.parquet(s"$dir/docFreq")
-    val dl = spark.read.parquet(s"$dir/docLen")
-    val n = lit(nDocs)
-    dfreq
-      .select(log((n - col("df") + lit(0.5)) / (col("df") + lit(0.5))).as("idf_raw"))
-      .agg(avg(col("idf_raw")).as("avg_idf"))
-      .crossJoin(dl.agg((sum(col("dl")) / count(lit(1))).as("avgdl")))
-      .select(n.as("n"), col("avgdl"), col("avg_idf"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
-    val byDoc = Window.partitionBy(col("id"))
-    saveClustered(
-      p.join(dfreq, Seq("term"))
-        .withColumn("w", col("tf") * smoothIdf(col("df"), n))
-        .withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
-        .select(col("id"), col("term"), col("w")),
-      s"$dir/vectors", Seq("term"), buckets)
+    deriveArtifacts(nDocs,
+      (name, df, keys) => saveClustered(df, s"$dir/$name", keys, buckets),
+      name => spark.read.parquet(s"$dir/$name"),
+      _.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/stats"),
+      post)
     readIndex(spark, dir)
   }
 
@@ -401,31 +417,12 @@ object Lexical {
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       prefix: String, buckets: Int = 32): SparseIndex = {
     import graft.sources.Store
-    val nDocs = docs.count()
-    Store.writeBucketed(postings(docs, idCol, textCol),
-      s"${prefix}_postings", buckets, "term")
-    val p = spark.table(s"${prefix}_postings")
-    Store.writeBucketed(p.groupBy(col("term")).agg(count(lit(1)).as("df")),
-      s"${prefix}_docfreq", buckets, "term")
-    Store.writeBucketed(p.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
-      s"${prefix}_doclen", buckets, "id")
-    val dfreq = spark.table(s"${prefix}_docfreq")
-    val dl = spark.table(s"${prefix}_doclen")
-    val n = lit(nDocs)
-    dfreq
-      .select(log((n - col("df") + lit(0.5)) / (col("df") + lit(0.5))).as("idf_raw"))
-      .agg(avg(col("idf_raw")).as("avg_idf"))
-      .crossJoin(dl.agg((sum(col("dl")) / count(lit(1))).as("avgdl")))
-      .select(n.as("n"), col("avgdl"), col("avg_idf"))
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(s"${prefix}_stats")
-    val byDoc = Window.partitionBy(col("id"))
-    Store.writeBucketed(
-      p.join(dfreq, Seq("term")) // co-bucketed: no exchange on either side
-        .withColumn("w", col("tf") * smoothIdf(col("df"), n))
-        .withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(byDoc)))
-        .select(col("id"), col("term"), col("w")),
-      s"${prefix}_vectors", buckets, "term")
+    def table(name: String) = s"${prefix}_${name.toLowerCase}"
+    deriveArtifacts(docs.count(),
+      (name, df, keys) => Store.writeBucketed(df, table(name), buckets, keys.head),
+      name => spark.table(table(name)),
+      _.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table("stats")),
+      postings(docs, idCol, textCol))
     readIndexTables(spark, prefix)
   }
 
@@ -444,17 +441,8 @@ object Lexical {
     * scanned at query time. */
   def tfidfSearchIndexed(
       spark: SparkSession, index: SparseIndex, queryTerms: Seq[String]): DataFrame = {
-    import spark.implicits._
-    val counts = queryTerms.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
-    val qdf = index.docFreq
-      .filter(col("term").isin(queryTerms.distinct: _*))
-      .crossJoin(broadcast(index.stats.select(col("n"))))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val qw = qdf.map { case (t, df, n) =>
-      (t, counts(t) * (math.log((n + 1.0) / (df + 1)) + 1.0))
-    }.toSeq
-    val qnorm = math.sqrt(qw.map { case (_, w) => w * w }.sum)
-    val q = qw.toDF("term", "qw")
+    val (q, qnorm) = queryVector(spark, index.docFreq,
+      index.stats.select(col("n")), queryTerms)
     index.vectors
       .filter(col("term").isin(queryTerms.distinct: _*))
       .join(broadcast(q), Seq("term"))

@@ -90,6 +90,28 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Bounded per-query top-k over a `(query_id, id, score)` relation via
+    * the typed [[graft.functions.TopKAggregator]]: map-side partitions
+    * reduce to k-entry buffers per query BEFORE the shuffle. Shared by
+    * every batch serving path. `query_id` and the id column must be
+    * LongType (the typed aggregator's contract); null scores (e.g. a null
+    * embedding's dot product) are dropped — a row that cannot be scored
+    * cannot rank. */
+  private def topKPerQuery(
+      scored: DataFrame, k: Int, idName: String, scoreName: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    scored
+      .filter(col(scoreName).isNotNull)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, s) => graft.functions.ScoredId(id, s) }
+      .agg(topk)
+      .flatMap { case (qid, top) => top.map(e => (qid, e.id, e.score)) }
+      .toDF("query_id", idName, scoreName)
+  }
+
   /** Batch IVF serving: [[ivfSearch]] for EVERY query of a broadcast
     * `(query_id, qv)` batch in ONE corpus pass. Per-query cluster ranking
     * happens on the (tiny) centroids x queries product; the corpus then
@@ -108,8 +130,6 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "label"): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val byQuery = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cscore").desc, col(clusterCol).asc)
@@ -121,18 +141,13 @@ object Similarity {
       .withColumn("__rn", row_number().over(byQuery))
       .filter(col("__rn") <= nprobe)
       .select(col("query_id"), col(clusterCol))
-    val topk = new graft.functions.TopKAggregator(k).toColumn
-    emb
-      .join(broadcast(probed), Seq(clusterCol))
-      .join(broadcast(queries), Seq("query_id"))
-      .select(col("query_id"), col(idCol),
-        round(VectorOps.dot(col(vecCol), col("qv")), 4).as("sim"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, id, s) => graft.functions.ScoredId(id, s) }
-      .agg(topk)
-      .flatMap { case (qid, top) => top.map(e => (qid, e.id, e.score)) }
-      .toDF("query_id", idCol, "sim")
+    topKPerQuery(
+      emb
+        .join(broadcast(probed), Seq(clusterCol))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          round(VectorOps.dot(col(vecCol), col("qv")), 4).as("sim")),
+      k, idCol, "sim")
   }
 
   /** Batch kNN serving: top-k corpus rows for EACH query of a small
@@ -152,20 +167,12 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      roundTo: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val topk = new graft.functions.TopKAggregator(k).toColumn
-    corpus.crossJoin(broadcast(queries))
-      .select(col("query_id"), col(idCol),
-        round(VectorOps.dot(col(vecCol), col("qv")), roundTo).as("sim"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, id, s) => graft.functions.ScoredId(id, s) }
-      .agg(topk)
-      .flatMap { case (qid, top) => top.map(e => (qid, e.id, e.score)) }
-      .toDF("query_id", idCol, "sim")
-  }
+      roundTo: Int = 4): DataFrame =
+    topKPerQuery(
+      corpus.crossJoin(broadcast(queries))
+        .select(col("query_id"), col(idCol),
+          round(VectorOps.dot(col(vecCol), col("qv")), roundTo).as("sim")),
+      k, idCol, "sim")
 
   /** Relevance-feedback (Rocchio-like) rerank — the reference's `/feedback`
     * endpoint (reference `utils/faiss_processing.py:280-335`): each candidate's
@@ -284,18 +291,7 @@ object Similarity {
       scored.drop("query_id")
         .orderBy(col("score").desc, col(idCol))
         .limit(k)
-    else {
-      val spark = codes.sparkSession
-      import spark.implicits._
-      val topk = new graft.functions.TopKAggregator(k).toColumn
-      scored
-        .as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .mapValues { case (_, id, s) => graft.functions.ScoredId(id, s) }
-        .agg(topk)
-        .flatMap { case (qid, top) => top.map(e => (qid, e.id, e.score)) }
-        .toDF("query_id", idCol, "score")
-    }
+    else topKPerQuery(scored, k, idCol, "score")
   }
 
   /** Element-wise mean vectors per cluster (centroid build). Decomposes the

@@ -146,13 +146,24 @@ object IncrementalIndex {
         // stored/joined shingles are 8-byte hashes, like the batch
         // operator's verification join
         val shh = sh.select(col("id"), Dedup.hash60(col("s")).as("hv"))
-        val haveOld = pathExists(spark, bucketsDir)
+        // BOTH state dirs must exist: a crash between the buckets and
+        // shingles writes of the very first batch leaves only one — that
+        // partial state must read as "no index yet" or the replay would
+        // fail on the missing directory forever
+        val haveOld = pathExists(spark, bucketsDir) && pathExists(spark, shinglesDir)
         // candidates: new-vs-old (against the accumulated index) and
-        // new-vs-new (within this batch)
-        val oldBk = if (haveOld) spark.read.parquet(bucketsDir).drop("batch_id")
-          else bk.limit(0)
-        val oldSh = if (haveOld) spark.read.parquet(shinglesDir).drop("batch_id")
-          else shh.limit(0)
+        // new-vs-new (within this batch). CRITICAL replay guard: a crashed
+        // attempt of THIS batch may have already written its own
+        // partitions — they must not read back as "old" state, or a replay
+        // double-counts every new-doc shingle (sizes and intersections
+        // skew, wrongly admitting/excluding pairs near the threshold)
+        def oldState(dir: String, empty: DataFrame): DataFrame =
+          if (haveOld)
+            spark.read.parquet(dir)
+              .filter(col("batch_id") =!= batchId).drop("batch_id")
+          else empty
+        val oldBk = oldState(bucketsDir, bk.limit(0))
+        val oldSh = oldState(shinglesDir, shh.limit(0))
         // keep only pairs touching >=1 NEW doc (old-vs-old already emitted
         // by an earlier batch): two broadcast equi-joins add new-side
         // markers and an OR filter — one pass over the candidates, never a

@@ -56,12 +56,16 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .write.mode("append").parquet(landing)
     IncrementalIndex.updateDedup(spark, landing, index, ckpt)
 
-    def state(): (Set[(Long, Long)], Long, Long) = (
-      spark.read.parquet(s"$index/pairs").select("i", "j")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+    // compare pairs WITH their jaccard values: a replay that re-reads its
+    // own crashed attempt's shingles as "old" state double-counts sizes
+    // and intersections — the (i, j) set can survive that, the scores not
+    def state(): (Set[(Long, Long, Double)], Long, Long) = (
+      spark.read.parquet(s"$index/pairs").select("i", "j", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSet,
       spark.read.parquet(s"$index/shingles").count(),
       spark.read.parquet(s"$index/buckets").count())
-    assert(state()._1 === Set((1L, 2L)))
+    assert(state()._1.map(p => (p._1, p._2)) === Set((1L, 2L)))
 
     // snapshot the checkpoint BEFORE batch 2 commits, land batch 2, run
     val ckptBackup = java.nio.file.Files.createTempDirectory("graft_idr_ckbk")
@@ -70,7 +74,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .write.mode("append").parquet(landing)
     IncrementalIndex.updateDedup(spark, landing, index, ckpt)
     val afterBatch2 = state()
-    assert(afterBatch2._1 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(afterBatch2._1.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
 
     // crash simulation: restore the pre-batch-2 checkpoint (sink writes
     // landed, commit did not) and re-run — foreachBatch REPLAYS the same

@@ -1914,6 +1914,33 @@ object SparkEntry {
              |FROM bg JOIN bgc USING (ngram) JOIN unic ON unic.term = bg.w1 CROSS JOIN vv
              |GROUP BY id ORDER BY id""".stripMargin)),
 
+    // applying the drop set: the step every dedup pipeline ends with —
+    // pairs -> canonical keep-ids -> anti-join the non-keepers out of the
+    // corpus; reported as surviving docs per source
+    ("dedup_drop_apply",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+        val dropIds = Dedup.canonicalIds(pairs.select(col("i"), col("j")))
+          .filter(col("id") =!= col("keep_id"))
+          .select(col("id").as("doc_id"))
+        Candidates.exclude(docs, dropIds, "doc_id")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some((s"""$minhashJacSql,
+             |prs AS (SELECT i, j FROM jac WHERE jaccard >= 0.5),
+             |edges AS (SELECT i AS a, j AS b FROM prs UNION ALL SELECT j AS a, i AS b FROM prs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |reach AS (SELECT id, id AS r FROM nodes
+             |          UNION
+             |          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+             |comp AS (SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id),
+             |drop_ids AS (SELECT id FROM comp WHERE id <> keep_id)
+             |SELECT source, COUNT(*) AS n_docs FROM documents
+             |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+             |GROUP BY source ORDER BY source""").stripMargin.replaceFirst("WITH ", "WITH RECURSIVE "))),
+
     // leakage-safe splitting: near-dup components land in ONE split (split
     // key = component representative), so paraphrase-twins can't straddle
     // the train/eval boundary — the dedup-aware form of assignSplit

@@ -1924,7 +1924,10 @@ object SparkEntry {
         val dropIds = Dedup.canonicalIds(pairs.select(col("i"), col("j")))
           .filter(col("id") =!= col("keep_id"))
           .select(col("id").as("doc_id"))
-        Candidates.exclude(docs, dropIds, "doc_id")
+        // plain (unhinted) anti join, NOT Candidates.exclude: a near-dup
+        // drop set is corpus-proportional (30%+ of a web crawl), far past
+        // broadcast size — let the planner pick the strategy
+        docs.join(dropIds, Seq("doc_id"), "left_anti")
           .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
           .orderBy(col("source"))
       },

@@ -101,11 +101,19 @@ object IncrementalIndex {
           .knnJoin(batch.select(col(idCol), col(vecCol)), seeds, k = 1,
             idCol = idCol, vecCol = vecCol)
           .select(col(idCol), col("seed_id").as("ivf_cell"))
+        // replay idempotence: cell assignment may DIFFER on replay (the
+        // caller can pass refit centroids after a crash), so dynamic
+        // overwrite of only the (batch, cell) partitions produced THIS
+        // time would leave the crashed attempt's other-cell partitions
+        // alive. Drop the whole batch subtree first, then append — the
+        // batch_id outer partition makes that one directory delete.
+        val batchPath = new org.apache.hadoop.fs.Path(s"$sinkDir/batch_id=$batchId")
+        batchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(batchPath, true)
         batch.join(assigned, Seq(idCol))
           .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ivf_cell", "batch_id")
+          .write.mode("append")
+          .partitionBy("batch_id", "ivf_cell")
           .parquet(sinkDir)
         ()
       }
@@ -156,12 +164,19 @@ object IncrementalIndex {
         // attempt of THIS batch may have already written its own
         // partitions — they must not read back as "old" state, or a replay
         // double-counts every new-doc shingle (sizes and intersections
-        // skew, wrongly admitting/excluding pairs near the threshold)
+        // skew, wrongly admitting/excluding pairs near the threshold).
+        // The read itself is guarded too: a zero-row first batch (no
+        // >=3-token docs) leaves a _SUCCESS-only directory whose
+        // schema-less read throws — that state is equally "no index yet",
+        // not a reason to wedge every later run.
         def oldState(dir: String, empty: DataFrame): DataFrame =
-          if (haveOld)
-            spark.read.parquet(dir)
+          if (!haveOld) empty
+          else
+            try spark.read.parquet(dir)
               .filter(col("batch_id") =!= batchId).drop("batch_id")
-          else empty
+            catch {
+              case _: org.apache.spark.sql.AnalysisException => empty
+            }
         val oldBk = oldState(bucketsDir, bk.limit(0))
         val oldSh = oldState(shinglesDir, shh.limit(0))
         // keep only pairs touching >=1 NEW doc (old-vs-old already emitted

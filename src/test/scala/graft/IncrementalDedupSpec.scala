@@ -41,6 +41,25 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(pairs() === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("a zero-shingle first batch does not wedge later runs") {
+    // docs under 3 tokens produce no 3-gram shingles: the first batch
+    // writes _SUCCESS-only state dirs; later batches must treat that as
+    // "no index yet" instead of failing the schema-less read forever
+    val landing = java.nio.file.Files.createTempDirectory("graft_idz_land").toString
+    val index = java.nio.file.Files.createTempDirectory("graft_idz_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idz_ck").toString
+    Seq((1L, "too short"), (2L, "also tiny")).toDF("doc_id", "text")
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDedup(spark, landing, index, ckpt)
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    Seq((3L, base), (4L, base.replace("tok7", "tok7x"))).toDF("doc_id", "text")
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDedup(spark, landing, index, ckpt)
+    val pairs = spark.read.parquet(s"$index/pairs").select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((3L, 4L)))
+  }
+
   test("crash replay of a batch is idempotent; file:-URI paths work") {
     // explicit file: URIs — the index-presence check must go through the
     // Hadoop FileSystem API, not java.io.File (which only understands bare

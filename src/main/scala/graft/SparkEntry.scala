@@ -26,6 +26,50 @@ object SparkEntry {
 
   private def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
 
+  /** Shared DuckDB oracle prefix: the unrolled 2-iteration k-means fit of
+    * [[Similarity.kmeansFit]] (k=8, salt "kmeans", sims rounded to 6,
+    * coordinates to 8, decimal-exact refit sums). Ends at `m2` =
+    * (cluster, i, cx REAL) — the final per-(cluster, dim) coordinates;
+    * consumers append their own CTEs / SELECT. */
+  private val kmeansFitCtes: String =
+    """WITH h AS (SELECT vec_id, embedding,
+      |       ('0x' || substr(md5('kmeans:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |     FROM embeddings),
+      |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS cluster,
+      |              embedding AS cv
+      |       FROM h ORDER BY hh, vec_id LIMIT 8),
+      |s1 AS (SELECT e.vec_id, c.cluster,
+      |         ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+      |                FROM (SELECT unnest(e.embedding) a, unnest(c.cv) b) x), 6) AS sim
+      |       FROM embeddings e CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cluster FROM (
+      |         SELECT vec_id, cluster,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+      |         FROM s1) WHERE rn = 1),
+      |e1 AS (SELECT a.cluster, unnest(e.embedding) AS x,
+      |              unnest(generate_series(1, len(e.embedding))) AS i
+      |       FROM embeddings e JOIN a1 a USING (vec_id)),
+      |m1 AS (SELECT cluster, i,
+      |         CAST(ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+      |              / COUNT(*), 8) AS REAL) AS cx
+      |       FROM e1 GROUP BY 1, 2),
+      |c1 AS (SELECT cluster, list(cx ORDER BY i) AS cv FROM m1 GROUP BY cluster),
+      |s2 AS (SELECT e.vec_id, c.cluster,
+      |         ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+      |                FROM (SELECT unnest(e.embedding) a, unnest(c.cv) b) x), 6) AS sim
+      |       FROM embeddings e CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cluster FROM (
+      |         SELECT vec_id, cluster,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+      |         FROM s2) WHERE rn = 1),
+      |e2 AS (SELECT a.cluster, unnest(e.embedding) AS x,
+      |              unnest(generate_series(1, len(e.embedding))) AS i
+      |       FROM embeddings e JOIN a2 a USING (vec_id)),
+      |m2 AS (SELECT cluster, i,
+      |         CAST(ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+      |              / COUNT(*), 8) AS REAL) AS cx
+      |       FROM e2 GROUP BY 1, 2)""".stripMargin
+
   /** The C7 grid-token channel's synthetic per-doc bbox context — two
     * deterministic md5-derived `{cell}{class}` tokens per doc (shared by the
     * q33 plan, the panel index build, and the q33 oracle). */
@@ -1009,35 +1053,68 @@ object SparkEntry {
              |SELECT id AS vec_id, ROUND(score, 6) AS score FROM sc
              |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // k-means training (the `index.train()` step FAISS IVF presupposes —
+    // absent from the reference only because it stays flat-exact): hash-
+    // sampled init, 2 Lloyd iterations (map-only assign, decimal-exact
+    // refit), final centroids flattened to (cluster, pos, val) rows. The
+    // DuckDB oracle unrolls the two iterations as CTEs.
+    ("sim_kmeans_fit",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.kmeansFit(emb, k = 8, iters = 2)
+          .select(col("cluster"), posexplode(col("cv")).as(Seq("pos", "cx")))
+          .select(col("cluster"), col("pos").cast("long").as("pos"),
+            round(col("cx").cast("double"), 6).as("val"))
+          .orderBy(col("cluster"), col("pos"))
+      },
+      Some(s"""$kmeansFitCtes
+             |SELECT cluster, CAST(i - 1 AS BIGINT) AS pos,
+             |       ROUND(CAST(cx AS DOUBLE), 6) AS val
+             |FROM m2 ORDER BY cluster, pos""".stripMargin)),
+
+    // IVF ANN on FITTED centroids: kmeansFit trains the cells, assignCells
+    // routes every corpus row (map-only), the probe keeps the nprobe=2 best
+    // cells for the query, and only those cells' rows are exact-rescored —
+    // the scan touches ~nprobe/k of the corpus. With cell-partitioned
+    // storage (Store/IncrementalIndex) the semi join becomes partition
+    // pruning.
     ("sim_ivf_ann",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-        val probe = Similarity.centroids(emb).crossJoin(broadcast(qv))
-          .select(col("label"),
+        val cents = Similarity.kmeansFit(emb, k = 8, iters = 2)
+        val indexed = Similarity.assignCells(emb, cents)
+        val probe = cents.crossJoin(broadcast(qv))
+          .select(col("cluster"),
             round(VectorOps.dot(col("cv"), col("qv")), 6).as("cscore"))
-          .orderBy(col("cscore").desc, col("label"))
+          .orderBy(col("cscore").desc, col("cluster"))
           .limit(2)
-          .select(col("label"))
-        val cand = emb.join(broadcast(probe), Seq("label"), "left_semi")
+          .select(col("cluster"))
+        val cand = indexed.join(broadcast(probe), Seq("cluster"), "left_semi")
         Similarity.scoreAll(cand, qv)
           .select(col("vec_id"), round(col("score"), 4).as("score"))
           .orderBy(col("score").desc, col("vec_id"))
           .limit(20)
       },
-      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-             |ex AS (SELECT label, unnest(embedding) AS x,
-             |              unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-             |cent AS (SELECT label, i, CAST(AVG(x) AS REAL) AS cx FROM ex GROUP BY 1, 2),
-             |centv AS (SELECT label, list(cx ORDER BY i) AS cv FROM cent GROUP BY 1),
-             |cs AS (SELECT c.label, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+      Some(s"""$kmeansFitCtes,
+             |c2 AS (SELECT cluster, list(cx ORDER BY i) AS cv FROM m2 GROUP BY cluster),
+             |s3 AS (SELECT e.vec_id, c.cluster,
+             |         ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |                FROM (SELECT unnest(e.embedding) a, unnest(c.cv) b) x), 6) AS sim
+             |       FROM embeddings e CROSS JOIN c2 c),
+             |a3 AS (SELECT vec_id, cluster FROM (
+             |         SELECT vec_id, cluster,
+             |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+             |         FROM s3) WHERE rn = 1),
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
              |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
-             |       FROM centv c CROSS JOIN q),
-             |probe AS (SELECT label FROM cs ORDER BY cscore DESC, label LIMIT 2)
+             |       FROM c2 c CROSS JOIN q),
+             |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2)
              |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
              |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
-             |FROM embeddings e CROSS JOIN q
-             |WHERE e.label IN (SELECT label FROM probe)
+             |FROM embeddings e JOIN a3 USING (vec_id) CROSS JOIN q
+             |WHERE a3.cluster IN (SELECT cluster FROM probe)
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
 
     // batch IVF serving: THREE queries, per-query nprobe=2 cluster probing,

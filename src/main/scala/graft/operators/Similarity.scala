@@ -308,4 +308,101 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("__pos"), col("__cx")))).as("__a"))
       .select(col(clusterCol),
         transform(col("__a"), s => s.getField("__cx").cast("float")).as("cv"))
+
+  /** Map-only nearest-centroid assignment: every corpus row gains the id of
+    * its best centroid (max rounded inner product; ties to the LOWER cluster
+    * id — the corpus embeddings are L2-normalized at build time, reference
+    * `clip.ipynb` cell 7, so argmax dot == argmin L2). The centroid set is
+    * collapsed to a single broadcast array row and the argmax is a pure
+    * projection (`array_max` over per-centroid `(sim, -cluster)` structs) —
+    * NO corpus shuffle, no per-id window: this is the assignment shape that
+    * survives 100 TB, where a `row_number() over (partition by id)` would
+    * shuffle corpus x k scored rows.
+    *
+    * `centroids` must have (`clusterCol` int, `cv ARRAY<FLOAT>`); output is
+    * `emb.*` plus `clusterCol`. Rows whose vector is null get a null cell
+    * (they cannot be scored). */
+  def assignCells(
+      emb: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      simRound: Int = 6): DataFrame = {
+    val centArr = centroids.agg(array_sort(
+      collect_list(struct(col(clusterCol).as("c"), col("cv")))).as("__cents"))
+    val best = array_max(transform(col("__cents"), c =>
+      struct(
+        round(VectorOps.dot(col(vecCol), c.getField("cv")), simRound).as("sim"),
+        (lit(0) - c.getField("c")).as("negc"))))
+    val keep = emb.columns.map(col)
+    emb.crossJoin(broadcast(centArr))
+      .withColumn("__best", best)
+      .select(keep :+ (lit(0) - col("__best.negc")).as(clusterCol): _*)
+  }
+
+  /** Lloyd k-means over an embeddings relation (spherical: max-inner-product
+    * assignment). This is the `index.train()` step FAISS IVF/PQ presupposes
+    * and the reference never runs — it stays flat-exact (reference
+    * `create_bin.ipynb` cell 3) — but the engine's own [[ivfSearch]] /
+    * [[ivfSearchBatch]] / IVF-cell-partitioned storage lean on centroids
+    * existing; this produces them from unlabeled embeddings.
+    *
+    * Deterministic end-to-end, hence oracle-checkable:
+    *  - init = the k corpus rows with the smallest engine-portable
+    *    `hash60(salt:id)` (ties by id), numbered 0..k-1 in hash order;
+    *  - assign = [[assignCells]] (sim rounded to `simRound`, ties to the
+    *    lower cluster id) — map-only, zero corpus shuffle;
+    *  - refit = per-(cluster, dim) mean via an exact DECIMAL(28,12) sum
+    *    (partition-order-invariant), rounded to `coordRound` and stored as
+    *    float.
+    *
+    * Per iteration the only shuffle is the (k x d)-key partial aggregate of
+    * the refit; each iteration's centroids (k x d floats — tiny) are
+    * persisted and materialized so iteration i+1's broadcast does not re-run
+    * iterations 1..i (a broadcast of a derived frame re-materializes its
+    * whole upstream as a separate job). An empty cluster drops out of the
+    * refit exactly as a row-less group vanishes from a GROUP BY; callers
+    * needing exactly k cells re-seed or lower k. Output: (`cluster` int,
+    * `cv ARRAY<FLOAT>`), the shape [[ivfSearch]]/[[pqAdcScore]] consume. */
+  def kmeansFit(
+      emb: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      salt: String = "kmeans",
+      simRound: Int = 6,
+      coordRound: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hw = Window.orderBy(col("__h"), col(idCol))
+    var cent = emb
+      .select(col(idCol), col(vecCol), graft.operators.Dedup.hash60(
+        concat(lit(salt), lit(":"), col(idCol).cast("string"))).as("__h"))
+      .orderBy(col("__h"), col(idCol)).limit(k)
+      .select((row_number().over(hw) - 1).as("cluster"), col(vecCol).as("cv"))
+    var toFree: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(
+        emb.select(col(idCol), col(vecCol)), cent,
+        idCol, vecCol, "cluster", simRound)
+      val next = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+        .groupBy(col("cluster"), col("__pos"))
+        .agg((sum(col("__x").cast("double").cast("decimal(28,12)"))
+          .cast("double") / count(lit(1))).as("__m"))
+        .select(col("cluster"), col("__pos"),
+          round(col("__m"), coordRound).cast("float").as("__cx"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__cx")))).as("__a"))
+        .select(col("cluster"),
+          transform(col("__a"), s => s.getField("__cx")).as("cv"))
+        .persist()
+      next.count()
+      toFree.foreach(_.unpersist())
+      toFree = Some(next)
+      cent = next
+    }
+    cent
+  }
 }

@@ -319,13 +319,20 @@ object Similarity {
     * survives 100 TB, where a `row_number() over (partition by id)` would
     * shuffle corpus x k scored rows.
     *
+    * The single-row collect_list packing bounds k: at ~10^4 centroids x 768
+    * floats the array row is tens of MB and fine; at IVF-scale k for 100 TB
+    * (k ~ sqrt(N) ~ 10^5) the packed row approaches ~300 MB — past that,
+    * chunk the centroid set (union of assignCells passes over k-slices,
+    * final argmax across the per-chunk winners) or fall back to the
+    * broadcast-join + map-side min form of [[knnJoin]] k=1.
+    *
     * `centroids` must have (`clusterCol` int, `cv ARRAY<FLOAT>`); output is
-    * `emb.*` plus `clusterCol`. Rows whose vector is null get a null cell
-    * (they cannot be scored). */
+    * `emb.*` plus `clusterCol`. Rows whose vector is null get a NULL cell
+    * (they cannot be scored — guarded explicitly: without the guard the
+    * all-null sim structs would tie and fall through to cluster 0). */
   def assignCells(
       emb: DataFrame,
       centroids: DataFrame,
-      idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "cluster",
       simRound: Int = 6): DataFrame = {
@@ -338,7 +345,8 @@ object Similarity {
     val keep = emb.columns.map(col)
     emb.crossJoin(broadcast(centArr))
       .withColumn("__best", best)
-      .select(keep :+ (lit(0) - col("__best.negc")).as(clusterCol): _*)
+      .select(keep :+ when(col(vecCol).isNull, lit(null).cast("int"))
+        .otherwise(lit(0) - col("__best.negc")).as(clusterCol): _*)
   }
 
   /** Lloyd k-means over an embeddings relation (spherical: max-inner-product
@@ -364,7 +372,12 @@ object Similarity {
     * whole upstream as a separate job). An empty cluster drops out of the
     * refit exactly as a row-less group vanishes from a GROUP BY; callers
     * needing exactly k cells re-seed or lower k. Output: (`cluster` int,
-    * `cv ARRAY<FLOAT>`), the shape [[ivfSearch]]/[[pqAdcScore]] consume. */
+    * `cv ARRAY<FLOAT>`), the shape [[ivfSearch]]/[[pqAdcScore]] consume.
+    *
+    * The RETURNED frame is still persisted (k x d floats) — the caller owns
+    * its lifetime: write it to the centroid artifact (or collect it) and
+    * `unpersist()` it. Training is a build-time step; serving queries read
+    * the persisted artifact and must never re-enter this method. */
   def kmeansFit(
       emb: DataFrame,
       k: Int,
@@ -385,7 +398,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = assignCells(
         emb.select(col(idCol), col(vecCol)), cent,
-        idCol, vecCol, "cluster", simRound)
+        vecCol, "cluster", simRound)
       val next = assigned
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
         .groupBy(col("cluster"), col("__pos"))
@@ -404,5 +417,95 @@ object Similarity {
       cent = next
     }
     cent
+  }
+
+  /** Driver-side cell probe: the `nprobe` best cells for one query vector,
+    * as LITERAL cluster ids. Ranks the (tiny — k rows) centroid artifact
+    * against the broadcast query and collects the winners, so the caller
+    * can filter a cell-PARTITIONED corpus with `col(cluster).isin(...)` —
+    * a literal partition predicate the scan turns into `PartitionFilters`
+    * directory pruning (a semi join would still enumerate every cell's
+    * files). This mirrors FAISS IVF serving exactly: the coarse quantizer
+    * runs on the query (driver-scale work), only the probed inverted lists
+    * are opened. Ties break to the lower cluster id. */
+  def probeCells(
+      centroids: DataFrame,
+      queryDf: DataFrame,
+      nprobe: Int,
+      clusterCol: String = "cluster"): Seq[Int] =
+    centroids.crossJoin(broadcast(queryDf))
+      .select(col(clusterCol),
+        round(VectorOps.dot(col("cv"), col("qv")), 6).as("cscore"))
+      .orderBy(col("cscore").desc, col(clusterCol).asc)
+      .limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Batch form of [[probeCells]]: per-query `nprobe` best cells for a
+    * small `(query_id LONG, qv)` batch — (query_id, cluster) pairs plus
+    * the deduplicated cell union for the partition filter. The ranking
+    * runs on centroids x queries (k x batch rows — driver-scale). */
+  def probeCellsBatch(
+      centroids: DataFrame,
+      queries: DataFrame,
+      nprobe: Int,
+      clusterCol: String = "cluster"): Seq[(Long, Int)] = {
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col(clusterCol).asc)
+    centroids.crossJoin(broadcast(queries))
+      .select(col("query_id"), col(clusterCol),
+        round(VectorOps.dot(col("cv"), col("qv")), 6).as("cscore"))
+      .withColumn("__rn", row_number().over(byQuery))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col(clusterCol))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+  }
+
+  /** IVF serving against a cell-PARTITIONED corpus table (the persisted
+    * [[assignCells]] output): probe driver-side ([[probeCells]]), prune the
+    * scan to the probed cells' partitions with a literal `IN`, exact-rescore
+    * only those rows. The serving-time plan touches ~nprobe/k of the data
+    * and NEVER trains — centroids come from the fitted artifact
+    * ([[kmeansFit]] at build time). */
+  def ivfSearchPruned(
+      cells: DataFrame,
+      centroids: DataFrame,
+      queryDf: DataFrame,
+      nprobe: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster"): DataFrame = {
+    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    knnExact(cells.filter(col(clusterCol).isin(probed: _*)),
+      queryDf, k, idCol, vecCol)
+  }
+
+  /** Batch IVF serving against the cell-partitioned corpus: one scan of the
+    * UNION of all probed cells (literal partition pruning), each row scored
+    * only against the queries probing its cell, per-query top-k through the
+    * bounded [[graft.functions.TopKAggregator]]. The artifact-fed form of
+    * [[ivfSearchBatch]]. */
+  def ivfSearchBatchPruned(
+      cells: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      nprobe: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster"): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val probed = probeCellsBatch(centroids, queries, nprobe, clusterCol)
+    val probedDf = probed.toDF("query_id", clusterCol)
+    val cellUnion = probed.map(_._2).distinct
+    topKPerQuery(
+      cells.filter(col(clusterCol).isin(cellUnion: _*))
+        .join(broadcast(probedDf), Seq(clusterCol))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          round(VectorOps.dot(col(vecCol), col("qv")), 4).as("sim")),
+      k, idCol, "sim")
   }
 }

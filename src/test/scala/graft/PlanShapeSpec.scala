@@ -96,6 +96,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [In(term"), s"term filter not pushed:\n$p")
   }
 
+  test("IVF serving prunes to probed cells' PARTITIONS and never trains") {
+    // q() builds the dense artifacts once (train-time); the RETURNED
+    // serving plan must (a) scan the cell-partitioned artifact with the
+    // probed clusters as a literal PartitionFilters predicate — directory
+    // pruning, not a semi join — and (b) contain zero k-means work (no
+    // refit aggregates, no centroid packing): VERDICT r4 #1
+    val p = plan(q("sim_ivf_ann"))
+    assert(p.contains("PartitionFilters") && p.contains("cluster"),
+      s"probe not a partition filter:\n$p")
+    assert(p.contains("graft-index"), s"not reading the fitted artifact:\n$p")
+    assert(!p.contains("collect_list"), s"serving plan trains/packs centroids:\n$p")
+    assert(!p.contains("posexplode"), s"serving plan refits centroids:\n$p")
+    // the batch form prunes the union of probed cells the same way
+    val pb = plan(q("sim_ivf_batch"))
+    assert(pb.contains("PartitionFilters") && pb.contains("graft-index"),
+      s"batch probe not partition-pruned:\n$pb")
+  }
+
+  test("LM quality gate reads postings artifacts: no tokenize, no corpus scan") {
+    val p = finalPlan(q("text_lm_quality"))
+    assert(!p.contains("regexp_extract_all"), s"query plan tokenizes text:\n$p")
+    assert(!p.contains("Generate explode"), s"query plan explodes tokens:\n$p")
+    assert(!p.contains("documents.parquet"), s"query plan scans the raw corpus:\n$p")
+    assert(p.contains("graft-index"), s"query plan does not read the fitted postings:\n$p")
+  }
+
   test("batch kNN bounds per-query top-k BEFORE the shuffle: no window, partial object agg") {
     val p = finalPlan(q("j1b_knn_batch"))
     assert(!p.contains("Window"), s"scored stream windowed (unbounded reducer input):\n$p")

@@ -52,6 +52,21 @@ class SearchEngine(
     corpus: Corpus,
     preprocess: QueryPreprocessor.Stage = QueryPreprocessor.identity) {
 
+  /** Encoder-dim guard (reference `utils/faiss_processing.py:133-151`: a
+    * query encoded by the wrong model is caught before it reaches the FAISS
+    * index). The engine REFUSES a wrong-dim vector outright — a silent
+    * mismatch would zip-truncate the dot product into a wrong-but-plausible
+    * score, the worst failure mode a serving layer can have. The corpus dim
+    * reads one row of the embedding table, once per facade instance. */
+  private lazy val clipDim: Int =
+    corpus.embeddings.select(size(col("clip"))).head.getInt(0)
+  private lazy val clipv2Dim: Int =
+    corpus.embeddings.select(size(col("clipv2"))).head.getInt(0)
+  private def requireDim(qv: Array[Float], dim: Int, channel: String): Unit =
+    require(qv.length == dim,
+      s"$channel query vector has dim ${qv.length} but the corpus encodes dim $dim " +
+        "— the query was encoded by a different model")
+
   private def candidates(f: Filters): DataFrame = {
     var kf = corpus.keyframes
     f.partitionTag.foreach(p => kf = kf.filter(col("partition_tag") === p))
@@ -87,6 +102,8 @@ class SearchEngine(
   def textSearch(
       queryVec: Array[Float], k: Int, filters: Filters = Filters(),
       queryVec2: Option[Array[Float]] = None): DataFrame = {
+    requireDim(queryVec, clipDim, "clip")
+    queryVec2.foreach(requireDim(_, clipv2Dim, "clipv2"))
     val cands = candidates(filters)
     val ch1 = scoreChannel(cands, "clip", queryVec, k)
     val fused = queryVec2 match {
@@ -234,6 +251,7 @@ class SearchEngine(
   def temporalRequery(
       prevHits: DataFrame, // (id, score)
       queryVec: Array[Float], k: Int, range: Int, forwards: Boolean = true): DataFrame = {
+    requireDim(queryVec, clipDim, "clip")
     val hitShots = prevHits.join(corpus.keyframes, Seq("id"))
       .select(col("video_id"), col("shot_id"), col("score").as("prev_score"))
       .groupBy(col("video_id"), col("shot_id"))
@@ -252,5 +270,62 @@ class SearchEngine(
       .withColumn("combined", col("score") + col("prev_score"))
     scored.join(corpus.keyframes.select("id", "video_id"), Seq("id"))
       .orderBy(col("combined").desc, col("id"))
+  }
+
+  /** §3 /getrec (reference `app.py:408-415` -> `tag_retrieval.py:49-57`):
+    * tag recommendation by dense k-NN over the embedded tag VOCABULARY.
+    * `tagVocab` = (`term` STRING, `embedding` ARRAY<FLOAT>) — the engine's
+    * analog of the reference's `tag_corpus.txt` + `tag_embedding.bin`
+    * artifacts (hundreds of rows; the scan side of the plan, with the query
+    * a broadcast literal, exactly like every dense search). Returns the k
+    * nearest tags to the (post-encoding) query vector, best first. */
+  def recommendTags(tagVocab: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
+    val dim = tagVocab.select(size(col("embedding"))).head.getInt(0)
+    requireDim(queryVec, dim, "tag-vocabulary")
+    tagVocab
+      .withColumn("qv", lit(queryVec))
+      .select(col("term"), round(VectorOps.dot(col("embedding"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Speech/ASR search (reference `speech_retrieval.py:71-110`): the
+    * SEMANTIC channel scores transcript segments dense against the query
+    * vector, keeps the `segTopK` best and scatter-sums them to their parent
+    * documents (the A5 ASR bridge — a segment hit votes for its video);
+    * the KEYWORD channel scores the transcripts' FITTED tf-idf index
+    * (term-pruned artifact reads, never a corpus scan), with the raw query
+    * string run through the [[QueryPreprocessor]] stage (C8/C9) and `\w+`
+    * tokenized exactly like [[panelQuery]]. Channels min-max fuse by
+    * addition — the reference's `merge_searching_results_by_addition` of
+    * semantic + keyword. `segments` = (`seg_id` LONG, `doc_id` LONG,
+    * `embedding` ARRAY<FLOAT>). Returns (`id`, `score`), best first. */
+  def speechSearch(
+      segments: DataFrame,
+      transcripts: Lexical.SparseIndex,
+      queryVec: Array[Float],
+      keywordQuery: String,
+      k: Int,
+      segTopK: Int = 100): DataFrame = {
+    val dim = segments.select(size(col("embedding"))).head.getInt(0)
+    requireDim(queryVec, dim, "speech-segment")
+    val spark = segments.sparkSession
+    val segTop = segments
+      .withColumn("qv", lit(queryVec))
+      .select(col("seg_id"), col("doc_id"),
+        round(VectorOps.dot(col("embedding"), col("qv")), 4).as("score"))
+      .orderBy(col("score").desc, col("seg_id"))
+      .limit(segTopK)
+    val chDense = segTop
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score").cast("decimal(18,6)")).cast("double").as("score"))
+      .select(col("doc_id").as("id"), round(col("score"), 6).as("score"))
+    val terms = raw"\w+".r.findAllIn(preprocess(keywordQuery).toLowerCase).toSeq
+    val chSparse = Lexical.tfidfSearchIndexed(spark, transcripts, terms)
+      .select(col("id"), round(col("score"), 6).as("score"))
+    Fusion.fuseByAddition(Seq(chDense, chSparse))
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
   }
 }

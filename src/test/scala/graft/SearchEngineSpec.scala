@@ -140,6 +140,55 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(firstIds.head === 5L)
   }
 
+  test("wrong-dim query vectors are refused at the facade (encoder-dim guard)") {
+    import spark.implicits._
+    // reference faiss_processing.py:133-151 guards encoder/index dim
+    // mismatch; a wrong-dim vector must throw, not silently mis-score
+    assertThrows[IllegalArgumentException] { engine.textSearch(Array(1f, 2f), k = 5) }
+    assertThrows[IllegalArgumentException] {
+      engine.textSearch(vec(kfs(0)), k = 5, queryVec2 = Some(Array(1f)))
+    }
+    val prev = Seq((7L, 0.9)).toDF("id", "score")
+    assertThrows[IllegalArgumentException] {
+      engine.temporalRequery(prev, Array(1f), k = 5, range = 2)
+    }
+  }
+
+  test("recommendTags returns the k nearest tags to the query vector (/getrec)") {
+    import spark.implicits._
+    val vocab = Seq(
+      ("dog", vec(kfs(3))), ("cat", vec(kfs(10))),
+      ("sky", vec(kfs(20))), ("grass", vec(kfs(30)))).toDF("term", "embedding")
+    val got = engine.recommendTags(vocab, vec(kfs(3)), k = 2).collect()
+    assert(got.length === 2)
+    assert(got.head.getString(0) === "dog") // self-similar tag leads
+    assert(got.head.getDouble(1) > got(1).getDouble(1))
+    assertThrows[IllegalArgumentException] {
+      engine.recommendTags(vocab, Array(1f, 2f), k = 2)
+    }
+  }
+
+  test("speechSearch fuses the dense segment channel with the keyword transcript channel") {
+    import spark.implicits._
+    // 3 docs x 4 segments; doc 1's segments all align with the query
+    val q = vec(kfs(7))
+    val segs = (0L until 12L).map { sid =>
+      val doc = sid / 4
+      (sid, doc, if (doc == 1L) q else vec(kfs((doc * 13 + sid).toInt % kfs.size)))
+    }.toDF("seg_id", "doc_id", "embedding")
+    val transcripts = Seq(
+      (0L, "weather report sunny skies"), (1L, "dog chases ball in park"),
+      (2L, "stock market news today")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_speech_idx").toString
+    val index = graft.operators.Lexical.writeIndex(spark, transcripts, "id", "text", dir, buckets = 2)
+    val res = engine.speechSearch(segs, index, q, "Dog park!", k = 3).collect()
+    assert(res.nonEmpty)
+    assert(res.head.getLong(0) === 1L) // wins both channels
+    assertThrows[IllegalArgumentException] {
+      engine.speechSearch(segs, index, Array(0f), "dog", k = 3)
+    }
+  }
+
   test("temporalRequery searches only the forward shot window") {
     import spark.implicits._
     val prev = Seq((7L, 0.95)).toDF("id", "score")

@@ -1064,6 +1064,48 @@ object SparkEntry {
              |SELECT id AS vec_id, ROUND(score, 6) AS score FROM sc
              |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // Lloyd-refined PQ codebooks (FAISS ProductQuantizer::train analog):
+    // one k-means iteration per subspace from the sampled init — argmin-L2
+    // re-assign (ties to the smaller code), decimal-exact per-(m, c, dim)
+    // mean refit. Refined codebooks quantize at least as tightly as the
+    // init at the same code budget (Lloyd monotonicity; PqRefineSpec
+    // measures distortion + recall). The DuckDB oracle unrolls the
+    // iteration across all 8 subspaces at once.
+    ("sim_pq_lloyd",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = Similarity.pqRefineCodebooks(emb,
+          Similarity.pqCodebooks(emb, 8, 8, 16), 8, 8, iters = 1)
+        cb.select(col("m"), col("c"), posexplode(col("cbv")).as(Seq("pos", "cx")))
+          .select(col("m").cast("long").as("m"), col("c").cast("int").as("c"),
+            col("pos").cast("long").as("pos"),
+            round(col("cx").cast("double"), 6).as("val"))
+          .orderBy(col("m"), col("c"), col("pos"))
+      },
+      Some("""WITH ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+             |cb0 AS (SELECT m, CAST(e.vec_id AS INT) AS c,
+             |               e.embedding[m*8+1 : m*8+8] AS cbv
+             |        FROM embeddings e, ms WHERE e.vec_id < 16),
+             |sub AS (SELECT e.vec_id AS id, m, e.embedding[m*8+1 : m*8+8] AS sv
+             |        FROM embeddings e, ms),
+             |dist AS (SELECT s.id, s.m, cb0.c,
+             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+             |     FROM (SELECT unnest(s.sv) a, unnest(cb0.cbv) b) x) AS d
+             |  FROM sub s JOIN cb0 USING (m)),
+             |asg AS (SELECT id, m, c FROM (
+             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |ex AS (SELECT a.m, a.c, unnest(s.sv) AS x,
+             |              unnest(generate_series(1, len(s.sv))) AS i
+             |       FROM asg a JOIN sub s ON s.id = a.id AND s.m = a.m),
+             |mn AS (SELECT m, c, i,
+             |         CAST(ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+             |              / COUNT(*), 8) AS REAL) AS cx
+             |       FROM ex GROUP BY 1, 2, 3)
+             |SELECT m, c, CAST(i - 1 AS BIGINT) AS pos,
+             |       ROUND(CAST(cx AS DOUBLE), 6) AS val
+             |FROM mn ORDER BY m, c, pos""".stripMargin)),
+
     // IVF-PQ composed (the FAISS IVFPQ analog), serving from the FITTED
     // artifacts: driver-side centroid probe prunes the cell-partitioned
     // corpus to nprobe clusters' PARTITIONS, PQ codes of just those rows

@@ -226,6 +226,60 @@ object Similarity {
       vecCol, "cbv", numSub, subDim, Seq("c"))
       .select(col("m"), col("c"), col("cbv"))
 
+  /** Lloyd refinement of PQ codebooks: per subspace, re-assign every
+    * subvector to its argmin-squared-L2 centroid (the [[pqEncode]] argmin
+    * shape, ties to the smaller code) and refit each (subspace, code) cell
+    * as the decimal-exact coordinate mean — k-means in each subspace, run
+    * `iters` times from the sampled [[pqCodebooks]] init. Lloyd never
+    * increases within-cell distortion, so refined codebooks quantize at
+    * least as tightly as the init at the SAME code budget (FAISS
+    * `ProductQuantizer::train` does exactly this per sub-quantizer).
+    *
+    * Scale shape per iteration: the corpus subvector stream broadcast-joins
+    * the (M x K)-row codebook, the argmin is a map-side-combinable
+    * min(struct) keyed by (row, subspace) carrying the subvector through
+    * (`first` over a constant-within-group column — no re-join with the
+    * corpus), and the refit shuffles only (M x K x subDim)-key partial
+    * aggregates. Like [[kmeansFit]], each iteration's (tiny) codebook is
+    * persisted/materialized so iteration i+1 does not re-run 1..i; the
+    * returned frame stays persisted — the caller owns unpersist. */
+  def pqRefineCodebooks(
+      emb: DataFrame, init: DataFrame, numSub: Int, subDim: Int,
+      iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      coordRound: Int = 8): DataFrame = {
+    var cb = init
+    var toFree: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val assigned = subvectors(
+        emb.select(col(idCol), col(vecCol)), vecCol, "sv", numSub, subDim, Seq(idCol))
+        .join(broadcast(cb), Seq("m"))
+        .select(col(idCol), col("m"), col("c"), col("sv"),
+          VectorOps.sqDist(col("sv"), col("cbv")).as("d"))
+        .groupBy(col(idCol), col("m"))
+        .agg(min(struct(col("d"), col("c"))).as("__best"),
+          first(col("sv")).as("sv"))
+        .select(col("m"), col("__best.c").as("c"), col("sv"))
+      val next = assigned
+        .select(col("m"), col("c"), posexplode(col("sv")).as(Seq("__pos", "__x")))
+        .groupBy(col("m"), col("c"), col("__pos"))
+        .agg((sum(col("__x").cast("double").cast("decimal(28,12)"))
+          .cast("double") / count(lit(1))).as("__mn"))
+        .select(col("m"), col("c"), col("__pos"),
+          round(col("__mn"), coordRound).cast("float").as("__cx"))
+        .groupBy(col("m"), col("c"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__cx")))).as("__a"))
+        .select(col("m"), col("c"),
+          transform(col("__a"), s => s.getField("__cx")).as("cbv"))
+        .persist()
+      next.count()
+      toFree.foreach(_.unpersist())
+      toFree = Some(next)
+      cb = next
+    }
+    cb
+  }
+
   /** PQ encode: each row becomes M small codes — argmin squared-L2 centroid
     * per subspace (ties to the smaller code). The corpus never shuffles: the
     * codebook broadcast-joins onto the subvector stream and the argmin is a

@@ -146,6 +146,31 @@ object SparkEntry {
       ArtifactMemo(p)(Lexical.writeIndexNgrams(s, t(s, dir, "documents"), "doc_id", "text", 2, 2, p))(
         Lexical.readIndex(s, p))
     }
+    /** Fitted LM model tables (the relational KenLM file): corpus bigram /
+      * unigram counts + vocabulary size, derived ONCE from the postings
+      * artifacts and persisted term-clustered. Scoring joins bigram
+      * INSTANCES against these — no corpus-level aggregation per query. */
+    case class LmModel(bgCounts: DataFrame, uniCounts: DataFrame, vocab: DataFrame)
+    def lm(s: SparkSession, dir: String): LmModel = {
+      val p = ArtifactMemo.root(dir, "lm")
+      def read = LmModel(
+        bgCounts = s.read.parquet(s"$p/bgCounts"),
+        uniCounts = s.read.parquet(s"$p/uniCounts"),
+        vocab = s.read.parquet(s"$p/vocab"))
+      def clustered(df: DataFrame, key: String, path: String): Unit =
+        df.repartition(8, col(key)).sortWithinPartitions(key)
+          .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
+      ArtifactMemo(p) {
+        clustered(bigram(s, dir).postings
+          .groupBy(col("term")).agg(sum(col("tf")).as("c_bg"))
+          .select(col("term").as("ngram"), col("c_bg")), "ngram", s"$p/bgCounts")
+        clustered(unigram(s, dir).postings
+          .groupBy(col("term")).agg(sum(col("tf")).as("c_uni")), "term", s"$p/uniCounts")
+        s.read.parquet(s"$p/uniCounts").agg(count(lit(1)).as("v"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$p/vocab")
+        read
+      }(read)
+    }
     def panel(s: SparkSession, dir: String): Lexical.MultiSparseIndex = {
       val p = ArtifactMemo.root(dir, "panel")
       ArtifactMemo(p) {
@@ -2062,15 +2087,16 @@ object SparkEntry {
     // never re-tokenized (VERDICT r3 #2 / r4 #2: the raw-docs lmQuality
     // form tokenizes per branch by design; this is the production path)
     ("text_lm_quality",
-      (s, dir) =>
-        TextAnalysis.lmQualityFromPostings(
+      (s, dir) => {
+        val lm = SparseArtifacts.lm(s, dir)
+        TextAnalysis.lmQualityFromModel(
           SparseArtifacts.bigram(s, dir).postings
             .select(col("id"), col("term").as("ngram"), col("tf")),
-          SparseArtifacts.unigram(s, dir).postings
-            .select(col("id"), col("term"), col("tf").as("utf")))
+          lm.bgCounts, lm.uniCounts, lm.vocab)
           .select(col("id"), col("n_bigrams"),
             round(col("lm_logprob"), 6).as("lm_logprob"))
-          .orderBy(col("id")),
+          .orderBy(col("id"))
+      },
       Some("""WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS toks
              |            FROM documents),
              |i2 AS (SELECT id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tok),

@@ -162,6 +162,20 @@ object TextAnalysis {
     val uniCounts = uniPost.filter(col("utf") > 0)
       .groupBy(col("term")).agg(sum(col("utf")).as("c_uni"))
     val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    lmQualityFromModel(bgPost, bgCounts, uniCounts, vocab)
+  }
+
+  /** The fully-fitted form: score bigram instances against a PERSISTED LM
+    * model — `bgCounts (ngram, c_bg)`, `uniCounts (term, c_uni)` and the
+    * one-row `vocab (v)` are build-time artifacts (the relational analog of
+    * CCNet's trained KenLM model file: train once on the corpus, apply per
+    * shard forever). The scoring plan joins instance-sized data against the
+    * count tables and aggregates per doc — zero corpus-level aggregation,
+    * zero tokenize. [[lmQualityFromPostings]] derives the model in-plan and
+    * delegates here. */
+  def lmQualityFromModel(
+      bgPost: DataFrame, bgCounts: DataFrame,
+      uniCounts: DataFrame, vocab: DataFrame): DataFrame =
     bgPost
       .withColumn("__w1", split(col("ngram"), " ").getItem(0))
       .join(bgCounts.hint("shuffle_hash"), Seq("ngram"))
@@ -175,5 +189,4 @@ object TextAnalysis {
         // division scale rules differ across engines, double/long doesn't
         (sum(col("__lp").cast("decimal(28,12)")).cast("double") / sum(col("tf")))
           .as("lm_logprob"))
-  }
 }

@@ -196,12 +196,15 @@ object SparkEntry {
     * artifacts: the centroid probe is driver-scale (k rows) and the corpus
     * scan prunes to the probed cells' PARTITIONS. Serving never trains. */
   private object DenseArtifacts {
-    case class DenseIndex(centroids: DataFrame, cells: DataFrame)
+    case class DenseIndex(centroids: DataFrame, cells: DataFrame,
+        codebooks: DataFrame, codes: DataFrame)
     def ivf(s: SparkSession, dir: String): DenseIndex = {
       val p = ArtifactMemo.root(dir, "ivf")
       def read = DenseIndex(
         centroids = s.read.parquet(s"$p/centroids"),
-        cells = s.read.parquet(s"$p/cells"))
+        cells = s.read.parquet(s"$p/cells"),
+        codebooks = s.read.parquet(s"$p/codebooks"),
+        codes = s.read.parquet(s"$p/codes"))
       ArtifactMemo(p) {
         val emb = t(s, dir, "embeddings")
         val cents = Similarity.kmeansFit(emb, k = 8, iters = 2)
@@ -211,6 +214,18 @@ object SparkEntry {
         graft.sources.Store.writePartitioned(
           Similarity.assignCells(emb, s.read.parquet(s"$p/centroids")),
           s"$p/cells", "cluster")
+        // PQ leg of the same index (FAISS IVFPQ: codes live IN the inverted
+        // lists): sampled codebooks + the whole corpus encoded ONCE at build
+        // time, codes written cell-partitioned so ADC serving prunes to the
+        // probed cells' directories and never touches the original vectors
+        Similarity.pqCodebooks(emb, 8, 8, 16)
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$p/codebooks")
+        graft.sources.Store.writePartitioned(
+          Similarity.pqEncode(
+            s.read.parquet(s"$p/cells"),
+            s.read.parquet(s"$p/codebooks"), 8, 8, carry = Seq("cluster")),
+          s"$p/codes", "cluster")
         read
       }(read)
     }
@@ -1058,12 +1073,17 @@ object SparkEntry {
 
     // PQ/ADC search (extension): codes-only approximate top-k with sampled
     // codebooks (M=8 subspaces x 8 dims, K=16) — the FAISS-IVFPQ compression
-    // leg of the scale path; 64 floats -> 8 bytes per row
+    // leg of the scale path; 64 floats -> 8 bytes per row. Serves from the
+    // PERSISTED codebook + codes artifacts (DenseArtifacts — FAISS encodes
+    // at `index.add()` time, never per query): the query-time plan reads
+    // codes only, builds the M x K lookup table from the codebook artifact,
+    // and never encodes or touches an original vector
     ("sim_pq_adc",
       (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
         val emb = t(s, dir, "embeddings")
         val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-        Similarity.pqSearch(emb, qv, k = 20)
+        Similarity.pqAdcScore(idx.codes, idx.codebooks, qv, k = 20)
       },
       Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
              |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
@@ -1132,19 +1152,19 @@ object SparkEntry {
              |FROM mn ORDER BY m, c, pos""".stripMargin)),
 
     // IVF-PQ composed (the FAISS IVFPQ analog), serving from the FITTED
-    // artifacts: driver-side centroid probe prunes the cell-partitioned
-    // corpus to nprobe clusters' PARTITIONS, PQ codes of just those rows
-    // are ADC-scored against the whole-corpus codebooks — scan cost
-    // nprobe/k of the data, score cost M table lookups per surviving row
+    // artifacts with codes INSIDE the inverted lists: driver-side centroid
+    // probe prunes the cell-PARTITIONED codes table to nprobe clusters'
+    // PARTITIONS (directory pruning over M-byte code rows, not d-float
+    // vectors), ADC against the persisted whole-corpus codebooks — scan
+    // cost nprobe/k of the CODES, score cost M table lookups per row,
+    // zero encode/train jobs at query time
     ("sim_ivfpq_ann",
       (s, dir) => {
         val idx = DenseArtifacts.ivf(s, dir)
         val emb = t(s, dir, "embeddings")
         val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-        val probed = Similarity.probeCells(idx.centroids, qv, nprobe = 2)
-        val cb = Similarity.pqCodebooks(emb, 8, 8, 16)
-        val cand = idx.cells.filter(col("cluster").isin(probed: _*))
-        Similarity.pqAdcScore(Similarity.pqEncode(cand, cb, 8, 8), cb, qv, 20)
+        Similarity.ivfPqSearchPruned(
+          idx.codes, idx.codebooks, idx.centroids, qv, nprobe = 2, k = 20)
       },
       Some(s"""$ivfCellCtes,
              |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

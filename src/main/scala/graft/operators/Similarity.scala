@@ -284,18 +284,26 @@ object Similarity {
     * per subspace (ties to the smaller code). The corpus never shuffles: the
     * codebook broadcast-joins onto the subvector stream and the argmin is a
     * map-side-combinable min(struct(dist, c)) per (row, subspace). At 100 TB
-    * this is THE storage story: d floats -> M bytes per row (64x here). */
+    * this is THE storage story: d floats -> M bytes per row (64x here).
+    *
+    * `carry` threads extra columns FUNCTIONALLY DEPENDENT on `idCol` (e.g.
+    * the row's IVF cell) through the encode as additional group keys, so
+    * the codes table can be written cell-partitioned straight from the
+    * assigned corpus — no join back after the fact. */
   def pqEncode(
       emb: DataFrame, codebooks: DataFrame, numSub: Int, subDim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    subvectors(emb.select(col(idCol), col(vecCol)), vecCol, "sv",
-      numSub, subDim, Seq(idCol))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      carry: Seq[String] = Nil): DataFrame = {
+    val keys = idCol +: carry
+    subvectors(emb.select((keys :+ vecCol).map(col): _*), vecCol, "sv",
+      numSub, subDim, keys)
       .join(broadcast(codebooks), Seq("m"))
-      .select(col(idCol), col("m"), col("c"),
-        VectorOps.sqDist(col("sv"), col("cbv")).as("d"))
-      .groupBy(col(idCol), col("m"))
+      .select(keys.map(col) ++ Seq(col("m"), col("c"),
+        VectorOps.sqDist(col("sv"), col("cbv")).as("d")): _*)
+      .groupBy((keys :+ "m").map(col): _*)
       .agg(min(struct(col("d"), col("c"))).as("__best"))
-      .select(col(idCol), col("m"), col("__best.c").as("code"))
+      .select(keys.map(col) ++ Seq(col("m"), col("__best.c").as("code")): _*)
+  }
 
   /** PQ ADC (asymmetric distance computation) search: the query stays exact;
     * each subspace contributes `dot(q_m, codebook[m][code])` from a
@@ -376,9 +384,8 @@ object Similarity {
     * The single-row collect_list packing bounds k: at ~10^4 centroids x 768
     * floats the array row is tens of MB and fine; at IVF-scale k for 100 TB
     * (k ~ sqrt(N) ~ 10^5) the packed row approaches ~300 MB — past that,
-    * chunk the centroid set (union of assignCells passes over k-slices,
-    * final argmax across the per-chunk winners) or fall back to the
-    * broadcast-join + map-side min form of [[knnJoin]] k=1.
+    * use [[assignCellsChunked]], which folds bounded centroid slices through
+    * the same argmax and never materializes the full set in one row.
     *
     * `centroids` must have (`clusterCol` int, `cv ARRAY<FLOAT>`); output is
     * `emb.*` plus `clusterCol`. Rows whose vector is null get a NULL cell
@@ -401,6 +408,51 @@ object Similarity {
       .withColumn("__best", best)
       .select(keep :+ when(col(vecCol).isNull, lit(null).cast("int"))
         .otherwise(lit(0) - col("__best.negc")).as(clusterCol): _*)
+  }
+
+  /** [[assignCells]] for IVF-scale centroid counts (k past ~10^4, where the
+    * packed single-row centroid array would blow out the collect_list
+    * aggregate and the broadcast): the centroid set is split into
+    * `chunkSize`-id slices and FOLDED through the corpus projection — each
+    * step crossJoins one bounded packed chunk row and keeps the running
+    * argmax via `greatest` over the same `(sim, negc)` structs (max is
+    * associative, so per-chunk winners compose to exactly the global packed
+    * answer, ties still to the LOWER cluster id). The whole fold is ONE
+    * map-only plan: no corpus shuffle, no per-id window, no join back on id
+    * — broadcast volume per step is bounded by chunkSize x d floats, and
+    * the driver holds only the k cluster IDS (ints), never the vectors.
+    *
+    * Null-vector rows: every chunk's best struct carries a null sim, the
+    * running greatest keeps a null-sim struct, and the final guard turns
+    * that into a NULL cell — same contract as [[assignCells]]. An empty
+    * centroid relation yields all-NULL cells. */
+  def assignCellsChunked(
+      emb: DataFrame,
+      centroids: DataFrame,
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      simRound: Int = 6,
+      chunkSize: Int = 4096): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val ids = centroids.select(col(clusterCol).cast("int"))
+      .orderBy(clusterCol).collect().map(_.getInt(0)).toSeq
+    val keep = emb.columns.map(col)
+    var df = emb.withColumn("__best",
+      lit(null).cast("struct<sim:double,negc:int>"))
+    for (chunk <- ids.grouped(chunkSize)) {
+      val centArr = centroids.filter(col(clusterCol).isin(chunk: _*))
+        .agg(array_sort(collect_list(
+          struct(col(clusterCol).cast("int").as("c"), col("cv")))).as("__cents"))
+      val chunkBest = array_max(transform(col("__cents"), c =>
+        struct(
+          round(VectorOps.dot(col(vecCol), c.getField("cv")), simRound).as("sim"),
+          (lit(0) - c.getField("c")).as("negc"))))
+      df = df.crossJoin(broadcast(centArr))
+        .withColumn("__best", greatest(col("__best"), chunkBest))
+        .drop("__cents")
+    }
+    df.select(keep :+ when(col("__best.sim").isNull, lit(null).cast("int"))
+      .otherwise(lit(0) - col("__best.negc")).as(clusterCol): _*)
   }
 
   /** Lloyd k-means over an embeddings relation (spherical: max-inner-product
@@ -533,6 +585,31 @@ object Similarity {
     val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
     knnExact(cells.filter(col(clusterCol).isin(probed: _*)),
       queryDf, k, idCol, vecCol)
+  }
+
+  /** IVF-PQ serving against PERSISTED codes (the FAISS IVFPQ serving shape:
+    * codes live inside the inverted lists, written once at build time by
+    * [[pqEncode]] with the cell carried through): probe driver-side
+    * ([[probeCells]]), prune the cell-PARTITIONED codes table to the probed
+    * cells with a literal `IN` (PartitionFilters directory pruning), ADC-
+    * score just those rows against the broadcast query lookup table
+    * ([[pqAdcScore]]). Query-time cost: nprobe/k of the CODES (M bytes per
+    * row, not d floats) + M table lookups per surviving row — no encode, no
+    * training, no original vectors touched. */
+  def ivfPqSearchPruned(
+      codes: DataFrame,
+      codebooks: DataFrame,
+      centroids: DataFrame,
+      queryDf: DataFrame,
+      nprobe: Int,
+      k: Int,
+      numSub: Int = 8,
+      subDim: Int = 8,
+      idCol: String = "vec_id",
+      clusterCol: String = "cluster"): DataFrame = {
+    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    pqAdcScore(codes.filter(col(clusterCol).isin(probed: _*)),
+      codebooks, queryDf, k, numSub, subDim, idCol)
   }
 
   /** Batch IVF serving against the cell-partitioned corpus: one scan of the

@@ -67,6 +67,39 @@ class KmeansSpec extends AnyFunSuite {
     assert(math.abs(cv.head - 0.6f) < 1e-6 && math.abs(cv(1) - 0.8f) < 1e-6)
   }
 
+  test("assignCellsChunked matches packed assignCells at every chunk size") {
+    val rnd = new scala.util.Random(7)
+    val emb = embDf((0L until 20L).map { i =>
+      val v = Array.fill(4)(rnd.nextFloat() - 0.5f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      i -> Some(v.map(_ / n))
+    } :+ (20L -> Option.empty[Array[Float]]))
+    val cents = centDf((0 until 7).map { c =>
+      val v = Array.fill(4)(rnd.nextFloat() - 0.5f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      c -> v.map(_ / n)
+    })
+    val packed = Similarity.assignCells(emb, cents)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.get(2)))
+    // 1 = one centroid per chunk, 3 = ragged last chunk, 7 = exact fit,
+    // 100 = single chunk (degenerates to the packed shape)
+    for (cs <- Seq(1, 3, 7, 100)) {
+      val chunked = Similarity.assignCellsChunked(emb, cents, chunkSize = cs)
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.get(2)))
+      assert(chunked === packed, s"chunkSize=$cs diverged from packed form")
+    }
+  }
+
+  test("assignCellsChunked breaks cross-chunk ties to the LOWER cluster id") {
+    val emb = embDf(Seq(0L -> Some(Array(1f, 0f))))
+    // identical centroids land in DIFFERENT chunks (chunkSize=1): the
+    // greatest-fold across chunk winners must still prefer cluster 2
+    val cents = centDf(Seq(5 -> Array(1f, 0f), 2 -> Array(1f, 0f)))
+    val got = Similarity.assignCellsChunked(emb, cents, chunkSize = 1)
+      .select("cluster").collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(2))
+  }
+
   test("kmeansFit ignores null-vector rows (they score null and drop out)") {
     val emb = embDf(Seq(
       0L -> Some(Array(1f, 0f)),

@@ -114,6 +114,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"batch probe not partition-pruned:\n$pb")
   }
 
+  test("IVF-PQ serving reads persisted codes pruned to probed partitions, never encodes") {
+    // FAISS IVFPQ serving: codes live in the inverted lists, written at
+    // build time — the query plan must (a) prune the codes table to the
+    // probed cells' PARTITIONS, (b) contain zero encode work (sqDist is a
+    // zip_with HOF; absent plan-wide means no argmin-encode ran), and
+    // (c) touch the original vectors only to fetch the 1-row query
+    val p = plan(q("sim_ivfpq_ann"))
+    assert(p.contains("PartitionFilters") && p.contains("cluster"),
+      s"codes scan not partition-pruned:\n$p")
+    assert(p.contains("graft-index"), s"not reading persisted codes:\n$p")
+    assert(!p.contains("zip_with"), s"serving plan encodes vectors:\n$p")
+    assert(p.linesIterator.count(_.contains("embeddings.parquet")) <= 1,
+      s"serving plan re-scans the vector corpus:\n$p")
+    // flat PQ (no cell pruning) serves from the same persisted artifacts
+    val pf = plan(q("sim_pq_adc"))
+    assert(pf.contains("graft-index"), s"flat ADC not reading artifacts:\n$pf")
+    assert(!pf.contains("zip_with"), s"flat ADC encodes at query time:\n$pf")
+  }
+
   test("LM quality gate reads postings artifacts: no tokenize, no corpus scan") {
     val p = finalPlan(q("text_lm_quality"))
     assert(!p.contains("regexp_extract_all"), s"query plan tokenizes text:\n$p")

@@ -79,7 +79,17 @@ object IncrementalIndex {
     * to the probed cells' directories. The dense analog of
     * [[updatePostings]]: the reference re-runs its CLIP notebook over new
     * videos and re-merges `.npy` files; here arrival-to-searchable is one
-    * checkpointed micro-batch. */
+    * checkpointed micro-batch.
+    *
+    * When `codebooks`+`codesDir` are given, each batch is ALSO PQ-encoded
+    * against the (frozen, broadcast) codebooks and its codes land
+    * cell-partitioned under `codesDir` with the same delete-then-append
+    * batch-subtree idempotence — the PQ serving artifact
+    * ([[graft.operators.Similarity.ivfPqSearchPruned]] reads it) stays in
+    * lockstep with the cells table instead of going stale as rows arrive.
+    * Codebooks are train-once artifacts like the centroids (FAISS retrains
+    * neither on `add()`); refitting either is an offline rebuild, not a
+    * maintenance step. */
   def updateDenseIndex(
       spark: SparkSession,
       landingDir: String,
@@ -87,7 +97,11 @@ object IncrementalIndex {
       checkpointDir: String,
       centroids: org.apache.spark.sql.DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      codebooks: Option[DataFrame] = None,
+      codesDir: Option[String] = None,
+      numSub: Int = 8,
+      subDim: Int = 8): Unit = {
     import org.apache.spark.sql.functions._
     val seeds = centroids.select(col("label").as("seed_id"), col("cv").as("sv"))
     val schema = spark.read.parquet(landingDir).schema
@@ -115,6 +129,18 @@ object IncrementalIndex {
           .write.mode("append")
           .partitionBy("batch_id", "ivf_cell")
           .parquet(sinkDir)
+        for (cb <- codebooks; cd <- codesDir) {
+          val codesBatchPath = new org.apache.hadoop.fs.Path(s"$cd/batch_id=$batchId")
+          codesBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(codesBatchPath, true)
+          graft.operators.Similarity
+            .pqEncode(batch.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol)),
+              cb, numSub, subDim, idCol, vecCol, carry = Seq("ivf_cell"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append")
+            .partitionBy("batch_id", "ivf_cell")
+            .parquet(cd)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())

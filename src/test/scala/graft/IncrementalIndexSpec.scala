@@ -70,6 +70,46 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() === 50)
   }
 
+  test("incremental dense index keeps the PQ codes artifact in lockstep") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_incr_pq")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val codes = base.resolve("codes").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+    val cb = Similarity.pqCodebooks(emb, 8, 8, 16)
+
+    emb.filter(col("vec_id") < 30).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      codebooks = Some(cb), codesDir = Some(codes))
+    emb.filter(col("vec_id") >= 30 && col("vec_id") < 50)
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      codebooks = Some(cb), codesDir = Some(codes))
+
+    // accumulated codes == one-shot batch encode over everything landed
+    val got = spark.read.parquet(codes)
+      .select("vec_id", "m", "code")
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("m").intValue) ->
+        r.getAs[Number]("code").intValue).toMap
+    val want = Similarity.pqEncode(emb.filter(col("vec_id") < 50), cb, 8, 8)
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("m").intValue) ->
+        r.getAs[Number]("code").intValue).toMap
+    assert(got === want)
+    // codes are cell-partitioned like the vector store: probing prunes dirs
+    val plan = spark.read.parquet(codes).filter(col("ivf_cell") === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ivf_cell"),
+      s"cell predicate not a partition filter on codes:\n$plan")
+    // idle re-run: codes do not grow
+    val n = spark.read.parquet(codes).count()
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      codebooks = Some(cb), codesDir = Some(codes))
+    assert(spark.read.parquet(codes).count() === n)
+  }
+
   test("incremental refresh loop: streaming sink -> fitted index -> identical scores") {
     import graft.operators.Lexical
     val base = java.nio.file.Files.createTempDirectory("graft_incr_loop")

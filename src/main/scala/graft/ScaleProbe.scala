@@ -54,7 +54,8 @@ object ScaleProbe {
     val probes = Seq("j1_knn_dense", "q1_agg_pricing_summary", "c4_tfidf_search",
       "a3_bm25_search", "dedup_minhash_lsh", "dedup_exact", "text_langid",
       "text_lm_quality", "sim_int8_topk", "w1_window_topk_per_user",
-      "j1b_knn_batch", "sim_ivf_ann", "sim_ivf_batch")
+      "j1b_knn_batch", "sim_ivf_ann", "sim_ivf_batch", "sim_pq_adc",
+      "sim_ivfpq_ann")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

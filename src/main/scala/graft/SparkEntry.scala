@@ -87,6 +87,36 @@ object SparkEntry {
        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
        |         FROM s3) WHERE rn = 1)""".stripMargin
 
+  /** Shared oracle-SQL chain: sampled PQ codebooks (`cb0`, 8 subspaces x
+    * 8 dims x 16 codes) refined by ONE per-subspace Lloyd iteration into
+    * `cbr` (m, c, cbv) — mirrors [[Similarity.pqRefineCodebooks]] hash-for-
+    * hash (argmin-L2 re-assign with ties to the smaller code, decimal-exact
+    * coordinate-mean refit, round-8 floats). `cbr` is the codebook artifact
+    * `DenseArtifacts` persists; `sub` (every corpus row's subvectors) is
+    * reused by the downstream encode CTEs. */
+  private val pqRefinedCbCtes: String =
+    """ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+      |cb0 AS (SELECT m, CAST(e.vec_id AS INT) AS c,
+      |               e.embedding[m*8+1 : m*8+8] AS cbv
+      |        FROM embeddings e, ms WHERE e.vec_id < 16),
+      |sub AS (SELECT e.vec_id AS id, m, e.embedding[m*8+1 : m*8+8] AS sv
+      |        FROM embeddings e, ms),
+      |d0 AS (SELECT s.id, s.m, cb0.c,
+      |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+      |     FROM (SELECT unnest(s.sv) a, unnest(cb0.cbv) b) x) AS d
+      |  FROM sub s JOIN cb0 USING (m)),
+      |a0 AS (SELECT id, m, c FROM (
+      |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |ex0 AS (SELECT a.m, a.c, unnest(s.sv) AS x,
+      |               unnest(generate_series(1, len(s.sv))) AS i
+      |        FROM a0 a JOIN sub s ON s.id = a.id AND s.m = a.m),
+      |mn0 AS (SELECT m, c, i,
+      |          CAST(ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+      |               / COUNT(*), 8) AS REAL) AS cx
+      |        FROM ex0 GROUP BY 1, 2, 3),
+      |cbr AS (SELECT m, c, list(cx ORDER BY i) AS cbv FROM mn0 GROUP BY m, c)""".stripMargin
+
   /** The C7 grid-token channel's synthetic per-doc bbox context — two
     * deterministic md5-derived `{cell}{class}` tokens per doc (shared by the
     * q33 plan, the panel index build, and the q33 oracle). */
@@ -215,12 +245,17 @@ object SparkEntry {
           Similarity.assignCells(emb, s.read.parquet(s"$p/centroids")),
           s"$p/cells", "cluster")
         // PQ leg of the same index (FAISS IVFPQ: codes live IN the inverted
-        // lists): sampled codebooks + the whole corpus encoded ONCE at build
-        // time, codes written cell-partitioned so ADC serving prunes to the
-        // probed cells' directories and never touches the original vectors
-        Similarity.pqCodebooks(emb, 8, 8, 16)
-          .coalesce(1).write.mode(SaveMode.Overwrite)
+        // lists): sampled-init codebooks REFINED by one per-subspace Lloyd
+        // iteration (ProductQuantizer::train — tighter quantization at the
+        // same code budget, PqRefineSpec measures it) + the whole corpus
+        // encoded ONCE at build time, codes written cell-partitioned so ADC
+        // serving prunes to the probed cells' directories and never touches
+        // the original vectors
+        val cbr = Similarity.pqRefineCodebooks(
+          emb, Similarity.pqCodebooks(emb, 8, 8, 16), 8, 8, iters = 1)
+        cbr.coalesce(1).write.mode(SaveMode.Overwrite)
           .option("compression", "zstd").parquet(s"$p/codebooks")
+        cbr.unpersist() // pqRefineCodebooks' contract: caller owns the frame
         graft.sources.Store.writePartitioned(
           Similarity.pqEncode(
             s.read.parquet(s"$p/cells"),
@@ -1071,13 +1106,14 @@ object SparkEntry {
 
     // ---- ANN: IVF cluster pruning (the 100 TB scale path) -----------------
 
-    // PQ/ADC search (extension): codes-only approximate top-k with sampled
-    // codebooks (M=8 subspaces x 8 dims, K=16) — the FAISS-IVFPQ compression
+    // PQ/ADC search (extension): codes-only approximate top-k with Lloyd-
+    // refined codebooks (M=8 subspaces x 8 dims, K=16; sampled init + one
+    // ProductQuantizer::train iteration) — the FAISS-IVFPQ compression
     // leg of the scale path; 64 floats -> 8 bytes per row. Serves from the
-    // PERSISTED codebook + codes artifacts (DenseArtifacts — FAISS encodes
-    // at `index.add()` time, never per query): the query-time plan reads
-    // codes only, builds the M x K lookup table from the codebook artifact,
-    // and never encodes or touches an original vector
+    // PERSISTED codebook + codes artifacts (DenseArtifacts — FAISS trains
+    // and encodes at build time, never per query): the query-time plan
+    // reads codes only, builds the M x K lookup table from the codebook
+    // artifact, and never encodes or touches an original vector
     ("sim_pq_adc",
       (s, dir) => {
         val idx = DenseArtifacts.ivf(s, dir)
@@ -1085,24 +1121,19 @@ object SparkEntry {
         val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         Similarity.pqAdcScore(idx.codes, idx.codebooks, qv, k = 20)
       },
-      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-             |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-             |cb AS (SELECT m, CAST(e.vec_id AS INT) AS c,
-             |              e.embedding[m*8+1 : m*8+8] AS cbv
-             |       FROM embeddings e, ms WHERE e.vec_id < 16),
-             |sub AS (SELECT e.vec_id AS id, m, e.embedding[m*8+1 : m*8+8] AS sv
-             |        FROM embeddings e, ms),
-             |dist AS (SELECT s.id, s.m, cb.c,
+      Some(s"""WITH $pqRefinedCbCtes,
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |dist AS (SELECT s.id, s.m, cbr.c,
              |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
-             |     FROM (SELECT unnest(s.sv) a, unnest(cb.cbv) b) x) AS d
-             |  FROM sub s JOIN cb USING (m)),
+             |     FROM (SELECT unnest(s.sv) a, unnest(cbr.cbv) b) x) AS d
+             |  FROM sub s JOIN cbr USING (m)),
              |code AS (SELECT id, m, c AS code FROM (
              |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
              |    FROM dist) WHERE rn = 1),
-             |qtab AS (SELECT cb.m, cb.c,
+             |qtab AS (SELECT cbr.m, cbr.c,
              |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
-             |     FROM (SELECT unnest(cb.cbv) a, unnest(q.qv[cb.m*8+1 : cb.m*8+8]) b) x) AS p
-             |  FROM cb CROSS JOIN q),
+             |     FROM (SELECT unnest(cbr.cbv) a, unnest(q.qv[cbr.m*8+1 : cbr.m*8+8]) b) x) AS p
+             |  FROM cbr CROSS JOIN q),
              |sc AS (SELECT id, CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE) AS score
              |       FROM code JOIN qtab ON code.m = qtab.m AND code.code = qtab.c
              |       GROUP BY id)
@@ -1127,29 +1158,10 @@ object SparkEntry {
             round(col("cx").cast("double"), 6).as("val"))
           .orderBy(col("m"), col("c"), col("pos"))
       },
-      Some("""WITH ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-             |cb0 AS (SELECT m, CAST(e.vec_id AS INT) AS c,
-             |               e.embedding[m*8+1 : m*8+8] AS cbv
-             |        FROM embeddings e, ms WHERE e.vec_id < 16),
-             |sub AS (SELECT e.vec_id AS id, m, e.embedding[m*8+1 : m*8+8] AS sv
-             |        FROM embeddings e, ms),
-             |dist AS (SELECT s.id, s.m, cb0.c,
-             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
-             |     FROM (SELECT unnest(s.sv) a, unnest(cb0.cbv) b) x) AS d
-             |  FROM sub s JOIN cb0 USING (m)),
-             |asg AS (SELECT id, m, c FROM (
-             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
-             |    FROM dist) WHERE rn = 1),
-             |ex AS (SELECT a.m, a.c, unnest(s.sv) AS x,
-             |              unnest(generate_series(1, len(s.sv))) AS i
-             |       FROM asg a JOIN sub s ON s.id = a.id AND s.m = a.m),
-             |mn AS (SELECT m, c, i,
-             |         CAST(ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-             |              / COUNT(*), 8) AS REAL) AS cx
-             |       FROM ex GROUP BY 1, 2, 3)
+      Some(s"""WITH $pqRefinedCbCtes
              |SELECT m, c, CAST(i - 1 AS BIGINT) AS pos,
              |       ROUND(CAST(cx AS DOUBLE), 6) AS val
-             |FROM mn ORDER BY m, c, pos""".stripMargin)),
+             |FROM mn0 ORDER BY m, c, pos""".stripMargin)),
 
     // IVF-PQ composed (the FAISS IVFPQ analog), serving from the FITTED
     // artifacts with codes INSIDE the inverted lists: driver-side centroid
@@ -1167,29 +1179,25 @@ object SparkEntry {
           idx.codes, idx.codebooks, idx.centroids, qv, nprobe = 2, k = 20)
       },
       Some(s"""$ivfCellCtes,
+             |$pqRefinedCbCtes,
              |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
              |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
              |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
              |       FROM c2 c CROSS JOIN q),
              |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2),
-             |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-             |cb AS (SELECT m, CAST(e.vec_id AS INT) AS c,
-             |              e.embedding[m*8+1 : m*8+8] AS cbv
-             |       FROM embeddings e, ms WHERE e.vec_id < 16),
-             |sub AS (SELECT e.vec_id AS id, m, e.embedding[m*8+1 : m*8+8] AS sv
-             |        FROM embeddings e JOIN a3 USING (vec_id)
-             |        JOIN probe p ON a3.cluster = p.cluster, ms),
-             |dist AS (SELECT s.id, s.m, cb.c,
+             |dist AS (SELECT s.id, s.m, cbr.c,
              |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
-             |     FROM (SELECT unnest(s.sv) a, unnest(cb.cbv) b) x) AS d
-             |  FROM sub s JOIN cb USING (m)),
+             |     FROM (SELECT unnest(s.sv) a, unnest(cbr.cbv) b) x) AS d
+             |  FROM sub s JOIN a3 ON a3.vec_id = s.id
+             |  JOIN probe p ON a3.cluster = p.cluster
+             |  JOIN cbr USING (m)),
              |code AS (SELECT id, m, c AS code FROM (
              |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
              |    FROM dist) WHERE rn = 1),
-             |qtab AS (SELECT cb.m, cb.c,
+             |qtab AS (SELECT cbr.m, cbr.c,
              |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
-             |     FROM (SELECT unnest(cb.cbv) a, unnest(q.qv[cb.m*8+1 : cb.m*8+8]) b) x) AS p
-             |  FROM cb CROSS JOIN q),
+             |     FROM (SELECT unnest(cbr.cbv) a, unnest(q.qv[cbr.m*8+1 : cbr.m*8+8]) b) x) AS p
+             |  FROM cbr CROSS JOIN q),
              |sc AS (SELECT id, CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE) AS score
              |       FROM code JOIN qtab ON code.m = qtab.m AND code.code = qtab.c
              |       GROUP BY id)

@@ -466,7 +466,9 @@ object Similarity {
     *  - init = the k corpus rows with the smallest engine-portable
     *    `hash60(salt:id)` (ties by id), numbered 0..k-1 in hash order;
     *  - assign = [[assignCells]] (sim rounded to `simRound`, ties to the
-    *    lower cluster id) — map-only, zero corpus shuffle;
+    *    lower cluster id) — map-only, zero corpus shuffle; past 4096
+    *    centroids the [[assignCellsChunked]] fold computes the SAME argmax
+    *    without ever packing all k centroids into one row;
     *  - refit = per-(cluster, dim) mean via an exact DECIMAL(28,12) sum
     *    (partition-order-invariant), rounded to `coordRound` and stored as
     *    float.
@@ -502,9 +504,16 @@ object Similarity {
       .select((row_number().over(hw) - 1).as("cluster"), col(vecCol).as("cv"))
     var toFree: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      val assigned = assignCells(
-        emb.select(col(idCol), col(vecCol)), cent,
-        vecCol, "cluster", simRound)
+      // identical assignment either way (chunk-fold max is associative);
+      // past ~4k centroids the packed single-row form would concentrate
+      // k x d floats in one collect_list row, so fold bounded chunks instead
+      val assigned =
+        if (k <= 4096)
+          assignCells(emb.select(col(idCol), col(vecCol)), cent,
+            vecCol, "cluster", simRound)
+        else
+          assignCellsChunked(emb.select(col(idCol), col(vecCol)), cent,
+            vecCol, "cluster", simRound)
       val next = assigned
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
         .groupBy(col("cluster"), col("__pos"))

@@ -1287,6 +1287,58 @@ object SparkEntry {
              |SELECT query_id, vec_id, sim FROM rk WHERE rn <= 10
              |ORDER BY query_id, sim DESC, vec_id""".stripMargin)),
 
+    // batch IVF-PQ serving from the persisted codes: THREE queries probe
+    // per-query on the centroid artifact (driver-side), ONE scan of the
+    // probed cells' CODE partitions, each code row ADC-scored only against
+    // the queries probing its cell, bounded per-query top-k — the
+    // production batch-ANN shape over M-byte code rows instead of d-float
+    // vectors (scored volume ~ nprobe/n_clusters of codes x queries)
+    ("sim_ivfpq_batch",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        Similarity.ivfPqSearchBatchPruned(
+            idx.codes, idx.codebooks, idx.centroids, queries, nprobe = 2, k = 10)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some(s"""$ivfCellCtes,
+             |$pqRefinedCbCtes,
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
+             |pc AS (SELECT DISTINCT cluster FROM probe),
+             |dist AS (SELECT s.id, s.m, cbr.c,
+             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+             |     FROM (SELECT unnest(s.sv) a, unnest(cbr.cbv) b) x) AS d
+             |  FROM sub s JOIN a3 ON a3.vec_id = s.id
+             |  JOIN pc ON a3.cluster = pc.cluster
+             |  JOIN cbr USING (m)),
+             |code AS (SELECT id, m, c AS code FROM (
+             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |qtab AS (SELECT q.query_id, cbr.m, cbr.c,
+             |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |     FROM (SELECT unnest(cbr.cbv) a, unnest(q.qv[cbr.m*8+1 : cbr.m*8+8]) b) x) AS p
+             |  FROM cbr CROSS JOIN qs q),
+             |sc AS (SELECT p.query_id, code.id,
+             |         CAST(SUM(CAST(qt.p AS DECIMAL(18,12))) AS DOUBLE) AS score
+             |       FROM code JOIN a3 ON a3.vec_id = code.id
+             |       JOIN probe p ON p.cluster = a3.cluster
+             |       JOIN qtab qt ON qt.query_id = p.query_id
+             |         AND qt.m = code.m AND qt.c = code.code
+             |       GROUP BY 1, 2),
+             |rk AS (SELECT query_id, id, ROUND(score, 6) AS score, ROW_NUMBER() OVER (
+             |         PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, id) AS rn FROM sc)
+             |SELECT query_id, id AS vec_id, score FROM rk WHERE rn <= 10
+             |ORDER BY query_id, score DESC, vec_id""".stripMargin)),
+
     // chunk->document embedding pooling (long docs are encoded as chunk
     // embeddings, then mean-pooled + re-normalized into one doc vector —
     // the standard retrieval-corpus building step). 10 consecutive

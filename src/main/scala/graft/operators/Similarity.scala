@@ -621,6 +621,47 @@ object Similarity {
       codebooks, queryDf, k, numSub, subDim, idCol)
   }
 
+  /** Batch IVF-PQ serving against the persisted codes: per-query probing on
+    * the centroid artifact (driver-scale, [[probeCellsBatch]]), ONE scan of
+    * the UNION of probed cells' code partitions (literal PartitionFilters),
+    * each code row ADC-scored only against the queries PROBING ITS CELL
+    * (broadcast (query, cluster) pairs — scored volume is bounded by
+    * nprobe/k of codes x queries, exactly [[ivfSearchBatchPruned]]'s shape
+    * over M-byte code rows instead of d-float vectors), per-query top-k
+    * through the bounded [[graft.functions.TopKAggregator]]. The batch
+    * form of [[ivfPqSearchPruned]]; `queries` = small broadcast
+    * `(query_id LONG, qv)`. */
+  def ivfPqSearchBatchPruned(
+      codes: DataFrame,
+      codebooks: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      nprobe: Int,
+      k: Int,
+      numSub: Int = 8,
+      subDim: Int = 8,
+      idCol: String = "vec_id",
+      clusterCol: String = "cluster"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val probed = probeCellsBatch(centroids, queries, nprobe, clusterCol)
+    val probedDf = probed.toDF("query_id", clusterCol)
+    val cellUnion = probed.map(_._2).distinct
+    val qsub = subvectors(queries, "qv", "qsv", numSub, subDim, Seq("query_id"))
+    val qtab = codebooks.join(broadcast(qsub), Seq("m"))
+      .select(col("query_id"), col("m"), col("c"),
+        VectorOps.dot(col("cbv"), col("qsv")).as("p"))
+    topKPerQuery(
+      codes.filter(col(clusterCol).isin(cellUnion: _*))
+        .join(broadcast(probedDf), Seq(clusterCol))
+        .join(broadcast(qtab), Seq("query_id", "m"))
+        .filter(col("code") === col("c"))
+        .groupBy(col("query_id"), col(idCol))
+        .agg(sum(col("p").cast("decimal(18,12)")).cast("double").as("score"))
+        .select(col("query_id"), col(idCol), round(col("score"), 6).as("score")),
+      k, idCol, "score")
+  }
+
   /** Batch IVF serving against the cell-partitioned corpus: one scan of the
     * UNION of all probed cells (literal partition pruning), each row scored
     * only against the queries probing its cell, per-query top-k through the

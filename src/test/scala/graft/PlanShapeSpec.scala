@@ -131,6 +131,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val pf = plan(q("sim_pq_adc"))
     assert(pf.contains("graft-index"), s"flat ADC not reading artifacts:\n$pf")
     assert(!pf.contains("zip_with"), s"flat ADC encodes at query time:\n$pf")
+    // batch form: same pruned artifact scan, per-query top-k bounded by
+    // the aggregator (no Window over the scored stream)
+    val pb = plan(q("sim_ivfpq_batch"))
+    assert(pb.contains("PartitionFilters") && pb.contains("graft-index"),
+      s"batch ADC not partition-pruned:\n$pb")
+    assert(!pb.contains("zip_with"), s"batch ADC encodes at query time:\n$pb")
+    assert(!pb.contains("Window"), s"batch ADC windows the scored stream:\n$pb")
   }
 
   test("LM quality gate reads postings artifacts: no tokenize, no corpus scan") {

@@ -1287,6 +1287,51 @@ object SparkEntry {
              |SELECT query_id, vec_id, sim FROM rk WHERE rn <= 10
              |ORDER BY query_id, sim DESC, vec_id""".stripMargin)),
 
+    // two-stage IVF-PQ + exact refine (FAISS IndexRefineFlat): ADC over the
+    // probed cells' persisted codes shortlists 50 candidates, then ONLY
+    // those 50 original vectors are fetched from the same probed cell
+    // partitions (pruned scan + broadcast semi join) and exactly re-scored
+    // for the final top-20 — the d-float corpus is touched for exactly
+    // kCoarse rows per query
+    ("sim_ivfpq_refine",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.ivfPqRefineSearch(
+          idx.cells, idx.codes, idx.codebooks, idx.centroids, qv,
+          nprobe = 2, kCoarse = 50, k = 20)
+      },
+      Some(s"""$ivfCellCtes,
+             |$pqRefinedCbCtes,
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN q),
+             |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2),
+             |dist AS (SELECT s.id, s.m, cbr.c,
+             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+             |     FROM (SELECT unnest(s.sv) a, unnest(cbr.cbv) b) x) AS d
+             |  FROM sub s JOIN a3 ON a3.vec_id = s.id
+             |  JOIN probe p ON a3.cluster = p.cluster
+             |  JOIN cbr USING (m)),
+             |code AS (SELECT id, m, c AS code FROM (
+             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |qtab AS (SELECT cbr.m, cbr.c,
+             |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |     FROM (SELECT unnest(cbr.cbv) a, unnest(q.qv[cbr.m*8+1 : cbr.m*8+8]) b) x) AS p
+             |  FROM cbr CROSS JOIN q),
+             |sc AS (SELECT id, CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE) AS score
+             |       FROM code JOIN qtab ON code.m = qtab.m AND code.code = qtab.c
+             |       GROUP BY id),
+             |shortlist AS (SELECT id FROM (SELECT id, ROUND(score, 6) AS score FROM sc) x
+             |              ORDER BY score DESC, id LIMIT 50)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e JOIN shortlist sl ON sl.id = e.vec_id CROSS JOIN q
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
     // batch IVF-PQ serving from the persisted codes: THREE queries probe
     // per-query on the centroid artifact (driver-side), ONE scan of the
     // probed cells' CODE partitions, each code row ADC-scored only against

@@ -621,6 +621,45 @@ object Similarity {
       codebooks, queryDf, k, numSub, subDim, idCol)
   }
 
+  /** Two-stage IVF-PQ + exact-refine serving (the FAISS `IndexRefineFlat`
+    * composition): the ADC stage shortlists `kCoarse` candidates from the
+    * probed cells' PERSISTED codes ([[ivfPqSearchPruned]]), then only those
+    * candidates' ORIGINAL vectors are fetched from the SAME probed cell
+    * partitions (literal `IN` pruning + a broadcast semi join on the
+    * k-bounded shortlist) and exactly re-scored for the final top-k. The
+    * 100 TB shape: the d-float corpus is touched for exactly kCoarse rows
+    * per query — the scan-heavy stage reads M-byte codes, the exact stage
+    * reads a shortlist. */
+  def ivfPqRefineSearch(
+      cells: DataFrame,
+      codes: DataFrame,
+      codebooks: DataFrame,
+      centroids: DataFrame,
+      queryDf: DataFrame,
+      nprobe: Int,
+      kCoarse: Int,
+      k: Int,
+      numSub: Int = 8,
+      subDim: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      roundTo: Int = 4): DataFrame = {
+    require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
+    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    val shortlist = pqAdcScore(
+      codes.filter(col(clusterCol).isin(probed: _*)),
+      codebooks, queryDf, kCoarse, numSub, subDim, idCol)
+    // rank on the ROUNDED exact score (engine-portable boundary at k)
+    scoreAll(
+      cells.filter(col(clusterCol).isin(probed: _*))
+        .join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi"),
+      queryDf, idCol, vecCol)
+      .select(col(idCol), round(col("score"), roundTo).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Batch IVF-PQ serving against the persisted codes: per-query probing on
     * the centroid artifact (driver-scale, [[probeCellsBatch]]), ONE scan of
     * the UNION of probed cells' code partitions (literal PartitionFilters),

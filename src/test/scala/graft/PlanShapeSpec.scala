@@ -138,6 +138,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"batch ADC not partition-pruned:\n$pb")
     assert(!pb.contains("zip_with"), s"batch ADC encodes at query time:\n$pb")
     assert(!pb.contains("Window"), s"batch ADC windows the scored stream:\n$pb")
+    // two-stage refine: both stages stay pruned, the exact stage tops out
+    // in TakeOrderedAndProject over the k-bounded shortlist semi join
+    val pr = plan(q("sim_ivfpq_refine"))
+    assert(pr.contains("PartitionFilters"), s"refine stages not pruned:\n$pr")
+    assert(!pr.contains("zip_with"), s"refine encodes at query time:\n$pr")
+    assert(pr.contains("TakeOrderedAndProject"), s"refine top-k lost:\n$pr")
   }
 
   test("LM quality gate reads postings artifacts: no tokenize, no corpus scan") {

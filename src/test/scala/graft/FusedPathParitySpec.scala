@@ -299,6 +299,33 @@ class FusedPathParitySpec extends AnyFunSuite {
     assert(pq >= 0.3, s"PQ recall $pq")
   }
 
+  test("ivfPqRefineSearch with a full shortlist == exact search over the probed cells") {
+    // the refine stage's ONLY approximation is the ADC shortlist: when
+    // kCoarse covers every row of the probed cells, the two-stage result
+    // must be EXACTLY the pruned exact search (the FAISS IndexRefineFlat
+    // convergence property)
+    import graft.operators.Similarity
+    val dim = 64
+    val emb = (0L until 30L).map { i =>
+      val v = (0 until dim).map(d => math.sin(i * 13 + d * 7).toFloat).toArray
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(emb, k = 3, iters = 1)
+    val cells = Similarity.assignCells(emb, cents)
+    val cb = Similarity.pqCodebooks(emb, 8, 8, 16)
+    val codes = Similarity.pqEncode(cells, cb, 8, 8, carry = Seq("cluster"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val probed = Similarity.probeCells(cents, qv, nprobe = 2)
+    val got = Similarity.ivfPqRefineSearch(cells, codes, cb, cents, qv,
+      nprobe = 2, kCoarse = 30, k = 5)
+    val want = Similarity.scoreAll(cells.filter(col("cluster").isin(probed: _*)), qv)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(5)
+    assert(rows(got) === rows(want))
+    cents.unpersist()
+  }
+
   test("tfidfSearchMulti == per-channel tfidfSearch on each channel") {
     val docsA = Seq(
       (1L, "spark join shuffle"), (2L, "join join filter"), (3L, "scan spark"))

@@ -1145,19 +1145,18 @@ object SparkEntry {
     // re-assign (ties to the smaller code), decimal-exact per-(m, c, dim)
     // mean refit. Refined codebooks quantize at least as tightly as the
     // init at the same code budget (Lloyd monotonicity; PqRefineSpec
-    // measures distortion + recall). The DuckDB oracle unrolls the
-    // iteration across all 8 subspaces at once.
+    // measures distortion + recall). Like sim_kmeans_fit, this verifies
+    // the PERSISTED codebook artifact — the thing ADC serving reads —
+    // against the DuckDB oracle's unrolled per-subspace training; no
+    // re-train (and no leaked cache entry) per query execution.
     ("sim_pq_lloyd",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val cb = Similarity.pqRefineCodebooks(emb,
-          Similarity.pqCodebooks(emb, 8, 8, 16), 8, 8, iters = 1)
-        cb.select(col("m"), col("c"), posexplode(col("cbv")).as(Seq("pos", "cx")))
+      (s, dir) =>
+        DenseArtifacts.ivf(s, dir).codebooks
+          .select(col("m"), col("c"), posexplode(col("cbv")).as(Seq("pos", "cx")))
           .select(col("m").cast("long").as("m"), col("c").cast("int").as("c"),
             col("pos").cast("long").as("pos"),
             round(col("cx").cast("double"), 6).as("val"))
-          .orderBy(col("m"), col("c"), col("pos"))
-      },
+          .orderBy(col("m"), col("c"), col("pos")),
       Some(s"""WITH $pqRefinedCbCtes
              |SELECT m, c, CAST(i - 1 AS BIGINT) AS pos,
              |       ROUND(CAST(cx AS DOUBLE), 6) AS val

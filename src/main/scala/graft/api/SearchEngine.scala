@@ -135,6 +135,87 @@ class SearchEngine(
     GroupShaping.groupResults(scored, "video_id", "id", "score")
   }
 
+  /** One index-backed dense channel: probe the fitted centroid artifact
+    * driver-side ([[Similarity.probeCells]] — the FAISS coarse-quantizer
+    * analog), scan ONLY the probed cells' partitions of the persisted
+    * cell-partitioned corpus (literal `PartitionFilters`), apply the
+    * request's candidate set on the pruned rows, exact-rescore, top-k.
+    * The index must be built over THIS corpus's embeddings
+    * (`id`/`vecCol` schema) — [[Similarity.kmeansFit]] +
+    * [[Similarity.assignCells]] + [[graft.sources.Store.writePartitioned]]
+    * at build time. */
+  private def annChannel(
+      index: Similarity.DenseIndex, vecCol: String, qv: Array[Float],
+      k: Int, nprobe: Int, cands: DataFrame): DataFrame = {
+    val spark = corpus.embeddings.sparkSession
+    val qvDf = spark.range(1).select(lit(qv).as("qv"))
+    val probed = Similarity.probeCells(index.centroids, qvDf, nprobe, "cluster")
+    index.cells.filter(col("cluster").isin(probed: _*))
+      .join(cands, Seq("id"))
+      .withColumn("qv", lit(qv))
+      .select(col("id"), col("video_id"),
+        round(VectorOps.dot(col(vecCol), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** §3.1 /textsearch in INDEX-BACKED (ANN) mode: same request surface as
+    * [[textSearch]] — k, per-request candidate filters, optional second
+    * model channel — served from the persisted dense index instead of an
+    * exact corpus scan (the reference's FAISS-index path married to the
+    * engine's scale shape: every `/textsearch` request carries filters,
+    * `app.py:313-328`, and FAISS pushes them into the index,
+    * `faiss_processing.py:154-166`). At full probe (nprobe >= cell count)
+    * results equal [[textSearch]] exactly; at partial probe the scan
+    * touches ~nprobe/cells of the corpus. `index2` serves the clipv2
+    * channel when `queryVec2` engages the dual-model fusion. */
+  def textSearchAnn(
+      index: Similarity.DenseIndex,
+      queryVec: Array[Float], k: Int,
+      filters: Filters = Filters(),
+      nprobe: Int = 2,
+      queryVec2: Option[Array[Float]] = None,
+      index2: Option[Similarity.DenseIndex] = None): DataFrame = {
+    requireDim(queryVec, clipDim, "clip")
+    queryVec2.foreach(requireDim(_, clipv2Dim, "clipv2"))
+    require(queryVec2.isEmpty || index2.isDefined,
+      "dual-model ANN needs the clipv2 channel's own fitted index (index2)")
+    val cands = candidates(filters).select("id", "video_id")
+    val ch1 = annChannel(index, "clip", queryVec, k, nprobe, cands)
+    val fused = queryVec2 match {
+      case Some(q2) =>
+        Fusion.fuseByAddition(Seq(ch1.drop("video_id"),
+            annChannel(index2.get, "clipv2", q2, k, nprobe, cands).drop("video_id")))
+          .join(corpus.keyframes.select("id", "video_id"), Seq("id"))
+      case None => ch1
+    }
+    GroupShaping.groupResults(
+      fused.withColumn("score", round(col("score"), 6)),
+      groupCol = "video_id", idCol = "id", scoreCol = "score")
+  }
+
+  /** /imgsearch in INDEX-BACKED (ANN) mode: query-by-id against the
+    * persisted dense index — the stored query vector probes the centroid
+    * artifact, the pruned cell partitions are exactly re-scored. Same
+    * grouping/filters surface as [[imageSearch]]. */
+  def imageSearchAnn(
+      index: Similarity.DenseIndex,
+      imgId: Long, k: Int,
+      filters: Filters = Filters(),
+      nprobe: Int = 2): DataFrame = {
+    val qv = corpus.embeddings.filter(col("id") === imgId)
+      .select(col("clip").as("qv"))
+    val probed = Similarity.probeCells(index.centroids, qv, nprobe, "cluster")
+    val scored = index.cells.filter(col("cluster").isin(probed: _*))
+      .join(candidates(filters).select("id", "video_id"), Seq("id"))
+      .crossJoin(broadcast(qv))
+      .select(col("id"), col("video_id"),
+        round(VectorOps.dot(col("clip"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+    GroupShaping.groupResults(scored, "video_id", "id", "score")
+  }
+
   /** §3.2 /panel: multi-channel sparse context search. `channels` maps a
     * channel name to (channelTextColumn-on-keyframes-table, queryTerms) —
     * e.g. bbox tokens from [[graft.functions.GridEncoding]], tag words,

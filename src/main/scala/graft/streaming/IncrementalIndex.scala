@@ -89,7 +89,22 @@ object IncrementalIndex {
     * lockstep with the cells table instead of going stale as rows arrive.
     * Codebooks are train-once artifacts like the centroids (FAISS retrains
     * neither on `add()`); refitting either is an offline rebuild, not a
-    * maintenance step. */
+    * maintenance step.
+    *
+    * DRIFT GATE (`trainDistortion` + `driftTolerance`): because batches
+    * encode against FROZEN codebooks, a shifting input distribution
+    * silently degrades ADC recall — the codes stay valid, they just
+    * quantize badly. When `trainDistortion` (the corpus's mean squared
+    * quantization error at TRAINING time,
+    * [[graft.operators.Similarity.quantizationDistortion]] over the
+    * training corpus — persist it next to the codebooks) is supplied, each
+    * batch's own distortion is measured BEFORE anything is written; a batch
+    * whose distortion exceeds `driftTolerance x trainDistortion` fails the
+    * run with the measured ratio. Nothing lands (the batch never commits,
+    * so a later run after retraining replays it cleanly) — the documented
+    * retrain trigger: rebuild codebooks (and codes) offline, recompute
+    * `trainDistortion`, re-run maintenance. A stable-distribution batch
+    * measures ~1x training distortion and passes untouched. */
   def updateDenseIndex(
       spark: SparkSession,
       landingDir: String,
@@ -101,14 +116,37 @@ object IncrementalIndex {
       codebooks: Option[DataFrame] = None,
       codesDir: Option[String] = None,
       numSub: Int = 8,
-      subDim: Int = 8): Unit = {
+      subDim: Int = 8,
+      trainDistortion: Option[Double] = None,
+      driftTolerance: Double = 1.5): Unit = {
     import org.apache.spark.sql.functions._
+    // half-specifying the PQ leg would SILENTLY skip it and leave the codes
+    // artifact stale — the exact staleness this maintenance job exists to
+    // prevent — so a caller typo must fail fast, not no-op
+    require(codebooks.isDefined == codesDir.isDefined,
+      s"codebooks and codesDir must be supplied together " +
+        s"(got codebooks=${codebooks.isDefined}, codesDir=${codesDir.isDefined})")
+    require(trainDistortion.isEmpty || codebooks.isDefined,
+      "trainDistortion given without codebooks — there is nothing to gate")
     val seeds = centroids.select(col("label").as("seed_id"), col("cv").as("sv"))
     val schema = spark.read.parquet(landingDir).schema
     val src = spark.readStream.schema(schema).parquet(landingDir)
     val q = src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // drift gate FIRST — before any write, so a drifted batch fails the
+        // run without committing and replays cleanly after a retrain
+        for (cb <- codebooks; trained <- trainDistortion) {
+          val d = graft.operators.Similarity.quantizationDistortion(
+            batch.select(col(idCol), col(vecCol)), cb, numSub, subDim,
+            idCol, vecCol)
+          if (d > trained * driftTolerance)
+            throw new IllegalStateException(
+              f"codebook drift: batch $batchId distortion $d%.6f is " +
+                f"${d / trained}%.2fx the training distortion $trained%.6f " +
+                f"(tolerance ${driftTolerance}x) — retrain the PQ codebooks " +
+                "and re-encode before ingesting this distribution")
+        }
         // the cell column gets its own name — landed rows may already
         // carry a label column of their own
         val assigned = graft.operators.Similarity
@@ -146,6 +184,120 @@ object IncrementalIndex {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** COMPACTION for the incremental cell stores: [[updateDenseIndex]] lands
+    * one `batch_id=` subtree per micro-batch, so after N batches every IVF
+    * cell's rows are spread over N small files and probe-pruned scans
+    * degrade (N file opens + footer reads per probed cell — the classic
+    * small-file problem). This maintenance job rewrites ALL existing batch
+    * subtrees into ONE compacted epoch subtree (`batch_id=<negative epoch>`,
+    * one file per cell: the cells are few and the write is repartitioned by
+    * the cell column), preserving the `(batch_id, cellCol)` layout — and
+    * therefore `PartitionFilters` pruning on the cell column — exactly.
+    *
+    * Crash safety (replay-safe, resumable): the compacted subtree is staged
+    * under a `_`-prefixed directory (hidden from every parquet reader),
+    * then a MANIFEST naming the epoch and the superseded source subtrees is
+    * committed via atomic rename, and only then is the staged subtree
+    * renamed in and the sources deleted. A crash BEFORE the manifest leaves
+    * the store untouched (stale staging is cleared on the next run); a
+    * crash AFTER the manifest is finished by [[recoverCompaction]] (also
+    * run automatically at the start of every compaction), which is
+    * idempotent — re-deleting already-deleted sources is a no-op, and the
+    * rename-in happens at most once. Readers see either the old N subtrees
+    * or (after the rename supersedes them) a brief union window that the
+    * source deletes close; run compaction, like [[updateDenseIndex]]
+    * itself, from the single maintenance scheduler — not concurrently with
+    * ingest.
+    *
+    * Epochs are strictly decreasing negatives (min(existing) - 1 capped at
+    * -1), so repeated compactions re-fold earlier epochs plus any new
+    * batches without ever colliding with a real (non-negative) batch id. */
+  def compactCells(
+      spark: SparkSession,
+      dir: String,
+      cellCol: String = "ivf_cell"): Unit = {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, dir)
+    if (!fs.exists(root)) return
+    val sources = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName).sorted
+    if (sources.size <= 1) return // nothing to fold
+    val epoch =
+      math.min(sources.map(_.stripPrefix("batch_id=").toLong).min, 0L) - 1
+    val staging = new org.apache.hadoop.fs.Path(root, "_compact_staging")
+    fs.delete(staging, true)
+    spark.read.parquet(dir)
+      .drop("batch_id")
+      .repartition(col(cellCol)) // each cell lands whole in one task -> one file per cell
+      .withColumn("batch_id", lit(epoch))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("batch_id", cellCol)
+      .parquet(staging.toString)
+    // all-empty sources (batches that landed zero rows) stage nothing at
+    // all — just drop the empty subtrees, there is no data to commit
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staging, s"batch_id=$epoch"))) {
+      sources.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(root, s), true))
+      fs.delete(staging, true)
+      return
+    }
+    // commit point: manifest = epoch + the source subtrees it supersedes,
+    // made visible by atomic rename
+    val manifestTmp = new org.apache.hadoop.fs.Path(root, "_compact_manifest.tmp")
+    val out = fs.create(manifestTmp, true)
+    out.write((epoch.toString +: sources).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val manifest = new org.apache.hadoop.fs.Path(root, "_compact_manifest")
+    fs.delete(manifest, false)
+    if (!fs.rename(manifestTmp, manifest))
+      throw new java.io.IOException(s"cannot commit compaction manifest at $manifest")
+    finishCompaction(fs, root)
+  }
+
+  /** Finish (or no-op) a compaction whose manifest is committed: rename the
+    * staged epoch subtree in if not already in place, delete superseded
+    * sources, clear staging + manifest. Safe to call any time; called
+    * automatically by [[compactCells]]. */
+  def recoverCompaction(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_compact_manifest")))
+      finishCompaction(fs, root)
+    else {
+      // pre-commit debris from a crashed run: the store was never touched,
+      // so the half-written staging (and half-written manifest) just go
+      fs.delete(new org.apache.hadoop.fs.Path(root, "_compact_staging"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, "_compact_manifest.tmp"), false)
+    }
+  }
+
+  private def finishCompaction(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(root, "_compact_manifest")
+    val in = fs.open(manifest)
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    in.close()
+    val epoch = lines.head.toLong
+    val sources = lines.tail
+    val target = new org.apache.hadoop.fs.Path(root, s"batch_id=$epoch")
+    val staged = new org.apache.hadoop.fs.Path(root, s"_compact_staging/batch_id=$epoch")
+    if (!fs.exists(target)) {
+      if (!fs.exists(staged))
+        throw new IllegalStateException(
+          s"compaction manifest at $manifest names epoch $epoch but neither " +
+            s"$target nor $staged exists — the staged subtree was lost")
+      if (!fs.rename(staged, target))
+        throw new java.io.IOException(s"cannot rename $staged into $target")
+    }
+    sources.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(root, s), true))
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_compact_staging"), true)
+    fs.delete(manifest, false)
   }
 
   /** INCREMENTAL NEAR-DUP DETECTION: each maintenance run MinHash-bands

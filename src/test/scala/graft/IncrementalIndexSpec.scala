@@ -110,6 +110,175 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(codes).count() === n)
   }
 
+  test("compactCells folds N batch subtrees into one epoch: fewer files, same rows, same pruning") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_compact")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+
+    // land 4 micro-batches -> every cell's rows spread over 4 small files
+    for (b <- 0 until 4) {
+      emb.filter(col("vec_id") % 4 === b).limit(20)
+        .write.mode("append").parquet(landing)
+      IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+    }
+    def parquetFiles(dir: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, true)
+      val out = scala.collection.mutable.Buffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet") && !f.contains("_compact_staging")) out += f
+      }
+      out.toSeq
+    }
+    def contents(dir: String) = spark.read.parquet(dir)
+      .select("vec_id", "ivf_cell").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("ivf_cell").longValue)
+      .sortBy(_._1).toSeq
+
+    val before = contents(sink)
+    val filesBefore = parquetFiles(sink)
+    assert(filesBefore.count(_.contains("batch_id=0/")) > 0)
+
+    IncrementalIndex.compactCells(spark, sink)
+
+    val filesAfter = parquetFiles(sink)
+    assert(filesAfter.size < filesBefore.size,
+      s"file count did not drop: ${filesBefore.size} -> ${filesAfter.size}")
+    // one file per cell in exactly one compacted epoch subtree
+    assert(filesAfter.forall(_.contains("batch_id=-1/")), filesAfter.mkString("\n"))
+    assert(contents(sink) === before)
+    // cell pruning is unchanged: the cell predicate is still a partition filter
+    val plan = spark.read.parquet(sink).filter(col("ivf_cell") === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ivf_cell"),
+      s"pruning lost after compaction:\n$plan")
+    // compaction is idempotent: a second run with one subtree is a no-op
+    IncrementalIndex.compactCells(spark, sink)
+    assert(contents(sink) === before)
+
+    // new batches after compaction land normally and re-fold into the
+    // NEXT epoch alongside the previous one
+    emb.filter(col("vec_id") >= 400).limit(10)
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+    val withNew = contents(sink)
+    assert(withNew.size === before.size + 10)
+    IncrementalIndex.compactCells(spark, sink)
+    assert(contents(sink) === withNew)
+    assert(parquetFiles(sink).forall(_.contains("batch_id=-2/")))
+  }
+
+  test("compactCells recovery: a crash after the manifest commit is finished, before it is rolled back") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_crash")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+    for (b <- 0 until 2) {
+      emb.filter(col("vec_id") % 2 === b).limit(15)
+        .write.mode("append").parquet(landing)
+      IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+    }
+    def contents() = spark.read.parquet(sink)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val before = contents()
+
+    val root = new org.apache.hadoop.fs.Path(sink)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // CRASH BEFORE COMMIT: staging written, no manifest -> recovery rolls
+    // the debris back and the store is untouched
+    spark.read.parquet(sink).drop("batch_id").withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id", "ivf_cell")
+      .parquet(s"$sink/_compact_staging")
+    IncrementalIndex.recoverCompaction(spark, sink)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_compact_staging")))
+    assert(contents() === before)
+    assert(fs.listStatus(root).count(_.getPath.getName.startsWith("batch_id=")) === 2)
+
+    // CRASH AFTER COMMIT: staging + manifest present, rename/deletes never
+    // ran -> recovery finishes the compaction exactly once
+    spark.read.parquet(sink).drop("batch_id").withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id", "ivf_cell")
+      .parquet(s"$sink/_compact_staging")
+    val sources = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id=")).sorted
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_compact_manifest"), true)
+    out.write(("-1" +: sources).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    IncrementalIndex.recoverCompaction(spark, sink)
+    assert(contents() === before)
+    val dirs = fs.listStatus(root).map(_.getPath.getName).filter(_.startsWith("batch_id="))
+    assert(dirs.toSeq === Seq("batch_id=-1"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_compact_manifest")))
+    // and recovery with nothing to recover is a no-op
+    IncrementalIndex.recoverCompaction(spark, sink)
+    assert(contents() === before)
+  }
+
+  test("drift gate: a stable batch passes, a shifted batch fails BEFORE anything lands") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_drift")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val codes = base.resolve("codes").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+    val cb = Similarity.pqCodebooks(emb, 8, 8, 16)
+    // training-time distortion over the training corpus — persisted next
+    // to the codebooks in production
+    val trained = Similarity.quantizationDistortion(emb, cb, 8, 8)
+    assert(trained > 0)
+
+    // stable batch: same distribution -> ~1x training distortion -> passes
+    emb.filter(col("vec_id") < 40).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      codebooks = Some(cb), codesDir = Some(codes),
+      trainDistortion = Some(trained), driftTolerance = 1.5)
+    assert(spark.read.parquet(sink).count() === 40)
+
+    // drifted batch: vectors shifted far off the training distribution ->
+    // the gate trips and NOTHING lands (cells and codes stay at 40)
+    emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+      .withColumn("embedding", expr("transform(embedding, x -> x + 10.0f)"))
+      .write.mode("append").parquet(landing)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+        codebooks = Some(cb), codesDir = Some(codes),
+        trainDistortion = Some(trained), driftTolerance = 1.5)
+    }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("codebook drift")), messages.mkString("\n"))
+    assert(spark.read.parquet(sink).count() === 40)
+    assert(spark.read.parquet(codes).select("vec_id").distinct().count() === 40)
+  }
+
+  test("half-specifying the PQ leg fails fast instead of silently skipping it") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_halfpq")
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+    val cb = Similarity.pqCodebooks(emb, 8, 8, 16)
+    assertThrows[IllegalArgumentException] {
+      IncrementalIndex.updateDenseIndex(spark, s"$base/landing", s"$base/store",
+        s"$base/ckpt", cents, codebooks = Some(cb), codesDir = None)
+    }
+    assertThrows[IllegalArgumentException] {
+      IncrementalIndex.updateDenseIndex(spark, s"$base/landing", s"$base/store",
+        s"$base/ckpt", cents, codebooks = None, codesDir = Some(s"$base/codes"))
+    }
+  }
+
   test("incremental refresh loop: streaming sink -> fitted index -> identical scores") {
     import graft.operators.Lexical
     val base = java.nio.file.Files.createTempDirectory("graft_incr_loop")

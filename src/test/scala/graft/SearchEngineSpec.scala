@@ -189,6 +189,77 @@ class SearchEngineSpec extends AnyFunSuite {
     }
   }
 
+  /** Fitted dense index over one embedding channel of THIS corpus — the
+    * facade's ANN-mode artifact ([[graft.operators.Similarity.kmeansFit]] +
+    * assignCells + cell-partitioned write, read back like production). The
+    * PQ legs are not used by the exact-rescore facade path. */
+  private def buildIndex(vecCol: String): graft.operators.Similarity.DenseIndex = {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_ann_$vecCol").toString
+    val emb = corpus.embeddings.select(col("id"), col(vecCol))
+    val cents = Similarity.kmeansFit(emb, k = 4, iters = 2, idCol = "id", vecCol = vecCol)
+    cents.coalesce(1).write.parquet(s"$dir/centroids")
+    cents.unpersist()
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    graft.sources.Store.writePartitioned(
+      Similarity.assignCells(corpus.embeddings, centroids, vecCol = vecCol),
+      s"$dir/cells", "cluster")
+    Similarity.DenseIndex(centroids, spark.read.parquet(s"$dir/cells"),
+      spark.emptyDataFrame, spark.emptyDataFrame)
+  }
+  private lazy val clipIndex = buildIndex("clip")
+  private lazy val clipv2Index = buildIndex("clipv2")
+
+  test("textSearchAnn at full probe == textSearch, filters and all; partial probe prunes") {
+    val q = vec(kfs(3))
+    val filters = Filters(partitionTag = Some(2), ignoreIds = Seq(60L))
+    val ann = engine.textSearchAnn(clipIndex, q, k = 12, filters, nprobe = 4)
+      .collect().map(_.toString).sorted
+    val exact = engine.textSearch(q, k = 12, filters)
+      .collect().map(_.toString).sorted
+    assert(ann.nonEmpty)
+    assert(ann.toSeq === exact.toSeq)
+    // partial probe: the serving plan scans only the probed cells'
+    // partitions — a literal PartitionFilters predicate, and the candidate
+    // filters coexist with it instead of defeating it
+    val plan = engine.textSearchAnn(clipIndex, q, k = 12, filters, nprobe = 1)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(cluster"),
+      s"no partition pruning on the cells scan:\n$plan")
+  }
+
+  test("dual-model textSearchAnn fuses two index-backed channels (full probe == exact)") {
+    val q = vec(kfs(3))
+    val ann = engine.textSearchAnn(clipIndex, q, k = 10, nprobe = 4,
+      queryVec2 = Some(q.reverse), index2 = Some(clipv2Index))
+      .collect().map(_.toString).sorted
+    val exact = engine.textSearch(q, k = 10, queryVec2 = Some(q.reverse))
+      .collect().map(_.toString).sorted
+    assert(ann.nonEmpty)
+    assert(ann.toSeq === exact.toSeq)
+    // dual-model ANN without the second channel's index is a caller error
+    assertThrows[IllegalArgumentException] {
+      engine.textSearchAnn(clipIndex, q, k = 10, queryVec2 = Some(q.reverse))
+    }
+    // and the dim guard still runs in ANN mode
+    assertThrows[IllegalArgumentException] {
+      engine.textSearchAnn(clipIndex, Array(1f, 2f), k = 5)
+    }
+  }
+
+  test("imageSearchAnn at full probe == imageSearch (query-by-id against the index)") {
+    val ann = engine.imageSearchAnn(clipIndex, imgId = 5L, k = 10, nprobe = 4)
+      .collect().map(_.toString).sorted
+    val exact = engine.imageSearch(imgId = 5L, k = 10)
+      .collect().map(_.toString).sorted
+    assert(ann.nonEmpty)
+    assert(ann.toSeq === exact.toSeq)
+    // the stored query vector still matches itself first
+    val first = engine.imageSearchAnn(clipIndex, imgId = 5L, k = 10, nprobe = 4)
+      .collect().head.getSeq[Long](2)
+    assert(first.head === 5L)
+  }
+
   test("temporalRequery searches only the forward shot window") {
     import spark.implicits._
     val prev = Seq((7L, 0.95)).toDF("id", "score")

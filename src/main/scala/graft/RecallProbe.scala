@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object RecallProbe {
 
-  /** (nprobe, mean recall@k over a query batch, rows scanned) for every
-    * nprobe from 1 to the cell count, measured on the PERSISTED index
-    * artifacts (the serving path, not a re-train). "Rows scanned" is the
-    * size of the probed-cell union — exactly what the pruned scan reads. */
+  /** (nprobe, mean recall@k over a query batch, mean rows scanned PER
+    * QUERY) for every nprobe from 1 to the centroid count, measured on the
+    * PERSISTED index artifacts (the serving path, not a re-train). "Rows
+    * scanned" is each query's probed-cell volume, averaged — the
+    * single-query serving cost a user trades against recall (a BATCH scan
+    * reads the probed union once, so its cost is at most this times the
+    * batch size and usually far less). */
   def curve(
       spark: SparkSession, sfDir: String,
       k: Int = 20, nQueries: Int = 20): Seq[(Int, Double, Long)] = {
@@ -40,8 +43,10 @@ object RecallProbe {
       val recall = exact.map { case (q, ids) =>
         ids.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / ids.size
       }.sum / exact.size
-      val rows = Similarity.probeCellsBatch(idx.centroids, queries, nprobe)
-        .map(_._2).distinct.map(cellSizes.getOrElse(_, 0L)).sum
+      val perQuery = Similarity.probeCellsBatch(idx.centroids, queries, nprobe)
+        .groupBy(_._1).values
+        .map(_.map(p => cellSizes.getOrElse(p._2, 0L)).sum)
+      val rows = perQuery.sum / perQuery.size
       (nprobe, recall, rows)
     }
   }
@@ -101,8 +106,8 @@ object RecallProbe {
       s"($total corpus rows; persisted IVF artifacts, k=20, 20-query batch).\n\n"
     sb ++= "## Recall@20 vs nprobe (persisted IVF index)\n\n"
     sb ++= "Pick the smallest nprobe whose recall meets the target; " +
-      "\"rows scanned\" is the probed-cell union the pruned scan reads " +
-      "(the serving cost driver).\n\n"
+      "\"rows scanned\" is the mean per-query probed-cell volume the " +
+      "pruned scan reads (the serving cost driver).\n\n"
     sb ++= "| nprobe | recall@20 | rows scanned | corpus fraction |\n"
     sb ++= "|---:|---:|---:|---:|\n"
     cv.foreach { case (np, r, rows) =>

@@ -511,6 +511,82 @@ object Similarity {
       .otherwise(lit(0) - col("__best.negc")).as(clusterCol): _*)
   }
 
+  /** Bulk-assignment KERNEL for IVF-scale centroid counts: the same
+    * nearest-centroid argmax as [[assignCells]]/[[assignCellsChunked]],
+    * computed by a `mapPartitions` primitive-float loop over a broadcast
+    * centroid matrix instead of per-row SQL array expressions. At k ~ 10^3+
+    * centroids x d=768 the declarative forms evaluate k interpreted
+    * higher-order-lambda dots per row (HOF lambda bodies do not
+    * whole-stage-codegen), which measured ~20x off primitive-loop speed and
+    * super-linear past ~10^5 row x 10^3 centroid products (DimProbe,
+    * BASELINE.md r6) — for the BUILD path, k x N dot products are a dense
+    * matrix product and belong in a tight loop: this is the one genuinely
+    * imperative per-partition hot loop in the engine, hence the sanctioned
+    * mapPartitions escape hatch.
+    *
+    * Exact-parity contract (KmeansSpec asserts bulk == packed == chunked):
+    * same sequential-ascending double-accumulation dot as [[VectorOps.dot]]
+    * / `DotProductF`, same HALF_UP rounding to `simRound` as SQL `round`,
+    * ties to the LOWER cluster id, null vector -> NULL cell, empty
+    * centroids -> all-NULL cells. Null centroid ids are dropped like
+    * [[assignCellsChunked]].
+    *
+    * The centroid matrix is collected driver-side (k x d floats — the same
+    * driver-scale bound [[probeCells]] serving already assumes; ~14 MB at
+    * k=4608 x d=768, ~300 MB at k=10^5 — past that use
+    * [[assignCellsChunked]], which never materializes the set). */
+  def assignCellsBulk(
+      emb: DataFrame,
+      centroids: DataFrame,
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      simRound: Int = 6): DataFrame = {
+    val spark = emb.sparkSession
+    val cents: Array[(Int, Array[Float])] = centroids
+      .select(col(clusterCol).cast("int").as("c"), col("cv"))
+      .filter(col("c").isNotNull && col("cv").isNotNull)
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val vecIdx = emb.schema.fieldIndex(vecCol)
+    val outSchema = emb.schema.add(clusterCol,
+      org.apache.spark.sql.types.IntegerType, nullable = true)
+    val out = emb.rdd.mapPartitions { it =>
+      val cs = bc.value
+      it.map { row =>
+        if (row.isNullAt(vecIdx) || cs.isEmpty)
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ null)
+        else {
+          val v = row.getSeq[Float](vecIdx) match {
+            case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+            case other => other.toArray
+          }
+          var bestSim = Double.NegativeInfinity
+          var bestC = Int.MaxValue
+          var found = false
+          var ci = 0
+          while (ci < cs.length) {
+            val cv = cs(ci)._2
+            val n = math.min(v.length, cv.length)
+            var s = 0.0
+            var i = 0
+            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+            // SQL round(_, simRound): HALF_UP decimal rounding
+            val r = java.math.BigDecimal.valueOf(s)
+              .setScale(simRound, java.math.RoundingMode.HALF_UP).doubleValue()
+            // strict > keeps the FIRST (lowest-id) centroid on ties —
+            // centroids are sorted by id ascending
+            if (!found || r > bestSim) { bestSim = r; bestC = cs(ci)._1; found = true }
+            ci += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bestC)
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** Lloyd k-means over an embeddings relation (spherical: max-inner-product
     * assignment). This is the `index.train()` step FAISS IVF/PQ presupposes
     * and the reference never runs — it stays flat-exact (reference
@@ -566,12 +642,18 @@ object Similarity {
     cent.count()
     var toFree: Option[DataFrame] = Some(cent)
     for (_ <- 1 to iters) {
-      // identical assignment either way (chunk-fold max is associative);
-      // past ~4k centroids the packed single-row form would concentrate
-      // k x d floats in one collect_list row, so fold bounded chunks instead
+      // identical assignment all three ways (KmeansSpec parity-tests them):
+      // packed single-row argmax while k x d fits one collect_list row;
+      // past ~4k centroids the mapPartitions BULK kernel (primitive-loop
+      // dots over a driver-collected centroid matrix — the DimProbe-measured
+      // fast path at IVF-scale k); past driver-matrix scale (~10^5 x 768)
+      // the bounded chunk fold, which never materializes the full set
       val assigned =
         if (k <= 4096)
           assignCells(emb.select(col(idCol), col(vecCol)), cent,
+            vecCol, "cluster", simRound)
+        else if (k <= (1 << 16))
+          assignCellsBulk(emb.select(col(idCol), col(vecCol)), cent,
             vecCol, "cluster", simRound)
         else
           assignCellsChunked(emb.select(col(idCol), col(vecCol)), cent,

@@ -90,6 +90,36 @@ class KmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("assignCellsBulk matches packed assignCells exactly (kernel parity)") {
+    // the mapPartitions bulk kernel must be bit-identical to the packed SQL
+    // argmax: same sequential double-fold dot, same HALF_UP rounding, ties
+    // to the lower id, null vector -> NULL cell
+    val rnd = new scala.util.Random(11)
+    val emb = embDf((0L until 40L).map { i =>
+      val v = Array.fill(4)(rnd.nextFloat() - 0.5f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      i -> Some(v.map(_ / n))
+    } :+ (40L -> Option.empty[Array[Float]]))
+    val cents = centDf((0 until 9).map { c =>
+      val v = Array.fill(4)(rnd.nextFloat() - 0.5f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      c -> v.map(_ / n)
+    })
+    val packed = Similarity.assignCells(emb, cents)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.get(2)))
+    val bulk = Similarity.assignCellsBulk(emb, cents)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.get(2)))
+    assert(bulk === packed)
+    // tie-break parity: identical centroids, lower id must win
+    val tieEmb = embDf(Seq(0L -> Some(Array(1f, 0f))))
+    val tieCents = centDf(Seq(5 -> Array(1f, 0f), 2 -> Array(1f, 0f)))
+    assert(Similarity.assignCellsBulk(tieEmb, tieCents)
+      .select("cluster").collect().map(_.getInt(0)).toSeq === Seq(2))
+    // empty centroid relation -> all-NULL cells, like the SQL forms
+    assert(Similarity.assignCellsBulk(tieEmb, tieCents.limit(0))
+      .select("cluster").collect().forall(_.isNullAt(0)))
+  }
+
   test("assignCellsChunked breaks cross-chunk ties to the LOWER cluster id") {
     val emb = embDf(Seq(0L -> Some(Array(1f, 0f))))
     // identical centroids land in DIFFERENT chunks (chunkSize=1): the

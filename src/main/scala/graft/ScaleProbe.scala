@@ -55,7 +55,9 @@ object ScaleProbe {
       "a3_bm25_search", "dedup_minhash_lsh", "dedup_exact", "text_langid",
       "text_lm_quality", "sim_int8_topk", "w1_window_topk_per_user",
       "j1b_knn_batch", "sim_ivf_ann", "sim_ivf_batch", "sim_pq_adc",
-      "sim_ivfpq_ann", "sim_ivfpq_batch", "sim_ivfpq_refine")
+      "sim_ivfpq_ann", "sim_ivfpq_batch", "sim_ivfpq_refine",
+      "f1b_knn_ann_filtered", "f1c_ivfpq_ann_filtered", "sim_ivf_skew_split",
+      "sim_cluster_assign")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -194,6 +194,43 @@ class SearchEngine(
       groupCol = "video_id", idCol = "id", scoreCol = "score")
   }
 
+  /** Hybrid dense+sparse retrieval fused by reciprocal rank
+    * ([[Fusion.fuseByRrf]], k0=60): the dense leg serves from the persisted
+    * ANN index ([[annChannel]] — probed centroids + pruned cell partitions),
+    * the keyword leg answers from the FITTED sparse index (term-pruned
+    * artifact reads via [[Lexical.bm25SearchIndexed]]), both legs honor the
+    * same per-request candidate filters, and RRF merges by RANK — so BM25
+    * magnitudes and cosine similarities fuse without any cross-channel
+    * score calibration (the weakness of min-max addition fusion when
+    * channel score distributions differ). Both legs are k-bounded serving
+    * reads; fusion cost is independent of corpus size. */
+  def hybridSearch(
+      index: Similarity.DenseIndex,
+      sparse: Lexical.SparseIndex,
+      queryVec: Array[Float],
+      keywordQuery: String,
+      k: Int,
+      filters: Filters = Filters(),
+      nprobe: Int = 2,
+      rrfK0: Int = 60): DataFrame = {
+    requireDim(queryVec, clipDim, "clip")
+    val spark = corpus.embeddings.sparkSession
+    val cands = candidates(filters).select("id", "video_id")
+    val chDense = annChannel(index, "clip", queryVec, k, nprobe, cands)
+      .drop("video_id")
+    val terms = raw"\w+".r.findAllIn(preprocess(keywordQuery).toLowerCase).toSeq
+    val chSparse = Lexical.bm25SearchIndexed(spark, sparse, terms)
+      .join(cands.select("id"), Seq("id"))
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+    GroupShaping.groupResults(
+      Fusion.fuseByRrf(Seq(chDense, chSparse), rrfK0)
+        .withColumn("score", round(col("score"), 6))
+        .join(corpus.keyframes.select("id", "video_id"), Seq("id")),
+      groupCol = "video_id", idCol = "id", scoreCol = "score")
+  }
+
   /** /imgsearch in INDEX-BACKED (ANN) mode: query-by-id against the
     * persisted dense index — the stored query vector probes the centroid
     * artifact, the pruned cell partitions are exactly re-scored. Same

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-channel score fusion.
@@ -69,6 +70,37 @@ object Fusion {
         (col(scoreCol) - col("__mn")) / (col("__mx") - col("__mn") + lit(1e-6)))
       .groupBy(col(idCol))
       .agg(sum(col(scoreCol)).as(scoreCol))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * `score(id) = Σ_ch 1 / (k0 + rank_ch(id))`, rank 1-based within each
+    * channel by score desc with an id tiebreak. Rank-based, so per-channel
+    * score calibration is irrelevant — the standard fusion for hybrid
+    * sparse+dense retrieval (the reference's addition fusion
+    * `combine_utils.py:29-65` needs min-max calibration; RRF does not).
+    *
+    * Scale notes: channels are top-k-bounded SERVING results (tens to
+    * hundreds of rows each, never a corpus), so the unpartitioned ranking
+    * window is a single tiny in-memory sort — the fused relation stays
+    * k-bounded regardless of corpus size. Do not feed corpus-scale frames
+    * here; rank them with a bounded top-k first. */
+  def fuseByRrf(
+      channels: Seq[DataFrame],
+      k0: Int = 60,
+      idCol: String = "id",
+      scoreCol: String = "score"): DataFrame = {
+    require(channels.nonEmpty, "fusion needs at least one channel")
+    require(k0 > 0, s"RRF constant must be positive, got $k0")
+    channels
+      .map { ch =>
+        val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+        ch.select(col(idCol), col(scoreCol))
+          .withColumn("__rrf", lit(1.0) / (lit(k0) + row_number().over(w)))
+          .select(col(idCol), col("__rrf"))
+      }
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__rrf")).as(scoreCol))
   }
 
   /** Legacy `merge_searching_results` (`combine_utils.py:4-27`): L2-normalize

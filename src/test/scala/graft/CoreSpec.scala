@@ -75,6 +75,28 @@ class FusionSpec extends AnyFunSuite {
     assert(math.abs(got(2L) - 10.0 / 10.000001) < 1e-9)
     assert(math.abs(got(3L) - 1.0 / 10.000001) < 1e-9)
   }
+
+  test("RRF fuses by rank, ignoring score calibration") {
+    // ch1 scores in [0,1], ch2 in the thousands — rank fusion must not care.
+    // ch1 ranks: 2(r1), 1(r2), 3(r3); ch2 ranks: 3(r1), 1(r2).
+    val ch1 = Seq((1L, 0.9), (2L, 0.95), (3L, 0.1)).toDF("id", "score")
+    val ch2 = Seq((3L, 9000.0), (1L, 8000.0)).toDF("id", "score")
+    val got = Fusion.fuseByRrf(Seq(ch1, ch2), k0 = 60).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(got(1L) - (1.0 / 62 + 1.0 / 62)) < 1e-12)
+    assert(math.abs(got(2L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(got(3L) - (1.0 / 63 + 1.0 / 61)) < 1e-12)
+  }
+
+  test("RRF rank ties break by id (deterministic across engines)") {
+    val ch = Seq((5L, 1.0), (2L, 1.0), (9L, 1.0)).toDF("id", "score")
+    val got = Fusion.fuseByRrf(Seq(ch)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // equal scores rank by ascending id: 2 -> r1, 5 -> r2, 9 -> r3
+    assert(math.abs(got(2L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(got(5L) - 1.0 / 62) < 1e-12)
+    assert(math.abs(got(9L) - 1.0 / 63) < 1e-12)
+  }
 }
 
 class TemporalJoinsSpec extends AnyFunSuite {

@@ -260,6 +260,35 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(first.head === 5L)
   }
 
+  test("hybridSearch RRF-fuses the ANN dense leg with the BM25 keyword leg") {
+    import spark.implicits._
+    // per-keyframe texts: only kf 3's text contains the query terms, and the
+    // query vector is kf 3's own embedding -> rank 1 in BOTH legs -> fused
+    // 2/(60+1), strictly above any single-leg or lower-rank contender
+    val docs = kfs.map(kf =>
+      (kf.id, if (kf.id == 3L) "dog park sunny" else s"filler words item ${kf.id}"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_idx").toString
+    val sparseIdx = graft.operators.Lexical.writeIndex(spark, docs, "id", "text", dir, buckets = 2)
+    val res = engine.hybridSearch(clipIndex, sparseIdx, vec(kfs(3)), "Dog park!",
+      k = 10, nprobe = 4).collect()
+    assert(res.nonEmpty)
+    val topIds = res.head.getSeq[Long](2)
+    assert(topIds.head === 3L)
+    assert(math.abs(res.head.getDouble(1) - 2.0 / 61) < 1e-6)
+    // per-request candidate filters reach BOTH legs: ignoring kf 3's shot
+    // removes it from the dense scan and the keyword postings alike
+    val filtered = engine.hybridSearch(clipIndex, sparseIdx, vec(kfs(3)), "Dog park!",
+      k = 10, filters = Filters(ignoreIds = Seq(3L)), nprobe = 4).collect()
+    val ignShot = (kfs(3).videoId, kfs(3).shotId)
+    assert(filtered.flatMap(_.getSeq[Long](2)).forall(i =>
+      (kfs(i.toInt).videoId, kfs(i.toInt).shotId) != ignShot))
+    // wrong-dim guard holds on the hybrid surface too
+    assertThrows[IllegalArgumentException] {
+      engine.hybridSearch(clipIndex, sparseIdx, Array(1f, 2f), "dog", k = 5)
+    }
+  }
+
   test("temporalRequery searches only the forward shot window") {
     import spark.implicits._
     val prev = Seq((7L, 0.95)).toDF("id", "score")

@@ -888,6 +888,47 @@ object SparkEntry {
              |SELECT id AS vec_id, ROUND(score, 6) AS score FROM sc
              |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // ADAPTIVE filtered ANN: a fixed nprobe under a selective candidate
+    // filter silently under-fills k (the probed cells hold too few
+    // admissible ids) — here the probe depth is SIZED FROM THE REQUEST:
+    // count admissible candidates per cell on the thin (id, cluster)
+    // projection, then probe the minimal centroid-score-ordered prefix of
+    // cells whose cumulative admissible count reaches k. With the %13/%7
+    // filters below (34 admissible of 500) the probe escalates well past
+    // the default nprobe=2 — and the oracle pins the exact same
+    // prefix-by-cumulative-count rule in SQL
+    ("f1d_knn_ann_adaptive",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val allow = emb.filter(col("vec_id") % 13 === 0).select(col("vec_id"))
+        val deny = emb.filter(col("vec_id") % 7 === 2).select(col("vec_id"))
+        Similarity.ivfSearchAdaptivePruned(idx.cells, idx.centroids, qv, k = 20,
+          restrictIds = Some(allow), excludeIds = Some(deny))
+      },
+      Some(s"""$ivfCellCtes,
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN q),
+             |adm AS (SELECT cluster, COUNT(*) AS cnt FROM a3
+             |        WHERE vec_id % 13 = 0 AND NOT (vec_id % 7 = 2)
+             |        GROUP BY cluster),
+             |rkc AS (SELECT cs.cluster, COALESCE(adm.cnt, 0) AS cnt,
+             |               ROW_NUMBER() OVER (ORDER BY cs.cscore DESC, cs.cluster) AS rk
+             |        FROM cs LEFT JOIN adm USING (cluster)),
+             |cum AS (SELECT cluster, rk, SUM(cnt) OVER (ORDER BY rk) AS cum FROM rkc),
+             |lmin AS (SELECT COALESCE(MIN(CASE WHEN cum >= 20 THEN rk END), MAX(rk)) AS l
+             |         FROM cum),
+             |probe AS (SELECT cluster FROM cum CROSS JOIN lmin WHERE rk <= l)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e JOIN a3 USING (vec_id) CROSS JOIN q
+             |WHERE a3.cluster IN (SELECT cluster FROM probe)
+             |  AND e.vec_id % 13 = 0 AND NOT (e.vec_id % 7 = 2)
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
     // ---- T1 temporal re-query ---------------------------------------------
 
     ("t1_neighbor_expand_requery",

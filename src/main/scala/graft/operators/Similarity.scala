@@ -770,6 +770,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** Filtered-ANN probe PLANNING: a fixed nprobe under a selective
+    * candidate filter silently returns fewer than k rows — the probed
+    * cells may simply not hold k admissible ids (the reference hits the
+    * same cliff when an `IDSelectorArray` keeps a sliver of the index,
+    * `utils/faiss_processing.py:154-166`). This form sizes the probe from
+    * the request itself: rank ALL cells by centroid score (the same
+    * driver-scale coarse-quantizer pass every IVF search runs), count
+    * ADMISSIBLE candidates per cell on a narrow (id, cluster) projection
+    * of the cell store — parquet column pruning reads the two thin
+    * columns, never the vectors — and probe the MINIMAL score-ordered
+    * prefix of cells whose cumulative admissible count reaches k (every
+    * cell when the whole corpus holds fewer). The serving scan that
+    * follows is the ordinary pruned+filtered search over that prefix:
+    * literal `PartitionFilters` + broadcast semi/anti candidate joins.
+    *
+    * 100 TB notes: the planning pass is corpus-linear in the two thin
+    * columns only (~1-2% of corpus bytes at production dims); batched
+    * requests amortize it, and a deployment with a persisted per-cell
+    * admissible histogram (per-tenant/per-label counts) skips it
+    * entirely. The probe decision itself is k_cells rows on the driver —
+    * coarse-quantizer scale. */
+  def ivfSearchAdaptivePruned(
+      cells: DataFrame,
+      centroids: DataFrame,
+      queryDf: DataFrame,
+      k: Int,
+      restrictIds: Option[DataFrame] = None,
+      excludeIds: Option[DataFrame] = None,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      roundTo: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ranked = probeCells(centroids, queryDf, Int.MaxValue, clusterCol)
+    val counts = applyCandidateFilters(
+        cells.select(col(idCol), col(clusterCol)), idCol, restrictIds, excludeIds)
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cum = ranked.scanLeft(0L)((acc, c) => acc + counts.getOrElse(c, 0L)).tail
+    val reachK = cum.indexWhere(_ >= k)
+    val probed = ranked.take(math.max(if (reachK >= 0) reachK + 1 else ranked.length, 1))
+    scoreAll(
+      applyCandidateFilters(cells.filter(col(clusterCol).isin(probed: _*)),
+        idCol, restrictIds, excludeIds),
+      queryDf, idCol, vecCol)
+      .select(col(idCol), round(col("score"), roundTo).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF-PQ serving against PERSISTED codes (the FAISS IVFPQ serving shape:
     * codes live inside the inverted lists, written once at build time by
     * [[pqEncode]] with the cell carried through): probe driver-side

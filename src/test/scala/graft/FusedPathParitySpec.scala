@@ -326,6 +326,49 @@ class FusedPathParitySpec extends AnyFunSuite {
     cents.unpersist()
   }
 
+  test("adaptive filtered ANN escalates the probe to fill k; fixed nprobe under-fills") {
+    import graft.operators.Similarity
+    val dim = 16
+    val emb = (0L until 40L).map { i =>
+      val v = (0 until dim).map(d => math.cos(i * 11 + d * 5).toFloat).toArray
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(emb, k = 4, iters = 2)
+    val cells = Similarity.assignCells(emb, cents)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val topCell = Similarity.probeCells(cents, qv, 1).head
+    val byCell = cells.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    // allow-set: exactly TWO ids from the query's own (top-scored) cell plus
+    // everything OUTSIDE it — a fixed nprobe=1 probe can only ever see 2
+    // admissible rows, however large k is
+    val inTop = byCell.filter(_._2 == topCell).map(_._1).sorted.take(2)
+    val outTop = byCell.filter(_._2 != topCell).map(_._1)
+    assume(inTop.length == 2 && outTop.length >= 6)
+    val allowIds = (inTop ++ outTop).toSet
+    val allowDf = allowIds.toSeq.sorted.toDF("vec_id")
+    val k = 6
+    val fixed = Similarity.ivfSearchPruned(cells, cents, qv, nprobe = 1, k = k,
+      restrictIds = Some(allowDf))
+    assert(fixed.count() === 2, "fixed nprobe=1 should under-fill k under this filter")
+    val adaptive = Similarity.ivfSearchAdaptivePruned(cells, cents, qv, k = k,
+      restrictIds = Some(allowDf)).collect()
+    assert(adaptive.length === k, "adaptive probe must escalate until k admissible rows")
+    assert(adaptive.map(_.getLong(0)).forall(allowIds), "inadmissible id served")
+    // when the whole corpus holds fewer admissible ids than k the adaptive
+    // probe covers every non-empty cell and equals the filtered exact search
+    val tinyIds = outTop.sorted.take(3).toSeq
+    val tinyDf = tinyIds.toDF("vec_id")
+    val got = Similarity.ivfSearchAdaptivePruned(cells, cents, qv, k = k,
+      restrictIds = Some(tinyDf))
+    val want = Similarity.knnExact(emb.filter(col("vec_id").isin(tinyIds: _*)), qv, k)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+    assert(rows(got) === rows(want))
+    cents.unpersist()
+  }
+
   test("tfidfSearchMulti == per-channel tfidfSearch on each channel") {
     val docsA = Seq(
       (1L, "spark join shuffle"), (2L, "join join filter"), (3L, "scan spark"))

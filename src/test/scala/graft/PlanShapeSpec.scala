@@ -188,6 +188,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pc.contains("LeftSemi") && pc.contains("LeftAnti"),
       s"candidate joins missing from the ADC stage:\n$pc")
     assert(!pc.contains("zip_with"), s"filtered ADC encodes at query time:\n$pc")
+    // the ADAPTIVE form's SERVING scan keeps the identical shape — the
+    // request-sized probe planning happens in separate driver-side jobs,
+    // never inside the serving plan
+    val pd = plan(q("f1d_knn_ann_adaptive"))
+    assert(pd.contains("PartitionFilters") && pd.contains("cluster"),
+      s"adaptive probe not a partition filter:\n$pd")
+    assert(pd.contains("LeftSemi") && pd.contains("LeftAnti"),
+      s"adaptive candidate joins missing:\n$pd")
+    assert(pd.contains("TakeOrderedAndProject"), s"adaptive top-k lost:\n$pd")
   }
 
   test("LM quality gate reads postings artifacts: no tokenize, no corpus scan") {

@@ -2651,6 +2651,50 @@ object SparkEntry {
              |  AND cts >= pts - INTERVAL 1 HOUR AND cts <= pts
              |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)),
 
+    // STREAMING ANN serving: five query vectors land one-file-each and are
+    // answered across genuinely multiple micro-batches (maxFilesPerTrigger=2)
+    // from the PERSISTED IVF artifacts — every batch probes driver-side and
+    // scans only its probed cells' partitions; per-query top-k carries no
+    // cross-batch state, so the accumulated stream result equals the
+    // one-shot batch search, which is what the oracle pins
+    ("stream_ann_topk",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val stage = java.nio.file.Files.createTempDirectory("graft_annq_src")
+        (0 to 4).foreach { i =>
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_annq_tmp$i")
+          emb.filter(col("vec_id") === i)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath, stage.resolve(s"q$i.parquet"))
+        }
+        graft.streaming.IncrementalIndex.serveAnnStream(
+            s, stage.toString, idx.cells, idx.centroids, nprobe = 2, k = 10)
+          .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+      },
+      Some(s"""$ivfCellCtes,
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2, 3, 4)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
+             |scored AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN probe p ON p.cluster = a3.cluster
+             |  JOIN qs q ON q.query_id = p.query_id),
+             |rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (
+             |         PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
+             |SELECT query_id, vec_id, sim FROM rk WHERE rn <= 10
+             |ORDER BY query_id, sim DESC, vec_id""".stripMargin)),
+
     ("w2_sessionize",
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("__t"), col("event_id"))

@@ -391,4 +391,50 @@ object IncrementalIndex {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming ANN SERVING — the online half of the build/serve split: a
+    * stream of query vectors `(query_id LONG, qv ARRAY<FLOAT>)` lands in
+    * `queryLandingDir` and every micro-batch is answered from the PERSISTED
+    * IVF artifacts via [[graft.operators.Similarity.ivfSearchBatchPruned]]:
+    * the batch probes the centroid artifact driver-side (the coarse-
+    * quantizer pass) and scans ONLY its probed cells' partitions of the
+    * cell store (literal `PartitionFilters`), so per-batch cost is
+    * batch-size x probed-cell volume and NOTHING is trained, encoded, or
+    * corpus-scanned at serving time. Per-query top-k carries no cross-query
+    * or cross-batch state, so the accumulated result is INDEPENDENT of how
+    * the stream was batched — the oracle checks it equals the one-shot
+    * batch search over the same queries. Results accumulate on the driver
+    * (k rows per query — serving-scale output, the analog of the
+    * reference's per-request top-k lists). `maxFilesPerTrigger` bounds
+    * micro-batch size (and in tests forces a genuinely multi-batch run).
+    * Returns `(query_id, vec_id, sim)` for every streamed query. */
+  def serveAnnStream(
+      spark: SparkSession,
+      queryLandingDir: String,
+      cells: DataFrame,
+      centroids: DataFrame,
+      nprobe: Int,
+      k: Int,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    val schema = spark.read.parquet(queryLandingDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(queryLandingDir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val res = graft.operators.Similarity
+          .ivfSearchBatchPruned(cells, centroids, batch, nprobe, k)
+          .collect()
+        buf.synchronized {
+          buf ++= res.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    buf.toSeq.toDF("query_id", "vec_id", "sim")
+  }
 }

@@ -279,6 +279,38 @@ class IncrementalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ANN serving: micro-batched results equal the one-shot batch search") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.kmeansFit(emb, k = 4, iters = 2)
+    val cells = Similarity.assignCells(emb, cents)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // stage one file per query so maxFilesPerTrigger really splits the run
+    val stage = java.nio.file.Files.createTempDirectory("graft_annq_spec")
+    (0 until 5).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_annq_tmp$i")
+      queries.filter(col("query_id") === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, stage.resolve(s"q$i.parquet"))
+    }
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "vec_id").collect().map(_.toString).toSeq
+    val want = sorted(
+      Similarity.ivfSearchBatchPruned(cells, cents, queries, nprobe = 2, k = 7))
+    // 5 one-query batches and a 4+1 split must both equal the one-shot run:
+    // per-query top-k carries no cross-batch state
+    for (mft <- Seq(1, 4)) {
+      val got = sorted(IncrementalIndex.serveAnnStream(
+        spark, stage.toString, cells, cents, nprobe = 2, k = 7,
+        maxFilesPerTrigger = mft))
+      assert(got === want, s"maxFilesPerTrigger=$mft diverged from batch serving")
+    }
+    cents.unpersist()
+  }
+
   test("incremental refresh loop: streaming sink -> fitted index -> identical scores") {
     import graft.operators.Lexical
     val base = java.nio.file.Files.createTempDirectory("graft_incr_loop")

@@ -234,32 +234,13 @@ object SparkEntry {
         codebooks = s.read.parquet(s"$p/codebooks"),
         codes = s.read.parquet(s"$p/codes"))
       ArtifactMemo(p) {
-        val emb = t(s, dir, "embeddings")
-        val cents = Similarity.kmeansFit(emb, k = 8, iters = 2)
-        cents.coalesce(1).write.mode(SaveMode.Overwrite)
-          .option("compression", "zstd").parquet(s"$p/centroids")
-        cents.unpersist() // kmeansFit's contract: the caller owns the frame
-        graft.sources.Store.writePartitioned(
-          Similarity.assignCells(emb, s.read.parquet(s"$p/centroids")),
-          s"$p/cells", "cluster")
-        // PQ leg of the same index (FAISS IVFPQ: codes live IN the inverted
-        // lists): sampled-init codebooks REFINED by one per-subspace Lloyd
-        // iteration (ProductQuantizer::train — tighter quantization at the
-        // same code budget, PqRefineSpec measures it) + the whole corpus
-        // encoded ONCE at build time, codes written cell-partitioned so ADC
-        // serving prunes to the probed cells' directories and never touches
-        // the original vectors
-        val cbr = Similarity.pqRefineCodebooks(
-          emb, Similarity.pqCodebooks(emb, 8, 8, 16), 8, 8, iters = 1)
-        cbr.coalesce(1).write.mode(SaveMode.Overwrite)
-          .option("compression", "zstd").parquet(s"$p/codebooks")
-        cbr.unpersist() // pqRefineCodebooks' contract: caller owns the frame
-        graft.sources.Store.writePartitioned(
-          Similarity.pqEncode(
-            s.read.parquet(s"$p/cells"),
-            s.read.parquet(s"$p/codebooks"), 8, 8, carry = Seq("cluster")),
-          s"$p/codes", "cluster")
-        read
+        // geometry pinned explicitly (NOT IvfParams.auto) because the
+        // oracle SQL unrolls the training at exactly k=8 cells / 16 codes;
+        // production callers omit params and get the k ~ sqrt(N) sizing
+        Similarity.buildDenseIndex(t(s, dir, "embeddings"), p,
+          Some(Similarity.IvfParams(
+            nlist = 8, lloydIters = 2, numSub = 8, subDim = 8,
+            numCentroids = 16, pqIters = 1, defaultNprobe = 2)))
       }(read)
     }
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Dense similarity search (the reference's J1: 1xd query vs Nxd corpus exact
@@ -28,6 +28,123 @@ object Similarity {
       cells: DataFrame,
       codebooks: DataFrame,
       codes: DataFrame)
+
+  /** Dense-index build sizing: how many IVF cells, PQ subspaces and
+    * codebook entries to train for a corpus of N rows x d dims, plus the
+    * serving probe default. [[IvfParams.auto]] wires the k ~ sqrt(N) rule
+    * so callers of [[buildDenseIndex]] never hand-pick index geometry:
+    *
+    *  - `nlist` (IVF cell count) = ceil(4 * sqrt(N)) clamped to [1, N] —
+    *    the published FAISS guideline (nlist between 4*sqrt(N) and
+    *    16*sqrt(N); the low end keeps training cost at ~nlist * iters
+    *    dots/row while cells stay large enough to amortize per-partition
+    *    overhead). At 3e10 rows (a 100 TB corpus at d=768 floats) this is
+    *    ~700k cells of ~43k rows — both sides comfortably in range of
+    *    [[assignCellsChunked]] and the partitioned cell store.
+    *  - `subDim` = the divisor of d nearest 8 (more subspaces on a tie),
+    *    excluding d itself when any proper divisor >= 2 exists — the
+    *    FAISS-typical 8-dims-per-sub-quantizer shape; `numSub` = d/subDim.
+    *    A d with no proper divisor falls back to one d-dim subspace.
+    *  - `numCentroids` (codes per subspace) = min(256, N): 256 keeps one
+    *    code in one byte — the PQ storage story.
+    *  - `defaultNprobe` = max(1, nlist/16): a recall-leaning starting
+    *    point; tune per dataset from the measured recall-vs-nprobe curve
+    *    ([[graft.RecallProbe]] emits it from the persisted index).
+    *
+    * Training depth defaults (`lloydIters` = 2, `pqIters` = 1) match the
+    * measured diminishing-returns point on the testbed (PqRefineSpec). */
+  case class IvfParams(
+      nlist: Int,
+      lloydIters: Int,
+      numSub: Int,
+      subDim: Int,
+      numCentroids: Int,
+      pqIters: Int,
+      defaultNprobe: Int) {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(numSub >= 1 && subDim >= 1,
+      s"PQ geometry must be positive, got numSub=$numSub subDim=$subDim")
+    require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
+    require(defaultNprobe >= 1 && defaultNprobe <= nlist,
+      s"defaultNprobe must be in [1, nlist], got $defaultNprobe (nlist=$nlist)")
+  }
+
+  object IvfParams {
+    /** The k ~ sqrt(N) sizing rule (see class doc for the derivation). */
+    def auto(n: Long, d: Int): IvfParams = {
+      require(n > 0, s"corpus must be non-empty, got n=$n")
+      require(d > 0, s"dims must be positive, got d=$d")
+      val nlist = math.min(n,
+        math.max(1L, math.ceil(4.0 * math.sqrt(n.toDouble)).toLong)).toInt
+      val subDim = {
+        val proper = (2 until d).filter(d % _ == 0)
+        if (proper.isEmpty) d
+        else proper.minBy(s => (math.abs(s - 8), s))
+      }
+      IvfParams(
+        nlist = nlist,
+        lloydIters = 2,
+        numSub = d / subDim,
+        subDim = subDim,
+        numCentroids = math.min(256L, n).toInt,
+        pqIters = 1,
+        defaultNprobe = math.max(1, nlist / 16))
+    }
+  }
+
+  /** One-call dense-index BUILD (FAISS `train()` + `add()` + write, SURVEY
+    * §4.2): fits k-means centroids ([[kmeansFit]]), lands the corpus
+    * cell-PARTITIONED under its assignment, trains Lloyd-refined PQ
+    * codebooks ([[pqCodebooks]] init + [[pqRefineCodebooks]]) and encodes
+    * the corpus to cell-partitioned codes — the four persisted artifacts
+    * every serving path here reads ([[ivfSearchPruned]],
+    * [[ivfPqSearchPruned]], [[ivfPqRefineSearch]], the batch forms, and
+    * [[graft.streaming.IncrementalIndex.updateDenseIndex]] which maintains
+    * the same layout incrementally). With `params` omitted the geometry
+    * comes from [[IvfParams.auto]] on the corpus' measured (N, d) — the
+    * k ~ sqrt(N) rule — so the call scales from the 500-row testbed to an
+    * IVF-scale corpus without hand-tuning; the assignment kernel is picked
+    * by nlist exactly as [[kmeansFit]] picks it (packed argmax <= 4096,
+    * primitive-loop bulk kernel to 2^16, bounded chunk fold past that).
+    * Build is a run-ONCE step: serving never re-enters this method. */
+  def buildDenseIndex(
+      emb: DataFrame,
+      outDir: String,
+      params: Option[IvfParams] = None,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DenseIndex = {
+    val spark = emb.sparkSession
+    val p = params.getOrElse {
+      val m = emb.select(count(lit(1)).as("n"), max(size(col(vecCol))).as("d")).head()
+      IvfParams.auto(m.getLong(0), if (m.isNullAt(1)) 0 else m.getInt(1))
+    }
+    val cents = kmeansFit(emb, p.nlist, p.lloydIters, idCol, vecCol)
+    cents.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(s"$outDir/centroids")
+    cents.unpersist() // kmeansFit's contract: the caller owns the frame
+    val centArt = spark.read.parquet(s"$outDir/centroids")
+    val assigned =
+      if (p.nlist <= 4096) assignCells(emb, centArt, vecCol)
+      else if (p.nlist <= (1 << 16)) assignCellsBulk(emb, centArt, vecCol)
+      else assignCellsChunked(emb, centArt, vecCol)
+    graft.sources.Store.writePartitioned(assigned, s"$outDir/cells", "cluster")
+    val cbr = pqRefineCodebooks(
+      emb, pqCodebooks(emb, p.numSub, p.subDim, p.numCentroids, idCol, vecCol),
+      p.numSub, p.subDim, iters = p.pqIters, idCol = idCol, vecCol = vecCol)
+    cbr.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(s"$outDir/codebooks")
+    cbr.unpersist() // pqRefineCodebooks' contract: caller owns the frame
+    graft.sources.Store.writePartitioned(
+      pqEncode(spark.read.parquet(s"$outDir/cells"),
+        spark.read.parquet(s"$outDir/codebooks"), p.numSub, p.subDim,
+        idCol, vecCol, carry = Seq("cluster")),
+      s"$outDir/codes", "cluster")
+    DenseIndex(
+      centroids = spark.read.parquet(s"$outDir/centroids"),
+      cells = spark.read.parquet(s"$outDir/cells"),
+      codebooks = spark.read.parquet(s"$outDir/codebooks"),
+      codes = spark.read.parquet(s"$outDir/codes"))
+  }
 
   /** Exact scores of every corpus row against a single broadcast query vector.
     * `queryDf` must have exactly one column `qv ARRAY<FLOAT>` and one row. */

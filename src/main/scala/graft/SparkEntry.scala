@@ -87,18 +87,26 @@ object SparkEntry {
        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
        |         FROM s3) WHERE rn = 1)""".stripMargin
 
-  /** Shared oracle-SQL chain: sampled PQ codebooks (`cb0`, 8 subspaces x
-    * 8 dims x 16 codes) refined by ONE per-subspace Lloyd iteration into
-    * `cbr` (m, c, cbv) — mirrors [[Similarity.pqRefineCodebooks]] hash-for-
-    * hash (argmin-L2 re-assign with ties to the smaller code, decimal-exact
-    * coordinate-mean refit, round-8 floats). `cbr` is the codebook artifact
-    * `DenseArtifacts` persists; `sub` (every corpus row's subvectors) is
-    * reused by the downstream encode CTEs. */
+  /** Shared oracle-SQL chain: hash-rank-sampled PQ codebooks (`cb0`, 8
+    * subspaces x 8 dims x 16 codes — the 16 rows with the smallest
+    * `hash60('pq:' + id)`, numbered 0..15 in hash order, mirroring
+    * [[Similarity.pqCodebooks]]'s id-space-agnostic init) refined by ONE
+    * per-subspace Lloyd iteration into `cbr` (m, c, cbv) — mirrors
+    * [[Similarity.pqRefineCodebooks]] hash-for-hash (argmin-L2 re-assign
+    * with ties to the smaller code, decimal-exact coordinate-mean refit,
+    * round-8 floats). `cbr` is the codebook artifact `DenseArtifacts`
+    * persists; `sub` (every corpus row's subvectors) is reused by the
+    * downstream encode CTEs. */
   private val pqRefinedCbCtes: String =
     """ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-      |cb0 AS (SELECT m, CAST(e.vec_id AS INT) AS c,
-      |               e.embedding[m*8+1 : m*8+8] AS cbv
-      |        FROM embeddings e, ms WHERE e.vec_id < 16),
+      |pqh AS (SELECT vec_id, embedding,
+      |          ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |        FROM embeddings),
+      |pqs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS c,
+      |               embedding
+      |        FROM pqh ORDER BY hh, vec_id LIMIT 16),
+      |cb0 AS (SELECT m, s.c, s.embedding[m*8+1 : m*8+8] AS cbv
+      |        FROM pqs s, ms),
       |sub AS (SELECT e.vec_id AS id, m, e.embedding[m*8+1 : m*8+8] AS sv
       |        FROM embeddings e, ms),
       |d0 AS (SELECT s.id, s.m, cb0.c,

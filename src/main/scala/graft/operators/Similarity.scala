@@ -350,21 +350,30 @@ object Similarity {
       .select(keep.map(col) :+ col("__s.m").as("m") :+ col("__s.sv").as(outCol): _*)
   }
 
-  /** Product-quantization codebooks by deterministic sampling: centroid `c`
-    * of subspace `m` is the m-th subvector of the corpus row with
-    * `idCol == c` (random-sampling codebook init with a fixed seed set —
-    * deterministic, so the whole PQ pipeline is reproducible and
-    * oracle-checkable; Lloyd refinement would bolt on as [[centroids]]
-    * iterations per subspace). Output `(m, c, cbv)` — M x K rows, broadcast
-    * everywhere it's used. */
+  /** Product-quantization codebooks by deterministic sampling: the seed set
+    * is the `numCentroids` corpus rows with the smallest engine-portable
+    * `hash60("pq:" + id)` (ties by id), numbered 0..K-1 in hash order —
+    * the SAME id-space-agnostic init as [[kmeansFit]], so offset, sparse,
+    * or hashed id spaces all yield a full K-row codebook per subspace
+    * (an `id < K` filter would return a partial or empty codebook on any
+    * corpus whose ids don't cover 0..K-1, and PQ serving would silently
+    * return nothing). Deterministic, so the whole PQ pipeline is
+    * reproducible and oracle-checkable; [[pqRefineCodebooks]] bolts Lloyd
+    * iterations onto this init. Output `(m, c, cbv)` — M x K rows,
+    * broadcast everywhere it's used. */
   def pqCodebooks(
       emb: DataFrame, numSub: Int, subDim: Int, numCentroids: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    subvectors(
-      emb.filter(col(idCol) < numCentroids)
-        .select(col(idCol).cast("int").as("c"), col(vecCol)),
-      vecCol, "cbv", numSub, subDim, Seq("c"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hw = Window.orderBy(col("__h"), col(idCol))
+    val seeds = emb
+      .select(col(idCol), col(vecCol), graft.operators.Dedup.hash60(
+        concat(lit("pq:"), col(idCol).cast("string"))).as("__h"))
+      .orderBy(col("__h"), col(idCol)).limit(numCentroids)
+      .select((row_number().over(hw) - 1).cast("int").as("c"), col(vecCol))
+    subvectors(seeds, vecCol, "cbv", numSub, subDim, Seq("c"))
       .select(col("m"), col("c"), col("cbv"))
+  }
 
   /** Lloyd refinement of PQ codebooks: per subspace, re-assign every
     * subvector to its argmin-squared-L2 centroid (the [[pqEncode]] argmin
@@ -511,13 +520,17 @@ object Similarity {
     * documented retrain trigger. */
   def quantizationDistortion(
       emb: DataFrame, codebooks: DataFrame, numSub: Int, subDim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Double =
-    subvectors(emb.select(col(idCol), col(vecCol)), vecCol, "sv",
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val r = subvectors(emb.select(col(idCol), col(vecCol)), vecCol, "sv",
       numSub, subDim, Seq(idCol))
       .join(broadcast(codebooks), Seq("m"))
       .groupBy(col(idCol), col("m"))
       .agg(min(VectorOps.sqDist(col("sv"), col("cbv"))).as("d"))
-      .agg(avg(col("d"))).head.getDouble(0)
+      .agg(avg(col("d"))).head
+    // an empty relation has no quantization error (avg over zero rows is
+    // SQL NULL) — callers like the streaming drift gate must see 0, not NPE
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
 
   /** Element-wise mean vectors per cluster (centroid build). Decomposes the
     * array with posexplode and re-assembles with a grouped sort — shuffles
@@ -921,8 +934,12 @@ object Similarity {
       roundTo: Int = 4): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val ranked = probeCells(centroids, queryDf, Int.MaxValue, clusterCol)
+    // null-cluster rows (the documented assignCells output for null-vector
+    // corpus rows) can never be probed — drop them before the count, or the
+    // null group would NPE the driver-side collect
     val counts = applyCandidateFilters(
         cells.select(col(idCol), col(clusterCol)), idCol, restrictIds, excludeIds)
+      .filter(col(clusterCol).isNotNull)
       .groupBy(col(clusterCol))
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -1126,7 +1143,11 @@ object Similarity {
       val maxId = centroids.agg(max(col(clusterCol).cast("int"))).head.getInt(0)
       var outCents = centroids.filter(!col(clusterCol).isin(oversized: _*))
         .select(col(clusterCol).cast("int").as(clusterCol), col("cv"))
-      var outCells = cells.filter(!col(clusterCol).isin(oversized: _*))
+      // null-cluster rows (null-vector corpus rows, per assignCells) must
+      // survive the rewrite: under three-valued logic `NOT (NULL IN (...))`
+      // is NULL, so a bare NOT-isin filter would silently drop them
+      var outCells = cells.filter(
+        col(clusterCol).isNull || !col(clusterCol).isin(oversized: _*))
       for ((c, ord) <- oversized.zipWithIndex) {
         val base = maxId + 1 + ord * subK
         val cellRows = cells.filter(col(clusterCol) === c).drop(clusterCol)

@@ -118,7 +118,9 @@ object IncrementalIndex {
       numSub: Int = 8,
       subDim: Int = 8,
       trainDistortion: Option[Double] = None,
-      driftTolerance: Double = 1.5): Unit = {
+      driftTolerance: Double = 1.5,
+      centroidIdCol: String = "cluster",
+      cellCol: String = "cluster"): Unit = {
     import org.apache.spark.sql.functions._
     // half-specifying the PQ leg would SILENTLY skip it and leave the codes
     // artifact stale — the exact staleness this maintenance job exists to
@@ -128,7 +130,12 @@ object IncrementalIndex {
         s"(got codebooks=${codebooks.isDefined}, codesDir=${codesDir.isDefined})")
     require(trainDistortion.isEmpty || codebooks.isDefined,
       "trainDistortion given without codebooks — there is nothing to gate")
-    val seeds = centroids.select(col("label").as("seed_id"), col("cv").as("sv"))
+    // centroidIdCol/cellCol default to "cluster" — the exact layout
+    // [[graft.operators.Similarity.buildDenseIndex]] persists and every
+    // pruned serving path reads — so build-time artifacts feed this job and
+    // the incremental store serves WITHOUT renames; labeled-seed callers
+    // override both (e.g. "label"/"ivf_cell")
+    val seeds = centroids.select(col(centroidIdCol).as("seed_id"), col("cv").as("sv"))
     val schema = spark.read.parquet(landingDir).schema
     val src = spark.readStream.schema(schema).parquet(landingDir)
     val q = src.writeStream
@@ -147,12 +154,12 @@ object IncrementalIndex {
                 f"(tolerance ${driftTolerance}x) — retrain the PQ codebooks " +
                 "and re-encode before ingesting this distribution")
         }
-        // the cell column gets its own name — landed rows may already
-        // carry a label column of their own
+        // the cell column name is the caller's (default "cluster") — landed
+        // rows may already carry a label column of their own
         val assigned = graft.operators.Similarity
           .knnJoin(batch.select(col(idCol), col(vecCol)), seeds, k = 1,
             idCol = idCol, vecCol = vecCol)
-          .select(col(idCol), col("seed_id").as("ivf_cell"))
+          .select(col(idCol), col("seed_id").as(cellCol))
         // replay idempotence: cell assignment may DIFFER on replay (the
         // caller can pass refit centroids after a crash), so dynamic
         // overwrite of only the (batch, cell) partitions produced THIS
@@ -165,7 +172,7 @@ object IncrementalIndex {
         batch.join(assigned, Seq(idCol))
           .withColumn("batch_id", lit(batchId))
           .write.mode("append")
-          .partitionBy("batch_id", "ivf_cell")
+          .partitionBy("batch_id", cellCol)
           .parquet(sinkDir)
         for (cb <- codebooks; cd <- codesDir) {
           val codesBatchPath = new org.apache.hadoop.fs.Path(s"$cd/batch_id=$batchId")
@@ -173,10 +180,10 @@ object IncrementalIndex {
             .delete(codesBatchPath, true)
           graft.operators.Similarity
             .pqEncode(batch.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol)),
-              cb, numSub, subDim, idCol, vecCol, carry = Seq("ivf_cell"))
+              cb, numSub, subDim, idCol, vecCol, carry = Seq(cellCol))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append")
-            .partitionBy("batch_id", "ivf_cell")
+            .partitionBy("batch_id", cellCol)
             .parquet(cd)
         }
         ()
@@ -217,7 +224,7 @@ object IncrementalIndex {
   def compactCells(
       spark: SparkSession,
       dir: String,
-      cellCol: String = "ivf_cell"): Unit = {
+      cellCol: String = "cluster"): Unit = {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -211,19 +211,30 @@ class FusedPathParitySpec extends AnyFunSuite {
     }
   }
 
-  test("PQ: anchor rows self-encode; ADC top-1 for an anchor query is itself") {
-    import graft.operators.Similarity
+  test("PQ: seed rows self-encode to their hash rank; ADC top-1 for a seed query is itself") {
+    import graft.operators.{Dedup, Similarity}
     val emb = Tables(spark, TestSpark.sfDir, "embeddings")
     val cb = Similarity.pqCodebooks(emb, numSub = 8, subDim = 8, numCentroids = 16)
     assert(cb.count() === 8 * 16)
-    val codes = Similarity.pqEncode(emb.filter(col("vec_id") < 16), cb, 8, 8)
+    // the seed set is the 16 rows with the smallest hash60("pq:" + id),
+    // numbered 0..15 in hash order — recompute it driver-side
+    val seeds = emb.select("vec_id").collect().map(_.getLong(0))
+      .map(id => (Dedup.hash60Local(s"pq:$id"), id))
+      .sorted.take(16).map(_._2)
+    val seedDf = {
+      import spark.implicits._
+      seeds.toSeq.toDF("vec_id")
+    }
+    val codes = Similarity
+      .pqEncode(emb.join(broadcast(seedDf), Seq("vec_id"), "left_semi"), cb, 8, 8)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
-    // an anchor's subvectors are at distance 0 from their own centroid
-    for (id <- 0L until 16L; m <- 0 until 8)
-      assert(codes((id, m)) === id.toInt, s"anchor $id subspace $m")
-    val qv = emb.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+    // a seed's subvectors are at distance 0 from their own centroid
+    for ((id, rank) <- seeds.zipWithIndex; m <- 0 until 8)
+      assert(codes((id, m)) === rank, s"seed $id (rank $rank) subspace $m")
+    val anchor = seeds(3)
+    val qv = emb.filter(col("vec_id") === anchor).select(col("embedding").as("qv"))
     val top = Similarity.pqSearch(emb, qv, k = 5).collect()
-    assert(top.head.getLong(0) === 3L) // exact reconstruction -> top score
+    assert(top.head.getLong(0) === anchor) // exact reconstruction -> top score
   }
 
   test("batched feature extraction: batch shape honored, one row per input") {
@@ -294,9 +305,22 @@ class FusedPathParitySpec extends AnyFunSuite {
     assert(r.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a }, r.toString)
     assert(r.last._2 === 1.0, s"nprobe=all must equal exact: $r")
     assert(r.head._2 >= 0.15, s"probing the query's own cell: $r")
-    // sampled-codebook PQ is coarse but far above the 10% chance floor
-    val pq = recall(ids(Similarity.pqSearch(emb, qv, 20)))
-    assert(pq >= 0.3, s"PQ recall $pq")
+    // sampled-codebook PQ is coarse but well above the 20/500 = 4% chance
+    // floor — measured as a 20-query MEAN (single-query recall at K=16
+    // codes swings with the hash-sampled seed set)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exactB = Similarity.knnBatch(emb, queries, 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cbAll = Similarity.pqCodebooks(emb, 8, 8, 16)
+    val adcB = Similarity
+      .pqAdcScore(Similarity.pqEncode(emb, cbAll, 8, 8), cbAll, queries, 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = exactB.map { case (q, e) =>
+      e.intersect(adcB.getOrElse(q, Set.empty)).size / 20.0 }.sum / exactB.size
+    assert(pq >= 0.25, s"PQ mean recall $pq")
   }
 
   test("ivfPqRefineSearch with a full shortlist == exact search over the probed cells") {
@@ -366,6 +390,29 @@ class FusedPathParitySpec extends AnyFunSuite {
       .select(col("vec_id"), round(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
     assert(rows(got) === rows(want))
+    cents.unpersist()
+  }
+
+  test("adaptive probe planning tolerates null-cluster rows in the cell store") {
+    // null-vector corpus rows land with a NULL cell (assignCells contract);
+    // the planner's per-cell admissible count must skip them instead of
+    // NPE-ing on the null group at collect
+    import graft.operators.Similarity
+    val dim = 16
+    val emb = (0L until 20L).map { i =>
+      val v = (0 until dim).map(d => math.cos(i * 11 + d * 5).toFloat).toArray
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(emb, k = 3, iters = 1)
+    val cells = Similarity.assignCells(emb, cents).unionByName(
+      Seq(999L).toDF("vec_id")
+        .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
+          lit(null).cast("int").as("cluster")))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val got = Similarity.ivfSearchAdaptivePruned(cells, cents, qv, k = 5).collect()
+    assert(got.length === 5)
+    assert(!got.map(_.getLong(0)).contains(999L))
     cents.unpersist()
   }
 

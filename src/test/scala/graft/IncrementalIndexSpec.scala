@@ -45,10 +45,12 @@ class IncrementalIndexSpec extends AnyFunSuite {
 
     // batch 1 + batch 2 land disjoint id ranges
     emb.filter(col("vec_id") < 30).write.mode("append").parquet(landing)
-    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell")
     emb.filter(col("vec_id") >= 30 && col("vec_id") < 50)
       .write.mode("append").parquet(landing)
-    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell")
 
     val store = spark.read.parquet(sink)
     assert(store.count() === 50)
@@ -66,7 +68,8 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(ivf_cell"),
       s"cell predicate not a partition filter:\n$plan")
     // idle re-run: no reprocessing
-    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell")
     assert(spark.read.parquet(sink).count() === 50)
   }
 
@@ -83,11 +86,13 @@ class IncrementalIndexSpec extends AnyFunSuite {
 
     emb.filter(col("vec_id") < 30).write.mode("append").parquet(landing)
     IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
-      codebooks = Some(cb), codesDir = Some(codes))
+      codebooks = Some(cb), codesDir = Some(codes),
+      centroidIdCol = "label", cellCol = "ivf_cell")
     emb.filter(col("vec_id") >= 30 && col("vec_id") < 50)
       .write.mode("append").parquet(landing)
     IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
-      codebooks = Some(cb), codesDir = Some(codes))
+      codebooks = Some(cb), codesDir = Some(codes),
+      centroidIdCol = "label", cellCol = "ivf_cell")
 
     // accumulated codes == one-shot batch encode over everything landed
     val got = spark.read.parquet(codes)
@@ -106,7 +111,8 @@ class IncrementalIndexSpec extends AnyFunSuite {
     // idle re-run: codes do not grow
     val n = spark.read.parquet(codes).count()
     IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
-      codebooks = Some(cb), codesDir = Some(codes))
+      codebooks = Some(cb), codesDir = Some(codes),
+      centroidIdCol = "label", cellCol = "ivf_cell")
     assert(spark.read.parquet(codes).count() === n)
   }
 
@@ -123,7 +129,8 @@ class IncrementalIndexSpec extends AnyFunSuite {
     for (b <- 0 until 4) {
       emb.filter(col("vec_id") % 4 === b).limit(20)
         .write.mode("append").parquet(landing)
-      IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+      IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell")
     }
     def parquetFiles(dir: String): Seq[String] = {
       val root = new org.apache.hadoop.fs.Path(dir)
@@ -145,7 +152,7 @@ class IncrementalIndexSpec extends AnyFunSuite {
     val filesBefore = parquetFiles(sink)
     assert(filesBefore.count(_.contains("batch_id=0/")) > 0)
 
-    IncrementalIndex.compactCells(spark, sink)
+    IncrementalIndex.compactCells(spark, sink, cellCol = "ivf_cell")
 
     val filesAfter = parquetFiles(sink)
     assert(filesAfter.size < filesBefore.size,
@@ -159,17 +166,18 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(ivf_cell"),
       s"pruning lost after compaction:\n$plan")
     // compaction is idempotent: a second run with one subtree is a no-op
-    IncrementalIndex.compactCells(spark, sink)
+    IncrementalIndex.compactCells(spark, sink, cellCol = "ivf_cell")
     assert(contents(sink) === before)
 
     // new batches after compaction land normally and re-fold into the
     // NEXT epoch alongside the previous one
     emb.filter(col("vec_id") >= 400).limit(10)
       .write.mode("append").parquet(landing)
-    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell")
     val withNew = contents(sink)
     assert(withNew.size === before.size + 10)
-    IncrementalIndex.compactCells(spark, sink)
+    IncrementalIndex.compactCells(spark, sink, cellCol = "ivf_cell")
     assert(contents(sink) === withNew)
     assert(parquetFiles(sink).forall(_.contains("batch_id=-2/")))
   }
@@ -185,7 +193,8 @@ class IncrementalIndexSpec extends AnyFunSuite {
     for (b <- 0 until 2) {
       emb.filter(col("vec_id") % 2 === b).limit(15)
         .write.mode("append").parquet(landing)
-      IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+      IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell")
     }
     def contents() = spark.read.parquet(sink)
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
@@ -238,12 +247,16 @@ class IncrementalIndexSpec extends AnyFunSuite {
     // to the codebooks in production
     val trained = Similarity.quantizationDistortion(emb, cb, 8, 8)
     assert(trained > 0)
+    // an EMPTY relation (zero-row micro-batch) has no quantization error —
+    // the gate must see 0.0, not NPE on the null avg
+    assert(Similarity.quantizationDistortion(emb.limit(0), cb, 8, 8) === 0.0)
 
     // stable batch: same distribution -> ~1x training distortion -> passes
     emb.filter(col("vec_id") < 40).write.mode("append").parquet(landing)
     IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
       codebooks = Some(cb), codesDir = Some(codes),
-      trainDistortion = Some(trained), driftTolerance = 1.5)
+      trainDistortion = Some(trained), driftTolerance = 1.5,
+      centroidIdCol = "label", cellCol = "ivf_cell")
     assert(spark.read.parquet(sink).count() === 40)
 
     // drifted batch: vectors shifted far off the training distribution ->
@@ -254,7 +267,8 @@ class IncrementalIndexSpec extends AnyFunSuite {
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
         codebooks = Some(cb), codesDir = Some(codes),
-        trainDistortion = Some(trained), driftTolerance = 1.5)
+        trainDistortion = Some(trained), driftTolerance = 1.5,
+      centroidIdCol = "label", cellCol = "ivf_cell")
     }
     val messages = Iterator.iterate[Throwable](ex)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
@@ -340,5 +354,42 @@ class IncrementalIndexSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e9)).toMap
     assert(scores(fromSink) === scores(fromDocs))
     assert(scores(fromSink).keySet === Set(1L, 2L, 3L))
+  }
+
+  test("build/maintain interop: buildDenseIndex artifacts feed updateDenseIndex and serve with DEFAULT column names") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_interop")
+    val landing = base.resolve("landing").toString
+    val store = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    // build-time artifacts: centroid table named `cluster`, exactly what
+    // buildDenseIndex persists and the pruned serving paths read
+    val idx = Similarity.buildDenseIndex(
+      emb.filter(col("vec_id") < 200), base.resolve("idx").toString,
+      Some(Similarity.IvfParams(nlist = 4, lloydIters = 1, numSub = 8,
+        subDim = 8, numCentroids = 16, pqIters = 1, defaultNprobe = 2)))
+
+    // new rows land; maintenance assigns them against the BUILD centroids
+    // with no renames (centroidIdCol/cellCol default to "cluster")
+    emb.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, store, ckpt, idx.centroids)
+
+    val incr = spark.read.parquet(store)
+    assert(incr.count() === 60)
+    // the incremental store serves through the SAME pruned path as the
+    // build-time cells table — default clusterCol, no renames anywhere
+    val qv = emb.filter(col("vec_id") === 210).select(col("embedding").as("qv"))
+    val got = Similarity.ivfSearchPruned(
+      incr.drop("batch_id"), idx.centroids, qv, nprobe = 4, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty)
+    assert(got.contains(210L), s"self-hit missing from $got")
+    // and the cell predicate is still a partition filter on the store
+    val plan = incr.filter(col("cluster") === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cluster"),
+      s"cluster predicate not a partition filter:\n$plan")
   }
 }

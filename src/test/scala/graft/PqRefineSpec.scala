@@ -45,6 +45,20 @@ class PqRefineSpec extends AnyFunSuite {
       .sum / exact.size
   }
 
+  test("codebook init is id-space agnostic: offset ids still yield a full M x K codebook") {
+    // an `id < K` seed filter returns an EMPTY codebook on any corpus whose
+    // ids don't cover 0..K-1 (offset, sparse, hashed) and PQ serving
+    // silently returns nothing; hash-rank sampling must not care
+    val offset = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+    val cb = Similarity.pqCodebooks(offset, 8, 8, 16)
+    assert(cb.count() === 8L * 16L, "offset-id corpus produced a partial codebook")
+    assert(cb.select("c").distinct().count() === 16L)
+    // and the seed CHOICE is id-derived, so shifting every id reseeds
+    // deterministically — same geometry, full coverage, valid codes
+    val codes = Similarity.pqEncode(offset, cb, 8, 8)
+    assert(codes.filter(col("code").isNull).count() === 0)
+  }
+
   test("one Lloyd iteration tightens quantization and does not hurt recall") {
     val refined = Similarity.pqRefineCodebooks(emb, init, 8, 8, iters = 1)
     val (d0, d1) = (distortion(init), distortion(refined))

@@ -50,6 +50,24 @@ class SkewCellSpec extends AnyFunSuite {
     assert(!centIds.contains(0))
   }
 
+  test("null-cluster rows (null-vector corpus rows) survive the split") {
+    import spark.implicits._
+    // one unassignable row with a NULL cell, the documented assignCells
+    // output for null-vector rows — under three-valued logic a bare
+    // NOT-isin filter would silently drop it from the rewritten layout
+    val nullRow = Seq((999999L, 3)).toDF("vec_id", "label")
+      .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"),
+        col("label"), lit(null).cast("int").as("cluster"))
+    val withNull = skewed.select("vec_id", "embedding", "label", "cluster")
+      .unionByName(nullRow)
+    val total = withNull.count()
+    val (_, cells2) = Similarity.splitOversizedCells(
+      withNull, cents, maxCellRows = emb.count() / 4, subK = 4)
+    assert(cells2.count() === total, "split lost rows")
+    assert(cells2.filter(col("cluster").isNull).count() === 1,
+      "the null-cluster row vanished from the split layout")
+  }
+
   test("below-threshold layouts come back unchanged") {
     val (c2, cl2) = Similarity.splitOversizedCells(
       skewed, cents, maxCellRows = Long.MaxValue, subK = 4)

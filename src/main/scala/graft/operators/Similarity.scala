@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Dense similarity search (the reference's J1: 1xd query vs Nxd corpus exact
@@ -21,13 +21,18 @@ object Similarity {
     * centers ([[kmeansFit]]), `cells` = the corpus cell-PARTITIONED by its
     * [[assignCells]] assignment, `codebooks` = Lloyd-refined PQ codebooks
     * ([[pqRefineCodebooks]]), `codes` = the corpus PQ-encoded
-    * ([[pqEncode]]) and cell-partitioned. All four are written ONCE at
-    * build time; every serving path here reads them and never trains. */
+    * ([[pqEncode]]) and cell-partitioned, `cellStats` = the per-(cell,
+    * attribute) admissible-count histogram ([[cellStats]]) when the build
+    * declared stats columns — the artifact the ADAPTIVE probe planner
+    * reads instead of scanning the corpus per request. All are written
+    * ONCE at build time; every serving path here reads them and never
+    * trains. */
   case class DenseIndex(
       centroids: DataFrame,
       cells: DataFrame,
       codebooks: DataFrame,
-      codes: DataFrame)
+      codes: DataFrame,
+      cellStats: Option[DataFrame] = None)
 
   /** Dense-index build sizing: how many IVF cells, PQ subspaces and
     * codebook entries to train for a corpus of N rows x d dims, plus the
@@ -112,7 +117,8 @@ object Similarity {
       outDir: String,
       params: Option[IvfParams] = None,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DenseIndex = {
+      vecCol: String = "embedding",
+      statsCols: Seq[String] = Seq.empty): DenseIndex = {
     val spark = emb.sparkSession
     val p = params.getOrElse {
       val m = emb.select(count(lit(1)).as("n"), max(size(col(vecCol))).as("d")).head()
@@ -139,11 +145,40 @@ object Similarity {
         spark.read.parquet(s"$outDir/codebooks"), p.numSub, p.subDim,
         idCol, vecCol, carry = Seq("cluster")),
       s"$outDir/codes", "cluster")
+    // per-(cell, attribute) admissible-count histogram: nlist x |attr| rows
+    // (coarse-quantizer scale), written once so adaptive probe PLANNING
+    // reads this instead of a per-request corpus pass
+    val statsArt = if (statsCols.isEmpty) None else {
+      cellStats(spark.read.parquet(s"$outDir/cells"), statsCols)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(s"$outDir/cellstats")
+      Some(spark.read.parquet(s"$outDir/cellstats"))
+    }
     DenseIndex(
       centroids = spark.read.parquet(s"$outDir/centroids"),
       cells = spark.read.parquet(s"$outDir/cells"),
       codebooks = spark.read.parquet(s"$outDir/codebooks"),
-      codes = spark.read.parquet(s"$outDir/codes"))
+      codes = spark.read.parquet(s"$outDir/codes"),
+      cellStats = statsArt)
+  }
+
+  /** Per-cell admissible-count HISTOGRAM (the build-time artifact behind
+    * artifact-fed adaptive probe planning): row counts grouped by the cell
+    * id and the declared attribute columns (label, tenant, partition tag,
+    * ...). One partial-aggregated pass over the cell store at BUILD time;
+    * the result is nlist x |attribute domain| rows — coarse-quantizer
+    * scale, collected driver-side at planning time like the centroid
+    * table. Null-cell rows (null-vector corpus rows) can never be probed
+    * and are excluded. Refresh alongside the cells artifact (rebuild, or
+    * recompute after [[graft.streaming.IncrementalIndex.compactCells]]). */
+  def cellStats(
+      cells: DataFrame,
+      statsCols: Seq[String],
+      clusterCol: String = "cluster"): DataFrame = {
+    require(statsCols.nonEmpty, "cellStats needs at least one attribute column")
+    cells.filter(col(clusterCol).isNotNull)
+      .groupBy((clusterCol +: statsCols).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** Exact scores of every corpus row against a single broadcast query vector.
@@ -850,6 +885,29 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
   }
 
+  /** Full per-query centroid ranking for ADAPTIVE batch planning: every
+    * (query, cell) pair ranked by centroid score (rank 1 = best; ties to
+    * the lower cluster id), collected driver-side and grouped per query —
+    * k_cells x batch rows, coarse-quantizer scale like
+    * [[probeCellsBatch]]. */
+  def probeCellsRankedBatch(
+      centroids: DataFrame,
+      queries: DataFrame,
+      clusterCol: String = "cluster"): Map[Long, Seq[Int]] = {
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col(clusterCol).asc)
+    centroids.crossJoin(broadcast(queries))
+      .select(col("query_id"), col(clusterCol),
+        round(VectorOps.dot(col("cv"), col("qv")), 6).as("cscore"))
+      .withColumn("__rn", row_number().over(byQuery))
+      .select(col("query_id"), col(clusterCol), col("__rn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+  }
+
   /** Candidate-set restriction pushed INTO an index search — the engine's
     * form of the reference's `IDSelectorArray` (every reference endpoint
     * assembles per-request id filters and FAISS applies them inside the
@@ -905,22 +963,33 @@ object Similarity {
     * cells may simply not hold k admissible ids (the reference hits the
     * same cliff when an `IDSelectorArray` keeps a sliver of the index,
     * `utils/faiss_processing.py:154-166`). This form sizes the probe from
-    * the request itself: rank ALL cells by centroid score (the same
-    * driver-scale coarse-quantizer pass every IVF search runs), count
-    * ADMISSIBLE candidates per cell on a narrow (id, cluster) projection
-    * of the cell store — parquet column pruning reads the two thin
-    * columns, never the vectors — and probe the MINIMAL score-ordered
-    * prefix of cells whose cumulative admissible count reaches k (every
-    * cell when the whole corpus holds fewer). The serving scan that
-    * follows is the ordinary pruned+filtered search over that prefix:
-    * literal `PartitionFilters` + broadcast semi/anti candidate joins.
+    * the request: rank ALL cells by centroid score (the same driver-scale
+    * coarse-quantizer pass every IVF search runs), count ADMISSIBLE
+    * candidates per cell, and probe the MINIMAL score-ordered prefix of
+    * cells whose cumulative admissible count reaches k (every cell when
+    * the whole corpus holds fewer). The serving scan that follows is the
+    * ordinary pruned+filtered search over that prefix: literal
+    * `PartitionFilters`, the pushed `admissible` predicate, broadcast
+    * semi/anti candidate joins.
     *
-    * 100 TB notes: the planning pass is corpus-linear in the two thin
-    * columns only (~1-2% of corpus bytes at production dims); batched
-    * requests amortize it, and a deployment with a persisted per-cell
-    * admissible histogram (per-tenant/per-label counts) skips it
-    * entirely. The probe decision itself is k_cells rows on the driver —
-    * coarse-quantizer scale. */
+    * The per-cell counts come from one of two places:
+    *  - ARTIFACT-FED (`cellStats` + `admissible`): the persisted
+    *    per-(cell, attribute) histogram ([[cellStats]], written by
+    *    [[buildDenseIndex]]) filtered by the request's attribute predicate
+    *    — a collect over nlist x |attr| rows, so planning touches ZERO
+    *    corpus bytes: the only scans a request runs are the histogram
+    *    artifact and the probed cells' partitions. This is the 100 TB
+    *    point-query path.
+    *  - REQUEST-TIME (id-set filters): a narrow (id, cluster) projection
+    *    of the cell store counted under the restrict/exclude joins —
+    *    corpus-linear in the two thin columns (~1-2% of corpus bytes at
+    *    production dims), amortized by batching. Kept for per-request id
+    *    sets a build-time histogram cannot know.
+    *
+    * When BOTH a histogram predicate and id-set filters are supplied, the
+    * histogram plans the probe but cannot see the id-set deltas — the
+    * prefix can under-fill k by the excluded fraction; callers needing a
+    * hard fill guarantee fold headroom into k or drop `cellStats`. */
   def ivfSearchAdaptivePruned(
       cells: DataFrame,
       centroids: DataFrame,
@@ -931,28 +1000,56 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "cluster",
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4,
+      cellStats: Option[DataFrame] = None,
+      admissible: Option[Column] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(admissible.isEmpty || cellStats.isDefined,
+      "an admissible predicate plans from the cellStats histogram — build " +
+        "it (buildDenseIndex statsCols) or express the filter as restrictIds")
     val ranked = probeCells(centroids, queryDf, Int.MaxValue, clusterCol)
-    // null-cluster rows (the documented assignCells output for null-vector
-    // corpus rows) can never be probed — drop them before the count, or the
-    // null group would NPE the driver-side collect
-    val counts = applyCandidateFilters(
-        cells.select(col(idCol), col(clusterCol)), idCol, restrictIds, excludeIds)
-      .filter(col(clusterCol).isNotNull)
-      .groupBy(col(clusterCol))
-      .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = cellStatsCounts(cells, cellStats, admissible,
+      restrictIds, excludeIds, idCol, clusterCol)
     val cum = ranked.scanLeft(0L)((acc, c) => acc + counts.getOrElse(c, 0L)).tail
     val reachK = cum.indexWhere(_ >= k)
     val probed = ranked.take(math.max(if (reachK >= 0) reachK + 1 else ranked.length, 1))
+    val pruned = cells.filter(col(clusterCol).isin(probed: _*))
     scoreAll(
-      applyCandidateFilters(cells.filter(col(clusterCol).isin(probed: _*)),
+      applyCandidateFilters(admissible.fold(pruned)(pruned.filter),
         idCol, restrictIds, excludeIds),
       queryDf, idCol, vecCol)
       .select(col(idCol), round(col("score"), roundTo).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Per-cell admissible counts for adaptive probe planning — the
+    * artifact-fed histogram collect when `cellStats` is supplied, the
+    * request-time thin-projection count otherwise (see
+    * [[ivfSearchAdaptivePruned]] for the cost split). */
+  private def cellStatsCounts(
+      cells: DataFrame,
+      cellStats: Option[DataFrame],
+      admissible: Option[Column],
+      restrictIds: Option[DataFrame],
+      excludeIds: Option[DataFrame],
+      idCol: String,
+      clusterCol: String): Map[Int, Long] = cellStats match {
+    case Some(stats) =>
+      admissible.fold(stats)(stats.filter)
+        .groupBy(col(clusterCol))
+        .agg(sum(col("cnt")).as("cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    case None =>
+      // null-cluster rows (the documented assignCells output for
+      // null-vector corpus rows) can never be probed — drop them before
+      // the count, or the null group would NPE the driver-side collect
+      applyCandidateFilters(
+          cells.select(col(idCol), col(clusterCol)), idCol, restrictIds, excludeIds)
+        .filter(col(clusterCol).isNotNull)
+        .groupBy(col(clusterCol))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
   /** IVF-PQ serving against PERSISTED codes (the FAISS IVFPQ serving shape:
@@ -1092,6 +1189,56 @@ object Similarity {
     val cellUnion = probed.map(_._2).distinct
     topKPerQuery(
       cells.filter(col(clusterCol).isin(cellUnion: _*))
+        .join(broadcast(probedDf), Seq(clusterCol))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          round(VectorOps.dot(col(vecCol), col("qv")), 4).as("sim")),
+      k, idCol, "sim")
+  }
+
+  /** Batch form of ARTIFACT-FED adaptive serving: each query of a small
+    * `(query_id LONG, qv)` batch gets its own minimal probe prefix — the
+    * score-ordered cells whose cumulative admissible count (from the
+    * persisted [[cellStats]] histogram filtered by the request's attribute
+    * predicate) reaches k — and the whole batch runs as ONE scan of the
+    * UNION of probed partitions (literal `PartitionFilters` + the pushed
+    * `admissible` predicate), each row scored only against the queries
+    * probing its cell, per-query top-k through the bounded
+    * [[graft.functions.TopKAggregator]]. Fixes the batch half of the
+    * fixed-nprobe under-fill: [[ivfSearchBatchPruned]] with a selective
+    * filter returns fewer than k rows per query for exactly the reason the
+    * single-query form did. Planning cost: one histogram collect (shared
+    * across the batch) + k_cells x batch driver-side rows; ZERO corpus
+    * bytes are read before the pruned serving scan. */
+  def ivfSearchBatchAdaptive(
+      cells: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cellStats: DataFrame,
+      admissible: Option[Column] = None,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val counts = admissible.fold(cellStats)(cellStats.filter)
+      .groupBy(col(clusterCol))
+      .agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val probed = probeCellsRankedBatch(centroids, queries, clusterCol)
+      .toSeq.flatMap { case (qid, ranked) =>
+        val cum = ranked.scanLeft(0L)((acc, c) => acc + counts.getOrElse(c, 0L)).tail
+        val reachK = cum.indexWhere(_ >= k)
+        ranked.take(math.max(if (reachK >= 0) reachK + 1 else ranked.length, 1))
+          .map(c => (qid, c))
+      }
+    val probedDf = probed.toDF("query_id", clusterCol)
+    val cellUnion = probed.map(_._2).distinct
+    val prunedAll = cells.filter(col(clusterCol).isin(cellUnion: _*))
+    topKPerQuery(
+      admissible.fold(prunedAll)(prunedAll.filter)
         .join(broadcast(probedDf), Seq(clusterCol))
         .join(broadcast(queries), Seq("query_id"))
         .select(col("query_id"), col(idCol),

@@ -188,15 +188,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pc.contains("LeftSemi") && pc.contains("LeftAnti"),
       s"candidate joins missing from the ADC stage:\n$pc")
     assert(!pc.contains("zip_with"), s"filtered ADC encodes at query time:\n$pc")
-    // the ADAPTIVE form's SERVING scan keeps the identical shape — the
-    // request-sized probe planning happens in separate driver-side jobs,
-    // never inside the serving plan
+    // the ADAPTIVE form's SERVING scan keeps the pruned shape — the
+    // histogram-fed probe planning happens in separate driver-side jobs,
+    // never inside the serving plan — and the label predicate is PUSHED
+    // into the pruned scan (a post-filter would silently return < k rows)
     val pd = plan(q("f1d_knn_ann_adaptive"))
     assert(pd.contains("PartitionFilters") && pd.contains("cluster"),
       s"adaptive probe not a partition filter:\n$pd")
-    assert(pd.contains("LeftSemi") && pd.contains("LeftAnti"),
-      s"adaptive candidate joins missing:\n$pd")
+    assert(pd.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]"),
+      s"admissible label predicate not pushed into the pruned scan:\n$pd")
     assert(pd.contains("TakeOrderedAndProject"), s"adaptive top-k lost:\n$pd")
+    // batch adaptive: same artifact-fed planning, one partition-pruned
+    // scan for the whole batch, bounded per-query top-k (no Window)
+    val pe = plan(q("f1e_knn_batch_adaptive"))
+    assert(pe.contains("PartitionFilters"),
+      s"batch adaptive scan not partition-pruned:\n$pe")
+    assert(pe.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]"),
+      s"batch admissible predicate not pushed:\n$pe")
+  }
+
+  test("adaptive probe PLANNING is artifact-fed: zero corpus bytes before the serving scan") {
+    // VERDICT r6 #1: planning used to count admissible ids on a corpus-
+    // linear (id, cluster) projection per request. With the persisted
+    // cellstats histogram the only planning-time scans are the centroid
+    // and histogram artifacts. Proof: hand the planner a BOOBY-TRAPPED
+    // cell store whose every row evaluation throws — if any planning job
+    // scanned it, the call itself would fail; reaching the returned
+    // (lazy) serving plan proves the corpus was never touched.
+    import graft.operators.Similarity
+    val idx = SparkEntry.DenseArtifacts.ivf(spark, TestSpark.sfDir)
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val trapped = idx.cells.filter(
+      raise_error(lit("adaptive PLANNING scanned the cell store")).isNull)
+    val served = Similarity.ivfSearchAdaptivePruned(
+      trapped, idx.centroids, qv, k = 20,
+      cellStats = idx.cellStats, admissible = Some(col("label") === 3))
+    // planning completed without touching the trap; the serving plan is
+    // the ordinary pruned scan over the (trapped) cells frame
+    assert(served.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // same guarantee for the batch planner
+    val queries = emb.filter(col("vec_id").isin(0, 1))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val servedB = Similarity.ivfSearchBatchAdaptive(
+      trapped, idx.centroids, queries, k = 5,
+      cellStats = idx.cellStats.get, admissible = Some(col("label") === 3))
+    assert(servedB.queryExecution.executedPlan.toString.nonEmpty)
+    // and the REAL (untrapped) adaptive results still fill k admissibly
+    val got = Similarity.ivfSearchAdaptivePruned(
+      idx.cells, idx.centroids, qv, k = 20,
+      cellStats = idx.cellStats, admissible = Some(col("label") === 3)).collect()
+    assert(got.length === 20, s"adaptive under-filled: ${got.length}")
   }
 
   test("LM quality gate reads postings artifacts: no tokenize, no corpus scan") {

@@ -1318,15 +1318,36 @@ object SparkEntry {
              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
              |ORDER BY i, j""".stripMargin)),
 
+    // embedding near-dup with EXACT cosine scores, cell-BLOCKED candidates
+    // (VERDICT r6 #2 — the suite's last cartesian, retired): each row
+    // joins its top-2 IVF cells against the broadcast fitted centroids
+    // (map-only top-p generalization of the assignCells packed argmax),
+    // pairs form WITHIN a cell (hash equi-join on the cell key — candidate
+    // volume sum(|cell|^2), never N^2), exact cosine verifies candidates.
+    // The guarded all-pairs Dedup.cosinePairs remains as the small-N
+    // oracle form; DedupSpec pins blocked == all-pairs when probes covers
+    // every cell
     ("dedup_embedding_cosine",
-      (s, dir) =>
-        Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        Dedup.cosinePairsBlocked(t(s, dir, "embeddings"), idx.centroids,
+            "vec_id", "embedding", 0.45, probes = 2)
           .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
-          .orderBy(col("i"), col("j")),
-      Some("""SELECT a.vec_id AS i, b.vec_id AS j,
+          .orderBy(col("i"), col("j"))
+      },
+      Some(s"""$ivfCellCtes,
+             |a3p AS (SELECT vec_id, cluster FROM (
+             |    SELECT vec_id, cluster,
+             |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+             |    FROM s3) WHERE rn <= 2),
+             |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+             |         FROM a3p a JOIN a3p b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+             |SELECT c.i, c.j,
              |  ROUND((SELECT SUM(x.x::DOUBLE * x.y::DOUBLE)
              |         FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y) x), 4) AS cos
-             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |FROM cand c
+             |JOIN embeddings a ON a.vec_id = c.i
+             |JOIN embeddings b ON b.vec_id = c.j
              |WHERE (SELECT SUM(x.x::DOUBLE * x.y::DOUBLE)
              |       FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y) x) >= 0.45
              |ORDER BY i, j""".stripMargin)),

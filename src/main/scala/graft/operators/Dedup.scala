@@ -389,14 +389,72 @@ object Dedup {
     labels.select(col("id"), col("label").as("keep_id"))
   }
 
-  /** Embedding-cosine near-dup pairs. Exact all-pairs form (the oracle /
-    * small-N path); the scale path is [[srpCosinePairs]] or
-    * [[Similarity.ivfSearch]]-style cluster blocking before the pair join. */
+  /** Embedding-cosine near-dup pairs, exact ALL-PAIRS form — an O(N^2 d)
+    * cartesian that exists ONLY as the small-N oracle for the blocked and
+    * banded paths, and is GUARDED accordingly: a corpus above `maxRows`
+    * throws with the routing advice instead of silently launching a
+    * cross join that can never finish at scale. Production paths:
+    * [[cosinePairsBlocked]] (IVF-cell blocking, exact verify) and
+    * [[srpCosinePairs]] (SRP-LSH banding, exact verify). */
   def cosinePairs(
-      emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      maxRows: Long = 100000L): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"cosinePairs is the all-pairs ORACLE form: $n rows exceeds maxRows=" +
+        s"$maxRows (${n * n} candidate pairs). Use cosinePairsBlocked " +
+        "(IVF-cell blocking) or srpCosinePairs (SRP-LSH banding), or raise " +
+        "maxRows deliberately.")
     val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"))
     a.crossJoin(b).filter(col("i") < col("j"))
+      .select(col("i"), col("j"), VectorOps.dot(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** CELL-BLOCKED embedding-cosine near-dup pairs — the all-pairs killer
+    * (VERDICT r6 #2): block candidates by IVF cell (each row joins its
+    * top-`probes` cells against the broadcast centroid table — the
+    * [[Similarity.assignCells]] packed argmax generalized to a top-p
+    * slice, still map-only), pair WITHIN a cell, verify candidates by
+    * exact cosine. No stage is all-pairs: candidate volume is
+    * sum(|cell|^2) over cells instead of N^2 — with k ~ sqrt(N) cells
+    * (the [[Similarity.IvfParams.auto]] build), per-cell sizes stay
+    * bounded and the pair join is an ordinary hash equi-join on the cell
+    * key. Scores are EXACT (the block only gates candidacy); recall is
+    * bounded by co-probing — a pair lands together when ANY of their
+    * top-p cells coincide, so raising `probes` trades candidate volume
+    * for recall exactly like LSH band count. `probes` >= the centroid
+    * count degenerates to all-pairs (every pair co-blocked) — the
+    * property [[DedupSpec]] pins against [[cosinePairs]].
+    *
+    * `centroids` is the fitted (cluster, cv) artifact
+    * ([[Similarity.buildDenseIndex]] / [[Similarity.kmeansFit]]) — the
+    * same build-time artifact ANN serving reads; blocking reuses it
+    * instead of training anything. Ties and rounding mirror
+    * [[Similarity.assignCells]] (sim rounded to `simRound`, ties to the
+    * lower cluster id), so the blocked result is oracle-checkable. */
+  def cosinePairsBlocked(
+      emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, probes: Int = 2,
+      clusterCol: String = "cluster", simRound: Int = 6): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val centArr = centroids.agg(array_sort(
+      collect_list(struct(col(clusterCol).cast("int").as("c"), col("cv")))).as("__cents"))
+    val scored = transform(col("__cents"), c => struct(
+      round(VectorOps.dot(col(vecCol), c.getField("cv")), simRound).as("sim"),
+      (lit(0) - c.getField("c")).as("negc")))
+    // descending (sim, negc) puts the best-sim, lowest-id cells first —
+    // element 1..probes is the top-p assignment, exploded to (id, cell)
+    val blocked = emb.filter(col(vecCol).isNotNull)
+      .crossJoin(broadcast(centArr))
+      .select(col(idCol).as("id"),
+        explode(slice(reverse(array_sort(scored)), 1, probes)).as("__s"))
+      .select(lit(0L).as("band"), (lit(0) - col("__s.negc")).as("bucket"), col("id"))
+    val cands = lshCandidates(blocked)
+    val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    cands.join(a, Seq("i")).join(b, Seq("j"))
       .select(col("i"), col("j"), VectorOps.dot(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }

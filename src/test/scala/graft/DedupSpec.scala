@@ -50,4 +50,34 @@ class DedupSpec extends AnyFunSuite {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSet === Set((1L, 2L)))
   }
+
+  test("all-pairs cosine is GUARDED: an over-limit corpus throws with routing advice") {
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.cosinePairs(emb, "vec_id", "embedding", 0.45, maxRows = 100L)
+    }
+    assert(ex.getMessage.contains("cosinePairsBlocked"), ex.getMessage)
+  }
+
+  test("cell-blocked cosine: exact scores, candidates gated by co-probing; full probes == all-pairs") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.kmeansFit(emb, k = 4, iters = 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = pairs(Dedup.cosinePairs(emb, "vec_id", "embedding", 0.45))
+    // probes covering every cell => every pair co-blocked => exactly all-pairs
+    val full = pairs(Dedup.cosinePairsBlocked(emb, cents, "vec_id", "embedding",
+      0.45, probes = 4))
+    assert(full === all, "full-probe blocking must degenerate to all-pairs")
+    // partial probing: a SUBSET with exact scores (blocking gates
+    // candidacy, never the score)
+    val blocked = pairs(Dedup.cosinePairsBlocked(emb, cents, "vec_id", "embedding",
+      0.45, probes = 2))
+    assert(blocked.subsetOf(all), "blocked pair carries a non-exact score")
+    assert(blocked.nonEmpty)
+    cents.unpersist()
+  }
 }

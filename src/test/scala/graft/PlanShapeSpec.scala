@@ -286,6 +286,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(m(df) === m(graft.operators.TextAnalysis.lmQuality(docs, "doc_id", "text")))
   }
 
+  test("FULL SWEEP: zero CartesianProduct across every query plan") {
+    // VERDICT r6 #2 done-criterion: with dedup_embedding_cosine re-blocked,
+    // no query in the suite may plan a CartesianProduct. (Broadcast
+    // nested-loop joins of single-row packed frames are fine and common —
+    // the ban is on the shuffled all-pairs operator.) Streaming queries are
+    // excluded: constructing them EXECUTES the stream, and their returned
+    // frames are driver-local result buffers with no join plan at all.
+    val names = SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).toSeq.sorted
+    val offenders = names.flatMap { n =>
+      val p = plan(q(n))
+      if (p.contains("CartesianProduct")) Some(n) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian plans remain in: ${offenders.mkString(", ")}")
+  }
+
   test("exact dedup is a single partial-aggregated shuffle") {
     val docs = Tables(spark, TestSpark.sfDir, "documents")
     val p = plan(Dedup.exact(docs, "doc_id", "text"))

@@ -307,6 +307,238 @@ object IncrementalIndex {
     fs.delete(manifest, false)
   }
 
+  // ------------------------------------------------------------------
+  // Versioned codebook store: drift-gate retrain + ATOMIC index swap
+  // ------------------------------------------------------------------
+
+  /** The versioned PQ-index layout behind [[retrainAndSwap]]:
+    *
+    * {{{
+    * indexRoot/
+    *   CURRENT              # tiny file holding the live version number
+    *   v=N/codebooks/       # (m, c, cbv) parquet
+    *   v=N/stats/           # 1-row (train_distortion) parquet
+    *   v=N/codes/           # batch_id=.../cell=... — seeded by the retrain's
+    *                        #   re-encode epoch, appended by updateDenseIndex
+    *   _version_staging/    # invisible until committed
+    *   _version_manifest    # commit point (atomic rename)
+    * }}}
+    *
+    * A version is published with the [[compactCells]] protocol: stage the
+    * whole `v=N` subtree under `_version_staging`, commit a manifest via
+    * atomic rename, then rename the subtree in and flip `CURRENT` — so a
+    * reader that resolves `CURRENT` once ([[currentCodebooks]]) reads ONE
+    * consistent (codebooks, stats, codes) triple: mid-swap it still
+    * resolves the old version, post-swap the new one, never a mixture.
+    * The PREVIOUS version is kept for in-flight readers; older ones are
+    * pruned. A crash before the manifest leaves the store untouched; a
+    * crash after it is finished by [[recoverVersionSwap]] (idempotent,
+    * run at the start of every publish). */
+  def currentVersion(spark: SparkSession, indexRoot: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(root, "CURRENT")
+    if (fs.exists(cur)) {
+      val in = fs.open(cur)
+      val v = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      in.close()
+      Some(v)
+    } else if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted.lastOption
+  }
+
+  /** Resolve the live index version ONCE: (codebooks, training distortion,
+    * version id, codes dir). Everything returned belongs to the same
+    * version — the consistency contract readers rely on across swaps. */
+  def currentCodebooks(
+      spark: SparkSession,
+      indexRoot: String): (DataFrame, Double, Long, String) = {
+    val v = currentVersion(spark, indexRoot).getOrElse(
+      throw new IllegalStateException(
+        s"no published index version under $indexRoot — bootstrap with retrainAndSwap"))
+    val cb = spark.read.parquet(s"$indexRoot/v=$v/codebooks")
+    val d = spark.read.parquet(s"$indexRoot/v=$v/stats")
+      .head.getDouble(0)
+    (cb, d, v, s"$indexRoot/v=$v/codes")
+  }
+
+  /** RETRAIN-AND-SWAP (the drift gate's follow-through): refit PQ
+    * codebooks over `trainCorpus` (the accumulated store UNION the
+    * drifted, still-unlanded landing rows — retraining on the OLD
+    * distribution alone would trip the gate again on replay), recompute
+    * the training distortion, re-encode the already-landed `store` rows
+    * under the new codebooks, and publish all three as ONE new version
+    * with the staged-write + manifest + rename protocol. After the swap,
+    * re-running [[updateDenseIndex]] with [[currentCodebooks]]' artifacts
+    * replays the gated batch cleanly (it never committed) and serving
+    * reads a codebook/codes pair that is never mixed across versions.
+    * Returns the published version id. */
+  def retrainAndSwap(
+      spark: SparkSession,
+      indexRoot: String,
+      trainCorpus: DataFrame,
+      store: Option[DataFrame],
+      numSub: Int = 8,
+      subDim: Int = 8,
+      numCentroids: Int = 16,
+      pqIters: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      cellCol: String = "cluster"): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    recoverVersionSwap(spark, indexRoot)
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = currentVersion(spark, indexRoot).getOrElse(-1L) + 1
+    val emb = trainCorpus.select(col(idCol), col(vecCol))
+    val cb = Similarity.pqRefineCodebooks(
+      emb, Similarity.pqCodebooks(emb, numSub, subDim, numCentroids, idCol, vecCol),
+      numSub, subDim, iters = pqIters, idCol = idCol, vecCol = vecCol)
+    val dist = Similarity.quantizationDistortion(emb, cb, numSub, subDim, idCol, vecCol)
+    val staging = s"$indexRoot/_version_staging/v=$next"
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexRoot/_version_staging"), true)
+    cb.coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$staging/codebooks")
+    cb.unpersist() // pqRefineCodebooks' contract: the caller owns the frame
+    spark.range(1).select(lit(dist).as("train_distortion"))
+      .write.mode("overwrite").parquet(s"$staging/stats")
+    // seed the version's codes with the landed rows re-encoded under the
+    // NEW codebooks (one epoch subtree, the compactCells convention);
+    // later batches append their own batch_id= subtrees via updateDenseIndex
+    store.foreach { st =>
+      Similarity.pqEncode(st, spark.read.parquet(s"$staging/codebooks"),
+          numSub, subDim, idCol, vecCol, carry = Seq(cellCol))
+        .withColumn("batch_id", lit(-1L))
+        .write.mode("append")
+        .partitionBy("batch_id", cellCol)
+        .parquet(s"$staging/codes")
+    }
+    // commit point: manifest names the staged version, made visible by
+    // atomic rename; everything before this is invisible debris on crash
+    val manifestTmp = new org.apache.hadoop.fs.Path(root, "_version_manifest.tmp")
+    val out = fs.create(manifestTmp, true)
+    out.write(next.toString.getBytes("UTF-8"))
+    out.close()
+    val manifest = new org.apache.hadoop.fs.Path(root, "_version_manifest")
+    fs.delete(manifest, false)
+    if (!fs.rename(manifestTmp, manifest))
+      throw new java.io.IOException(s"cannot commit version manifest at $manifest")
+    finishVersionSwap(fs, root)
+    next
+  }
+
+  /** Finish (or no-op) a version swap whose manifest is committed: rename
+    * the staged subtree in, flip `CURRENT`, prune versions older than the
+    * predecessor, clear staging + manifest. Idempotent; also clears
+    * pre-commit debris when no manifest exists. */
+  def recoverVersionSwap(spark: SparkSession, indexRoot: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_version_manifest")))
+      finishVersionSwap(fs, root)
+    else {
+      fs.delete(new org.apache.hadoop.fs.Path(root, "_version_staging"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, "_version_manifest.tmp"), false)
+    }
+  }
+
+  private def finishVersionSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(root, "_version_manifest")
+    val in = fs.open(manifest)
+    val v = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    in.close()
+    val target = new org.apache.hadoop.fs.Path(root, s"v=$v")
+    val staged = new org.apache.hadoop.fs.Path(root, s"_version_staging/v=$v")
+    if (!fs.exists(target)) {
+      if (!fs.exists(staged))
+        throw new IllegalStateException(
+          s"version manifest names v=$v but neither $target nor $staged " +
+            "exists — the staged version was lost")
+      if (!fs.rename(staged, target))
+        throw new java.io.IOException(s"cannot rename $staged into $target")
+    }
+    // flip CURRENT via tmp + rename: readers resolve either the old or the
+    // new version file content, never a torn write
+    val curTmp = new org.apache.hadoop.fs.Path(root, "CURRENT.tmp")
+    val out = fs.create(curTmp, true)
+    out.write(v.toString.getBytes("UTF-8"))
+    out.close()
+    val cur = new org.apache.hadoop.fs.Path(root, "CURRENT")
+    fs.delete(cur, false)
+    if (!fs.rename(curTmp, cur))
+      throw new java.io.IOException(s"cannot flip $cur to v=$v")
+    // keep the immediate predecessor for in-flight readers; prune older
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(s => s.getPath.getName.stripPrefix("v=").toLong)
+      .filter(_ < v - 1)
+      .foreach(old => fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$old"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_version_staging"), true)
+    fs.delete(manifest, false)
+  }
+
+  /** SELF-HEALING dense-index maintenance — the drift gate's production
+    * loop in one call: resolve the live codebook version, run
+    * [[updateDenseIndex]] against it, and when the drift gate trips
+    * (the batch never lands), [[retrainAndSwap]] over store + pending
+    * landing rows, then re-run the maintenance against the NEW version —
+    * the checkpointed source replays the gated batch, which now encodes
+    * within tolerance of its own distribution. Bootstraps the first
+    * version from the landing data when `indexRoot` is empty. The stream
+    * no longer stays down awaiting manual retraining. */
+  def updateDenseIndexVersioned(
+      spark: SparkSession,
+      landingDir: String,
+      sinkDir: String,
+      checkpointDir: String,
+      centroids: DataFrame,
+      indexRoot: String,
+      numSub: Int = 8,
+      subDim: Int = 8,
+      numCentroids: Int = 16,
+      driftTolerance: Double = 1.5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroidIdCol: String = "cluster",
+      cellCol: String = "cluster"): Unit = {
+    import org.apache.spark.sql.functions._
+    def landedStore: Option[DataFrame] =
+      if (pathExists(spark, sinkDir))
+        Some(spark.read.parquet(sinkDir).select(col(idCol), col(vecCol), col(cellCol)))
+      else None
+    def trainCorpus: DataFrame = {
+      val landing = spark.read.parquet(landingDir).select(col(idCol), col(vecCol))
+      landedStore.fold(landing)(st =>
+        st.select(col(idCol), col(vecCol)).unionByName(landing).distinct())
+    }
+    if (currentVersion(spark, indexRoot).isEmpty)
+      retrainAndSwap(spark, indexRoot, trainCorpus, landedStore,
+        numSub, subDim, numCentroids, idCol = idCol, vecCol = vecCol,
+        cellCol = cellCol)
+    def runOnce(): Unit = {
+      val (cb, dist, _, codesDir) = currentCodebooks(spark, indexRoot)
+      updateDenseIndex(spark, landingDir, sinkDir, checkpointDir, centroids,
+        idCol, vecCol, Some(cb), Some(codesDir), numSub, subDim,
+        Some(dist), driftTolerance, centroidIdCol, cellCol)
+    }
+    try runOnce()
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+            .exists(t => Option(t.getMessage).exists(_.contains("codebook drift"))) =>
+        retrainAndSwap(spark, indexRoot, trainCorpus, landedStore,
+          numSub, subDim, numCentroids, idCol = idCol, vecCol = vecCol,
+          cellCol = cellCol)
+        runOnce()
+    }
+  }
+
   /** INCREMENTAL NEAR-DUP DETECTION: each maintenance run MinHash-bands
     * only the NEW documents, joins their band buckets against the
     * accumulated bucket table (old text is never re-shingled), verifies

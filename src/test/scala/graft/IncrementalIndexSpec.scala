@@ -277,6 +277,108 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(codes).select("vec_id").distinct().count() === 40)
   }
 
+  test("drift-gate retrain + atomic swap: a tripped batch retrains, swaps, and lands on replay") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_swap")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    val indexRoot = base.resolve("index").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+
+    // batch 1 bootstraps version 0 from the landing data and lands cleanly
+    emb.filter(col("vec_id") < 40).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
+      cents, indexRoot, centroidIdCol = "label", cellCol = "ivf_cell")
+    assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(0L))
+    assert(spark.read.parquet(sink).count() === 40)
+    val (_, d0, v0, codes0) = IncrementalIndex.currentCodebooks(spark, indexRoot)
+    assert(v0 === 0L && d0 > 0)
+    assert(spark.read.parquet(codes0).select("vec_id").distinct().count() === 40)
+
+    // batch 2 is drifted: under plain updateDenseIndex the gate wedges the
+    // stream (asserted in the drift-gate test above); the versioned wrapper
+    // must instead retrain on store+landing, atomically publish v=1, and
+    // re-run so the checkpoint replays the gated batch against the new
+    // codebooks — landing it WITHOUT manual intervention
+    emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+      .withColumn("embedding", expr("transform(embedding, x -> x + 10.0f)"))
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
+      cents, indexRoot, centroidIdCol = "label", cellCol = "ivf_cell")
+    assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(1L))
+    assert(spark.read.parquet(sink).count() === 60)
+
+    // the live version is one consistent triple: its codes cover ALL 60
+    // rows (40 re-encoded at swap time + 20 landed on replay) and agree
+    // with a batch re-encode of the landed store under the LIVE codebooks
+    val (cb1, _, v1, codes1) = IncrementalIndex.currentCodebooks(spark, indexRoot)
+    assert(v1 === 1L)
+    val got = spark.read.parquet(codes1).select("vec_id", "m", "code")
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("m").intValue) ->
+        r.getAs[Number]("code").intValue).toMap
+    val want = Similarity.pqEncode(
+        spark.read.parquet(sink).select("vec_id", "embedding"), cb1, 8, 8)
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("m").intValue) ->
+        r.getAs[Number]("code").intValue).toMap
+    assert(got === want)
+    // the predecessor version is kept for in-flight readers
+    assert(new java.io.File(s"$indexRoot/v=0").isDirectory)
+
+    // idle re-run: nothing new -> no retrain, no version churn
+    IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
+      cents, indexRoot, centroidIdCol = "label", cellCol = "ivf_cell")
+    assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(1L))
+    assert(spark.read.parquet(sink).count() === 60)
+  }
+
+  test("version swap is crash-safe: pre-commit debris is discarded, post-commit swaps are finished") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_swap_crash")
+    val indexRoot = base.resolve("index").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 40).select("vec_id", "embedding")
+
+    val v0 = IncrementalIndex.retrainAndSwap(spark, indexRoot, corpus, None)
+    assert(v0 === 0L)
+    val (_, _, _, _) = IncrementalIndex.currentCodebooks(spark, indexRoot)
+
+    // CRASH BEFORE COMMIT: staged subtree + tmp manifest exist but the
+    // manifest was never renamed in -> readers still resolve v=0, and
+    // recovery discards the debris without publishing anything
+    val fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$indexRoot/_version_staging/v=1/codebooks"))
+    val tmp = fs.create(new org.apache.hadoop.fs.Path(s"$indexRoot/_version_manifest.tmp"), true)
+    tmp.write("1".getBytes("UTF-8")); tmp.close()
+    assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(0L))
+    IncrementalIndex.recoverVersionSwap(spark, indexRoot)
+    assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(0L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexRoot/_version_staging")))
+
+    // CRASH AFTER COMMIT: stage a real v=1 and commit its manifest, but
+    // "crash" before the rename+CURRENT flip. A reader that resolves now
+    // still sees v=0 (the staged subtree is invisible); recovery finishes
+    // the swap and the SAME reader call then sees v=1 — never a mixture.
+    val cb1 = Similarity.pqCodebooks(corpus, 8, 8, 16)
+    cb1.coalesce(1).write.parquet(s"$indexRoot/_version_staging/v=1/codebooks")
+    spark.range(1).select(lit(0.123).as("train_distortion"))
+      .write.parquet(s"$indexRoot/_version_staging/v=1/stats")
+    val m = fs.create(new org.apache.hadoop.fs.Path(s"$indexRoot/_version_manifest"), true)
+    m.write("1".getBytes("UTF-8")); m.close()
+    assert(IncrementalIndex.currentCodebooks(spark, indexRoot)._3 === 0L)
+    IncrementalIndex.recoverVersionSwap(spark, indexRoot)
+    val (_, d1, v1, _) = IncrementalIndex.currentCodebooks(spark, indexRoot)
+    assert(v1 === 1L && d1 === 0.123)
+
+    // a further publish prunes versions older than the predecessor
+    val v2 = IncrementalIndex.retrainAndSwap(spark, indexRoot, corpus, None)
+    assert(v2 === 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexRoot/v=0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$indexRoot/v=1")))
+  }
+
   test("half-specifying the PQ leg fails fast instead of silently skipping it") {
     import graft.operators.Similarity
     val base = java.nio.file.Files.createTempDirectory("graft_halfpq")

@@ -711,6 +711,78 @@ object SparkEntry {
              |SELECT id, ROUND(SUM(c), 6) AS score FROM rk
              |GROUP BY id ORDER BY score DESC, id""".stripMargin)),
 
+    // END-TO-END HYBRID retrieval (VERDICT r6 #4): the facade's
+    // hybridSearch composition — ONE per-request candidate filter honored
+    // by BOTH legs (F1 pushed into the IVF scan as a semi join after
+    // partition pruning; applied to the BM25 artifact read before its
+    // top-k), RRF rank fusion, then A4 source-grouping of the fused list.
+    // Every stage is k-bounded or artifact-pruned, so the whole pipeline
+    // costs nprobe/k of the corpus + O(query-term postings) at any scale.
+    ("q35_hybrid_rrf",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val allow = docs.filter(col("doc_id") % 3 =!= 1)
+        val dense = Similarity.ivfSearchPruned(idx.cells, idx.centroids, qv,
+            nprobe = 2, k = 20,
+            restrictIds = Some(allow.select(col("doc_id").as("vec_id"))))
+          .select(col("vec_id").as("id"), col("score"))
+        val sparse = Lexical.bm25SearchIndexed(s, SparseArtifacts.unigram(s, dir),
+            Seq("spark", "join", "table", "scan"))
+          .join(allow.select(col("doc_id").as("id")), Seq("id"))
+          .select(col("id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(20)
+        val fused = Fusion.fuseByRrf(Seq(sparse, dense))
+          .select(col("id"), round(col("score"), 6).as("score"))
+        GroupShaping.groupResultsCsv(
+          fused.join(docs.select(col("doc_id").as("id"), col("source")), Seq("id")),
+          groupCol = "source", idCol = "id", scoreCol = "score")
+      },
+      Some(s"""$ivfCellCtes,
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN q),
+             |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2),
+             |dense AS (SELECT e.vec_id AS id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |       FROM embeddings e JOIN a3 USING (vec_id) CROSS JOIN q
+             |       WHERE a3.cluster IN (SELECT cluster FROM probe)
+             |         AND e.vec_id % 3 <> 1
+             |       ORDER BY score DESC, e.vec_id LIMIT 20),
+             |tok AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+             |        FROM documents),
+             |post AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+             |nn AS (SELECT COUNT(*) AS n FROM documents),
+             |dl AS (SELECT id, COUNT(*) AS dl FROM tok GROUP BY 1),
+             |ad AS (SELECT SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+             |idfr AS (SELECT term, LN((nn.n - df + 0.5) / (df + 0.5)) AS idf_raw
+             |         FROM dfreq CROSS JOIN nn),
+             |ai AS (SELECT AVG(idf_raw) AS avg_idf FROM idfr),
+             |idf AS (SELECT term, CASE WHEN idf_raw < 0 THEN 0.25 * ai.avg_idf ELSE idf_raw END AS idf
+             |        FROM idfr CROSS JOIN ai),
+             |qt(term) AS (VALUES ('spark'), ('join'), ('table'), ('scan')),
+             |bm AS (SELECT p.id, ROUND(SUM(idf.idf * (p.tf * 2.5) / (p.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))), 6) AS score
+             |       FROM post p JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (id) CROSS JOIN ad
+             |       WHERE p.id % 3 <> 1
+             |       GROUP BY p.id ORDER BY score DESC, id LIMIT 20),
+             |rk AS (SELECT id, 1.0 / (60 + ROW_NUMBER() OVER (ORDER BY score DESC, id)) AS c FROM bm
+             |       UNION ALL
+             |       SELECT id, 1.0 / (60 + ROW_NUMBER() OVER (ORDER BY score DESC, id)) AS c FROM dense),
+             |fused AS (SELECT id, ROUND(SUM(c), 6) AS score FROM rk GROUP BY id),
+             |g AS (SELECT f.id, f.score, d.source FROM fused f
+             |      JOIN documents d ON d.doc_id = f.id)
+             |SELECT source, MAX(score) AS best_score,
+             |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY score DESC, id) AS ids_csv,
+             |  string_agg(CAST(CAST(ROUND(score * 1e6) AS BIGINT) AS VARCHAR), ','
+             |             ORDER BY score DESC, id) AS scores_csv
+             |FROM g GROUP BY source
+             |ORDER BY best_score DESC, source""".stripMargin)),
+
     // ---- 2.4 A4 group shaping ---------------------------------------------
 
     ("a4_group_shape_flat",

@@ -100,6 +100,7 @@ object RecallProbe {
     val total = Tables(spark, sfDir, "embeddings").count()
     val cv = curve(spark, sfDir)
     val sk = skewTable(spark, sfDir)
+    val defaultNp = SparkEntry.DenseArtifacts.ivf(spark, sfDir).defaultNprobe
     val sb = new StringBuilder
     sb ++= "# RECALL — nprobe selection + skew-split economics\n\n"
     sb ++= s"Generated by `graft.RecallProbe` on `$sfDir` " +
@@ -111,10 +112,15 @@ object RecallProbe {
     sb ++= "| nprobe | recall@20 | rows scanned | corpus fraction |\n"
     sb ++= "|---:|---:|---:|---:|\n"
     cv.foreach { case (np, r, rows) =>
-      sb ++= f"| $np | $r%.3f | $rows | ${rows.toDouble / total}%.2f |\n"
+      val mark = if (defaultNp.contains(np)) " **(default)**" else ""
+      sb ++= f"| $np$mark | $r%.3f | $rows | ${rows.toDouble / total}%.2f |\n"
     }
     sb ++= "\nInvariants pinned by `RecallProbeSpec`: recall is monotone " +
-      "non-decreasing in nprobe and exactly 1.0 at full probe.\n\n"
+      "non-decreasing in nprobe and exactly 1.0 at full probe; the " +
+      "**(default)** row is the build-time recall-CALIBRATED serving " +
+      "default persisted in the index `params` artifact " +
+      "(`Similarity.calibrateNprobe`, target recall@20 >= 0.8), and the " +
+      "spec fails if its measured recall drops below the 0.8 floor.\n\n"
     sb ++= "## Cell-skew split (80%-hot synthetic, nprobe=1, hot-region queries)\n\n"
     sb ++= "| layout | cells | max cell rows | mean rows scanned |\n"
     sb ++= "|---|---:|---:|---:|\n"

@@ -241,18 +241,24 @@ object SparkEntry {
         cells = s.read.parquet(s"$p/cells"),
         codebooks = s.read.parquet(s"$p/codebooks"),
         codes = s.read.parquet(s"$p/codes"),
-        cellStats = Some(s.read.parquet(s"$p/cellstats")))
+        cellStats = Some(s.read.parquet(s"$p/cellstats")),
+        defaultNprobe = Some(s.read.parquet(s"$p/params")
+          .head.getAs[Int]("default_nprobe")))
       ArtifactMemo(p) {
         // geometry pinned explicitly (NOT IvfParams.auto) because the
         // oracle SQL unrolls the training at exactly k=8 cells / 16 codes;
         // production callers omit params and get the k ~ sqrt(N) sizing.
         // statsCols=label: the per-(cell, label) admissible histogram the
-        // adaptive probe planner reads instead of a per-request corpus pass
+        // adaptive probe planner reads instead of a per-request corpus pass.
+        // calibrateRecall: the persisted serving default is measured
+        // against these artifacts (recall@20 >= 0.8), not the corpus-blind
+        // nlist/16 rule — RecallProbeSpec pins the floor.
         Similarity.buildDenseIndex(t(s, dir, "embeddings"), p,
           Some(Similarity.IvfParams(
             nlist = 8, lloydIters = 2, numSub = 8, subDim = 8,
             numCentroids = 16, pqIters = 1, defaultNprobe = 2)),
-          statsCols = Seq("label"))
+          statsCols = Seq("label"),
+          calibrateRecall = Some(0.8))
       }(read)
     }
   }

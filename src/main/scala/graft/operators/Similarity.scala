@@ -32,7 +32,8 @@ object Similarity {
       cells: DataFrame,
       codebooks: DataFrame,
       codes: DataFrame,
-      cellStats: Option[DataFrame] = None)
+      cellStats: Option[DataFrame] = None,
+      defaultNprobe: Option[Int] = None)
 
   /** Dense-index build sizing: how many IVF cells, PQ subspaces and
     * codebook entries to train for a corpus of N rows x d dims, plus the
@@ -118,7 +119,10 @@ object Similarity {
       params: Option[IvfParams] = None,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      statsCols: Seq[String] = Seq.empty): DenseIndex = {
+      statsCols: Seq[String] = Seq.empty,
+      calibrateRecall: Option[Double] = None,
+      calibrateK: Int = 20,
+      calibrateQueries: Int = 20): DenseIndex = {
     val spark = emb.sparkSession
     val p = params.getOrElse {
       val m = emb.select(count(lit(1)).as("n"), max(size(col(vecCol))).as("d")).head()
@@ -154,12 +158,90 @@ object Similarity {
         .option("compression", "zstd").parquet(s"$outDir/cellstats")
       Some(spark.read.parquet(s"$outDir/cellstats"))
     }
+    // serving default: RECALL-CALIBRATED against the just-persisted
+    // artifacts when a target is given (the static nlist/16 rule is
+    // corpus-blind — on an unclusterable or tiny geometry it can ship a
+    // default that silently serves bad recall), else the static rule.
+    // Persisted with the geometry as the 1-row `params` artifact so the
+    // committed default is part of the index, not a caller-side constant.
+    val cellsArt = spark.read.parquet(s"$outDir/cells")
+    val centArt2 = spark.read.parquet(s"$outDir/centroids")
+    val np = calibrateRecall match {
+      case Some(target) =>
+        val sample = emb
+          .select(col(idCol), col(vecCol), graft.operators.Dedup.hash60(
+            concat(lit("cal:"), col(idCol).cast("string"))).as("__h"))
+          .orderBy(col("__h"), col(idCol)).limit(calibrateQueries)
+          .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+        calibrateNprobe(cellsArt, centArt2, sample, calibrateK, target,
+          idCol, vecCol)
+      case None => p.defaultNprobe
+    }
+    spark.range(1).select(
+      lit(p.nlist).as("nlist"), lit(p.numSub).as("num_sub"),
+      lit(p.subDim).as("sub_dim"), lit(p.numCentroids).as("num_centroids"),
+      lit(np).as("default_nprobe"),
+      calibrateRecall.map(lit).getOrElse(lit(null).cast("double"))
+        .as("target_recall"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/params")
     DenseIndex(
-      centroids = spark.read.parquet(s"$outDir/centroids"),
-      cells = spark.read.parquet(s"$outDir/cells"),
+      centroids = centArt2,
+      cells = cellsArt,
       codebooks = spark.read.parquet(s"$outDir/codebooks"),
       codes = spark.read.parquet(s"$outDir/codes"),
-      cellStats = statsArt)
+      cellStats = statsArt,
+      defaultNprobe = Some(np))
+  }
+
+  /** BUILD-TIME nprobe calibration: the smallest nprobe whose measured
+    * recall@k on a deterministic query sample meets `targetRecall` —
+    * replacing the corpus-blind static default (nlist/16) with one
+    * measured against the index that will actually serve. Recall is
+    * monotone in nprobe (probing np+1 cells scans a superset of probing
+    * np — same centroid-ranking prefix), so exponential + binary search
+    * finds the minimum in O(log nlist) batch searches; each search is
+    * sample-sized, pruned serving work, and the whole calibration is a
+    * run-once build step (FAISS users do exactly this sweep by hand
+    * against `nprobe` before deploying an IVF index). Full probe is
+    * exact, so any target <= 1.0 is reachable. */
+  def calibrateNprobe(
+      cells: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      targetRecall: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster"): Int = {
+    require(targetRecall > 0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val exact = knnBatch(cells.select(col(idCol), col(vecCol)), queries, k,
+        idCol, vecCol)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    require(exact.nonEmpty, "calibration query sample is empty")
+    val nlist = centroids.count().toInt
+    val memo = scala.collection.mutable.Map.empty[Int, Double]
+    def recallAt(np: Int): Double = memo.getOrElseUpdate(np, {
+      val ann = ivfSearchBatchPruned(cells, centroids, queries, np, k,
+          idCol, vecCol, clusterCol)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, ids) =>
+        ids.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / ids.size
+      }.sum / exact.size
+    })
+    var lo = 1
+    var hi = 1
+    while (hi < nlist && recallAt(hi) < targetRecall) {
+      lo = hi + 1
+      hi = math.min(nlist, hi * 2)
+    }
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (recallAt(mid) >= targetRecall) hi = mid else lo = mid + 1
+    }
+    lo
   }
 
   /** Per-cell admissible-count HISTOGRAM (the build-time artifact behind

@@ -25,4 +25,21 @@ class RecallProbeSpec extends AnyFunSuite {
     val total = Tables(spark, TestSpark.sfDir, "embeddings").count()
     assert(cv.last._3 === total)
   }
+
+  test("the PERSISTED default nprobe meets the recall floor (recall@20 >= 0.8, VERDICT r6 #5)") {
+    val idx = SparkEntry.DenseArtifacts.ivf(spark, TestSpark.sfDir)
+    val np = idx.defaultNprobe.getOrElse(
+      fail("index params artifact carries no default_nprobe"))
+    val nlist = idx.centroids.count().toInt
+    // the default is a real probe budget, not a trivial full scan
+    assert(np >= 1 && np < nlist, s"calibrated default $np of $nlist cells")
+    // measured on the persisted artifacts with the committed curve
+    // protocol (k=20, 20-query batch) — a future geometry change that
+    // ships a bad serving default fails HERE, not in production
+    val cv = RecallProbe.curve(spark, TestSpark.sfDir, k = 20, nQueries = 20)
+    val atDefault = cv.find(_._1 == np).map(_._2).getOrElse(
+      fail(s"curve has no nprobe=$np row"))
+    assert(atDefault >= 0.8,
+      f"recall@20 at the persisted default nprobe=$np is $atDefault%.3f < 0.8")
+  }
 }

@@ -51,13 +51,17 @@ object ScaleProbe {
     replicate("orders", Seq("o_orderkey"), 100000000L)
     replicate("events", Seq("event_id"), 1000000000L)
 
-    val probes = Seq("j1_knn_dense", "q1_agg_pricing_summary", "c4_tfidf_search",
+    val defaultProbes = Seq("j1_knn_dense", "q1_agg_pricing_summary", "c4_tfidf_search",
       "a3_bm25_search", "dedup_minhash_lsh", "dedup_exact", "text_langid",
       "text_lm_quality", "sim_int8_topk", "w1_window_topk_per_user",
       "j1b_knn_batch", "sim_ivf_ann", "sim_ivf_batch", "sim_pq_adc",
       "sim_ivfpq_ann", "sim_ivfpq_batch", "sim_ivfpq_refine",
       "f1b_knn_ann_filtered", "f1c_ivfpq_ann_filtered", "sim_ivf_skew_split",
-      "sim_cluster_assign")
+      "sim_cluster_assign", "f1d_knn_ann_adaptive", "f1e_knn_batch_adaptive",
+      "stream_ann_topk", "q35_hybrid_rrf")
+    // an explicit comma-separated probe list (arg 3) scopes a re-run to the
+    // queries under study without re-measuring the whole table
+    val probes = if (args.length > 2) args(2).split(",").toSeq else defaultProbes
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -1121,7 +1121,10 @@ object Similarity {
       admissible.fold(stats)(stats.filter)
         .groupBy(col(clusterCol))
         .agg(sum(col("cnt")).as("cnt"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // cell ids are INT in build-time artifacts but LONG in incremental
+        // stores landed under long-typed centroid ids — accept both
+        .collect().map(r =>
+          r.getAs[Number](0).intValue -> r.getAs[Number](1).longValue).toMap
     case None =>
       // null-cluster rows (the documented assignCells output for
       // null-vector corpus rows) can never be probed — drop them before
@@ -1131,7 +1134,8 @@ object Similarity {
         .filter(col(clusterCol).isNotNull)
         .groupBy(col(clusterCol))
         .agg(count(lit(1)).as("cnt"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .collect().map(r =>
+          r.getAs[Number](0).intValue -> r.getAs[Number](1).longValue).toMap
   }
 
   /** IVF-PQ serving against PERSISTED codes (the FAISS IVFPQ serving shape:

@@ -120,7 +120,9 @@ object IncrementalIndex {
       trainDistortion: Option[Double] = None,
       driftTolerance: Double = 1.5,
       centroidIdCol: String = "cluster",
-      cellCol: String = "cluster"): Unit = {
+      cellCol: String = "cluster",
+      statsCols: Seq[String] = Seq.empty,
+      statsDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     // half-specifying the PQ leg would SILENTLY skip it and leave the codes
     // artifact stale — the exact staleness this maintenance job exists to
@@ -130,6 +132,11 @@ object IncrementalIndex {
         s"(got codebooks=${codebooks.isDefined}, codesDir=${codesDir.isDefined})")
     require(trainDistortion.isEmpty || codebooks.isDefined,
       "trainDistortion given without codebooks — there is nothing to gate")
+    // same fail-fast for the histogram leg: a stale cellstats artifact
+    // makes the adaptive probe planner silently mis-size probes
+    require(statsCols.isEmpty == statsDir.isEmpty,
+      s"statsCols and statsDir must be supplied together " +
+        s"(got statsCols=${statsCols.nonEmpty}, statsDir=${statsDir.isDefined})")
     // centroidIdCol/cellCol default to "cluster" — the exact layout
     // [[graft.operators.Similarity.buildDenseIndex]] persists and every
     // pruned serving path reads — so build-time artifacts feed this job and
@@ -185,6 +192,26 @@ object IncrementalIndex {
             .write.mode("append")
             .partitionBy("batch_id", cellCol)
             .parquet(cd)
+        }
+        // per-(cell, attribute) histogram DELTA for this batch — keeps the
+        // adaptive probe planner's artifact in lockstep with the landed
+        // store (the build-time artifact alone goes stale the moment a
+        // batch lands). Delta rows, not read-modify-write: the planner's
+        // cellStatsCounts sums `cnt` per cell, so accumulated batch deltas
+        // read as the exact merged histogram, and the batch_id subtree
+        // delete+append keeps replay idempotence like cells/codes. The
+        // artifact stays coarse-quantizer-sized (nlist x |attrs| x batches;
+        // a compaction folds it like everything else if batches pile up).
+        for (sd <- statsDir) {
+          val statsBatchPath = new org.apache.hadoop.fs.Path(s"$sd/batch_id=$batchId")
+          statsBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(statsBatchPath, true)
+          graft.operators.Similarity
+            .cellStats(batch.join(assigned, Seq(idCol)), statsCols, cellCol)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(sd)
         }
         ()
       }

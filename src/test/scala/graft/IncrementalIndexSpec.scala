@@ -277,6 +277,67 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(codes).select("vec_id").distinct().count() === 40)
   }
 
+  test("incremental cellstats deltas keep the adaptive-probe histogram in lockstep with the store") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_incr_stats")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val stats = base.resolve("cellstats").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+
+    emb.filter(col("vec_id") < 30).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell",
+      statsCols = Seq("label"), statsDir = Some(stats))
+    emb.filter(col("vec_id") >= 30 && col("vec_id") < 50)
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell",
+      statsCols = Seq("label"), statsDir = Some(stats))
+
+    // the accumulated batch DELTAS sum to exactly the histogram a batch
+    // build would compute over the landed store — the planner's
+    // sum-per-cell read makes the two artifacts interchangeable
+    def statsMap(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("ivf_cell"), col("label"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getAs[Number]("ivf_cell").intValue,
+        r.getAs[Number]("label").intValue) -> r.getAs[Number]("cnt").longValue)
+      .toMap
+    val store = spark.read.parquet(sink)
+    val got = statsMap(spark.read.parquet(stats))
+    val want = statsMap(Similarity.cellStats(store, Seq("label"), "ivf_cell"))
+    assert(got === want)
+
+    // the delta artifact DRIVES adaptive serving over the incremental
+    // store identically to a freshly batch-built histogram
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cents2 = cents.select(col("label").as("ivf_cell"), col("cv"))
+    def serve(statsFrame: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSearchAdaptivePruned(store, cents2, qv, k = 10,
+        clusterCol = "ivf_cell", cellStats = Some(statsFrame),
+        admissible = Some(col("label") === 3))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(serve(spark.read.parquet(stats)) ===
+      serve(Similarity.cellStats(store, Seq("label"), "ivf_cell")))
+
+    // idle re-run: no new deltas
+    val n = spark.read.parquet(stats).count()
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell",
+      statsCols = Seq("label"), statsDir = Some(stats))
+    assert(spark.read.parquet(stats).count() === n)
+
+    // half-specifying the histogram leg fails fast (like the PQ leg)
+    assertThrows[IllegalArgumentException] {
+      IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+        centroidIdCol = "label", cellCol = "ivf_cell",
+        statsCols = Seq("label"), statsDir = None)
+    }
+  }
+
   test("drift-gate retrain + atomic swap: a tripped batch retrains, swaps, and lands on replay") {
     import graft.operators.Similarity
     val base = java.nio.file.Files.createTempDirectory("graft_swap")

@@ -144,6 +144,15 @@ class SearchEngine(
     * (`id`/`vecCol` schema) — [[Similarity.kmeansFit]] +
     * [[Similarity.assignCells]] + [[graft.sources.Store.writePartitioned]]
     * at build time. */
+  /** Per-request probe depth: an explicit request value wins; otherwise
+    * the index's PERSISTED recall-calibrated default (the `params`
+    * artifact written by [[Similarity.buildDenseIndex]] when calibration
+    * is on), falling back to 2 for indexes that carry none — so a caller
+    * that says nothing gets the probe depth the build measured for its
+    * recall target instead of a corpus-blind constant. */
+  private def resolveNprobe(nprobe: Option[Int], index: Similarity.DenseIndex): Int =
+    nprobe.orElse(index.defaultNprobe).getOrElse(2)
+
   private def annChannel(
       index: Similarity.DenseIndex, vecCol: String, qv: Array[Float],
       k: Int, nprobe: Int, cands: DataFrame): DataFrame = {
@@ -173,19 +182,21 @@ class SearchEngine(
       index: Similarity.DenseIndex,
       queryVec: Array[Float], k: Int,
       filters: Filters = Filters(),
-      nprobe: Int = 2,
+      nprobe: Option[Int] = None,
       queryVec2: Option[Array[Float]] = None,
       index2: Option[Similarity.DenseIndex] = None): DataFrame = {
     requireDim(queryVec, clipDim, "clip")
     queryVec2.foreach(requireDim(_, clipv2Dim, "clipv2"))
     require(queryVec2.isEmpty || index2.isDefined,
       "dual-model ANN needs the clipv2 channel's own fitted index (index2)")
+    val np = resolveNprobe(nprobe, index)
     val cands = candidates(filters).select("id", "video_id")
-    val ch1 = annChannel(index, "clip", queryVec, k, nprobe, cands)
+    val ch1 = annChannel(index, "clip", queryVec, k, np, cands)
     val fused = queryVec2 match {
       case Some(q2) =>
         Fusion.fuseByAddition(Seq(ch1.drop("video_id"),
-            annChannel(index2.get, "clipv2", q2, k, nprobe, cands).drop("video_id")))
+            annChannel(index2.get, "clipv2", q2, k,
+              resolveNprobe(nprobe, index2.get), cands).drop("video_id")))
           .join(corpus.keyframes.select("id", "video_id"), Seq("id"))
       case None => ch1
     }
@@ -211,12 +222,13 @@ class SearchEngine(
       keywordQuery: String,
       k: Int,
       filters: Filters = Filters(),
-      nprobe: Int = 2,
+      nprobe: Option[Int] = None,
       rrfK0: Int = 60): DataFrame = {
     requireDim(queryVec, clipDim, "clip")
     val spark = corpus.embeddings.sparkSession
     val cands = candidates(filters).select("id", "video_id")
-    val chDense = annChannel(index, "clip", queryVec, k, nprobe, cands)
+    val chDense = annChannel(index, "clip", queryVec, k,
+        resolveNprobe(nprobe, index), cands)
       .drop("video_id")
     val terms = raw"\w+".r.findAllIn(preprocess(keywordQuery).toLowerCase).toSeq
     val chSparse = Lexical.bm25SearchIndexed(spark, sparse, terms)
@@ -239,10 +251,11 @@ class SearchEngine(
       index: Similarity.DenseIndex,
       imgId: Long, k: Int,
       filters: Filters = Filters(),
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Option[Int] = None): DataFrame = {
     val qv = corpus.embeddings.filter(col("id") === imgId)
       .select(col("clip").as("qv"))
-    val probed = Similarity.probeCells(index.centroids, qv, nprobe, "cluster")
+    val probed = Similarity.probeCells(index.centroids, qv,
+      resolveNprobe(nprobe, index), "cluster")
     val scored = index.cells.filter(col("cluster").isin(probed: _*))
       .join(candidates(filters).select("id", "video_id"), Seq("id"))
       .crossJoin(broadcast(qv))

@@ -210,10 +210,27 @@ class SearchEngineSpec extends AnyFunSuite {
   private lazy val clipIndex = buildIndex("clip")
   private lazy val clipv2Index = buildIndex("clipv2")
 
+  test("an omitted nprobe resolves to the index's PERSISTED calibrated default") {
+    val q = vec(kfs(3))
+    // an index carrying defaultNprobe = full probe: the no-nprobe call
+    // must serve exactly like the exact path (proof the persisted value,
+    // not the hardcoded fallback of 2, drove the probe)
+    val calibrated = clipIndex.copy(defaultNprobe = Some(4))
+    val viaDefault = engine.textSearchAnn(calibrated, q, k = 12)
+      .collect().map(_.toString).sorted
+    val exact = engine.textSearch(q, k = 12).collect().map(_.toString).sorted
+    assert(viaDefault.nonEmpty)
+    assert(viaDefault.toSeq === exact.toSeq)
+    // an index without a persisted default keeps the old fallback (2):
+    // partial probe, so the no-nprobe call may legitimately differ —
+    // assert only that it serves
+    assert(engine.textSearchAnn(clipIndex, q, k = 12).collect().nonEmpty)
+  }
+
   test("textSearchAnn at full probe == textSearch, filters and all; partial probe prunes") {
     val q = vec(kfs(3))
     val filters = Filters(partitionTag = Some(2), ignoreIds = Seq(60L))
-    val ann = engine.textSearchAnn(clipIndex, q, k = 12, filters, nprobe = 4)
+    val ann = engine.textSearchAnn(clipIndex, q, k = 12, filters, nprobe = Some(4))
       .collect().map(_.toString).sorted
     val exact = engine.textSearch(q, k = 12, filters)
       .collect().map(_.toString).sorted
@@ -222,7 +239,7 @@ class SearchEngineSpec extends AnyFunSuite {
     // partial probe: the serving plan scans only the probed cells'
     // partitions — a literal PartitionFilters predicate, and the candidate
     // filters coexist with it instead of defeating it
-    val plan = engine.textSearchAnn(clipIndex, q, k = 12, filters, nprobe = 1)
+    val plan = engine.textSearchAnn(clipIndex, q, k = 12, filters, nprobe = Some(1))
       .queryExecution.executedPlan.toString()
     assert(plan.contains("PartitionFilters: [isnotnull(cluster"),
       s"no partition pruning on the cells scan:\n$plan")
@@ -230,7 +247,7 @@ class SearchEngineSpec extends AnyFunSuite {
 
   test("dual-model textSearchAnn fuses two index-backed channels (full probe == exact)") {
     val q = vec(kfs(3))
-    val ann = engine.textSearchAnn(clipIndex, q, k = 10, nprobe = 4,
+    val ann = engine.textSearchAnn(clipIndex, q, k = 10, nprobe = Some(4),
       queryVec2 = Some(q.reverse), index2 = Some(clipv2Index))
       .collect().map(_.toString).sorted
     val exact = engine.textSearch(q, k = 10, queryVec2 = Some(q.reverse))
@@ -248,14 +265,14 @@ class SearchEngineSpec extends AnyFunSuite {
   }
 
   test("imageSearchAnn at full probe == imageSearch (query-by-id against the index)") {
-    val ann = engine.imageSearchAnn(clipIndex, imgId = 5L, k = 10, nprobe = 4)
+    val ann = engine.imageSearchAnn(clipIndex, imgId = 5L, k = 10, nprobe = Some(4))
       .collect().map(_.toString).sorted
     val exact = engine.imageSearch(imgId = 5L, k = 10)
       .collect().map(_.toString).sorted
     assert(ann.nonEmpty)
     assert(ann.toSeq === exact.toSeq)
     // the stored query vector still matches itself first
-    val first = engine.imageSearchAnn(clipIndex, imgId = 5L, k = 10, nprobe = 4)
+    val first = engine.imageSearchAnn(clipIndex, imgId = 5L, k = 10, nprobe = Some(4))
       .collect().head.getSeq[Long](2)
     assert(first.head === 5L)
   }
@@ -271,7 +288,7 @@ class SearchEngineSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_idx").toString
     val sparseIdx = graft.operators.Lexical.writeIndex(spark, docs, "id", "text", dir, buckets = 2)
     val res = engine.hybridSearch(clipIndex, sparseIdx, vec(kfs(3)), "Dog park!",
-      k = 10, nprobe = 4).collect()
+      k = 10, nprobe = Some(4)).collect()
     assert(res.nonEmpty)
     val topIds = res.head.getSeq[Long](2)
     assert(topIds.head === 3L)
@@ -279,7 +296,7 @@ class SearchEngineSpec extends AnyFunSuite {
     // per-request candidate filters reach BOTH legs: ignoring kf 3's shot
     // removes it from the dense scan and the keyword postings alike
     val filtered = engine.hybridSearch(clipIndex, sparseIdx, vec(kfs(3)), "Dog park!",
-      k = 10, filters = Filters(ignoreIds = Seq(3L)), nprobe = 4).collect()
+      k = 10, filters = Filters(ignoreIds = Seq(3L)), nprobe = Some(4)).collect()
     val ignShot = (kfs(3).videoId, kfs(3).shotId)
     assert(filtered.flatMap(_.getSeq[Long](2)).forall(i =>
       (kfs(i.toInt).videoId, kfs(i.toInt).shotId) != ignShot))

@@ -201,7 +201,7 @@ object IncrementalIndex {
         // read as the exact merged histogram, and the batch_id subtree
         // delete+append keeps replay idempotence like cells/codes. The
         // artifact stays coarse-quantizer-sized (nlist x |attrs| x batches;
-        // a compaction folds it like everything else if batches pile up).
+        // [[compactStats]] MERGES piled-up deltas back to one row per key).
         for (sd <- statsDir) {
           val statsBatchPath = new org.apache.hadoop.fs.Path(s"$sd/batch_id=$batchId")
           statsBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -253,6 +253,39 @@ object IncrementalIndex {
       dir: String,
       cellCol: String = "cluster"): Unit = {
     import org.apache.spark.sql.functions._
+    compactStore(spark, dir,
+      // each cell lands whole in one task -> one file per cell
+      df => df.repartition(col(cellCol)), Seq(cellCol))
+  }
+
+  /** Compaction for the [[updateDenseIndex]] cellstats DELTA store: unlike
+    * the row stores, folding stats means MERGING — the accumulated
+    * per-batch (cell, attrs, cnt) delta rows re-aggregate to one summed
+    * histogram row per (cell, attrs), written as a single epoch subtree
+    * (one file: the histogram is coarse-quantizer-sized). The planner's
+    * sum-per-cell read makes pre- and post-compaction artifacts
+    * indistinguishable; same staged-write + manifest + rename crash
+    * protocol as [[compactCells]]. */
+  def compactStats(
+      spark: SparkSession,
+      dir: String,
+      statsCols: Seq[String],
+      cellCol: String = "cluster"): Unit = {
+    import org.apache.spark.sql.functions._
+    require(statsCols.nonEmpty, "compactStats needs the histogram's attribute columns")
+    compactStore(spark, dir,
+      df => df.groupBy((cellCol +: statsCols).map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"))
+        .coalesce(1),
+      Seq.empty)
+  }
+
+  private def compactStore(
+      spark: SparkSession,
+      dir: String,
+      fold: DataFrame => DataFrame,
+      extraPartCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(spark, dir)
@@ -265,13 +298,11 @@ object IncrementalIndex {
       math.min(sources.map(_.stripPrefix("batch_id=").toLong).min, 0L) - 1
     val staging = new org.apache.hadoop.fs.Path(root, "_compact_staging")
     fs.delete(staging, true)
-    spark.read.parquet(dir)
-      .drop("batch_id")
-      .repartition(col(cellCol)) // each cell lands whole in one task -> one file per cell
+    fold(spark.read.parquet(dir).drop("batch_id"))
       .withColumn("batch_id", lit(epoch))
       .write.mode("overwrite")
       .option("compression", "zstd")
-      .partitionBy("batch_id", cellCol)
+      .partitionBy("batch_id" +: extraPartCols: _*)
       .parquet(staging.toString)
     // all-empty sources (batches that landed zero rows) stage nothing at
     // all — just drop the empty subtrees, there is no data to commit

@@ -336,6 +336,37 @@ class IncrementalIndexSpec extends AnyFunSuite {
         centroidIdCol = "label", cellCol = "ivf_cell",
         statsCols = Seq("label"), statsDir = None)
     }
+
+    // compaction MERGES the deltas: one epoch subtree, summed rows, and
+    // the planner cannot tell the difference
+    def subtrees() = new java.io.File(stats).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(subtrees().length === 2)
+    IncrementalIndex.compactStats(spark, stats, Seq("label"), "ivf_cell")
+    assert(subtrees().toSeq === Seq("batch_id=-1"))
+    assert(statsMap(spark.read.parquet(stats)) === want)
+    assert(serve(spark.read.parquet(stats)) ===
+      serve(Similarity.cellStats(store, Seq("label"), "ivf_cell")))
+    // exactly one summed row per (cell, label) — actually folded, not
+    // merely moved
+    assert(spark.read.parquet(stats).groupBy("ivf_cell", "label").count()
+      .filter(col("count") > 1).count() === 0)
+    // single-subtree store: compaction is a no-op
+    IncrementalIndex.compactStats(spark, stats, Seq("label"), "ivf_cell")
+    assert(subtrees().toSeq === Seq("batch_id=-1"))
+
+    // a post-compaction batch appends a new delta; re-compaction folds the
+    // epoch and the new batch into the next epoch
+    emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell",
+      statsCols = Seq("label"), statsDir = Some(stats))
+    assert(subtrees().length === 2)
+    IncrementalIndex.compactStats(spark, stats, Seq("label"), "ivf_cell")
+    assert(subtrees().toSeq === Seq("batch_id=-2"))
+    assert(statsMap(spark.read.parquet(stats)) ===
+      statsMap(Similarity.cellStats(spark.read.parquet(sink), Seq("label"), "ivf_cell")))
   }
 
   test("drift-gate retrain + atomic swap: a tripped batch retrains, swaps, and lands on replay") {

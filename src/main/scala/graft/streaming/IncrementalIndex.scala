@@ -564,7 +564,9 @@ object IncrementalIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       centroidIdCol: String = "cluster",
-      cellCol: String = "cluster"): Unit = {
+      cellCol: String = "cluster",
+      statsCols: Seq[String] = Seq.empty,
+      statsDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     def landedStore: Option[DataFrame] =
       if (pathExists(spark, sinkDir))
@@ -583,7 +585,8 @@ object IncrementalIndex {
       val (cb, dist, _, codesDir) = currentCodebooks(spark, indexRoot)
       updateDenseIndex(spark, landingDir, sinkDir, checkpointDir, centroids,
         idCol, vecCol, Some(cb), Some(codesDir), numSub, subDim,
-        Some(dist), driftTolerance, centroidIdCol, cellCol)
+        Some(dist), driftTolerance, centroidIdCol, cellCol,
+        statsCols, statsDir)
     }
     try runOnce()
     catch {

@@ -376,13 +376,15 @@ class IncrementalIndexSpec extends AnyFunSuite {
     val sink = base.resolve("store").toString
     val ckpt = base.resolve("ckpt").toString
     val indexRoot = base.resolve("index").toString
+    val stats = base.resolve("cellstats").toString
     val emb = Tables(spark, TestSpark.sfDir, "embeddings")
     val cents = Similarity.centroids(emb)
 
     // batch 1 bootstraps version 0 from the landing data and lands cleanly
     emb.filter(col("vec_id") < 40).write.mode("append").parquet(landing)
     IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
-      cents, indexRoot, centroidIdCol = "label", cellCol = "ivf_cell")
+      cents, indexRoot, centroidIdCol = "label", cellCol = "ivf_cell",
+      statsCols = Seq("label"), statsDir = Some(stats))
     assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(0L))
     assert(spark.read.parquet(sink).count() === 40)
     val (_, d0, v0, codes0) = IncrementalIndex.currentCodebooks(spark, indexRoot)
@@ -398,9 +400,24 @@ class IncrementalIndexSpec extends AnyFunSuite {
       .withColumn("embedding", expr("transform(embedding, x -> x + 10.0f)"))
       .write.mode("append").parquet(landing)
     IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
-      cents, indexRoot, centroidIdCol = "label", cellCol = "ivf_cell")
+      cents, indexRoot, centroidIdCol = "label", cellCol = "ivf_cell",
+      statsCols = Seq("label"), statsDir = Some(stats))
     assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(1L))
     assert(spark.read.parquet(sink).count() === 60)
+
+    // the adaptive-probe histogram survived the retrain IN LOCKSTEP: the
+    // gate threw before the drifted batch wrote anything, and the replay
+    // wrote its delta exactly once — accumulated deltas equal a fresh
+    // batch-built histogram over the post-swap store (cells are keyed to
+    // the coarse centroids, which a PQ retrain does not move)
+    def statsMap(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("ivf_cell"), col("label"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getAs[Number]("ivf_cell").intValue,
+        r.getAs[Number]("label").intValue) -> r.getAs[Number]("cnt").longValue)
+      .toMap
+    assert(statsMap(spark.read.parquet(stats)) ===
+      statsMap(Similarity.cellStats(spark.read.parquet(sink), Seq("label"), "ivf_cell")))
 
     // the live version is one consistent triple: its codes cover ALL 60
     // rows (40 re-encoded at swap time + 20 landed on replay) and agree
@@ -418,11 +435,14 @@ class IncrementalIndexSpec extends AnyFunSuite {
     // the predecessor version is kept for in-flight readers
     assert(new java.io.File(s"$indexRoot/v=0").isDirectory)
 
-    // idle re-run: nothing new -> no retrain, no version churn
+    // idle re-run: nothing new -> no retrain, no version churn, no deltas
+    val nStats = spark.read.parquet(stats).count()
     IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
-      cents, indexRoot, centroidIdCol = "label", cellCol = "ivf_cell")
+      cents, indexRoot, centroidIdCol = "label", cellCol = "ivf_cell",
+      statsCols = Seq("label"), statsDir = Some(stats))
     assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(1L))
     assert(spark.read.parquet(sink).count() === 60)
+    assert(spark.read.parquet(stats).count() === nStats)
   }
 
   test("version swap is crash-safe: pre-commit debris is discarded, post-commit swaps are finished") {

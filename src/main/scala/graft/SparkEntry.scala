@@ -299,6 +299,41 @@ object SparkEntry {
     }
   }
 
+  /** Per-JVM memoized dense store WITH TOMBSTONED DELETES — the
+    * right-to-be-forgotten serving shape a production index needs (takedown
+    * or contamination removal cannot rewrite a 100 TB store). Built through
+    * the REAL maintenance machinery: the corpus lands as an incremental
+    * batch ([[graft.streaming.IncrementalIndex.updateDenseIndex]] against
+    * the fitted centroids), a delete sweep tombstones every 7th id
+    * ([[graft.streaming.IncrementalIndex.deleteFromDenseIndex]] — one
+    * atomic subtree beside the store, no rewrite), and serving reads the
+    * MASKED store ([[graft.streaming.IncrementalIndex.loadDenseStore]] —
+    * the broadcast anti-join every pruned path already uses for
+    * `excludeIds`). `sim_ann_post_delete` serves at FULL probe so the
+    * result is exact over survivors and the DuckDB oracle is just the id
+    * filter — no index unrolling. */
+  private[graft] object DeleteArtifacts {
+    import graft.streaming.IncrementalIndex
+    case class Deleted(cells: DataFrame, centroids: DataFrame)
+    def store(s: SparkSession, dir: String): Deleted = {
+      val p = ArtifactMemo.root(dir, "ivfdel")
+      val cents = DenseArtifacts.ivf(s, dir).centroids
+      def read = Deleted(IncrementalIndex.loadDenseStore(s, s"$p/cells"), cents)
+      ArtifactMemo(p) {
+        t(s, dir, "embeddings").write.mode(SaveMode.Overwrite)
+          .parquet(s"$p/landing")
+        IncrementalIndex.updateDenseIndex(s, s"$p/landing", s"$p/cells",
+          s"$p/ckpt", cents,
+          statsCols = Seq("label"), statsDir = Some(s"$p/cellstats"))
+        IncrementalIndex.deleteFromDenseIndex(s, s"$p/cells",
+          t(s, dir, "embeddings").filter(col("vec_id") % 7 === 0)
+            .select("vec_id"),
+          statsCols = Seq("label"))
+        read
+      }(read)
+    }
+  }
+
   /** Flagship query (sf0.001): the full `/textsearch` dual-model dataflow of
     * the reference (`app.py:300-366`) — two dense channels, per-channel
     * top-k, A1 min-max fusion, A4 group-by-"video" shaping. */
@@ -1632,6 +1667,29 @@ object SparkEntry {
              |         PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
              |SELECT query_id, vec_id, sim FROM rk WHERE rn <= 10
              |ORDER BY query_id, sim DESC, vec_id""".stripMargin)),
+
+    // ANN serving AFTER A TOMBSTONED DELETE (right-to-be-forgotten without
+    // rewriting the store): the corpus landed through the incremental
+    // maintenance job, every 7th id was tombstoned as one atomic subtree
+    // beside the cells store, and serving reads the MASKED store — the
+    // broadcast anti-join the pruned paths already run for excludeIds.
+    // Full probe makes the answer exact over survivors, so the oracle is
+    // the plain top-k with the id filter; deleted ids appearing here would
+    // hash-mismatch immediately.
+    ("sim_ann_post_delete",
+      (s, dir) => {
+        val del = DeleteArtifacts.store(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.ivfSearchPruned(del.cells, del.centroids, qv,
+          nprobe = 8, k = 20)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e CROSS JOIN q
+             |WHERE e.vec_id % 7 <> 0
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
 
     // two-stage IVF-PQ + exact refine (FAISS IndexRefineFlat): ADC over the
     // probed cells' persisted codes shortlists 50 candidates, then ONLY

@@ -284,7 +284,8 @@ object IncrementalIndex {
       spark: SparkSession,
       dir: String,
       fold: DataFrame => DataFrame,
-      extraPartCols: Seq[String]): Unit = {
+      extraPartCols: Seq[String],
+      force: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -293,7 +294,10 @@ object IncrementalIndex {
     val sources = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .map(_.getPath.getName).sorted
-    if (sources.size <= 1) return // nothing to fold
+    // `force` re-folds even a single epoch subtree — [[compactDenseStores]]
+    // uses it to push tombstone anti-joins through an already-compacted
+    // store (a plain small-file fold has nothing to do there)
+    if (sources.isEmpty || (sources.size == 1 && !force)) return
     val epoch =
       math.min(sources.map(_.stripPrefix("batch_id=").toLong).min, 0L) - 1
     val staging = new org.apache.hadoop.fs.Path(root, "_compact_staging")
@@ -363,6 +367,214 @@ object IncrementalIndex {
     sources.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(root, s), true))
     fs.delete(new org.apache.hadoop.fs.Path(root, "_compact_staging"), true)
     fs.delete(manifest, false)
+  }
+
+  // ------------------------------------------------------------------
+  // Tombstone deletes: online right-to-be-forgotten for the dense stores
+  // ------------------------------------------------------------------
+
+  /** TOMBSTONE DELETES for the dense stores — the online form of
+    * [[graft.sources.IndexBuild.applyDeletes]] (which rewrites batch
+    * artifacts wholesale): at corpus scale a takedown / contamination /
+    * right-to-be-forgotten request cannot rewrite the store, so the delete
+    * lands as a tombstone subtree BESIDE it
+    * (`cellsDir/_tombstones/del=N` — underscore-prefixed, so every plain
+    * parquet read of the store skips it) and serving masks the dead ids
+    * with the broadcast anti-join the pruned paths already have
+    * ([[loadDenseStore]] / `excludeIds`). Physical reclamation is deferred
+    * to [[compactDenseStores]].
+    *
+    * Each tombstone row carries `(idCol, cellCol, statsCols...)` — the
+    * dead row's OWN histogram key — so the adaptive probe planner stays
+    * EXACT between delete and compaction: [[liveCellStats]] subtracts the
+    * tombstones' histogram from the persisted cellstats deltas, and both
+    * sides count the same landed rows.
+    *
+    * Idempotent without a cross-store transaction: the affected set is
+    * recomputed as (store ⋉ deleteIds) ∖ existing tombstones, and an empty
+    * affected set writes nothing — re-running the same delete (or retrying
+    * after a crash) is a no-op. The subtree commits by one atomic
+    * directory rename; pre-commit staging debris is cleared on the next
+    * call.
+    *
+    * Contract: ids name logical documents, not row versions — a
+    * tombstoned id stays masked even if re-ingested, until
+    * [[compactDenseStores]] drops both. Masking works against the
+    * incremental `batch_id=` layout AND
+    * [[graft.operators.Similarity.buildDenseIndex]]'s build-time cells
+    * artifact; reclamation needs the batch layout (build-time artifacts
+    * rewrite via `applyDeletes`).
+    *
+    * Returns the number of newly tombstoned rows. */
+  def deleteFromDenseIndex(
+      spark: SparkSession,
+      cellsDir: String,
+      deleteIds: DataFrame,
+      idCol: String = "vec_id",
+      cellCol: String = "cluster",
+      statsCols: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions._
+    if (!pathExists(spark, cellsDir)) return 0L
+    val tombRoot = new org.apache.hadoop.fs.Path(cellsDir, "_tombstones")
+    val fs = tombRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(tombRoot, "_staging")
+    fs.delete(staging, true) // a crashed run's never-committed debris
+    val ids = deleteIds.select(col(deleteIds.columns.head).as(idCol)).distinct()
+    val keep = (idCol +: cellCol +: statsCols).distinct
+    val store = spark.read.parquet(cellsDir).select(keep.map(col): _*)
+    val affected = tombstoneIds(spark, cellsDir, idCol)
+      .foldLeft(store.join(broadcast(ids), Seq(idCol), "left_semi"))(
+        (df, ts) => df.join(broadcast(ts), Seq(idCol), "left_anti"))
+      .distinct()
+    affected.coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd").parquet(staging.toString)
+    val n = spark.read.parquet(staging.toString).count()
+    if (n == 0) { fs.delete(staging, true); return 0L }
+    val next = tombstoneSubtrees(fs, tombRoot)
+      .map(_.stripPrefix("del=").toLong).foldLeft(-1L)(math.max) + 1
+    // commit point: one atomic rename
+    if (!fs.rename(staging, new org.apache.hadoop.fs.Path(tombRoot, s"del=$next")))
+      throw new java.io.IOException(s"cannot commit tombstones under $tombRoot")
+    n
+  }
+
+  private def tombstoneSubtrees(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tombRoot: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(tombRoot)) Seq.empty
+    else fs.listStatus(tombRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("del="))
+      .map(_.getPath.getName)
+
+  /** The live tombstone rows `(idCol, cellCol, statsCols...)` beside a
+    * cells store, or None when no delete has landed (or compaction consumed
+    * them all). Read by explicit subtree paths — the underscore-prefixed
+    * root is invisible to plain store reads by design. */
+  def tombstones(spark: SparkSession, cellsDir: String): Option[DataFrame] = {
+    val tombRoot = new org.apache.hadoop.fs.Path(cellsDir, "_tombstones")
+    val fs = tombRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subs = tombstoneSubtrees(fs, tombRoot)
+    if (subs.isEmpty) None
+    else Some(spark.read.parquet(subs.map(s => s"$cellsDir/_tombstones/$s"): _*))
+  }
+
+  /** The distinct tombstoned ids, shaped for the serving paths'
+    * `excludeIds` broadcast anti-join. */
+  def tombstoneIds(
+      spark: SparkSession,
+      cellsDir: String,
+      idCol: String = "vec_id"): Option[DataFrame] =
+    tombstones(spark, cellsDir).map(
+      _.select(org.apache.spark.sql.functions.col(idCol)).distinct())
+
+  /** The cells store with tombstoned ids MASKED — the read every serving
+    * path should use between a delete and its compaction. With no live
+    * tombstones this is the plain store read: zero extra plan nodes. */
+  def loadDenseStore(
+      spark: SparkSession,
+      cellsDir: String,
+      idCol: String = "vec_id"): DataFrame = {
+    val df = spark.read.parquet(cellsDir)
+    tombstoneIds(spark, cellsDir, idCol).fold(df)(ts =>
+      graft.operators.Candidates.exclude(df, ts, idCol))
+  }
+
+  /** The adaptive-probe histogram CORRECTED for live tombstones: the
+    * persisted cellstats deltas minus the tombstone rows' own histogram —
+    * exact by construction (both sides aggregate the same landed rows) and
+    * zero corpus bytes (the tombstone set is delete-sized). After
+    * [[compactDenseStores]] consumes the tombstones this degenerates to
+    * the plain delta read. Every crash window in the delete/compact
+    * sequence leaves this at worst an OVERCOUNT (the planner probes a
+    * touch wider than needed) — never an undercount that would starve
+    * recall. */
+  def liveCellStats(
+      spark: SparkSession,
+      statsDir: String,
+      cellsDir: String,
+      statsCols: Seq[String],
+      cellCol: String = "cluster"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stats = spark.read.parquet(statsDir)
+    tombstones(spark, cellsDir).fold(stats) { ts =>
+      val neg = graft.operators.Similarity.cellStats(ts, statsCols, cellCol)
+        .withColumn("cnt", -col("cnt"))
+      stats.unionByName(neg, allowMissingColumns = true)
+    }
+  }
+
+  /** PHYSICAL RECLAMATION of tombstoned rows + compaction of the dense
+    * stores in one maintenance call: fold the codes and cells `batch_id=`
+    * subtrees with the tombstoned ids ANTI-JOINED OUT, clear the consumed
+    * tombstones, then REBUILD the cellstats artifact wholesale from the
+    * now-authoritative compacted cells store. The step ORDER is the crash
+    * story — at every boundary serving stays correct and the probe planner
+    * at worst conservative:
+    *
+    *  1. codes fold (tombstones applied) — crash after: tombstones still
+    *     live, serving still masks; a re-run re-folds idempotently.
+    *  2. cells fold (tombstones applied) — crash after: the dead rows no
+    *     longer exist, the mask anti-join is a no-op, and
+    *     [[liveCellStats]] still subtracts tombstones from deltas that
+    *     still COUNT those rows — exact.
+    *  3. tombstones cleared — crash after: the stats deltas overcount the
+    *     dead rows until step 4; probes run a touch wide, recall unharmed.
+    *  4. cellstats rebuilt from the compacted store.
+    *
+    * Each step is individually crash-safe (the staged-manifest
+    * [[compactCells]] protocol, a plain directory delete, or a wholesale
+    * rewrite), so the cross-store sequence needs no distributed
+    * transaction. Like all maintenance here: one scheduler, never
+    * concurrent with ingest. */
+  def compactDenseStores(
+      spark: SparkSession,
+      cellsDir: String,
+      codesDir: Option[String] = None,
+      statsDir: Option[String] = None,
+      statsCols: Seq[String] = Seq.empty,
+      idCol: String = "vec_id",
+      cellCol: String = "cluster"): Unit = {
+    import org.apache.spark.sql.functions._
+    require(statsDir.isEmpty || statsCols.nonEmpty,
+      "rebuilding the cellstats artifact needs its attribute columns")
+    val ts = tombstoneIds(spark, cellsDir, idCol)
+    def minus(df: DataFrame): DataFrame =
+      ts.fold(df)(ids => graft.operators.Candidates.exclude(df, ids, idCol))
+    codesDir.foreach(cd => compactStore(spark, cd,
+      df => minus(df).repartition(col(cellCol)), Seq(cellCol),
+      force = ts.isDefined))
+    compactStore(spark, cellsDir,
+      df => minus(df).repartition(col(cellCol)), Seq(cellCol),
+      force = ts.isDefined)
+    val tombRoot = new org.apache.hadoop.fs.Path(cellsDir, "_tombstones")
+    tombRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tombRoot, true)
+    statsDir.foreach { sd =>
+      val root = new org.apache.hadoop.fs.Path(cellsDir)
+      val cfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasRows = cfs.exists(root) && cfs.listStatus(root).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      // the rebuild must land with the DELTA store's column types: the
+      // cells store surfaces the cell id as an (int-inferred) partition
+      // column while the deltas store it as landed data (long) — a
+      // type-mixed stats store would fail every later merged read
+      val deltaSchema = spark.read.parquet(sd).schema
+      val fold: DataFrame => DataFrame =
+        if (hasRows)
+          _ => {
+            val fresh = graft.operators.Similarity.cellStats(
+              spark.read.parquet(cellsDir), statsCols, cellCol)
+            fresh.select(fresh.columns.map(c =>
+              deltaSchema.find(_.name == c)
+                .map(f => col(c).cast(f.dataType).as(c))
+                .getOrElse(col(c))): _*).coalesce(1)
+          }
+        else
+          // the fold emptied the store (every row was tombstoned): the
+          // histogram folds to empty through the all-empty branch
+          df => df.limit(0)
+      compactStore(spark, sd, fold, Seq.empty, force = true)
+    }
   }
 
   // ------------------------------------------------------------------

@@ -606,4 +606,112 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(cluster"),
       s"cluster predicate not a partition filter:\n$plan")
   }
+
+  test("tombstone deletes: masked serving, lockstep histogram, physical reclaim at compaction") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_tomb")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val codes = base.resolve("codes").toString
+    val stats = base.resolve("cellstats").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+    val cb = Similarity.pqCodebooks(emb, 8, 8, 16)
+
+    // two landed batches with the codes and histogram legs live
+    emb.filter(col("vec_id") < 30).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      codebooks = Some(cb), codesDir = Some(codes),
+      centroidIdCol = "label", cellCol = "ivf_cell",
+      statsCols = Seq("label"), statsDir = Some(stats))
+    emb.filter(col("vec_id") >= 30 && col("vec_id") < 60)
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      codebooks = Some(cb), codesDir = Some(codes),
+      centroidIdCol = "label", cellCol = "ivf_cell",
+      statsCols = Seq("label"), statsDir = Some(stats))
+
+    // delete every 6th landed id; re-running the SAME delete is a no-op
+    // (10 ids: 0, 6, ..., 54 — all < 60 so all are present in the store)
+    val del = spark.range(10).select((col("id") * 6).as("vec_id"))
+    assert(IncrementalIndex.deleteFromDenseIndex(spark, sink, del,
+      cellCol = "ivf_cell", statsCols = Seq("label")) === 10L)
+    assert(IncrementalIndex.deleteFromDenseIndex(spark, sink, del,
+      cellCol = "ivf_cell", statsCols = Seq("label")) === 0L)
+    // a superset delete tombstones only the NEW ids (60 is not landed)
+    assert(IncrementalIndex.deleteFromDenseIndex(spark, sink,
+      spark.range(11).select((col("id") * 6).as("vec_id")),
+      cellCol = "ivf_cell", statsCols = Seq("label")) === 0L)
+
+    // masked serving: the loaded store hides exactly the dead ids, and
+    // full-probe pruned search over it equals exact search over survivors
+    val live = IncrementalIndex.loadDenseStore(spark, sink)
+    assert(live.count() === 50)
+    assert(live.filter(col("vec_id") % 6 === 0).count() === 0)
+    val qv = emb.filter(col("vec_id") === 1).select(col("embedding").as("qv"))
+    val cents2 = cents.select(col("label").as("ivf_cell"), col("cv"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSearchPruned(df, cents2, qv, nprobe = 100, k = 10,
+        clusterCol = "ivf_cell")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val survivors = hits(spark.read.parquet(sink).filter(col("vec_id") % 6 =!= 0))
+    assert(hits(live) === survivors)
+    assert(survivors.nonEmpty && !survivors.exists(_._1 % 6 == 0))
+
+    // lockstep histogram WITHOUT a stats rewrite: deltas minus the
+    // tombstones' own histogram == a fresh histogram over the live store,
+    // and the adaptive planner serves identically from either
+    def statsMap(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("ivf_cell"), col("label"))
+      .agg(sum(col("cnt")).as("cnt")).filter(col("cnt") =!= 0)
+      .collect().map(r => (r.getAs[Number]("ivf_cell").intValue,
+        r.getAs[Number]("label").intValue) -> r.getAs[Number]("cnt").longValue)
+      .toMap
+    val liveStats = IncrementalIndex.liveCellStats(
+      spark, stats, sink, Seq("label"), "ivf_cell")
+    assert(statsMap(liveStats) ===
+      statsMap(Similarity.cellStats(live, Seq("label"), "ivf_cell")))
+    def serveAdaptive(statsFrame: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSearchAdaptivePruned(live, cents2, qv, k = 10,
+        clusterCol = "ivf_cell", cellStats = Some(statsFrame),
+        admissible = Some(col("label") === 3))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(serveAdaptive(liveStats) ===
+      serveAdaptive(Similarity.cellStats(live, Seq("label"), "ivf_cell")))
+
+    // compaction reclaims physically across all three stores and consumes
+    // the tombstones
+    IncrementalIndex.compactDenseStores(spark, sink, Some(codes), Some(stats),
+      statsCols = Seq("label"), cellCol = "ivf_cell")
+    assert(spark.read.parquet(sink).count() === 50)
+    assert(spark.read.parquet(sink).filter(col("vec_id") % 6 === 0).count() === 0)
+    assert(spark.read.parquet(codes).select("vec_id").distinct().count() === 50)
+    assert(spark.read.parquet(codes)
+      .filter(col("vec_id") % 6 === 0).count() === 0)
+    assert(IncrementalIndex.tombstones(spark, sink).isEmpty)
+    assert(statsMap(spark.read.parquet(stats)) ===
+      statsMap(Similarity.cellStats(
+        spark.read.parquet(sink), Seq("label"), "ivf_cell")))
+    // post-compaction the masked load degenerates to the plain read and
+    // serving is unchanged
+    assert(hits(IncrementalIndex.loadDenseStore(spark, sink)) === survivors)
+    // compaction with nothing to do is a no-op
+    IncrementalIndex.compactDenseStores(spark, sink, Some(codes), Some(stats),
+      statsCols = Seq("label"), cellCol = "ivf_cell")
+    assert(spark.read.parquet(sink).count() === 50)
+
+    // a batch landed AFTER the compaction keeps every leg in lockstep
+    emb.filter(col("vec_id") >= 60 && col("vec_id") < 70)
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      codebooks = Some(cb), codesDir = Some(codes),
+      centroidIdCol = "label", cellCol = "ivf_cell",
+      statsCols = Seq("label"), statsDir = Some(stats))
+    assert(spark.read.parquet(sink).count() === 60)
+    assert(statsMap(IncrementalIndex.liveCellStats(
+      spark, stats, sink, Seq("label"), "ivf_cell")) ===
+      statsMap(Similarity.cellStats(
+        spark.read.parquet(sink), Seq("label"), "ivf_cell")))
+  }
 }

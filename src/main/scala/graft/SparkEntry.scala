@@ -243,7 +243,8 @@ object SparkEntry {
         codes = s.read.parquet(s"$p/codes"),
         cellStats = Some(s.read.parquet(s"$p/cellstats")),
         defaultNprobe = Some(s.read.parquet(s"$p/params")
-          .head.getAs[Int]("default_nprobe")))
+          .head.getAs[Int]("default_nprobe")),
+        radii = Some(s.read.parquet(s"$p/radii")))
       ArtifactMemo(p) {
         // geometry pinned explicitly (NOT IvfParams.auto) because the
         // oracle SQL unrolls the training at exactly k=8 cells / 16 codes;
@@ -320,8 +321,15 @@ object SparkEntry {
       val cents = DenseArtifacts.ivf(s, dir).centroids
       def read = Deleted(IncrementalIndex.loadDenseStore(s, s"$p/cells"), cents)
       ArtifactMemo(p) {
-        t(s, dir, "embeddings").write.mode(SaveMode.Overwrite)
-          .parquet(s"$p/landing")
+        // the landing write must be IDEMPOTENT ACROSS JVMS: an overwrite
+        // would land the same rows under fresh file names and the
+        // checkpointed file source would ingest them as a duplicate batch —
+        // write only when no completed landing exists
+        val success = new org.apache.hadoop.fs.Path(s"$p/landing/_SUCCESS")
+        val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(success))
+          t(s, dir, "embeddings").write.mode(SaveMode.Overwrite)
+            .parquet(s"$p/landing")
         IncrementalIndex.updateDenseIndex(s, s"$p/landing", s"$p/cells",
           s"$p/ckpt", cents,
           statsCols = Seq("label"), statsDir = Some(s"$p/cellstats"))
@@ -1690,6 +1698,30 @@ object SparkEntry {
              |FROM embeddings e CROSS JOIN q
              |WHERE e.vec_id % 7 <> 0
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
+    // RANGE (radius) search from the fitted artifacts — FAISS
+    // `range_search`: every row at least `minScore` similar, no k. The
+    // pruned path's cell-skip rule is a BOUND, not a heuristic —
+    // dot(q, x) <= dot(q, mu_c) + ||q||*r_c (Cauchy-Schwarz over the
+    // persisted per-cell radius artifact) — so skipped cells provably hold
+    // no hits and the pruned answer is EXACT: the oracle is the plain
+    // threshold filter. Planning reads centroids + radii (nlist rows,
+    // zero corpus bytes); the scan keeps literal PartitionFilters.
+    ("sim_ivf_range",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.ivfRangeSearchPruned(idx.cells, idx.centroids,
+          idx.radii.get, qv, minScore = 0.25)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e CROSS JOIN q
+             |WHERE ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) >= 0.25
+             |ORDER BY score DESC, e.vec_id""".stripMargin)),
 
     // two-stage IVF-PQ + exact refine (FAISS IndexRefineFlat): ADC over the
     // probed cells' persisted codes shortlists 50 candidates, then ONLY

@@ -33,7 +33,8 @@ object Similarity {
       codebooks: DataFrame,
       codes: DataFrame,
       cellStats: Option[DataFrame] = None,
-      defaultNprobe: Option[Int] = None)
+      defaultNprobe: Option[Int] = None,
+      radii: Option[DataFrame] = None)
 
   /** Dense-index build sizing: how many IVF cells, PQ subspaces and
     * codebook entries to train for a corpus of N rows x d dims, plus the
@@ -158,6 +159,12 @@ object Similarity {
         .option("compression", "zstd").parquet(s"$outDir/cellstats")
       Some(spark.read.parquet(s"$outDir/cellstats"))
     }
+    // per-cell radii: nlist rows, one corpus pass — the exact cell-skip
+    // bound for range (radius) serving ([[ivfRangeSearchPruned]])
+    cellRadii(spark.read.parquet(s"$outDir/cells"),
+        spark.read.parquet(s"$outDir/centroids"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(s"$outDir/radii")
     // serving default: RECALL-CALIBRATED against the just-persisted
     // artifacts when a target is given (the static nlist/16 rule is
     // corpus-blind — on an unclusterable or tiny geometry it can ship a
@@ -190,7 +197,8 @@ object Similarity {
       codebooks = spark.read.parquet(s"$outDir/codebooks"),
       codes = spark.read.parquet(s"$outDir/codes"),
       cellStats = statsArt,
-      defaultNprobe = Some(np))
+      defaultNprobe = Some(np),
+      radii = Some(spark.read.parquet(s"$outDir/radii")))
   }
 
   /** BUILD-TIME nprobe calibration: the smallest nprobe whose measured
@@ -1038,6 +1046,75 @@ object Similarity {
       .select(col(idCol), round(col("score"), roundTo).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Per-cell RADIUS artifact for range-search pruning: `r_c = max over
+    * the cell's rows of ||x - centroid_c||` — one corpus pass at build
+    * time, nlist rows out (coarse-quantizer scale, like the cellstats
+    * histogram). [[ivfRangeSearchPruned]] turns it into an EXACT
+    * cell-skip bound; [[buildDenseIndex]] persists it as `radii`. */
+  def cellRadii(
+      cells: DataFrame,
+      centroids: DataFrame,
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster"): DataFrame =
+    cells.filter(col(clusterCol).isNotNull)
+      .join(broadcast(centroids.select(col(clusterCol), col("cv"))), Seq(clusterCol))
+      .groupBy(col(clusterCol))
+      .agg(sqrt(max(VectorOps.sqDist(col(vecCol), col("cv")))).as("radius"))
+
+  /** Exact RANGE (radius) search: every corpus row whose rounded dot score
+    * reaches `minScore` — the FAISS `range_search` shape (all neighbors
+    * within a threshold, no k), which is also what threshold-style dedup
+    * asks ("everything at least this similar to the probe"). One fused
+    * scan; the flat baseline [[ivfRangeSearchPruned]] must match. */
+  def rangeSearch(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      minScore: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame =
+    scoreAll(corpus, queryDf, idCol, vecCol)
+      .select(col(idCol), round(col("score"), roundTo).as("score"))
+      .filter(col("score") >= minScore)
+      .orderBy(col("score").desc, col(idCol).asc)
+
+  /** Cell-pruned range search with an EXACT skip guarantee: for any row x
+    * in cell c, Cauchy-Schwarz gives
+    * `dot(q, x) = dot(q, mu_c) + dot(q, x - mu_c) <= dot(q, mu_c) +
+    * ||q|| * r_c` — no normalization assumption, no triangle-inequality
+    * detour through L2. Cells whose upper bound falls below
+    * `minScore - slack` cannot contain a hit and are skipped; the
+    * survivors are scanned with the usual literal `PartitionFilters`
+    * pruning and exact-rescored. The bound needs only the centroid table
+    * and the [[cellRadii]] artifact — a driver-scale pass, zero corpus
+    * bytes in planning. `slack` absorbs the reported-score rounding
+    * (round-half-up can lift a score by 0.5 * 10^-roundTo) plus float
+    * accumulation error, so pruned == flat [[rangeSearch]] exactly. */
+  def ivfRangeSearchPruned(
+      cells: DataFrame,
+      centroids: DataFrame,
+      radii: DataFrame,
+      queryDf: DataFrame,
+      minScore: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      roundTo: Int = 4): DataFrame = {
+    val slack = 0.5 * math.pow(10, -roundTo) + 1e-6
+    val probed = centroids
+      .join(broadcast(radii.select(col(clusterCol), col("radius"))), Seq(clusterCol))
+      .crossJoin(broadcast(queryDf))
+      .select(col(clusterCol),
+        (VectorOps.dot(col("cv"), col("qv")) +
+          sqrt(VectorOps.dot(col("qv"), col("qv"))) * col("radius")).as("ub"))
+      .filter(col("ub") >= minScore - slack)
+      .collect().map(_.getAs[Number](0).intValue).toSeq
+    val pruned =
+      if (probed.isEmpty) cells.filter(lit(false))
+      else cells.filter(col(clusterCol).isin(probed: _*))
+    rangeSearch(pruned, queryDf, minScore, idCol, vecCol, roundTo)
   }
 
   /** Filtered-ANN probe PLANNING: a fixed nprobe under a selective

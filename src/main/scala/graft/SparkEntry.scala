@@ -315,24 +315,35 @@ object SparkEntry {
     * filter — no index unrolling. */
   private[graft] object DeleteArtifacts {
     import graft.streaming.IncrementalIndex
-    case class Deleted(cells: DataFrame, centroids: DataFrame)
+    case class Deleted(cells: DataFrame, centroids: DataFrame, radii: DataFrame)
     def store(s: SparkSession, dir: String): Deleted = {
       val p = ArtifactMemo.root(dir, "ivfdel")
       val cents = DenseArtifacts.ivf(s, dir).centroids
-      def read = Deleted(IncrementalIndex.loadDenseStore(s, s"$p/cells"), cents)
+      def read = Deleted(IncrementalIndex.loadDenseStore(s, s"$p/cells"), cents,
+        IncrementalIndex.loadRadii(s, s"$p/radii"))
       ArtifactMemo(p) {
+        val hadoop = s.sparkContext.hadoopConfiguration
         // the landing write must be IDEMPOTENT ACROSS JVMS: an overwrite
         // would land the same rows under fresh file names and the
         // checkpointed file source would ingest them as a duplicate batch —
         // write only when no completed landing exists
         val success = new org.apache.hadoop.fs.Path(s"$p/landing/_SUCCESS")
-        val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val fs = success.getFileSystem(hadoop)
         if (!fs.exists(success))
           t(s, dir, "embeddings").write.mode(SaveMode.Overwrite)
             .parquet(s"$p/landing")
+        // layout-upgrade guard: a store ingested before the radii leg
+        // existed has cells but no delta dir, and a checkpointed re-run is
+        // a no-op — wipe the derived stores (never the landing source) so
+        // the ingest replays with every leg in lockstep
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$p/radii")) &&
+            fs.exists(new org.apache.hadoop.fs.Path(s"$p/cells")))
+          Seq("cells", "ckpt", "cellstats").foreach(d =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$p/$d"), true))
         IncrementalIndex.updateDenseIndex(s, s"$p/landing", s"$p/cells",
           s"$p/ckpt", cents,
-          statsCols = Seq("label"), statsDir = Some(s"$p/cellstats"))
+          statsCols = Seq("label"), statsDir = Some(s"$p/cellstats"),
+          radiiDir = Some(s"$p/radii"))
         IncrementalIndex.deleteFromDenseIndex(s, s"$p/cells",
           t(s, dir, "embeddings").filter(col("vec_id") % 7 === 0)
             .select("vec_id"),
@@ -1720,6 +1731,52 @@ object SparkEntry {
              |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
              |FROM embeddings e CROSS JOIN q
              |WHERE ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) >= 0.25
+             |ORDER BY score DESC, e.vec_id""".stripMargin)),
+
+    // batch range search: per-query admissible cell sets under the same
+    // exact bound, ONE scan of the union of surviving partitions — the
+    // oracle stays the plain per-query threshold filter (no index
+    // unrolling) precisely because the pruning is provably lossless
+    ("sim_ivf_range_batch",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        Similarity.ivfRangeSearchBatchPruned(idx.cells, idx.centroids,
+          idx.radii.get, queries, minScore = 0.25)
+      },
+      Some("""WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+             |            FROM embeddings WHERE vec_id IN (0, 1, 2)),
+             |sc AS (SELECT q.query_id, e.vec_id,
+             |         ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |       FROM embeddings e CROSS JOIN qs q)
+             |SELECT query_id, vec_id, score FROM sc WHERE score >= 0.25
+             |ORDER BY query_id, score DESC, vec_id""".stripMargin)),
+
+    // range search over the INCREMENTAL store after a tombstoned delete:
+    // the per-batch radii DELTAS (max-merged by loadRadii) are what keep
+    // the skip bound valid on a store that grew after its index was built
+    // — build-time radii alone could under-estimate a landed cell's true
+    // extent and silently MISS hits. Tombstones need no compensation (a
+    // stale-high radius stays a valid bound), so the oracle is the flat
+    // threshold filter over the survivors.
+    ("sim_range_post_delete",
+      (s, dir) => {
+        val del = DeleteArtifacts.store(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 1).select(col("embedding").as("qv"))
+        Similarity.ivfRangeSearchPruned(del.cells, del.centroids, del.radii,
+          qv, minScore = 0.25)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e CROSS JOIN q
+             |WHERE e.vec_id % 7 <> 0
+             |  AND ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
              |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) >= 0.25
              |ORDER BY score DESC, e.vec_id""".stripMargin)),
 

@@ -1117,6 +1117,51 @@ object Similarity {
     rangeSearch(pruned, queryDf, minScore, idCol, vecCol, roundTo)
   }
 
+  /** Batch form of exact range search: each query of a small
+    * `(query_id LONG, qv)` batch keeps its OWN admissible cell set under
+    * the [[ivfRangeSearchPruned]] Cauchy-Schwarz bound, and the whole
+    * batch runs as ONE scan of the union of surviving partitions (literal
+    * `PartitionFilters`), each row scored only against the queries whose
+    * bound admits its cell — a (query, cell) pair pruned here provably
+    * scores below `minScore`, so per-pair results equal the flat
+    * per-query [[rangeSearch]]. Planning is |queries| x nlist driver-side
+    * work over the centroid + radii artifacts, zero corpus bytes. */
+  def ivfRangeSearchBatchPruned(
+      cells: DataFrame,
+      centroids: DataFrame,
+      radii: DataFrame,
+      queries: DataFrame,
+      minScore: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      roundTo: Int = 4): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val slack = 0.5 * math.pow(10, -roundTo) + 1e-6
+    val probed = centroids
+      .join(broadcast(radii.select(col(clusterCol), col("radius"))), Seq(clusterCol))
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col(clusterCol),
+        (VectorOps.dot(col("cv"), col("qv")) +
+          sqrt(VectorOps.dot(col("qv"), col("qv"))) * col("radius")).as("ub"))
+      .filter(col("ub") >= minScore - slack)
+      .select(col("query_id"), col(clusterCol))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).intValue)).toSeq
+    val probedDf = probed.toDF("query_id", clusterCol)
+    val cellUnion = probed.map(_._2).distinct
+    val pruned =
+      if (cellUnion.isEmpty) cells.filter(lit(false))
+      else cells.filter(col(clusterCol).isin(cellUnion: _*))
+    pruned
+      .join(broadcast(probedDf), Seq(clusterCol))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(VectorOps.dot(col(vecCol), col("qv")), roundTo).as("score"))
+      .filter(col("score") >= minScore)
+      .orderBy(col("query_id"), col("score").desc, col(idCol).asc)
+  }
+
   /** Filtered-ANN probe PLANNING: a fixed nprobe under a selective
     * candidate filter silently returns fewer than k rows — the probed
     * cells may simply not hold k admissible ids (the reference hits the

@@ -122,7 +122,8 @@ object IncrementalIndex {
       centroidIdCol: String = "cluster",
       cellCol: String = "cluster",
       statsCols: Seq[String] = Seq.empty,
-      statsDir: Option[String] = None): Unit = {
+      statsDir: Option[String] = None,
+      radiiDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     // half-specifying the PQ leg would SILENTLY skip it and leave the codes
     // artifact stale — the exact staleness this maintenance job exists to
@@ -213,6 +214,29 @@ object IncrementalIndex {
             .partitionBy("batch_id")
             .parquet(sd)
         }
+        // per-cell RADIUS delta for this batch — a landed row can lie
+        // FARTHER from its centroid than the build-time radius, and a
+        // too-small radius breaks [[graft.operators.Similarity
+        // .ivfRangeSearchPruned]]'s skip bound (a skipped cell would hold a
+        // hit: MISSED RESULTS, not just a slow plan). Max-per-cell deltas
+        // restore the bound: `loadRadii`'s max-merge over batches (plus the
+        // build artifact) is the true store-wide max. Deletes need no
+        // compensation — removing rows only shrinks the true max, so a
+        // stale-high radius stays a valid (merely conservative) bound.
+        // Same batch_id delete+append replay idempotence as cells/codes.
+        for (rd <- radiiDir) {
+          val radiiBatchPath = new org.apache.hadoop.fs.Path(s"$rd/batch_id=$batchId")
+          radiiBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(radiiBatchPath, true)
+          graft.operators.Similarity
+            .cellRadii(batch.join(assigned, Seq(idCol)),
+              centroids.select(col(centroidIdCol).as(cellCol), col("cv")),
+              vecCol, cellCol)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(rd)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -276,6 +300,42 @@ object IncrementalIndex {
     compactStore(spark, dir,
       df => df.groupBy((cellCol +: statsCols).map(col): _*)
         .agg(sum(col("cnt")).as("cnt"))
+        .coalesce(1),
+      Seq.empty)
+  }
+
+  /** The SERVING view of the radii delta store: max-merge the per-batch
+    * deltas (and the optional build-time `radii` artifact) to the true
+    * store-wide per-cell radius — the exact bound
+    * [[graft.operators.Similarity.ivfRangeSearchPruned]] needs over a
+    * store that has grown since its index was built. Coarse-quantizer-
+    * sized read (nlist x batches rows). */
+  def loadRadii(
+      spark: SparkSession,
+      radiiDir: String,
+      base: Option[DataFrame] = None,
+      cellCol: String = "cluster"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val deltas = spark.read.parquet(radiiDir)
+      .select(col(cellCol), col("radius"))
+    base.fold(deltas)(b =>
+        deltas.unionByName(b.select(col(cellCol).cast(
+          deltas.schema(cellCol).dataType), col("radius"))))
+      .groupBy(col(cellCol)).agg(max(col("radius")).as("radius"))
+  }
+
+  /** Compaction for the radii DELTA store: folding radii means taking the
+    * per-cell MAX over the accumulated batch deltas — [[loadRadii]]'s
+    * max-merge read makes pre- and post-compaction artifacts
+    * indistinguishable. Same staged-write + manifest + rename crash
+    * protocol as [[compactCells]]. */
+  def compactRadii(
+      spark: SparkSession,
+      dir: String,
+      cellCol: String = "cluster"): Unit = {
+    import org.apache.spark.sql.functions._
+    compactStore(spark, dir,
+      df => df.groupBy(col(cellCol)).agg(max(col("radius")).as("radius"))
         .coalesce(1),
       Seq.empty)
   }
@@ -533,10 +593,15 @@ object IncrementalIndex {
       statsDir: Option[String] = None,
       statsCols: Seq[String] = Seq.empty,
       idCol: String = "vec_id",
-      cellCol: String = "cluster"): Unit = {
+      cellCol: String = "cluster",
+      radiiDir: Option[String] = None,
+      radiiCentroids: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.functions._
     require(statsDir.isEmpty || statsCols.nonEmpty,
       "rebuilding the cellstats artifact needs its attribute columns")
+    require(radiiDir.isEmpty || radiiCentroids.isDefined,
+      "rebuilding the radii artifact needs the centroid table (a max is " +
+        "not invertible — the dead rows' contribution cannot be subtracted)")
     val ts = tombstoneIds(spark, cellsDir, idCol)
     def minus(df: DataFrame): DataFrame =
       ts.fold(df)(ids => graft.operators.Candidates.exclude(df, ids, idCol))
@@ -574,6 +639,32 @@ object IncrementalIndex {
           // histogram folds to empty through the all-empty branch
           df => df.limit(0)
       compactStore(spark, sd, fold, Seq.empty, force = true)
+    }
+    // radii rebuild from the authoritative compacted store: a stale-HIGH
+    // radius is still a valid range-search bound (deletes only shrink the
+    // true max), so this step is tightening, not correctness — but it also
+    // drops emptied cells so the planner stops probing them at all
+    for (rd <- radiiDir; cents <- radiiCentroids) {
+      val root = new org.apache.hadoop.fs.Path(cellsDir)
+      val cfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasRows = cfs.exists(root) && cfs.listStatus(root).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      val deltaSchema = spark.read.parquet(rd).schema
+      val fold: DataFrame => DataFrame =
+        if (hasRows)
+          _ => {
+            val fresh = graft.operators.Similarity.cellRadii(
+              spark.read.parquet(cellsDir),
+              cents.select(col(cents.columns.head).as(cellCol), col("cv")),
+              clusterCol = cellCol)
+            fresh.select(fresh.columns.map(c =>
+              deltaSchema.find(_.name == c)
+                .map(f => col(c).cast(f.dataType).as(c))
+                .getOrElse(col(c))): _*).coalesce(1)
+          }
+        else
+          df => df.limit(0)
+      compactStore(spark, rd, fold, Seq.empty, force = true)
     }
   }
 
@@ -778,7 +869,8 @@ object IncrementalIndex {
       centroidIdCol: String = "cluster",
       cellCol: String = "cluster",
       statsCols: Seq[String] = Seq.empty,
-      statsDir: Option[String] = None): Unit = {
+      statsDir: Option[String] = None,
+      radiiDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     def landedStore: Option[DataFrame] =
       if (pathExists(spark, sinkDir))
@@ -798,7 +890,7 @@ object IncrementalIndex {
       updateDenseIndex(spark, landingDir, sinkDir, checkpointDir, centroids,
         idCol, vecCol, Some(cb), Some(codesDir), numSub, subDim,
         Some(dist), driftTolerance, centroidIdCol, cellCol,
-        statsCols, statsDir)
+        statsCols, statsDir, radiiDir)
     }
     try runOnce()
     catch {

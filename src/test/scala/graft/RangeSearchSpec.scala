@@ -59,6 +59,67 @@ class RangeSearchSpec extends AnyFunSuite {
       s"UB violated in cells: ${bad.map(_.getAs[Number]("cluster")).mkString(",")}")
   }
 
+  test("a grown store invalidates build-time radii; delta max-merge restores the bound") {
+    import graft.streaming.IncrementalIndex
+    val (emb, cents, _, _) = fixtures
+    val base = java.nio.file.Files.createTempDirectory("graft_radii_inc")
+    val landing = base.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_radii_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, landing.resolve(name))
+    }
+    def ingest(): Unit = IncrementalIndex.updateDenseIndex(spark,
+      landing.toString, s"$base/cells", s"$base/ckpt", cents,
+      radiiDir = Some(s"$base/radii"))
+    // batch 0: the original corpus; its per-cell radii are exactly what a
+    // build-time artifact would hold
+    land(emb, "b0.parquet")
+    ingest()
+    val staleRadii = Similarity.cellRadii(
+      Similarity.assignCells(emb, cents), cents)
+    // batch 1: an OUTLIER far outside every existing cell radius (the same
+    // direction as a real row, 8x the length)
+    val outlier = emb.filter(col("vec_id") === 3)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(8.0f)).cast("float")))
+    land(outlier, "b1.parquet")
+    ingest()
+    val store = spark.read.parquet(s"$base/cells")
+    val qv = outlier.select(col("embedding").as("qv"))
+    val self = Similarity.rangeSearch(store, qv, minScore = 0.0)
+      .filter(col("vec_id") === 1000003L).head.getDouble(1)
+    val tau = self - 1e-3
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    val flat = ids(Similarity.rangeSearch(store, qv, tau))
+    assert(flat.contains(1000003L), "flat scan must see the landed outlier")
+    // the bug class this leg exists to prevent: build-time radii
+    // under-estimate the grown cell, the bound wrongly skips it, the hit
+    // VANISHES — not a slow plan, a wrong answer
+    val stalePruned = ids(Similarity.ivfRangeSearchPruned(
+      store, cents, staleRadii, qv, tau))
+    assert(!stalePruned.contains(1000003L),
+      "geometry too tame: the stale bound did not skip the outlier's cell " +
+        "(grow the outlier scale so the regression stays meaningful)")
+    // delta-merged radii restore exactness...
+    val live = IncrementalIndex.loadRadii(spark, s"$base/radii")
+    assert(ids(Similarity.ivfRangeSearchPruned(store, cents, live, qv, tau))
+      === flat)
+    // ...and compaction preserves the merged view exactly
+    IncrementalIndex.compactRadii(spark, s"$base/radii")
+    val compacted = IncrementalIndex.loadRadii(spark, s"$base/radii")
+    assert(ids(Similarity.ivfRangeSearchPruned(store, cents, compacted, qv, tau))
+      === flat)
+    assert(new java.io.File(s"$base/radii").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id=")) === 1,
+      "compaction should fold the per-batch radii deltas into one epoch")
+  }
+
   test("a high threshold skips cells: the pruned scan reads fewer partitions") {
     val (emb, cents, cells, radii) = fixtures
     val base = java.nio.file.Files.createTempDirectory("graft_range")

@@ -1400,6 +1400,50 @@ object SparkEntry {
              |SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id
              |ORDER BY id""").stripMargin.replaceFirst("WITH ", "WITH RECURSIVE "))),
 
+    // SemDeDup-style keeper election (Abbas et al. 2023): within each
+    // near-dup component keep the HIGHEST-quality member, not the
+    // arbitrary min id — the curation shape production pipelines actually
+    // apply. Ranks by the pre-rounded quality score (id tie-break) so the
+    // election is deterministic on both engines.
+    ("dedup_semantic_keep_best",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val comps = Dedup.canonicalIds(
+          Dedup.minhashLshPairs(docs, "doc_id", "text")
+            .select(col("i"), col("j")))
+        val quality = TextAnalysis.qualityScore(docs, "doc_id", "text",
+            Seq("the", "a"))
+          .select(col("id"), round(col("score"), 6).as("score"))
+        Dedup.keepBest(comps, quality).orderBy(col("id"))
+      },
+      Some((s"$minhashJacSql,\n" +
+        """prs AS (SELECT i, j FROM jac WHERE jaccard >= 0.5),
+          |edges AS (SELECT i AS a, j AS b FROM prs UNION ALL SELECT j AS a, i AS b FROM prs),
+          |nodes AS (SELECT DISTINCT a AS id FROM edges),
+          |reach AS (SELECT id, id AS r FROM nodes
+          |          UNION
+          |          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+          |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+          |qtok AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+          |         FROM documents),
+          |qst AS (SELECT id, COUNT(*) AS n_tokens,
+          |               SUM(CASE WHEN term IN ('the','a') THEN 1 ELSE 0 END) AS n_stop
+          |        FROM qtok GROUP BY 1),
+          |qbase AS (SELECT doc_id AS id,
+          |                 LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars
+          |          FROM documents),
+          |qsc AS (SELECT b.id, ROUND(0.4 * (st.n_stop * 1.0 / st.n_tokens)
+          |             + 0.6 * (LEAST(b.alpha_chars * 1.0 / st.n_tokens, 10.0) / 10.0), 6) AS score
+          |        FROM qbase b JOIN qst st ON st.id = b.id),
+          |scored AS (SELECT c.id, c.comp, q.score FROM comp c JOIN qsc q USING (id)),
+          |rk AS (SELECT id, comp, score, ROW_NUMBER() OVER (
+          |         PARTITION BY comp ORDER BY score DESC, id) AS rn FROM scored),
+          |best AS (SELECT comp, id AS best_id FROM rk WHERE rn = 1)
+          |SELECT s.id, b.best_id, s.score, s.id = b.best_id AS keep
+          |FROM scored s JOIN best b USING (comp)
+          |ORDER BY s.id""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
     ("dedup_ngram_jaccard",
       (s, dir) =>
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text")

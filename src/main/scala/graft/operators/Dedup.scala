@@ -389,6 +389,37 @@ object Dedup {
     labels.select(col("id"), col("label").as("keep_id"))
   }
 
+  /** KEEPER ELECTION BY QUALITY — the SemDeDup-flavoured refinement of
+    * [[canonicalIds]]' min-id convention (Abbas et al. 2023 keep one
+    * representative per semantic-duplicate cluster; production pipelines
+    * keep the BEST one, not an arbitrary one): for each near-dup
+    * component, elect the member with the highest score (id-ascending
+    * tie-break so election is deterministic and oracle-checkable) and map
+    * every member to it. Input `components` is [[canonicalIds]]' output
+    * `(idCol, compCol)`; `scores` is any per-id quality signal — e.g.
+    * [[graft.operators.TextAnalysis.qualityScore]] — pre-rounded by the
+    * caller if cross-engine rank parity matters.
+    *
+    * Scale shape: one id-equi join (components are pair-list-sized, far
+    * below corpus rows) and one window PARTITIONED by component — no
+    * global window, no driver-side state. Returns
+    * `(idCol, best_id, scoreCol, keep)`; the drop set is `keep = false`,
+    * applied with the same anti-join as the min-id drop path. */
+  def keepBest(
+      components: DataFrame,
+      scores: DataFrame,
+      idCol: String = "id",
+      compCol: String = "keep_id",
+      scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(compCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    components.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("best_id", first(col(idCol)).over(w))
+      .select(col(idCol), col("best_id"), col(scoreCol),
+        (col(idCol) === col("best_id")).as("keep"))
+  }
+
   /** Embedding-cosine near-dup pairs, exact ALL-PAIRS form — an O(N^2 d)
     * cartesian that exists ONLY as the small-N oracle for the blocked and
     * banded paths, and is GUARDED accordingly: a corpus above `maxRows`

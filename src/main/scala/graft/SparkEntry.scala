@@ -244,7 +244,8 @@ object SparkEntry {
         cellStats = Some(s.read.parquet(s"$p/cellstats")),
         defaultNprobe = Some(s.read.parquet(s"$p/params")
           .head.getAs[Int]("default_nprobe")),
-        radii = Some(s.read.parquet(s"$p/radii")))
+        radii = Some(s.read.parquet(s"$p/radii")),
+        int8 = Some(s.read.parquet(s"$p/int8")))
       ArtifactMemo(p) {
         // geometry pinned explicitly (NOT IvfParams.auto) because the
         // oracle SQL unrolls the training at exactly k=8 cells / 16 codes;
@@ -1867,6 +1868,38 @@ object SparkEntry {
              |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
              |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
              |FROM embeddings e JOIN shortlist sl ON sl.id = e.vec_id CROSS JOIN q
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
+    // IVF + SCALAR-int8 + exact refine (FAISS IndexIVFScalarQuantizer +
+    // RefineFlat): the coarse stage scans the probed cells of the
+    // persisted BYTE-per-dim store in pure integer arithmetic (bit-exact
+    // across engines, 4x less IO than the float corpus), the exact stage
+    // touches only the 50-row shortlist from the same probed partitions
+    ("sim_ivf_int8_refine",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.ivfInt8RefineSearch(
+          idx.int8.get, idx.cells, idx.centroids, qv,
+          nprobe = 2, kCoarse = 50, k = 20)
+      },
+      Some(s"""$ivfCellCtes,
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN q),
+             |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2),
+             |isc AS (SELECT e.vec_id,
+             |    CAST((SELECT SUM(CAST(round(x.a::DOUBLE * 127) AS BIGINT) *
+             |                     CAST(round(x.b::DOUBLE * 127) AS BIGINT))
+             |          FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x) AS BIGINT) AS score_i
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN probe p ON p.cluster = a3.cluster CROSS JOIN q),
+             |shortlist AS (SELECT vec_id FROM isc ORDER BY score_i DESC, vec_id LIMIT 50)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id CROSS JOIN q
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
 
     // batch IVF-PQ serving from the persisted codes: THREE queries probe

@@ -34,7 +34,8 @@ object Similarity {
       codes: DataFrame,
       cellStats: Option[DataFrame] = None,
       defaultNprobe: Option[Int] = None,
-      radii: Option[DataFrame] = None)
+      radii: Option[DataFrame] = None,
+      int8: Option[DataFrame] = None)
 
   /** Dense-index build sizing: how many IVF cells, PQ subspaces and
     * codebook entries to train for a corpus of N rows x d dims, plus the
@@ -165,6 +166,13 @@ object Similarity {
         spark.read.parquet(s"$outDir/centroids"))
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(s"$outDir/radii")
+    // SQ8 store: the byte-per-dim serving artifact for the scalar-
+    // quantized two-stage path ([[ivfInt8RefineSearch]]) — same cell
+    // partitioning, 4x less scan IO than the float cells
+    graft.sources.Store.writePartitioned(
+      int8EncodeCells(spark.read.parquet(s"$outDir/cells"), idCol, vecCol,
+        "cluster"),
+      s"$outDir/int8", "cluster")
     // serving default: RECALL-CALIBRATED against the just-persisted
     // artifacts when a target is given (the static nlist/16 rule is
     // corpus-blind — on an unclusterable or tiny geometry it can ship a
@@ -198,7 +206,8 @@ object Similarity {
       codes = spark.read.parquet(s"$outDir/codes"),
       cellStats = statsArt,
       defaultNprobe = Some(np),
-      radii = Some(spark.read.parquet(s"$outDir/radii")))
+      radii = Some(spark.read.parquet(s"$outDir/radii")),
+      int8 = Some(spark.read.parquet(s"$outDir/int8")))
   }
 
   /** BUILD-TIME nprobe calibration: the smallest nprobe whose measured
@@ -1325,6 +1334,71 @@ object Similarity {
       applyCandidateFilters(codes.filter(col(clusterCol).isin(probed: _*)),
         idCol, restrictIds, excludeIds),
       codebooks, queryDf, kCoarse, numSub, subDim, idCol)
+    // rank on the ROUNDED exact score (engine-portable boundary at k)
+    scoreAll(
+      cells.filter(col(clusterCol).isin(probed: _*))
+        .join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi"),
+      queryDf, idCol, vecCol)
+      .select(col(idCol), round(col("score"), roundTo).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Scalar int8 encoding of the cell-partitioned corpus — the storage
+    * shape of FAISS `IndexIVFScalarQuantizer` (SQ8): symmetric
+    * per-coordinate quantization `q = round(127 x)` stored as one BYTE
+    * per dimension (array<tinyint> — a 4x smaller scan than the float
+    * store) with the cell carried through for `PartitionFilters` pruning.
+    * Build-once: persist with [[graft.sources.Store.writePartitioned]] by
+    * the cluster column and serve via [[ivfInt8RefineSearch]]. Quantized
+    * scores are INTEGER-exact, so the shortlist boundary is deterministic
+    * across engines — no float-order concerns at the coarse stage. */
+  def int8EncodeCells(
+      cells: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster"): DataFrame =
+    cells.select(col(idCol), col(clusterCol),
+      // clamp like FAISS SQ8: an out-of-range coordinate saturates instead
+      // of wrapping modulo 256 through the tinyint cast
+      transform(col(vecCol),
+        x => greatest(lit(-127d), least(lit(127d),
+          round(x.cast("double") * 127))).cast("tinyint")).as("q8"))
+
+  /** Two-stage IVF-SQ8 + exact-refine serving (the scalar-quantizer
+    * sibling of [[ivfPqRefineSearch]]): probe driver-side, scan ONLY the
+    * probed cells of the persisted int8 store (1 byte/dim — 4x less IO
+    * than the float corpus), score in pure INTEGER arithmetic against the
+    * int8-quantized query (long accumulator: no overflow below d ~ 2^45,
+    * and bit-exact in any engine), shortlist `kCoarse`, then fetch just
+    * those rows' ORIGINAL vectors from the same probed cell partitions
+    * and exactly re-score for the final top-k. The 100 TB shape: the
+    * scan-heavy stage reads bytes, the d-float corpus is touched for
+    * exactly kCoarse rows per query. */
+  def ivfInt8RefineSearch(
+      int8Store: DataFrame,
+      cells: DataFrame,
+      centroids: DataFrame,
+      queryDf: DataFrame,
+      nprobe: Int,
+      kCoarse: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      roundTo: Int = 4): DataFrame = {
+    require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
+    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    val q8 = broadcast(queryDf.select(
+      transform(col("qv"), x => round(x.cast("double") * 127).cast("long"))
+        .as("q8v")))
+    val shortlist = int8Store.filter(col(clusterCol).isin(probed: _*))
+      .crossJoin(q8)
+      .select(col(idCol),
+        aggregate(zip_with(col("q8"), col("q8v"), (a, b) => a.cast("long") * b),
+          lit(0L), (acc, v) => acc + v).as("score_i"))
+      .orderBy(col("score_i").desc, col(idCol).asc)
+      .limit(kCoarse)
     // rank on the ROUNDED exact score (engine-portable boundary at k)
     scoreAll(
       cells.filter(col(clusterCol).isin(probed: _*))

@@ -58,7 +58,9 @@ object ScaleProbe {
       "sim_ivfpq_ann", "sim_ivfpq_batch", "sim_ivfpq_refine",
       "f1b_knn_ann_filtered", "f1c_ivfpq_ann_filtered", "sim_ivf_skew_split",
       "sim_cluster_assign", "f1d_knn_ann_adaptive", "f1e_knn_batch_adaptive",
-      "stream_ann_topk", "q35_hybrid_rrf")
+      "stream_ann_topk", "q35_hybrid_rrf",
+      "sim_ivf_range", "sim_ivf_range_batch", "sim_ivf_int8_refine",
+      "sim_range_post_delete", "dedup_semantic_keep_best")
     // an explicit comma-separated probe list (arg 3) scopes a re-run to the
     // queries under study without re-measuring the whole table
     val probes = if (args.length > 2) args(2).split(",").toSeq else defaultProbes

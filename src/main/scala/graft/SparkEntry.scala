@@ -1373,6 +1373,40 @@ object SparkEntry {
              |GROUP BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
              |ORDER BY keep_id""".stripMargin)),
 
+    // paragraph-level dedup (CCNet/Gopher line dedup): documents are built
+    // two-paragraph (own text + successor's text), so EVERY paragraph
+    // occurs exactly twice across adjacent docs — the operator must keep
+    // each one only at its first (id, pos) occurrence and reassemble the
+    // rest, the cross-document boilerplate removal doc-level dedup can't do
+    ("dedup_paragraph",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val succ = docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("__t2"))
+        val two = docs.join(succ, Seq("doc_id"))
+          .select(col("doc_id").as("id"),
+            concat_ws("\n", col("text"), col("__t2")).as("text"))
+        Dedup.dedupParagraphs(two, "id", "text").orderBy(col("id"))
+      },
+      Some("""WITH two AS (SELECT d1.doc_id AS id,
+             |               d1.text || chr(10) || d2.text AS text
+             |             FROM documents d1 JOIN documents d2
+             |               ON d2.doc_id = d1.doc_id + 1),
+             |sp AS (SELECT id, string_split(text, chr(10)) AS ps FROM two),
+             |idx AS (SELECT id, ps, unnest(generate_series(1, len(ps))) AS i FROM sp),
+             |para AS (SELECT id, i, ps[i] AS para FROM idx),
+             |rk AS (SELECT id, i, para, ROW_NUMBER() OVER (
+             |         PARTITION BY para ORDER BY id, i) AS rn FROM para),
+             |kept AS (SELECT id, i, para FROM rk WHERE rn = 1),
+             |tot AS (SELECT id, COUNT(*) AS n_paras FROM para GROUP BY 1),
+             |re AS (SELECT id, string_agg(para, chr(10) ORDER BY i) AS text,
+             |              COUNT(*) AS n_kept
+             |       FROM kept GROUP BY id)
+             |SELECT t.id, COALESCE(re.text, '') AS text, t.n_paras,
+             |       COALESCE(re.n_kept, 0) AS n_kept
+             |FROM tot t LEFT JOIN re USING (id)
+             |ORDER BY t.id""".stripMargin)),
+
     ("dedup_minhash_lsh",
       (s, dir) =>
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")

@@ -49,6 +49,53 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** PARAGRAPH-level dedup (the CCNet/Gopher line-dedup shape): split each
+    * document on `sep`, keep only the corpus-wide FIRST occurrence of every
+    * paragraph (smallest `(id, position)` — deterministic, so the choice is
+    * oracle-checkable), and reassemble each document from its surviving
+    * paragraphs in original order. Boilerplate that repeats across
+    * documents (headers, navigation, license blocks) vanishes from every
+    * document but the first one containing it — removing it per-document
+    * is what exact/minhash DOC-level dedup cannot do.
+    *
+    * Scale shape: one explode (corpus-linear in paragraphs), one groupBy
+    * on the 60-bit paragraph hash for the first-occurrence election (the
+    * same md5-hash keying as [[exact]] — partial-agg min(struct), no
+    * paragraph text shuffled beyond its first-occurrence row), one
+    * groupBy(id) to reassemble. No windows over the whole corpus, no
+    * driver-side state. Returns `(idCol, textCol, n_paras, n_kept)`;
+    * a document whose every paragraph appeared earlier keeps an empty
+    * text with `n_kept = 0`. */
+  def dedupParagraphs(
+      docs: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+    val keyed = paras.select(col(idCol), col("__pos"), col("__para"),
+      hash60(col("__para")).as("__h"))
+    val firsts = keyed.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+    val kept = keyed.join(firsts, Seq("__h"))
+      .filter(col(idCol) === col("__first").getField(idCol) &&
+        col("__pos") === col("__first").getField("__pos"))
+    val reasm = kept.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__para"))))
+          .as("__a"),
+        count(lit(1)).as("n_kept"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__a"), s => s.getField("__para")))
+          .as(textCol),
+        col("n_kept"))
+    paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+      .join(reasm, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol),
+        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Distinct word n-gram shingle sets `(id, s)`. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     Lexical.ngrams(docs, idCol, textCol, n)

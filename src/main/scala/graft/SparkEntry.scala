@@ -1936,6 +1936,35 @@ object SparkEntry {
              |FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id CROSS JOIN q
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
 
+    // MATRYOSHKA two-stage serving (Kusupati et al. 2022 adaptive
+    // retrieval): coarse rank on the leading 16 of 64 coordinates over the
+    // probed cells (quarter of the multiply-adds), exact full-dim re-score
+    // of only the 50-row shortlist from the same probed partitions
+    ("sim_matryoshka_refine",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.matryoshkaRefineSearch(idx.cells, idx.centroids, qv,
+          dPrime = 16, nprobe = 2, kCoarse = 50, k = 20)
+      },
+      Some(s"""$ivfCellCtes,
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN q),
+             |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2),
+             |tsc AS (SELECT e.vec_id,
+             |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding[1:16]) a, unnest(q.qv[1:16]) b) x), 6) AS cscore
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN probe p ON p.cluster = a3.cluster CROSS JOIN q),
+             |shortlist AS (SELECT vec_id FROM tsc ORDER BY cscore DESC, vec_id LIMIT 50)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id CROSS JOIN q
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
     // batch IVF-PQ serving from the persisted codes: THREE queries probe
     // per-query on the centroid artifact (driver-side), ONE scan of the
     // probed cells' CODE partitions, each code row ADC-scored only against

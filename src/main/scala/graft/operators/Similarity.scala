@@ -1171,6 +1171,51 @@ object Similarity {
       .orderBy(col("query_id"), col("score").desc, col(idCol).asc)
   }
 
+  /** Two-stage MATRYOSHKA (truncated-dimension) serving — the adaptive-
+    * retrieval recipe for nested-representation embeddings (Kusupati et
+    * al. 2022: an MRL-trained vector ranks well on its leading
+    * coordinates alone): the coarse stage scores the probed cells on only
+    * the FIRST `dPrime` of d coordinates (dPrime/d of the multiply-adds;
+    * with a truncated-first column layout, dPrime/d of the scanned
+    * bytes), shortlists `kCoarse` on the rounded truncated score
+    * (id tie-break — engine-portable boundary), and the refine stage
+    * re-scores ONLY the shortlist's full-dimension vectors from the same
+    * probed cell partitions. Raw inner product end to end (consistent
+    * with every serving path here) — no per-row renormalization of the
+    * truncated prefix. */
+  def matryoshkaRefineSearch(
+      cells: DataFrame,
+      centroids: DataFrame,
+      queryDf: DataFrame,
+      dPrime: Int,
+      nprobe: Int,
+      kCoarse: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      roundTo: Int = 4): DataFrame = {
+    require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
+    require(dPrime > 0, s"truncation dimension must be positive, got $dPrime")
+    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    val qTrunc = broadcast(queryDf.select(slice(col("qv"), 1, dPrime).as("qtv")))
+    val shortlist = cells.filter(col(clusterCol).isin(probed: _*))
+      .crossJoin(qTrunc)
+      .select(col(idCol),
+        round(VectorOps.dot(slice(col(vecCol), 1, dPrime), col("qtv")), 6)
+          .as("cscore"))
+      .orderBy(col("cscore").desc, col(idCol).asc)
+      .limit(kCoarse)
+    // rank on the ROUNDED exact full-dim score (engine-portable at k)
+    scoreAll(
+      cells.filter(col(clusterCol).isin(probed: _*))
+        .join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi"),
+      queryDf, idCol, vecCol)
+      .select(col(idCol), round(col("score"), roundTo).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Filtered-ANN probe PLANNING: a fixed nprobe under a selective
     * candidate filter silently returns fewer than k rows — the probed
     * cells may simply not hold k admissible ids (the reference hits the

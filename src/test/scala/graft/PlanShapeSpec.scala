@@ -114,6 +114,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"batch probe not partition-pruned:\n$pb")
   }
 
+  test("SQ8 + matryoshka two-stage paths prune both stages to probed partitions") {
+    // coarse stage scans the PERSISTED byte store (int8 subtree of the
+    // index), pruned to the probed cells; refine touches the float corpus
+    // only through the same pruned partitions; nothing trains or encodes
+    // at query time (the int8 store is written at build time)
+    val p = plan(q("sim_ivf_int8_refine"))
+    assert(p.contains("PartitionFilters") && p.contains("cluster"),
+      s"int8 coarse scan not partition-pruned:\n$p")
+    assert(p.contains("graft-index"), s"not reading persisted artifacts:\n$p")
+    assert(p.contains("int8"), s"coarse stage not reading the SQ8 store:\n$p")
+    assert(!p.contains("collect_list"), s"serving plan trains:\n$p")
+    // matryoshka: both stages scan the same cell-partitioned store pruned;
+    // no training, no corpus-wide window
+    val pm = plan(q("sim_matryoshka_refine"))
+    assert(pm.contains("PartitionFilters") && pm.contains("graft-index"),
+      s"matryoshka stages not partition-pruned:\n$pm")
+    assert(!pm.contains("collect_list"), s"serving plan trains:\n$pm")
+    assert(!pm.contains("Window"), s"serving plan runs a corpus window:\n$pm")
+  }
+
   test("IVF-PQ serving reads persisted codes pruned to probed partitions, never encodes") {
     // FAISS IVFPQ serving: codes live in the inverted lists, written at
     // build time — the query plan must (a) prune the codes table to the

@@ -376,6 +376,36 @@ class SearchEngine(
       .filter(col("id") =!= id)
   }
 
+  /** Similarity-RADIUS related items: every corpus item whose similarity
+    * to `imgId`'s vector reaches `minScore` — the /relatedimg shape
+    * without a fixed k (the right contract when "related" is a threshold,
+    * not a count: a near-duplicate burst returns them all, an isolated
+    * item returns none instead of k strangers). Serves through
+    * [[Similarity.ivfRangeSearchPruned]] when the index carries the radii
+    * artifact (cells whose Cauchy-Schwarz bound falls below the threshold
+    * are provably hitless and never scanned), falling back to the flat
+    * threshold scan; either way results are EXACT, filtered to the
+    * request's candidate set and group-shaped like every facade search. */
+  def relatedByRadius(
+      index: Similarity.DenseIndex,
+      imgId: Long,
+      minScore: Double,
+      filters: Filters = Filters(),
+      vecCol: String = "clip"): DataFrame = {
+    val qv = corpus.embeddings.filter(col("id") === imgId)
+      .select(col(vecCol).as("qv"))
+    val hits = index.radii match {
+      case Some(r) => Similarity.ivfRangeSearchPruned(
+        index.cells, index.centroids, r, qv, minScore,
+        idCol = "id", vecCol = vecCol)
+      case None => Similarity.rangeSearch(
+        index.cells, qv, minScore, idCol = "id", vecCol = vecCol)
+    }
+    GroupShaping.groupResults(
+      hits.join(candidates(filters).select("id", "video_id"), Seq("id")),
+      groupCol = "video_id", idCol = "id", scoreCol = "score")
+  }
+
   /** T1 /textsearch with filtervideo: expand previous hits' shots by
     * `range` ordinals (mode 1 forwards / 2 backwards), re-score candidates,
     * order groups by prev+cur combined score (`search_utils.py:96-221`). */

@@ -62,6 +62,24 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(rel.sorted.toSeq === want.sorted)
   }
 
+  test("relatedByRadius: radius-pruned facade == flat threshold fallback, exact") {
+    // the pruned path (index carries radii) must equal the flat fallback
+    // (radii stripped) at every threshold — the facade-level form of the
+    // RangeSearchSpec bound guarantee
+    for (tau <- Seq(0.1, 0.5, 0.9)) {
+      val pruned = engine.relatedByRadius(clipIndex, 7L, tau)
+        .collect().map(_.toString).sorted.toSeq
+      val flat = engine.relatedByRadius(clipIndex.copy(radii = None), 7L, tau)
+        .collect().map(_.toString).sorted.toSeq
+      assert(pruned === flat, s"pruned != flat at minScore=$tau")
+    }
+    // a reachable threshold includes the probe item's own group; an
+    // unreachable one returns empty instead of k strangers
+    val some = engine.relatedByRadius(clipIndex, 7L, 0.1).collect()
+    assert(some.flatMap(_.getSeq[Long](2)).contains(7L))
+    assert(engine.relatedByRadius(clipIndex, 7L, 1e9).collect().isEmpty)
+  }
+
   test("panel fuses grid-token and tag channels over filtered candidates") {
     import spark.implicits._
     // synthesize channel texts: bbox tokens from the kf's shot, tags by parity
@@ -204,8 +222,12 @@ class SearchEngineSpec extends AnyFunSuite {
     graft.sources.Store.writePartitioned(
       Similarity.assignCells(corpus.embeddings, centroids, vecCol = vecCol),
       s"$dir/cells", "cluster")
-    Similarity.DenseIndex(centroids, spark.read.parquet(s"$dir/cells"),
-      spark.emptyDataFrame, spark.emptyDataFrame)
+    val cells = spark.read.parquet(s"$dir/cells")
+    Similarity.cellRadii(cells, centroids, vecCol)
+      .coalesce(1).write.parquet(s"$dir/radii")
+    Similarity.DenseIndex(centroids, cells,
+      spark.emptyDataFrame, spark.emptyDataFrame,
+      radii = Some(spark.read.parquet(s"$dir/radii")))
   }
   private lazy val clipIndex = buildIndex("clip")
   private lazy val clipv2Index = buildIndex("clipv2")

@@ -3129,6 +3129,39 @@ object SparkEntry {
              |SELECT query_id, vec_id, sim FROM rk WHERE rn <= 10
              |ORDER BY query_id, sim DESC, vec_id""".stripMargin)),
 
+    // streaming RANGE serving: a stream of query vectors answered per
+    // micro-batch from the persisted artifacts via the radius-bounded
+    // batch range search. Range pruning is EXACT, so the oracle is the
+    // flat per-query threshold filter — and because range results carry no
+    // cross-batch state, the multi-micro-batch run must equal it exactly
+    ("stream_range_search",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val stage = java.nio.file.Files.createTempDirectory("graft_rangeq_src")
+        (0 to 4).foreach { i =>
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_rangeq_tmp$i")
+          emb.filter(col("vec_id") === i)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath, stage.resolve(s"q$i.parquet"))
+        }
+        graft.streaming.IncrementalIndex.serveRangeStream(
+            s, stage.toString, idx.cells, idx.centroids, idx.radii.get,
+            minScore = 0.25)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some("""WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+             |            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+             |sc AS (SELECT q.query_id, e.vec_id,
+             |         ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |       FROM embeddings e CROSS JOIN qs q)
+             |SELECT query_id, vec_id, score FROM sc WHERE score >= 0.25
+             |ORDER BY query_id, score DESC, vec_id""".stripMargin)),
+
     ("w2_sessionize",
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("__t"), col("event_id"))

@@ -1041,4 +1041,45 @@ object IncrementalIndex {
     import spark.implicits._
     buf.toSeq.toDF("query_id", "vec_id", "sim")
   }
+
+  /** STREAMING RANGE serving — [[serveAnnStream]]'s radius sibling: each
+    * micro-batch of query vectors is answered from the persisted IVF
+    * artifacts via [[graft.operators.Similarity.ivfRangeSearchBatchPruned]]
+    * (per-query admissible cells under the radii bound, ONE pruned union
+    * scan per batch). Range results carry no cross-query or cross-batch
+    * state either, so the accumulated stream result is independent of
+    * batching and equals the one-shot batch range search — which is what
+    * the oracle pins. Output size is threshold-bound rather than
+    * k-bound: a production sink would write per-batch instead of
+    * accumulating, but serving-scale thresholds keep this driver-side
+    * accumulation the same shape as [[serveAnnStream]]'s. */
+  def serveRangeStream(
+      spark: SparkSession,
+      queryLandingDir: String,
+      cells: DataFrame,
+      centroids: DataFrame,
+      radii: DataFrame,
+      minScore: Double,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    val schema = spark.read.parquet(queryLandingDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(queryLandingDir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val res = graft.operators.Similarity
+          .ivfRangeSearchBatchPruned(cells, centroids, radii, batch, minScore)
+          .collect()
+        buf.synchronized {
+          buf ++= res.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    buf.toSeq.toDF("query_id", "vec_id", "score")
+  }
 }

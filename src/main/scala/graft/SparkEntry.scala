@@ -1268,6 +1268,55 @@ object SparkEntry {
 
     // ---- §3.3 relevance-feedback rerank -----------------------------------
 
+    // MMR diversification (Carbonell & Goldstein 1998): greedy
+    // relevance-vs-redundancy selection over the exact top-50 shortlist —
+    // the near-duplicate-burst fix for result lists. The greedy recurrence
+    // is k-sequential, so the oracle is a recursive CTE walking the same
+    // selection; both engines combine identically-rounded Spark-computed
+    // components, so the argmax boundary is deterministic.
+    ("rerank_mmr",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val cand = emb.crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("embedding"),
+            round(VectorOps.dot(col("embedding"), col("qv")), 4).as("__rel"))
+          .orderBy(col("__rel").desc, col("vec_id"))
+          .limit(50)
+          .select(col("vec_id"), col("embedding"))
+        Similarity.mmrRerank(cand, qv, k = 10, lambda = 0.7)
+      },
+      Some("""WITH RECURSIVE
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cand AS (SELECT e.vec_id AS id, e.embedding AS v,
+             |           ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |                  FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x), 4) AS rel
+             |         FROM embeddings e CROSS JOIN q
+             |         ORDER BY rel DESC, id LIMIT 50),
+             |prs AS (SELECT a.id AS i, b.id AS j,
+             |          ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |                 FROM (SELECT unnest(a.v) a, unnest(b.v) b) x), 4) AS s
+             |        FROM cand a JOIN cand b ON a.id <> b.id),
+             |sel AS (
+             |  SELECT 1 AS rnk,
+             |         (SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1) AS pick,
+             |         [(SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1)] AS sel_ids,
+             |         (SELECT ROUND(0.7 * rel, 4) FROM cand ORDER BY rel DESC, id LIMIT 1) AS mmr
+             |  UNION ALL
+             |  SELECT rnk + 1,
+             |         nxt.id,
+             |         list_append(sel_ids, nxt.id),
+             |         nxt.score
+             |  FROM sel, LATERAL (
+             |    SELECT c.id,
+             |           ROUND(0.7 * c.rel - (1 - 0.7) * (SELECT MAX(p.s) FROM prs p
+             |               WHERE p.i = c.id AND list_contains(sel.sel_ids, p.j)), 4) AS score
+             |    FROM cand c WHERE NOT list_contains(sel.sel_ids, c.id)
+             |    ORDER BY score DESC, c.id LIMIT 1) nxt
+             |  WHERE rnk < 10
+             |)
+             |SELECT rnk, pick AS vec_id, mmr FROM sel ORDER BY rnk""".stripMargin)),
+
     ("rerank_feedback",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -470,6 +470,69 @@ object Similarity {
     upd.select(col(idCol), (col("score") + coalesce(col("u"), lit(0.0))).as("score"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE diversification rerank (Carbonell &
+    * Goldstein 1998): greedily select `k` of the candidate shortlist,
+    * each step taking the remaining candidate maximizing
+    * `lambda * rel(c) - (1 - lambda) * max over selected s of sim(c, s)`
+    * — relevance traded against redundancy with what is already shown,
+    * the classic fix for near-duplicate result bursts.
+    *
+    * The greedy recurrence is inherently sequential in k, so it runs
+    * driver-side over the COLLECTED shortlist — legitimate because the
+    * shortlist is the retrieval stage's k-bounded output (the corpus-scale
+    * work stays distributed in that stage; a kCoarse x kCoarse sim matrix
+    * of a 50-row shortlist is probeCells-scale driver work). Both the
+    * relevance and pair-similarity components are computed IN SPARK and
+    * rounded (the engine-parity convention every oracle here relies on)
+    * before the driver combines them; the combination re-rounds with the
+    * same HALF_UP decimal rule Spark's `round` applies, so the selection
+    * boundary is oracle-checkable. Ties break by id ascending. Returns
+    * `(rnk, idCol, mmr)` in selection order. */
+  def mmrRerank(
+      candidates: DataFrame,
+      queryDf: DataFrame,
+      k: Int,
+      lambda: Double = 0.7,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rel = candidates.crossJoin(broadcast(queryDf))
+      .select(col(idCol),
+        round(VectorOps.dot(col(vecCol), col("qv")), roundTo).as("rel"))
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getDouble(1)).toMap
+    val va = candidates.select(col(idCol).as("i"), col(vecCol).as("va"))
+    val vb = candidates.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    val sim = va.join(broadcast(vb), col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        round(VectorOps.dot(col("va"), col("vb")), roundTo).as("s"))
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue) -> r.getDouble(2)).toMap
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = rel.keys.toSeq
+    val first = ids.sortBy(i => (-rel(i), i)).head
+    val sel = scala.collection.mutable.ArrayBuffer(
+      (1, first, rnd(lambda * rel(first))))
+    val remaining = scala.collection.mutable.SortedSet(ids: _*) - first
+    var rank = 2
+    while (rank <= k && remaining.nonEmpty) {
+      val (pick, score) = remaining.toSeq
+        .map { c =>
+          val ms = sel.iterator.map(s => sim((c, s._2))).max
+          c -> rnd(lambda * rel(c) - (1 - lambda) * ms)
+        }
+        .sortBy { case (c, sc) => (-sc, c) }.head
+      sel += ((rank, pick, score))
+      remaining -= pick
+      rank += 1
+    }
+    sel.toSeq.toDF("rnk", idCol, "mmr")
+  }
+
   /** Per-row subvector decomposition for product quantization: one row per
     * (row, subspace) with the subspace's slice. Pure projection + Generator
     * — no shuffle. */

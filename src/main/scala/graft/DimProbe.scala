@@ -58,7 +58,8 @@ object DimProbe {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
     case class Probe(rows: Long, assign: Double, write: Double,
-        single: Double, batch: Double)
+        single: Double, batch: Double,
+        int8Enc: Double, int8Serve: Double, radiiBuild: Double, range: Double)
     def run(times: Int, tag: String): Probe = {
       val c = corpus(times)
       val dir = s"$outDir/$tag"
@@ -95,12 +96,41 @@ object DimProbe {
       def batch(): Unit =
         Similarity.ivfSearchBatchPruned(cells, centArt, queries, nprobe = 8, k = 10)
           .write.format("noop").mode("overwrite").save()
-      single(); batch() // warm
+      // SQ8 leg at real dims: the byte-per-dim store is 768 bytes/row vs
+      // 3072 — the encode is a one-time corpus pass, the serve scans bytes
+      val (_, tEnc) = time {
+        graft.sources.Store.writePartitioned(
+          Similarity.int8EncodeCells(cells).repartition(col("cluster")),
+          s"$dir/int8", "cluster")
+      }
+      val int8 = spark.read.parquet(s"$dir/int8")
+      def int8Refine(): Unit =
+        Similarity.ivfInt8RefineSearch(int8, cells, centArt, qv,
+            nprobe = 8, kCoarse = 100, k = 20)
+          .write.format("noop").mode("overwrite").save()
+      // RANGE leg: radii artifact (nlist rows) + radius-bounded serving at
+      // a threshold of half the probe row's self-score
+      val (_, tRadii) = time {
+        Similarity.cellRadii(cells, centArt).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/radii")
+      }
+      val radii = spark.read.parquet(s"$dir/radii")
+      val self = Similarity.rangeSearch(
+        cells.filter(col("vec_id") === 7), qv, minScore = -1e18)
+        .head.getDouble(1)
+      def range(): Unit =
+        Similarity.ivfRangeSearchPruned(cells, centArt, radii, qv,
+            minScore = self * 0.5)
+          .write.format("noop").mode("overwrite").save()
+      single(); batch(); int8Refine(); range() // warm
       val t1 = math.min(time(single())._2, time(single())._2)
       val tb = math.min(time(batch())._2, time(batch())._2)
-      val p = Probe(rows, tAssign, tWrite, t1, tb)
+      val t8 = math.min(time(int8Refine())._2, time(int8Refine())._2)
+      val tr = math.min(time(range())._2, time(range())._2)
+      val p = Probe(rows, tAssign, tWrite, t1, tb, tEnc, t8, tRadii, tr)
       println(f"[$tag] rows=$rows assign=${p.assign}%.1fs write=${p.write}%.1fs " +
-        f"single=${p.single}%.2fs batch=${p.batch}%.2fs")
+        f"single=${p.single}%.2fs batch=${p.batch}%.2fs int8enc=${p.int8Enc}%.1fs " +
+        f"int8serve=${p.int8Serve}%.2fs radii=${p.radiiBuild}%.1fs range=${p.range}%.2fs")
       p
     }
 
@@ -135,6 +165,10 @@ object DimProbe {
       row("build_cell_write", p1.write, pk.write)
       row("serve_single_nprobe8", p1.single, pk.single)
       row("serve_batch8_nprobe8", p1.batch, pk.batch)
+      row("build_int8_encode", p1.int8Enc, pk.int8Enc)
+      row("serve_int8_refine", p1.int8Serve, pk.int8Serve)
+      row("build_radii", p1.radiiBuild, pk.radiiBuild)
+      row("serve_range_half", p1.range, pk.range)
     }
     spark.stop()
   }

@@ -504,6 +504,10 @@ object Similarity {
       .select(col(idCol),
         round(VectorOps.dot(col(vecCol), col("qv")), roundTo).as("rel"))
       .collect().map(r => r.getAs[Number](0).longValue -> r.getDouble(1)).toMap
+    // an empty shortlist reranks to an empty result, like the sibling
+    // serving paths — not a head-of-empty NoSuchElementException
+    if (rel.isEmpty)
+      return Seq.empty[(Int, Long, Double)].toDF("rnk", idCol, "mmr")
     val va = candidates.select(col(idCol).as("i"), col(vecCol).as("va"))
     val vb = candidates.select(col(idCol).as("j"), col(vecCol).as("vb"))
     val sim = va.join(broadcast(vb), col("i") =!= col("j"))
@@ -1613,10 +1617,12 @@ object Similarity {
     require(k > 0, s"k must be positive, got $k")
     val spark = cells.sparkSession
     import spark.implicits._
-    val counts = admissible.fold(cellStats)(cellStats.filter)
-      .groupBy(col(clusterCol))
-      .agg(sum(col("cnt")).as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // through cellStatsCounts: cell ids are INT in build-time artifacts
+    // but LONG in incremental/liveCellStats stores — a getInt here would
+    // ClassCastException the moment the planner is fed a delta histogram
+    val counts =
+      cellStatsCounts(cells, Some(cellStats), admissible, None, None,
+        idCol, clusterCol)
     val probed = probeCellsRankedBatch(centroids, queries, clusterCol)
       .toSeq.flatMap { case (qid, ranked) =>
         val cum = ranked.scanLeft(0L)((acc, c) => acc + counts.getOrElse(c, 0L)).tail

@@ -144,6 +144,12 @@ object IncrementalIndex {
     // the incremental store serves WITHOUT renames; labeled-seed callers
     // override both (e.g. "label"/"ivf_cell")
     val seeds = centroids.select(col(centroidIdCol).as("seed_id"), col("cv").as("sv"))
+    // a pre-existing sink's layout overrides the cellCol param: landing new
+    // batches under a DIFFERENT partition column than the accumulated
+    // store's would split the layout and fail every later merged read
+    // ("ivf_cell" was the pre-round-7 default — see [[detectCellCol]])
+    val cc = resolveCellCol(spark, sinkDir, cellCol)
+    val ccCodes = codesDir.map(cd => resolveCellCol(spark, cd, cc))
     val schema = spark.read.parquet(landingDir).schema
     val src = spark.readStream.schema(schema).parquet(landingDir)
     val q = src.writeStream
@@ -167,7 +173,7 @@ object IncrementalIndex {
         val assigned = graft.operators.Similarity
           .knnJoin(batch.select(col(idCol), col(vecCol)), seeds, k = 1,
             idCol = idCol, vecCol = vecCol)
-          .select(col(idCol), col("seed_id").as(cellCol))
+          .select(col(idCol), col("seed_id").as(cc))
         // replay idempotence: cell assignment may DIFFER on replay (the
         // caller can pass refit centroids after a crash), so dynamic
         // overwrite of only the (batch, cell) partitions produced THIS
@@ -180,18 +186,20 @@ object IncrementalIndex {
         batch.join(assigned, Seq(idCol))
           .withColumn("batch_id", lit(batchId))
           .write.mode("append")
-          .partitionBy("batch_id", cellCol)
+          .partitionBy("batch_id", cc)
           .parquet(sinkDir)
         for (cb <- codebooks; cd <- codesDir) {
           val codesBatchPath = new org.apache.hadoop.fs.Path(s"$cd/batch_id=$batchId")
           codesBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .delete(codesBatchPath, true)
+          val codesCol = ccCodes.getOrElse(cc)
           graft.operators.Similarity
             .pqEncode(batch.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol)),
-              cb, numSub, subDim, idCol, vecCol, carry = Seq(cellCol))
+              cb, numSub, subDim, idCol, vecCol, carry = Seq(cc))
+            .withColumnRenamed(cc, codesCol)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append")
-            .partitionBy("batch_id", cellCol)
+            .partitionBy("batch_id", codesCol)
             .parquet(cd)
         }
         // per-(cell, attribute) histogram DELTA for this batch — keeps the
@@ -208,7 +216,7 @@ object IncrementalIndex {
           statsBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .delete(statsBatchPath, true)
           graft.operators.Similarity
-            .cellStats(batch.join(assigned, Seq(idCol)), statsCols, cellCol)
+            .cellStats(batch.join(assigned, Seq(idCol)), statsCols, cc)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append")
             .partitionBy("batch_id")
@@ -230,8 +238,8 @@ object IncrementalIndex {
             .delete(radiiBatchPath, true)
           graft.operators.Similarity
             .cellRadii(batch.join(assigned, Seq(idCol)),
-              centroids.select(col(centroidIdCol).as(cellCol), col("cv")),
-              vecCol, cellCol)
+              centroids.select(col(centroidIdCol).as(cc), col("cv")),
+              vecCol, cc)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append")
             .partitionBy("batch_id")
@@ -277,9 +285,11 @@ object IncrementalIndex {
       dir: String,
       cellCol: String = "cluster"): Unit = {
     import org.apache.spark.sql.functions._
+    // the existing layout is authoritative — see [[detectCellCol]]
+    val cc = resolveCellCol(spark, dir, cellCol)
     compactStore(spark, dir,
       // each cell lands whole in one task -> one file per cell
-      df => df.repartition(col(cellCol)), Seq(cellCol))
+      df => df.repartition(col(cc)), Seq(cc))
   }
 
   /** Compaction for the [[updateDenseIndex]] cellstats DELTA store: unlike
@@ -339,6 +349,43 @@ object IncrementalIndex {
         .coalesce(1),
       Seq.empty)
   }
+
+  /** The cell partition column a store's on-disk layout actually uses
+    * (`<col>=value` subtrees, descending through `batch_id=` when present),
+    * or None for an empty / unpartitioned store. MIGRATION SEAM: the
+    * default cell column changed from "ivf_cell" to "cluster" (so
+    * build-time artifacts feed maintenance without renames) — the
+    * maintenance entry points resolve the column from the existing layout
+    * first, so default-invoked calls keep working against stores landed
+    * under the old default instead of failing on a missing column or
+    * splitting the store across two partition layouts. */
+  private[graft] def detectCellCol(
+      spark: SparkSession, dir: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    def partCol(p: org.apache.hadoop.fs.Path): Option[String] =
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+          s.getPath.getName.contains("="))
+        .map(_.getPath.getName.takeWhile(_ != '='))
+        .headOption
+    partCol(root) match {
+      case Some("batch_id") =>
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+          .sortBy(_.getPath.getName)
+          .flatMap(b => partCol(b.getPath))
+          .headOption
+      case other => other
+    }
+  }
+
+  /** The layout-resolved cell column: the store's own partition column when
+    * it has one, the caller's (or default) otherwise. */
+  private def resolveCellCol(
+      spark: SparkSession, dir: String, cellCol: String): String =
+    detectCellCol(spark, dir).getOrElse(cellCol)
 
   private def compactStore(
       spark: SparkSession,
@@ -480,7 +527,9 @@ object IncrementalIndex {
     val staging = new org.apache.hadoop.fs.Path(tombRoot, "_staging")
     fs.delete(staging, true) // a crashed run's never-committed debris
     val ids = deleteIds.select(col(deleteIds.columns.head).as(idCol)).distinct()
-    val keep = (idCol +: cellCol +: statsCols).distinct
+    // the store layout names the cell column — see [[detectCellCol]]
+    val cc = resolveCellCol(spark, cellsDir, cellCol)
+    val keep = (idCol +: cc +: statsCols).distinct
     val store = spark.read.parquet(cellsDir).select(keep.map(col): _*)
     val affected = tombstoneIds(spark, cellsDir, idCol)
       .foldLeft(store.join(broadcast(ids), Seq(idCol), "left_semi"))(
@@ -603,13 +652,38 @@ object IncrementalIndex {
       "rebuilding the radii artifact needs the centroid table (a max is " +
         "not invertible — the dead rows' contribution cannot be subtracted)")
     val ts = tombstoneIds(spark, cellsDir, idCol)
+    // RECLAMATION PRECONDITION: the folds below only rewrite `batch_id=`
+    // subtrees — on a build-time artifact layout (no batch subtrees;
+    // deleteFromDenseIndex supports it for MASKING) compactStore silently
+    // no-ops, and clearing the tombstones anyway would resurrect the
+    // deleted ids. Fail loudly BEFORE any mutation: masking stays intact
+    // and the caller is pointed at the layout's own rewrite path.
+    if (ts.isDefined) {
+      val hadoop = spark.sparkContext.hadoopConfiguration
+      val nonBatch = (cellsDir +: codesDir.toSeq).filterNot { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(hadoop)
+        fs.exists(p) && fs.listStatus(p).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      }
+      require(nonBatch.isEmpty,
+        s"cannot physically reclaim tombstoned rows: ${nonBatch.mkString(", ")} " +
+          "has no batch_id= subtrees (a build-time artifact layout) — rewrite " +
+          "it with graft.sources.IndexBuild.applyDeletes instead; tombstones " +
+          "are left in place, so serving keeps masking the deleted ids")
+    }
     def minus(df: DataFrame): DataFrame =
       ts.fold(df)(ids => graft.operators.Candidates.exclude(df, ids, idCol))
-    codesDir.foreach(cd => compactStore(spark, cd,
-      df => minus(df).repartition(col(cellCol)), Seq(cellCol),
-      force = ts.isDefined))
+    // each store's own layout is authoritative — see [[detectCellCol]]
+    val cc = resolveCellCol(spark, cellsDir, cellCol)
+    codesDir.foreach { cd =>
+      val ccCodes = resolveCellCol(spark, cd, cc)
+      compactStore(spark, cd,
+        df => minus(df).repartition(col(ccCodes)), Seq(ccCodes),
+        force = ts.isDefined)
+    }
     compactStore(spark, cellsDir,
-      df => minus(df).repartition(col(cellCol)), Seq(cellCol),
+      df => minus(df).repartition(col(cc)), Seq(cc),
       force = ts.isDefined)
     val tombRoot = new org.apache.hadoop.fs.Path(cellsDir, "_tombstones")
     tombRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -628,7 +702,7 @@ object IncrementalIndex {
         if (hasRows)
           _ => {
             val fresh = graft.operators.Similarity.cellStats(
-              spark.read.parquet(cellsDir), statsCols, cellCol)
+              spark.read.parquet(cellsDir), statsCols, cc)
             fresh.select(fresh.columns.map(c =>
               deltaSchema.find(_.name == c)
                 .map(f => col(c).cast(f.dataType).as(c))
@@ -655,8 +729,8 @@ object IncrementalIndex {
           _ => {
             val fresh = graft.operators.Similarity.cellRadii(
               spark.read.parquet(cellsDir),
-              cents.select(col(cents.columns.head).as(cellCol), col("cv")),
-              clusterCol = cellCol)
+              cents.select(col(cents.columns.head).as(cc), col("cv")),
+              clusterCol = cc)
             fresh.select(fresh.columns.map(c =>
               deltaSchema.find(_.name == c)
                 .map(f => col(c).cast(f.dataType).as(c))
@@ -872,9 +946,11 @@ object IncrementalIndex {
       statsDir: Option[String] = None,
       radiiDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
+    // same layout-first resolution as [[updateDenseIndex]]
+    val cc = resolveCellCol(spark, sinkDir, cellCol)
     def landedStore: Option[DataFrame] =
       if (pathExists(spark, sinkDir))
-        Some(spark.read.parquet(sinkDir).select(col(idCol), col(vecCol), col(cellCol)))
+        Some(spark.read.parquet(sinkDir).select(col(idCol), col(vecCol), col(cc)))
       else None
     def trainCorpus: DataFrame = {
       val landing = spark.read.parquet(landingDir).select(col(idCol), col(vecCol))
@@ -884,12 +960,12 @@ object IncrementalIndex {
     if (currentVersion(spark, indexRoot).isEmpty)
       retrainAndSwap(spark, indexRoot, trainCorpus, landedStore,
         numSub, subDim, numCentroids, idCol = idCol, vecCol = vecCol,
-        cellCol = cellCol)
+        cellCol = cc)
     def runOnce(): Unit = {
       val (cb, dist, _, codesDir) = currentCodebooks(spark, indexRoot)
       updateDenseIndex(spark, landingDir, sinkDir, checkpointDir, centroids,
         idCol, vecCol, Some(cb), Some(codesDir), numSub, subDim,
-        Some(dist), driftTolerance, centroidIdCol, cellCol,
+        Some(dist), driftTolerance, centroidIdCol, cc,
         statsCols, statsDir, radiiDir)
     }
     try runOnce()
@@ -899,7 +975,7 @@ object IncrementalIndex {
             .exists(t => Option(t.getMessage).exists(_.contains("codebook drift"))) =>
         retrainAndSwap(spark, indexRoot, trainCorpus, landedStore,
           numSub, subDim, numCentroids, idCol = idCol, vecCol = vecCol,
-          cellCol = cellCol)
+          cellCol = cc)
         runOnce()
     }
   }

@@ -23,6 +23,17 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.simhash(emptyDocs, "doc_id", "text").count() === 0)
   }
 
+  test("mmrRerank of an empty shortlist returns empty, not head-of-empty") {
+    val emptyCands = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val qv = Seq(Tuple1(Array(1f, 0f))).toDF("qv")
+    val got = Similarity.mmrRerank(emptyCands, qv, k = 5)
+    assert(got.columns.toSeq === Seq("rnk", "vec_id", "mmr"))
+    assert(got.count() === 0)
+  }
+
   test("canonicalIds of an empty pair set is empty") {
     val pairs = Seq.empty[(Long, Long)].toDF("i", "j")
     assert(Dedup.canonicalIds(pairs).count() === 0)

@@ -607,6 +607,67 @@ class IncrementalIndexSpec extends AnyFunSuite {
       s"cluster predicate not a partition filter:\n$plan")
   }
 
+  test("maintenance auto-detects the cell partition column from the store layout") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_detect")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+    // a store landed under the PRE-round-7 default cell column
+    emb.filter(col("vec_id") < 30).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell")
+    // DEFAULT-invoked ingest keeps the existing layout instead of landing
+    // a second partition column beside it (which would fail every read)
+    emb.filter(col("vec_id") >= 30 && col("vec_id") < 50)
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label")
+    val store = spark.read.parquet(sink)
+    assert(store.count() === 50)
+    assert(store.columns.contains("ivf_cell") && !store.columns.contains("cluster"))
+    // default-invoked compaction folds the detected ivf_cell= layout
+    IncrementalIndex.compactCells(spark, sink)
+    val compacted = spark.read.parquet(sink)
+    assert(compacted.count() === 50)
+    assert(compacted.columns.contains("ivf_cell"))
+    // deletes + reclamation with defaults resolve the layout too
+    assert(IncrementalIndex.deleteFromDenseIndex(spark, sink,
+      spark.range(5).select(col("id").as("vec_id"))) === 5L)
+    IncrementalIndex.compactDenseStores(spark, sink)
+    assert(spark.read.parquet(sink).count() === 45)
+    assert(IncrementalIndex.tombstones(spark, sink).isEmpty)
+  }
+
+  test("reclamation refuses a build-time artifact layout: tombstones survive, masking intact") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_tomb_build")
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    Similarity.buildDenseIndex(
+      emb.filter(col("vec_id") < 100), base.resolve("idx").toString,
+      Some(Similarity.IvfParams(nlist = 4, lloydIters = 1, numSub = 8,
+        subDim = 8, numCentroids = 16, pqIters = 1, defaultNprobe = 2)))
+    val cellsDir = base.resolve("idx").resolve("cells").toString
+    val del = spark.range(5).select(col("id").as("vec_id"))
+    assert(IncrementalIndex.deleteFromDenseIndex(spark, cellsDir, del) === 5L)
+    assert(IncrementalIndex.loadDenseStore(spark, cellsDir)
+      .filter(col("vec_id") < 5).count() === 0)
+    // physical reclamation must fail BEFORE mutating anything: the folds
+    // only rewrite batch_id= subtrees, so on this layout a silent no-op
+    // fold followed by the tombstone clear would RESURRECT the deleted ids
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalIndex.compactDenseStores(spark, cellsDir)
+    }
+    assert(ex.getMessage.contains("applyDeletes"))
+    // the mask is untouched: tombstones live, serving still hides the ids
+    assert(IncrementalIndex.tombstones(spark, cellsDir).isDefined)
+    assert(IncrementalIndex.loadDenseStore(spark, cellsDir)
+      .filter(col("vec_id") < 5).count() === 0)
+    assert(IncrementalIndex.loadDenseStore(spark, cellsDir).count() === 95)
+  }
+
   test("tombstone deletes: masked serving, lockstep histogram, physical reclaim at compaction") {
     import graft.operators.Similarity
     val base = java.nio.file.Files.createTempDirectory("graft_tomb")
@@ -679,6 +740,18 @@ class IncrementalIndexSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(serveAdaptive(liveStats) ===
       serveAdaptive(Similarity.cellStats(live, Seq("label"), "ivf_cell")))
+    // the BATCH planner must accept the delta store's LONG cell ids too
+    // (regression: a getInt histogram collect ClassCastExceptions here)
+    val qb = emb.filter(col("vec_id").isin(1, 2))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def serveBatchAdaptive(statsFrame: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSearchBatchAdaptive(live, cents2, qb, k = 5,
+        cellStats = statsFrame, admissible = Some(col("label") === 3),
+        clusterCol = "ivf_cell")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(serveBatchAdaptive(liveStats).nonEmpty)
+    assert(serveBatchAdaptive(liveStats) ===
+      serveBatchAdaptive(Similarity.cellStats(live, Seq("label"), "ivf_cell")))
 
     // compaction reclaims physically across all three stores and consumes
     // the tombstones

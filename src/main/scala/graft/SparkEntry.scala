@@ -1456,6 +1456,43 @@ object SparkEntry {
              |FROM tot t LEFT JOIN re USING (id)
              |ORDER BY t.id""".stripMargin)),
 
+    // span-level exact substring dedup (Lee et al. 2022 ExactSubstr at
+    // fixed k=5 token granularity): the planted corpus gives every doc its
+    // successor's text, so each doc's own token run repeats verbatim inside
+    // its predecessor — the second copy must surface as one merged span
+    ("dedup_substring_spans",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val succ = docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("__t2"))
+        val two = docs.join(succ, Seq("doc_id"))
+          .select(col("doc_id").as("id"),
+            concat_ws(" ", col("text"), col("__t2")).as("text"))
+        Dedup.duplicateSpans(two, "id", "text", k = 5)
+          .orderBy(col("id"), col("span_start"))
+      },
+      Some("""WITH two AS (SELECT d1.doc_id AS id,
+             |               d1.text || ' ' || d2.text AS text
+             |             FROM documents d1 JOIN documents d2
+             |               ON d2.doc_id = d1.doc_id + 1),
+             |tok AS (SELECT id, regexp_extract_all(lower(text), '\w+') AS a FROM two),
+             |idx AS (SELECT id, a, unnest(generate_series(1, len(a) - 4)) AS i
+             |        FROM tok WHERE len(a) >= 5),
+             |sh AS (SELECT id, i AS st, array_to_string(a[i:i+4], ' ') AS s FROM idx),
+             |rk AS (SELECT id, st,
+             |         ROW_NUMBER() OVER (PARTITION BY s ORDER BY id, st) AS rn,
+             |         COUNT(*) OVER (PARTITION BY s) AS cnt FROM sh),
+             |dup AS (SELECT id, st FROM rk WHERE cnt >= 2 AND rn > 1),
+             |brk AS (SELECT id, st,
+             |          CASE WHEN st - LAG(st) OVER (PARTITION BY id ORDER BY st) <= 5
+             |               THEN 0 ELSE 1 END AS b FROM dup),
+             |grp AS (SELECT id, st, SUM(b) OVER (PARTITION BY id ORDER BY st) AS g
+             |        FROM brk)
+             |SELECT id, MIN(st) AS span_start, MAX(st) + 4 AS span_end,
+             |       COUNT(*) AS n_shingles
+             |FROM grp GROUP BY id, g
+             |ORDER BY id, span_start""".stripMargin)),
+
     ("dedup_minhash_lsh",
       (s, dir) =>
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")

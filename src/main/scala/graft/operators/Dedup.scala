@@ -96,6 +96,73 @@ object Dedup {
         col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** SPAN-level exact duplicate detection (the ExactSubstr shape of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    * at fixed k-token granularity): every maximal token interval covered by
+    * k-token shingles that occur MORE than once corpus-wide, excluding each
+    * shingle's corpus-first occurrence (smallest `(id, start)` —
+    * deterministic, so oracle-checkable). Document-level dedup
+    * ([[exact]]/[[minhashLshPairs]]) misses text duplicated INSIDE
+    * otherwise-distinct documents (licenses, boilerplate, quoted
+    * passages); paragraph dedup ([[dedupParagraphs]]) only catches it on
+    * separator boundaries; this catches it anywhere — a duplicated run of
+    * L >= k tokens surfaces as its L-k+1 marked shingles merged into one
+    * span.
+    *
+    * Scale shape: tokenize + shingle is one projection + generator
+    * (corpus-linear, zero shuffle; only the 8-byte shingle hash leaves the
+    * stage); the occurrence census is ONE partial-agg groupBy on the
+    * 60-bit hash; marking non-first occurrences is a hash-keyed equi-join
+    * (never all-pairs); interval merging is a per-DOCUMENT window over the
+    * marked starts (document-bounded — the corpus never sorts globally).
+    * The paper's suffix array finds duplicates of arbitrary length; at
+    * fixed k this relational form is exact for runs >= k, the granularity
+    * a training-data pipeline actually drops.
+    *
+    * Returns one row per maximal duplicated span:
+    * `(idCol, span_start, span_end, n_shingles)` — 1-based token
+    * ordinals, inclusive. */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"shingle width must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col(idCol),
+        expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("__a"))
+      // guard: sequence(1, 0) is the DESCENDING [1, 0] (see Lexical.ngrams)
+      .filter(size(col("__a")) >= k)
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(1, size(__a) - ${k - 1}), " +
+            s"i -> array_join(slice(__a, i, $k), ' '))")).as(Seq("__p", "__s")))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("st"),
+        hash60(col("__s")).as("__h"))
+    val census = sh.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("st"))).as("__first"))
+      .filter(col("__cnt") >= 2)
+    val dup = sh.join(census, Seq("__h"))
+      .filter(!(col(idCol) === col("__first").getField(idCol) &&
+        col("st") === col("__first").getField("st")))
+      .select(col(idCol), col("st"))
+    // gaps-and-islands merge: equal-width spans sorted by start coalesce
+    // whenever the next start is within k of the previous (overlap or
+    // exact adjacency = one contiguous duplicated run)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("st"))
+    dup
+      .withColumn("__brk",
+        when(col("st") - lag(col("st"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("__g", sum(col("__brk")).over(w))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("st")).as("span_start"),
+        (max(col("st")) + lit(k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_shingles"))
+  }
+
   /** Distinct word n-gram shingle sets `(id, s)`. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     Lexical.ngrams(docs, idCol, textCol, n)

@@ -15,6 +15,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Map(2L -> 2L, 9L -> 1L))
   }
 
+  test("duplicateSpans marks cross-doc and within-doc runs, merged, first copy exempt") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),                   // the original run
+      (2L, "x y z a b c d e f q"),               // 6-token copy of doc 1's run
+      (3L, "p q r s t u p q r s t u"),           // a within-doc repeat
+      (4L, "m n o m n o m")                      // too short for any 5-shingle dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 2: shingles at st=4 ("a b c d e") and st=5 ("b c d e f") both
+    // first occur in doc 1 -> one merged span over tokens 4..9
+    // doc 3: the second "p q r s t u" (st=7,8 vs firsts at st=1,2) -> 7..12
+    // docs 1 and 4: nothing (first copies are exempt; doc 4 has no dup)
+    assert(got === Set((2L, 4L, 9L, 2L), (3L, 7L, 12L, 2L)))
+  }
+
+  test("duplicateSpans on a dup-free corpus is empty") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "q r s t u v")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(docs, "doc_id", "text", k = 5).count() === 0)
+  }
+
   test("minhash LSH finds a near-duplicate pair and skips unrelated docs") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = base.replace("tok7", "tok7x")

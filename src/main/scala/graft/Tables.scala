@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -18,17 +18,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): read as long nanos (session sets
-    // spark.sql.legacy.parquet.nanosAsLong) and truncate to micros, the same
-    // precision DuckDB's TIMESTAMP uses — keeps both engines' boundary
-    // comparisons identical.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize an events-style `ts` column to the session TIMESTAMP type at
+    * MICROS precision, whatever physical type the generator wrote:
+    * TIMESTAMP(NANOS) — read as long nanos under the session's
+    * `spark.sql.legacy.parquet.nanosAsLong` — truncates to micros;
+    * TIMESTAMP_NTZ (micros) casts to TIMESTAMP (the sessions here run in
+    * UTC, where the NTZ wall-clock IS the instant — the same reading
+    * DuckDB's native TIMESTAMP gives the column, so both engines' boundary
+    * comparisons stay identical); a plain TIMESTAMP passes through. Used
+    * by every batch AND streaming events reader — the generated data has
+    * shipped both layouts across rounds. */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema.fields.find(_.name == tsCol).map(_.dataType) match {
+      case Some(LongType) =>
         // integer `div`, not `/`: double division rounds the microsecond
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
     }
-  }
 }

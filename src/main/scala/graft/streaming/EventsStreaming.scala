@@ -46,8 +46,8 @@ object EventsStreaming {
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       stage.resolve("events.parquet"))
-    val src = spark.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(stage.toString))
     val agg = src
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -121,8 +121,9 @@ object EventsStreaming {
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       stage.resolve("events.parquet"))
     def side(tpe: String, idAs: String, tsAs: String) =
-      spark.readStream.schema(schema).parquet(stage.toString)
-        .withColumn("__ts", timestamp_micros(expr("ts div 1000")))
+      graft.Tables.normalizeTs(
+          spark.readStream.schema(schema).parquet(stage.toString))
+        .withColumn("__ts", col("ts"))
         .filter(col("event_type") === tpe)
         .select(col("user_id"), col("event_id").as(idAs), col("__ts").as(tsAs))
         .withWatermark(tsAs, "1 hour")

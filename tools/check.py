@@ -43,7 +43,11 @@ def cell_eq(a, b):
     return a == b
 
 fails = 0
-names = sorted(d for d in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, d)))
+# union of dumped dirs and DECLARED oracles: a query whose Verify run threw
+# writes no dir at all — it must count as a failure here, not silently
+# drop out of the denominator
+dumped = set(d for d in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, d)))
+names = sorted(dumped | set(oracle.keys()))
 for name in names:
     files = glob.glob(f"{OUT}/{name}/*.parquet")
     if not files:

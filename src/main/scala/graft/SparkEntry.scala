@@ -3129,6 +3129,52 @@ object SparkEntry {
              |SELECT r.source, r.n, r.rate_bp, COALESCE(smp.n_sampled, 0) AS n_sampled
              |FROM r LEFT JOIN smp USING (source) ORDER BY source""".stripMargin)),
 
+    // cluster-balanced temperature mixing (topic balancing): nearest-seed
+    // assignment (the sim_cluster_assign argmin, map-only) + per-CLUSTER
+    // sqrt-temperature resampling — rebalances topics INSIDE one source,
+    // which the source-label mix above cannot do. Oracle composes the
+    // argmin CTE with the rate/membership SQL of curation_temperature_mix.
+    ("curation_cluster_mix",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val seeds = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
+        val withC = emb.join(
+          Similarity.knnJoin(emb, seeds, k = 1)
+            .select(col("vec_id"), col("seed_id").as("cluster")),
+          Seq("vec_id"))
+        val rates = Curation.temperatureMixRates(withC, "cluster", targetRows = 200L)
+        val sampled = Curation
+          .clusterTemperatureSample(emb, seeds, targetRows = 200L, salt = "cmix")
+          .groupBy(col("cluster")).agg(count(lit(1)).as("n_sampled"))
+        rates.join(broadcast(sampled), Seq("cluster"), "left")
+          .select(col("cluster"), col("n"), col("rate_bp"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .orderBy(col("cluster"))
+      },
+      Some("""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS sv
+             |               FROM embeddings WHERE vec_id < 8),
+             |scored AS (SELECT e.vec_id, s.seed_id,
+             |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(s.sv) b) x), 4) AS sim
+             |  FROM embeddings e CROSS JOIN seeds s),
+             |asg AS (SELECT vec_id, seed_id AS cluster FROM (
+             |          SELECT vec_id, seed_id, ROW_NUMBER() OVER (
+             |            PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rn
+             |          FROM scored) WHERE rn = 1),
+             |c AS (SELECT cluster, COUNT(*) AS n FROM asg GROUP BY 1),
+             |z AS (SELECT CAST(SUM(CAST(SQRT(n) AS DECIMAL(28,12))) AS DOUBLE) AS z FROM c),
+             |r AS (SELECT cluster, n,
+             |        LEAST(10000, CAST(FLOOR(SQRT(n) / z.z * 200.0 / n * 10000.0) AS BIGINT)) AS rate_bp
+             |      FROM c CROSS JOIN z),
+             |smp AS (SELECT a.cluster, COUNT(*) AS n_sampled
+             |        FROM asg a JOIN r USING (cluster)
+             |        WHERE CAST('0x' || substr(md5('cmix:' || CAST(a.vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+             |              % 10000 < rate_bp
+             |        GROUP BY 1)
+             |SELECT r.cluster, r.n, r.rate_bp, COALESCE(smp.n_sampled, 0) AS n_sampled
+             |FROM r LEFT JOIN smp USING (cluster) ORDER BY cluster""".stripMargin)),
+
     // token-budget sequence packing (fixed-context batching pre-pass):
     // id-ordered docs per source stream, 256-token bins, integer-exact
     // window arithmetic

@@ -75,6 +75,37 @@ object Curation {
       .drop("rate_bp")
   }
 
+  /** CLUSTER-BALANCED temperature mixing — topic balancing for training
+    * mixes: balance by SEMANTIC cluster rather than by source label (the
+    * source-label form, [[temperatureSample]], cannot rebalance topics
+    * inside one giant source — exactly the situation of a web crawl).
+    * Each row is assigned to its nearest centroid with the map-only
+    * packed-seed [[graft.operators.Similarity.knnJoin]] (k=1 — zero
+    * corpus shuffle, the [[graft.operators.Similarity.assignCells]]
+    * shape), then sqrt-temperature-resampled per CLUSTER with the same
+    * IEEE-exact rate table and hash-membership rule as
+    * [[temperatureSample]]: head topics downsample toward
+    * `sqrt(n_c)/Σ sqrt`, tail topics keep ~every row, and membership
+    * stays a pure function of `(salt, id)` — stable under corpus growth,
+    * auditable at 100 TB. Returns the sampled rows with their `cluster`
+    * column. Pass the (tiny) `seeds` as `(seed_id, sv)` — persisted
+    * centroids from [[graft.operators.Similarity.buildDenseIndex]] or any
+    * fitted geometry. */
+  def clusterTemperatureSample(
+      rows: DataFrame,
+      seeds: DataFrame,
+      targetRows: Long,
+      salt: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = graft.operators.Similarity
+      .knnJoin(rows.select(col(idCol), col(vecCol)), seeds, k = 1,
+        idCol = idCol, vecCol = vecCol)
+      .select(col(idCol), col("seed_id").as("cluster"))
+    temperatureSample(rows.join(assigned, Seq(idCol)), idCol, "cluster",
+      targetRows, salt)
+  }
+
   /** Token-budget sequence packing (the fixed-context batching pre-pass of
     * LM training pipelines): within each `byCol` stream, docs are laid out
     * in id order and assigned to consecutive bins of `budgetTokens`; a doc

@@ -3202,6 +3202,22 @@ object SparkEntry {
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY user_id, event_type""".stripMargin)),
 
+    // STREAMING CURATION front-end: quality gate -> hash sample -> stateful
+    // exact dedup as one streaming query; gates/sample run BEFORE the state
+    // store so only admitted content hashes hold state. Emitted columns are
+    // pure functions of the text, so streaming == the batch pipeline
+    ("stream_curate",
+      (s, dir) => graft.streaming.CurationStreaming.curateStream(s, dir),
+      Some("""WITH g AS (SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_hash,
+             |             len(regexp_extract_all(lower(text), '\w+')) AS n_tokens
+             |           FROM documents
+             |           WHERE n_chars >= 150
+             |             AND CAST('0x' || substr(md5('scur:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             |                 % 10000 < 6000)
+             |SELECT DISTINCT content_hash, n_tokens FROM g
+             |WHERE n_tokens >= 20
+             |ORDER BY content_hash""".stripMargin)),
+
     // watermarked stream-stream join (online J3/J4): with event-time bounds
     // + AvailableNow over a finite source, the streaming result equals the
     // batch join — which is exactly what the oracle checks

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** STREAMING CURATION FRONT-END: the filter -> sample -> dedup head of a
+  * training-data ingest pipeline as ONE streaming query over a document
+  * landing directory. (Engine extension — the batch forms are
+  * [[graft.operators.TextAnalysis]] gates, [[graft.operators.Curation]]
+  * sampling, [[graft.operators.Dedup.exact]].)
+  *
+  * Stage order is the scale design: the quality gates and the
+  * hash-membership sample are PURE per-row predicates evaluated before the
+  * state store, so junk and unsampled rows never enter state; only the
+  * 8-byte content hash of surviving rows is keyed by `dropDuplicates` —
+  * state holds one entry per distinct admitted document, not per arrival.
+  *
+  * Determinism: the emitted columns `(content_hash, n_tokens)` are pure
+  * functions of the text, so the result SET is arrival-order and
+  * batching independent and equals the batch pipeline over the same
+  * corpus — which is exactly what the oracle checks (and the spec
+  * re-checks under forced multi-batch execution).
+  */
+object CurationStreaming {
+
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** The pipeline over an existing landing directory; one file per
+    * micro-batch so multi-batch statefulness is actually exercised. */
+  def curateLanding(
+      spark: SparkSession,
+      landingDir: String,
+      minChars: Long = 150L,
+      minTokens: Long = 20L,
+      rateBp: Int = 6000,
+      salt: String = "scur"): DataFrame = {
+    val schema = spark.read.parquet(landingDir).schema
+    val gated = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landingDir)
+      .filter(col("n_chars") >= minChars)
+      .filter(graft.operators.Curation.sampleKey(col("doc_id"), salt) < rateBp)
+      .select(graft.operators.Dedup.hash60(col("text")).as("content_hash"),
+        size(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
+      .dropDuplicates("content_hash")
+    val name = s"graft_scur_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    withStatePartitions(spark, 8) {
+      val q = gated.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val rows = spark.table(name).orderBy(col("content_hash"))
+    rows.cache().count()
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
+  /** Oracle-query form: stage the documents table file into a scratch
+    * landing dir (stands in for the directory a real ingest watches) and
+    * run the pipeline over it. */
+  def curateStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val stage = java.nio.file.Files.createTempDirectory("graft_scur_src")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      stage.resolve("documents.parquet"))
+    curateLanding(spark, stage.toString)
+  }
+}

@@ -3175,6 +3175,40 @@ object SparkEntry {
              |SELECT r.cluster, r.n, r.rate_bp, COALESCE(smp.n_sampled, 0) AS n_sampled
              |FROM r LEFT JOIN smp USING (cluster) ORDER BY cluster""".stripMargin)),
 
+    // DSIR importance resampling (hashed-bigram likelihood-ratio data
+    // selection, Xie et al. 2023): target = the src0 slice; the 1024-row
+    // broadcast model scores the whole raw corpus in one pass; rank cut
+    // is the deterministic (auditable) variant of the Gumbel resample
+    ("curation_dsir",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Curation.dsirSelect(docs, docs.filter(col("source") === "src0"),
+          targetRows = 50)
+      },
+      Some("""WITH tokR AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS a
+             |              FROM documents),
+             |tokT AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS a
+             |         FROM documents WHERE source = 'src0'),
+             |bgR AS (SELECT id, CAST('0x' || substr(md5(a[i] || ' ' || a[i+1]), 1, 15) AS BIGINT)
+             |               % 1024 AS b
+             |        FROM (SELECT id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM tokR)),
+             |bgT AS (SELECT id, CAST('0x' || substr(md5(a[i] || ' ' || a[i+1]), 1, 15) AS BIGINT)
+             |               % 1024 AS b
+             |        FROM (SELECT id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM tokT)),
+             |cR AS (SELECT b, COUNT(*) AS c_r FROM bgR GROUP BY 1),
+             |cT AS (SELECT b, COUNT(*) AS c_t FROM bgT GROUP BY 1),
+             |nR AS (SELECT COUNT(*) AS n_r FROM bgR),
+             |nT AS (SELECT COUNT(*) AS n_t FROM bgT),
+             |model AS (SELECT cR.b,
+             |            LN(((COALESCE(cT.c_t, 0) + 1.0) / (nT.n_t + 1024)) /
+             |               ((cR.c_r + 1.0) / (nR.n_r + 1024))) AS llr
+             |          FROM cR LEFT JOIN cT USING (b) CROSS JOIN nR CROSS JOIN nT),
+             |sc AS (SELECT g.id, COUNT(*) AS n_bigrams,
+             |         CAST(SUM(CAST(llr AS DECIMAL(28,12))) AS DOUBLE) AS w
+             |       FROM bgR g JOIN model USING (b) GROUP BY 1)
+             |SELECT id, n_bigrams, ROUND(w, 6) AS dsir_weight FROM sc
+             |ORDER BY dsir_weight DESC, id LIMIT 50""".stripMargin)),
+
     // token-budget sequence packing (fixed-context batching pre-pass):
     // id-ordered docs per source stream, 256-token bins, integer-exact
     // window arithmetic

@@ -106,6 +106,72 @@ object Curation {
       targetRows, salt)
   }
 
+  /** DSIR importance weights (the hashed-n-gram importance-resampling
+    * data-selection method of Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW document
+    * by the log-likelihood ratio of its hashed-bigram features under the
+    * TARGET distribution vs the RAW distribution —
+    * `Σ ln( p_target(b) / p_raw(b) )` over the doc's bigram instances,
+    * with add-one smoothing over `buckets` hash buckets. High weight =
+    * looks like the target domain; selection is then a rank cut
+    * ([[dsirSelect]]). The published method perturbs with Gumbel noise
+    * before the cut; the deterministic rank form here is the auditable
+    * variant (same estimator, reproducible membership).
+    *
+    * Scale shape: both feature passes are corpus-linear projections into
+    * an 8-byte bucket id (hashed feature space — vocabulary never
+    * materializes), the model is a `buckets`-row table built by two
+    * map-side-combined counts and BROADCAST into one scoring pass over
+    * the raw corpus's bigram instances, and the per-doc weight goes
+    * through a decimal-exact sum so partition order cannot move it. Zero
+    * all-pairs, zero global sorts; the only shuffle keys are the bucket
+    * id and the doc id. Output `(id, n_bigrams, dsir_weight)`; docs with
+    * < 2 tokens have no features and drop out. */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    def features(docs: DataFrame) =
+      Lexical.ngrams(docs, idCol, textCol, 2)
+        .select(col("id"), (Dedup.hash60(col("ngram")) % buckets).as("b"))
+    val rawB = features(raw)
+    val tgtB = features(target)
+    val cR = rawB.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    val cT = tgtB.groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val nR = rawB.agg(count(lit(1)).as("n_r"))
+    val nT = tgtB.agg(count(lit(1)).as("n_t"))
+    // buckets absent from the raw corpus can never be scored — the model
+    // only needs raw-occupied rows, each add-one smoothed on both sides
+    val model = cR.join(cT, Seq("b"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+      .select(col("b"),
+        log(((col("c_t") + lit(1.0)) / (col("n_t") + lit(buckets))) /
+          ((col("c_r") + lit(1.0)) / (col("n_r") + lit(buckets)))).as("llr"))
+    rawB.join(broadcast(model), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("llr").cast("decimal(28,12)")).cast("double").as("dsir_weight"))
+      .select(col("id"), col("n_bigrams"), col("dsir_weight"))
+  }
+
+  /** The selection cut over [[dsirWeights]]: the `targetRows` highest-
+    * weight documents (weight desc, id asc — deterministic). */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      targetRows: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 1024): DataFrame =
+    GroupShaping.topK(
+      dsirWeights(raw, target, idCol, textCol, buckets)
+        .select(col("id"), col("n_bigrams"), round(col("dsir_weight"), 6).as("dsir_weight")),
+      targetRows, col("dsir_weight"), col("id"))
+
   /** Token-budget sequence packing (the fixed-context batching pre-pass of
     * LM training pipelines): within each `byCol` stream, docs are laid out
     * in id order and assigned to consecutive bins of `budgetTokens`; a doc

@@ -45,6 +45,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped("small") === 10000L)
   }
 
+  test("dsirWeights: target-like raw docs outrank off-target docs") {
+    // two disjoint styles; target distribution is style A, so raw docs of
+    // style A must carry strictly higher importance weights
+    val styleA = (1L to 8L).map(i => (i, "alpha beta gamma delta alpha beta"))
+    val styleB = (9L to 16L).map(i => (i, "omega psi chi phi omega psi"))
+    val raw = (styleA ++ styleB).toDF("doc_id", "text")
+    val target = (100L to 104L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val w = Curation.dsirWeights(raw, target, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size === 16)
+    val (a, b) = (styleA.map(d => w(d._1)), styleB.map(d => w(d._1)))
+    assert(a.min > b.max,
+      s"style-A floor ${a.min} not above style-B ceiling ${b.max}")
+    // and the deterministic cut keeps exactly the style-A docs
+    val kept = Curation.dsirSelect(raw, target, targetRows = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === styleA.map(_._1).toSet)
+  }
+
   test("repetition: top/dup n-gram fractions match hand computation") {
     // doc 1 "a b a b a": bigrams (a b)x2 (b a)x2 -> n=4, top=2/4, dup=4/4
     // doc 2 "a b c": bigrams (a b) (b c) -> n=2, top=1/2, dup=0

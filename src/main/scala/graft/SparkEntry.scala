@@ -1493,6 +1493,52 @@ object SparkEntry {
              |FROM grp GROUP BY id, g
              |ORDER BY id, span_start""".stripMargin)),
 
+    // the APPLY step: same planted corpus, duplicated spans excised — the
+    // first copy survives, later copies vanish, dup-free docs pass through
+    ("dedup_substring_apply",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val succ = docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("__t2"))
+        val two = docs.join(succ, Seq("doc_id"))
+          .select(col("doc_id").as("id"),
+            concat_ws(" ", col("text"), col("__t2")).as("text"))
+        Dedup.removeDuplicateSpans(two, "id", "text", k = 5)
+          .orderBy(col("id"))
+      },
+      Some("""WITH two AS (SELECT d1.doc_id AS id,
+             |               d1.text || ' ' || d2.text AS text
+             |             FROM documents d1 JOIN documents d2
+             |               ON d2.doc_id = d1.doc_id + 1),
+             |tok AS (SELECT id, regexp_extract_all(lower(text), '\w+') AS a FROM two),
+             |idx AS (SELECT id, a, unnest(generate_series(1, len(a) - 4)) AS i
+             |        FROM tok WHERE len(a) >= 5),
+             |sh AS (SELECT id, i AS st, array_to_string(a[i:i+4], ' ') AS s FROM idx),
+             |rk AS (SELECT id, st,
+             |         ROW_NUMBER() OVER (PARTITION BY s ORDER BY id, st) AS rn,
+             |         COUNT(*) OVER (PARTITION BY s) AS cnt FROM sh),
+             |dup AS (SELECT id, st FROM rk WHERE cnt >= 2 AND rn > 1),
+             |brk AS (SELECT id, st,
+             |          CASE WHEN st - LAG(st) OVER (PARTITION BY id ORDER BY st) <= 5
+             |               THEN 0 ELSE 1 END AS b FROM dup),
+             |grp AS (SELECT id, st, SUM(b) OVER (PARTITION BY id ORDER BY st) AS g
+             |        FROM brk),
+             |spans AS (SELECT id, g, MIN(st) AS s0, MAX(st) + 4 AS s1
+             |          FROM grp GROUP BY id, g),
+             |tok2 AS (SELECT id, i AS pos, a[i] AS tok
+             |         FROM (SELECT id, a, unnest(generate_series(1, len(a))) AS i FROM tok)),
+             |kept AS (SELECT t.id, t.pos, t.tok FROM tok2 t
+             |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+             |                           WHERE s.id = t.id AND t.pos BETWEEN s.s0 AND s.s1)),
+             |re AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS text,
+             |              COUNT(*) AS nk
+             |       FROM kept GROUP BY id),
+             |tot AS (SELECT id, len(a) AS n_tokens FROM tok)
+             |SELECT t.id, COALESCE(re.text, '') AS text, t.n_tokens,
+             |       t.n_tokens - COALESCE(re.nk, 0) AS n_dropped
+             |FROM tot t LEFT JOIN re USING (id)
+             |ORDER BY t.id""".stripMargin)),
+
     ("dedup_minhash_lsh",
       (s, dir) =>
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")

@@ -110,14 +110,16 @@ object Dedup {
     * span.
     *
     * Scale shape: tokenize + shingle is one projection + generator
-    * (corpus-linear, zero shuffle; only the 8-byte shingle hash leaves the
-    * stage); the occurrence census is ONE partial-agg groupBy on the
-    * 60-bit hash; marking non-first occurrences is a hash-keyed equi-join
-    * (never all-pairs); interval merging is a per-DOCUMENT window over the
-    * marked starts (document-bounded — the corpus never sorts globally).
-    * The paper's suffix array finds duplicates of arbitrary length; at
-    * fixed k this relational form is exact for runs >= k, the granularity
-    * a training-data pipeline actually drops.
+    * (corpus-linear, ONE pass — rows carry only `(id, start, hash)`);
+    * marking non-first occurrences is a single row_number window over the
+    * 60-bit shingle hash (an occurrence ranked > 1 IS a duplicate, so no
+    * census aggregate, no join-back, no second tokenize pass); interval
+    * merging is a per-DOCUMENT window over the marked starts
+    * (document-bounded — the corpus never sorts globally). One shuffle on
+    * the hash, one on the doc id, never all-pairs. The paper's suffix
+    * array finds duplicates of arbitrary length; at fixed k this
+    * relational form is exact for runs >= k, the granularity a
+    * training-data pipeline actually drops.
     *
     * Returns one row per maximal duplicated span:
     * `(idCol, span_start, span_end, n_shingles)` — 1-based token
@@ -140,13 +142,10 @@ object Dedup {
             s"i -> array_join(slice(__a, i, $k), ' '))")).as(Seq("__p", "__s")))
       .select(col(idCol), (col("__p") + 1).cast("long").as("st"),
         hash60(col("__s")).as("__h"))
-    val census = sh.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__cnt"),
-        min(struct(col(idCol), col("st"))).as("__first"))
-      .filter(col("__cnt") >= 2)
-    val dup = sh.join(census, Seq("__h"))
-      .filter(!(col(idCol) === col("__first").getField(idCol) &&
-        col("st") === col("__first").getField("st")))
+    val wh = Window.partitionBy(col("__h")).orderBy(col(idCol), col("st"))
+    val dup = sh
+      .withColumn("__rn", row_number().over(wh))
+      .filter(col("__rn") > 1)
       .select(col(idCol), col("st"))
     // gaps-and-islands merge: equal-width spans sorted by start coalesce
     // whenever the next start is within k of the previous (overlap or
@@ -161,6 +160,55 @@ object Dedup {
         (max(col("st")) + lit(k - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_shingles"))
       .select(col(idCol), col("span_start"), col("span_end"), col("n_shingles"))
+  }
+
+  /** APPLY step for [[duplicateSpans]] — the Lee et al. 2022 training-time
+    * treatment: rewrite each document with its duplicated spans EXCISED
+    * (the corpus-first copy of every run survives untouched, later copies
+    * vanish where they stand). Tokens whose 1-based ordinal falls inside
+    * any of the document's spans drop; survivors reassemble in order. The
+    * rewrite normalizes whitespace (tokens re-join single-spaced) — the
+    * dedup decision operates on the token stream, like the detector.
+    *
+    * Scale shape: [[duplicateSpans]]' stages plus an id-equi join of the
+    * token stream against the per-doc span list (spans are FEW per doc;
+    * the range predicate rides the id join — never a corpus range join)
+    * and one groupBy(id) reassembly. Returns
+    * `(idCol, textCol, n_tokens, n_dropped)` — every input document
+    * appears, dup-free ones unchanged (modulo whitespace), a fully-
+    * duplicated one with empty text. */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      k: Int = 5): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k)
+      .select(col(idCol).as("__sid"), col("span_start"), col("span_end"))
+    val toks = docs.select(col(idCol),
+        posexplode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+          .as(Seq("__p", "__tok")))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("__pos"), col("__tok"))
+    // maximal merged spans are disjoint per doc, so a token matches at
+    // most one span — the left join never duplicates rows
+    val kept = toks.join(spans,
+        toks(idCol) === col("__sid") &&
+          col("__pos") >= col("span_start") && col("__pos") <= col("span_end"),
+        "left")
+      .filter(col("__sid").isNull)
+      .select(col(idCol), col("__pos"), col("__tok"))
+    val reasm = kept.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__tok")))).as("__a"),
+        count(lit(1)).as("__nk"))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__a"), s => s.getField("__tok"))).as(textCol),
+        col("__nk"))
+    docs.select(col(idCol),
+        size(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+          .cast("long").as("n_tokens"))
+      .join(reasm, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_dropped"))
   }
 
   /** Distinct word n-gram shingle sets `(id, s)`. */

@@ -32,6 +32,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Set((2L, 4L, 9L, 2L), (3L, 7L, 12L, 2L)))
   }
 
+  test("removeDuplicateSpans excises later copies, keeps the first, passes dup-free docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z a b c d e f q"),           // tokens 4..9 are doc 1's run
+      (3L, "q r s t u v")                    // dup-free
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === (("a b c d e f g h", 8L, 0L)))   // first copy untouched
+    assert(got(2L) === (("x y z q", 10L, 6L)))          // span 4..9 excised
+    assert(got(3L) === (("q r s t u v", 6L, 0L)))
+  }
+
   test("duplicateSpans on a dup-free corpus is empty") {
     val docs = Seq((1L, "a b c d e f"), (2L, "q r s t u v")).toDF("doc_id", "text")
     assert(Dedup.duplicateSpans(docs, "doc_id", "text", k = 5).count() === 0)

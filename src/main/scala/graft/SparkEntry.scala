@@ -2430,6 +2430,47 @@ object SparkEntry {
       Some(s"""$mmMetaSql
              |SELECT id, width, height, n_frames, duration_s FROM meta ORDER BY id""".stripMargin)),
 
+    // PERCEPTUAL near-dup over the multimodal binary column: aHash
+    // fingerprints (locality-preserving under the stub boundary — cell
+    // intensities derive from each cell's OWN byte slice) through the
+    // SAME Hamming-banded pairing the text simhash path uses. The planted
+    // mutants differ in one trailing byte -> a handful of bits -> every
+    // (original, mutant) pair must surface; the oracle verifies the full
+    // fingerprint construction AND the pair set by all-pairs XOR popcount
+    ("mm_phash_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 1)"), lit("q")).as("text"))
+        val corpus = docs.select(col("doc_id"), col("text")).unionByName(mutated)
+        val fp = Multimodal.aHash(
+          corpus.select(col("doc_id"), col("text").cast("binary").as("content")),
+          "doc_id", "content")
+        Dedup.simhashPairsBanded(
+            fp.select(col("id"), col("ahash").as("simhash")), maxHamming = 6)
+          .orderBy(col("i"), col("j"))
+      },
+      Some("""WITH corpus AS (SELECT doc_id AS id, text FROM documents
+             |                UNION ALL
+             |                SELECT doc_id + 100000, substr(text, 1, strlen(text) - 1) || 'q'
+             |                FROM documents),
+             |t AS (SELECT id, text, strlen(text) AS L FROM corpus),
+             |idx AS (SELECT id, text, L, unnest(generate_series(0, 62)) AS i FROM t),
+             |c AS (SELECT id, i,
+             |        CAST('0x' || substr(md5(substr(text, 1 + (i * L) // 63,
+             |          ((i + 1) * L) // 63 - (i * L) // 63)), 1, 15) AS BIGINT) % 1000 AS x
+             |      FROM idx),
+             |s AS (SELECT id, SUM(x) AS tot FROM c GROUP BY 1),
+             |fp AS (SELECT c.id,
+             |         SUM(CASE WHEN c.x * 63 > s.tot
+             |             THEN (CAST(1 AS BIGINT) << c.i) ELSE 0 END) AS h
+             |       FROM c JOIN s USING (id) GROUP BY 1)
+             |SELECT a.id AS i, b.id AS j,
+             |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+             |FROM fp a JOIN fp b ON a.id < b.id
+             |WHERE bit_count(xor(a.h, b.h)) <= 6
+             |ORDER BY i, j""".stripMargin)),
+
     // aspect-preserving fit into 640x480, integer-only arithmetic (scale in
     // basis points, floor division) — engine-portable unlike float scaling
     ("mm_resize",

@@ -90,6 +90,43 @@ object Multimodal {
       .toDF("id", "feature")
   }
 
+  /** aHash (average-hash) PERCEPTUAL fingerprint over a binary media
+    * column — the classic image near-dup fingerprint: bit i is whether
+    * cell i's intensity exceeds the image mean. Production derives cell
+    * intensities from the decoded grayscale grid; under the ==STUB
+    * boundary== each cell's intensity instead derives from the md5 of
+    * that cell's OWN byte slice of the content (`(i*L) div cells` ..
+    * `((i+1)*L) div cells`). The slice derivation is deliberately
+    * LOCALITY-PRESERVING: contents sharing most bytes share most cell
+    * slices, hence most fingerprint bits — so the downstream Hamming
+    * machinery ([[graft.operators.Dedup.simhashPairsBanded]]) is
+    * exercised on genuinely-near fingerprints, not just exact copies.
+    *
+    * Engine-portable: intensities are hash60-derived ints, and the
+    * mean threshold is the integer-exact `x_i * cells > Σx` (no float
+    * mean to diverge). One projection over the corpus — no shuffle, no
+    * UDF, stays in codegen. Output `(id, ahash)`, a `cells`-bit BIGINT
+    * ready for Hamming banding (cells = 63 matches the banding
+    * convention). */
+  def aHash(
+      df: DataFrame, idCol: String, binCol: String, cells: Int = 63): DataFrame = {
+    require(cells >= 1 && cells <= 63, s"cells must be in [1, 63], got $cells")
+    val slice =
+      s"substring($binCol, 1 + cast((i * length($binCol)) div $cells as int), " +
+        s"cast(((i + 1) * length($binCol)) div $cells as int) - " +
+        s"cast((i * length($binCol)) div $cells as int))"
+    df.select(col(idCol).as("id"),
+        expr(s"transform(sequence(0, ${cells - 1}), i -> " +
+          s"cast(conv(substring(md5($slice), 1, 15), 16, 10) as bigint) % 1000)")
+          .as("__x"))
+      .select(col("id"), col("__x"),
+        expr("aggregate(__x, 0L, (acc, x) -> acc + x)").as("__tot"))
+      .select(col("id"),
+        (0 until cells).map(b =>
+          when(element_at(col("__x"), b + 1) * cells > col("__tot"), lit(1L << b))
+            .otherwise(lit(0L))).reduce(_ + _).as("ahash"))
+  }
+
   /** Deterministic stand-in for a batched media encoder: `dim` floats in
     * [0, 1) from independent md5 nibbles of the content. */
   def stubInfer(batch: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =

@@ -69,11 +69,7 @@ object CurationStreaming {
   /** Oracle-query form: stage the documents table file into a scratch
     * landing dir (stands in for the directory a real ingest watches) and
     * run the pipeline over it. */
-  def curateStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/documents.parquet"
-    val stage = java.nio.file.Files.createTempDirectory("graft_scur_src")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      stage.resolve("documents.parquet"))
-    curateLanding(spark, stage.toString)
-  }
+  def curateStream(spark: SparkSession, dir: String): DataFrame =
+    curateLanding(spark,
+      Staging.stageTable(s"$dir/documents.parquet", "graft_scur_src").toString)
 }

@@ -43,9 +43,7 @@ object EventsStreaming {
     // the file stream source only accepts directories: stage the table file
     // into a scratch dir (stands in for the landing directory that a real
     // incremental pipeline would watch)
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      stage.resolve("events.parquet"))
+    val stage = Staging.stageTable(path, "graft_stream_src")
     val src = graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(stage.toString))
     val agg = src
@@ -83,9 +81,7 @@ object EventsStreaming {
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val stage = java.nio.file.Files.createTempDirectory("graft_sdd_src")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      stage.resolve("events.parquet"))
+    val stage = Staging.stageTable(path, "graft_sdd_src")
     val deduped = spark.readStream.schema(schema).parquet(stage.toString)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -117,9 +113,7 @@ object EventsStreaming {
   def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val stage = java.nio.file.Files.createTempDirectory("graft_ssj_src")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      stage.resolve("events.parquet"))
+    val stage = Staging.stageTable(path, "graft_ssj_src")
     def side(tpe: String, idAs: String, tsAs: String) =
       graft.Tables.normalizeTs(
           spark.readStream.schema(schema).parquet(stage.toString))

@@ -46,6 +46,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) === (("q r s t u v", 6L, 0L)))
   }
 
+  test("aHash: one-byte mutation stays within Hamming 6, unrelated content does not") {
+    import graft.operators.Multimodal
+    val base = ('a' to 'z').mkString(" ") * 4
+    val mutant = base.dropRight(1) + "q"
+    val other = "totally different content that shares no bytes at all " * 4
+    val df = Seq((1L, base), (2L, mutant), (3L, other)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val fp = Multimodal.aHash(df, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(2L)) <= 6,
+      s"mutant drifted ${java.lang.Long.bitCount(fp(1L) ^ fp(2L))} bits")
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 6)
+    // and the banded pairing surfaces exactly the planted pair
+    val pairs = Dedup.simhashPairsBanded(
+        Multimodal.aHash(df, "doc_id", "content")
+          .select(col("id"), col("ahash").as("simhash")), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("duplicateSpans on a dup-free corpus is empty") {
     val docs = Seq((1L, "a b c d e f"), (2L, "q r s t u v")).toDF("doc_id", "text")
     assert(Dedup.duplicateSpans(docs, "doc_id", "text", k = 5).count() === 0)

@@ -3186,6 +3186,26 @@ object SparkEntry {
              |        / CAST(SUM(c) AS BIGINT), 6) AS dup_frac
              |FROM pc GROUP BY id ORDER BY id""".stripMargin)),
 
+    // corpus-novelty (cross-document complement of text_repetition): per
+    // doc, the fraction of its trigram instances that are the corpus-wide
+    // FIRST occurrence — fresh pages score high, mirrors/templates low
+    ("text_novelty",
+      (s, dir) =>
+        TextAnalysis.novelty(t(s, dir, "documents"), "doc_id", "text", n = 3)
+          .orderBy(col("id")),
+      Some("""WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS a
+             |             FROM documents),
+             |idx AS (SELECT id, a, unnest(generate_series(1, len(a) - 2)) AS i
+             |        FROM tok WHERE len(a) >= 3),
+             |sh AS (SELECT id, i AS st, array_to_string(a[i:i+2], ' ') AS s FROM idx),
+             |rk AS (SELECT id, st,
+             |         ROW_NUMBER() OVER (PARTITION BY s ORDER BY id, st) AS rn FROM sh)
+             |SELECT id, COUNT(*) AS n_ngrams,
+             |       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_novel,
+             |       ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+             |FROM rk GROUP BY id ORDER BY id""".stripMargin)),
+
     // sqrt-temperature source mixing (multi-source data-mixing step):
     // per-source sampling rates toward a 200-row mix + the deterministic
     // hash-membership sample they induce

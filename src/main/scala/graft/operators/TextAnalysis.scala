@@ -109,6 +109,40 @@ object TextAnalysis {
       .filter(col("n_overlap") >= minHits)
   }
 
+  /** Corpus-NOVELTY signal — the cross-document complement of
+    * [[repetition]]: per document, the fraction of its n-gram instances
+    * whose corpus-wide FIRST occurrence (smallest `(id, position)` —
+    * deterministic) lies in this document. A crawl snapshot's fresh pages
+    * score high; mirrors, quote farms, and template pages score low —
+    * a direct data-mixing/weighting signal for training corpora.
+    *
+    * Scale shape: one corpus-linear shingle pass carrying `(id, pos,
+    * hash)`, a single row_number window over the 60-bit n-gram hash
+    * (rank 1 = the corpus-first instance), one per-doc aggregate. Same
+    * one-shuffle-on-hash plan as [[graft.operators.Dedup.duplicateSpans]].
+    * Returns `(id, n_ngrams, n_novel, novelty)`; docs with < n tokens
+    * have no n-grams and drop out. */
+  def novelty(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"),
+        expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("__a"))
+      .filter(size(col("__a")) >= n)
+      .select(col("id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(__a) - ${n - 1}), " +
+            s"i -> array_join(slice(__a, i, $n), ' '))")).as(Seq("__p", "__s")))
+      .select(col("id"), (col("__p") + 1).cast("long").as("st"),
+        graft.operators.Dedup.hash60(col("__s")).as("__h"))
+    val wh = Window.partitionBy(col("__h")).orderBy(col("id"), col("st"))
+    sh.withColumn("__rn", row_number().over(wh))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_ngrams").cast("double"), 6))
+  }
+
   /** Gopher-style repetition signals (the duplicate-text quality rules):
     * per-doc n-gram repetition — `top_frac` = share of the single most
     * frequent n-gram's occurrences, `dup_frac` = share of occurrences

@@ -45,6 +45,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped("small") === 10000L)
   }
 
+  test("novelty: first copy of a shared run is novel, the repeat is not") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // trigrams "a b c","b c d","c d e" — all first
+      (2L, "a b c d e"),   // identical later doc -> zero novel
+      (3L, "x y z w v")    // disjoint -> all novel
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.novelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((3L, 3L, 1.0)))
+    assert(got(2L) === ((3L, 0L, 0.0)))
+    assert(got(3L) === ((3L, 3L, 1.0)))
+  }
+
   test("dsirWeights: target-like raw docs outrank off-target docs") {
     // two disjoint styles; target distribution is style A, so raw docs of
     // style A must carry strictly higher importance weights

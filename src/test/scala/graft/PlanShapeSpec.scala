@@ -26,6 +26,29 @@ class PlanShapeSpec extends AnyFunSuite {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
 
+  test("duplicateSpans is the one-pass window form: one Generate, no join, no cartesian") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    val p = plan(Dedup.duplicateSpans(docs, "doc_id", "text", k = 5))
+    // the marking stage is a row_number window over the shingle hash — a
+    // census-groupBy + join-back (two tokenize passes) must not come back
+    assert("Generate ".r.findAllIn(p).length == 1,
+      s"expected exactly one shingle Generate (one tokenize pass):\n$p")
+    assert(!p.contains("Join"), s"census join-back reappeared:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("DSIR scoring joins the bucket model by BROADCAST: corpus instances never shuffle for the model") {
+    val p = finalPlan(q("curation_dsir"))
+    // the model is buckets-row sized; the instance-side join must be
+    // broadcast (a shuffled join would move the whole corpus's bigram
+    // instances for a 1024-row table)
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus instances shuffled for the model:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"rank cut lost:\n$p")
+  }
+
   test("scan+filter+project pushes predicates and prunes columns at the scan") {
     val p = plan(q("s2_scan_filter_project"))
     assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")

@@ -3201,7 +3201,7 @@ object SparkEntry {
              |rk AS (SELECT id, st,
              |         ROW_NUMBER() OVER (PARTITION BY s ORDER BY id, st) AS rn FROM sh)
              |SELECT id, COUNT(*) AS n_ngrams,
-             |       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_novel,
+             |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
              |       ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              |             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
              |FROM rk GROUP BY id ORDER BY id""".stripMargin)),

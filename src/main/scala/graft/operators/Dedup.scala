@@ -109,17 +109,22 @@ object Dedup {
     * L >= k tokens surfaces as its L-k+1 marked shingles merged into one
     * span.
     *
-    * Scale shape: tokenize + shingle is one projection + generator
-    * (corpus-linear, ONE pass — rows carry only `(id, start, hash)`);
-    * marking non-first occurrences is a single row_number window over the
-    * 60-bit shingle hash (an occurrence ranked > 1 IS a duplicate, so no
-    * census aggregate, no join-back, no second tokenize pass); interval
-    * merging is a per-DOCUMENT window over the marked starts
-    * (document-bounded — the corpus never sorts globally). One shuffle on
-    * the hash, one on the doc id, never all-pairs. The paper's suffix
-    * array finds duplicates of arbitrary length; at fixed k this
-    * relational form is exact for runs >= k, the granularity a
-    * training-data pipeline actually drops.
+    * Scale shape: tokenize + shingle is a projection + generator
+    * (corpus-linear, rows carry only `(id, start, hash)`); the
+    * corpus-first occurrence per shingle is ONE partial-agg min(struct)
+    * groupBy on the 60-bit hash (map-side combine — skew-immune by
+    * construction); marking the non-first occurrences is a hash-keyed
+    * equi-join against that firsts table. The join deliberately replaces
+    * a row_number window: duplicated text is hot BY DEFINITION (the
+    * operator exists to find runs copied millions of times), and a
+    * window puts every instance of a hot shingle into one unsplittable
+    * partition — a straggler exactly on the operator's target data —
+    * while AQE's skew-join splits the equi-join's hot keys across tasks.
+    * Interval merging is a per-DOCUMENT window over the marked starts
+    * (document-bounded — the corpus never sorts globally). Never
+    * all-pairs. The paper's suffix array finds duplicates of arbitrary
+    * length; at fixed k this relational form is exact for runs >= k, the
+    * granularity a training-data pipeline actually drops.
     *
     * Returns one row per maximal duplicated span:
     * `(idCol, span_start, span_end, n_shingles)` — 1-based token
@@ -142,10 +147,13 @@ object Dedup {
             s"i -> array_join(slice(__a, i, $k), ' '))")).as(Seq("__p", "__s")))
       .select(col(idCol), (col("__p") + 1).cast("long").as("st"),
         hash60(col("__s")).as("__h"))
-    val wh = Window.partitionBy(col("__h")).orderBy(col(idCol), col("st"))
-    val dup = sh
-      .withColumn("__rn", row_number().over(wh))
-      .filter(col("__rn") > 1)
+    // every instance joins its hash's first occurrence; instances that ARE
+    // the first drop out, which also silently drops singleton shingles
+    val firsts = sh.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("st"))).as("__first"))
+    val dup = sh.join(firsts, Seq("__h"))
+      .filter(!(col(idCol) === col("__first").getField(idCol) &&
+        col("st") === col("__first").getField("st")))
       .select(col(idCol), col("st"))
     // gaps-and-islands merge: equal-width spans sorted by start coalesce
     // whenever the next start is within k of the previous (overlap or

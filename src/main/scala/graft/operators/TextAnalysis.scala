@@ -116,10 +116,13 @@ object TextAnalysis {
     * score high; mirrors, quote farms, and template pages score low —
     * a direct data-mixing/weighting signal for training corpora.
     *
-    * Scale shape: one corpus-linear shingle pass carrying `(id, pos,
-    * hash)`, a single row_number window over the 60-bit n-gram hash
-    * (rank 1 = the corpus-first instance), one per-doc aggregate. Same
-    * one-shuffle-on-hash plan as [[graft.operators.Dedup.duplicateSpans]].
+    * Scale shape: a corpus-linear shingle pass carrying `(id, pos,
+    * hash)`, a partial-agg min(struct) census per n-gram hash (map-side
+    * combined — skew-immune), a hash-keyed equi-join marking each
+    * instance first-or-not (AQE skew-join splits hot n-grams — a
+    * window's rank would strand a boilerplate n-gram's millions of
+    * instances in one unsplittable partition; see
+    * [[graft.operators.Dedup.duplicateSpans]]), one per-doc aggregate.
     * Returns `(id, n_ngrams, n_novel, novelty)`; docs with < n tokens
     * have no n-grams and drop out. */
   def novelty(
@@ -134,11 +137,14 @@ object TextAnalysis {
             s"i -> array_join(slice(__a, i, $n), ' '))")).as(Seq("__p", "__s")))
       .select(col("id"), (col("__p") + 1).cast("long").as("st"),
         graft.operators.Dedup.hash60(col("__s")).as("__h"))
-    val wh = Window.partitionBy(col("__h")).orderBy(col("id"), col("st"))
-    sh.withColumn("__rn", row_number().over(wh))
+    val firsts = sh.groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("st"))).as("__first"))
+    sh.join(firsts, Seq("__h"))
+      .withColumn("__novel",
+        when(col("id") === col("__first").getField("id") &&
+          col("st") === col("__first").getField("st"), 1L).otherwise(0L))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("__novel")).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_ngrams").cast("double"), 6))
   }

@@ -26,16 +26,20 @@ class PlanShapeSpec extends AnyFunSuite {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
 
-  test("duplicateSpans is the one-pass window form: one Generate, no join, no cartesian") {
+  test("duplicateSpans marks via the skew-splittable census join, never a hash-keyed window") {
     val spark2 = spark
     import spark2.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
     val p = plan(Dedup.duplicateSpans(docs, "doc_id", "text", k = 5))
-    // the marking stage is a row_number window over the shingle hash — a
-    // census-groupBy + join-back (two tokenize passes) must not come back
-    assert("Generate ".r.findAllIn(p).length == 1,
-      s"expected exactly one shingle Generate (one tokenize pass):\n$p")
-    assert(!p.contains("Join"), s"census join-back reappeared:\n$p")
+    // census = partial-agg min(struct) per hash; marking = equi-join that
+    // AQE's skew-join can split. A row_number window partitioned by the
+    // shingle hash would strand a hot (= heavily duplicated — the
+    // operator's TARGET data) shingle's instances in one unsplittable task.
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"first-occurrence census aggregate missing:\n$p")
+    assert(p.contains("Join"), s"marking equi-join missing:\n$p")
+    assert(!p.contains("windowspecdefinition(__h"),
+      s"marking regressed to a shingle-hash window (unsplittable hot keys):\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 

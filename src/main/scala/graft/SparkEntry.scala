@@ -844,6 +844,91 @@ object SparkEntry {
              |FROM g GROUP BY source
              |ORDER BY best_score DESC, source""".stripMargin)),
 
+    // END-TO-END CURATION pipeline (round 8): span excision -> token-count
+    // quality gate -> DSIR target-domain selection -> sequence packing, the
+    // full prepare-a-training-shard flow with every stage oracle-mirrored.
+    // Each stage is individually proven (dedup_substring_apply,
+    // curation_dsir, curation_pack_sequences); this pins the COMPOSITION —
+    // column contracts, rounding conventions, and ordering survive chaining
+    ("q36_curation_e2e",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val succ = docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("__t2"))
+        val two = docs.join(succ, Seq("doc_id"))
+          .select(col("doc_id").as("id"),
+            concat_ws(" ", col("text"), col("__t2")).as("text"))
+        val gated = Dedup.removeDuplicateSpans(two, "id", "text", k = 5)
+          .select(col("id"), col("text"),
+            (col("n_tokens") - col("n_dropped")).as("n_tokens"))
+          .filter(col("n_tokens") >= 20)
+        val target = docs.filter(col("source") === "src0")
+          .select(col("doc_id").as("id"), col("text"))
+        val sel = Curation.dsirSelect(gated.select(col("id"), col("text")),
+          target, targetRows = 100, idCol = "id")
+        Curation.packSequences(
+            gated.join(sel.select(col("id")), Seq("id"), "left_semi")
+              .withColumn("stream", lit("all")),
+            "id", "text", budgetTokens = 256L, byCol = "stream")
+          .select(col("id"), col("n_tokens"), col("bin"), col("offset_tokens"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH two AS (SELECT d1.doc_id AS id,
+             |               d1.text || ' ' || d2.text AS text
+             |             FROM documents d1 JOIN documents d2
+             |               ON d2.doc_id = d1.doc_id + 1),
+             |tok AS (SELECT id, regexp_extract_all(lower(text), '\w+') AS a FROM two),
+             |idx AS (SELECT id, a, unnest(generate_series(1, len(a) - 4)) AS i
+             |        FROM tok WHERE len(a) >= 5),
+             |shg AS (SELECT id, i AS st, array_to_string(a[i:i+4], ' ') AS s FROM idx),
+             |rk AS (SELECT id, st,
+             |         ROW_NUMBER() OVER (PARTITION BY s ORDER BY id, st) AS rn FROM shg),
+             |dup AS (SELECT id, st FROM rk WHERE rn > 1),
+             |brk AS (SELECT id, st,
+             |          CASE WHEN st - LAG(st) OVER (PARTITION BY id ORDER BY st) <= 5
+             |               THEN 0 ELSE 1 END AS b FROM dup),
+             |grp AS (SELECT id, st, SUM(b) OVER (PARTITION BY id ORDER BY st) AS g
+             |        FROM brk),
+             |spans AS (SELECT id, g, MIN(st) AS s0, MAX(st) + 4 AS s1
+             |          FROM grp GROUP BY id, g),
+             |tok2 AS (SELECT id, i AS pos, a[i] AS tokv
+             |         FROM (SELECT id, a, unnest(generate_series(1, len(a))) AS i FROM tok)),
+             |kept AS (SELECT t.id, t.pos, t.tokv FROM tok2 t
+             |         WHERE NOT EXISTS (SELECT 1 FROM spans s2
+             |                           WHERE s2.id = t.id AND t.pos BETWEEN s2.s0 AND s2.s1)),
+             |clean AS (SELECT id, string_agg(tokv, ' ' ORDER BY pos) AS text,
+             |                 COUNT(*) AS n_tokens
+             |          FROM kept GROUP BY id),
+             |gated AS (SELECT id, text, CAST(n_tokens AS BIGINT) AS n_tokens
+             |          FROM clean WHERE n_tokens >= 20),
+             |gtok AS (SELECT id, regexp_extract_all(lower(text), '\w+') AS a FROM gated),
+             |bgR AS (SELECT id, CAST('0x' || substr(md5(a[i] || ' ' || a[i+1]), 1, 15) AS BIGINT)
+             |               % 1024 AS b
+             |        FROM (SELECT id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM gtok)),
+             |ttok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS a
+             |         FROM documents WHERE source = 'src0'),
+             |bgT AS (SELECT id, CAST('0x' || substr(md5(a[i] || ' ' || a[i+1]), 1, 15) AS BIGINT)
+             |               % 1024 AS b
+             |        FROM (SELECT id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM ttok)),
+             |cR AS (SELECT b, COUNT(*) AS c_r FROM bgR GROUP BY 1),
+             |cT AS (SELECT b, COUNT(*) AS c_t FROM bgT GROUP BY 1),
+             |nR AS (SELECT COUNT(*) AS n_r FROM bgR),
+             |nT AS (SELECT COUNT(*) AS n_t FROM bgT),
+             |model AS (SELECT cR.b,
+             |            LN(((COALESCE(cT.c_t, 0) + 1.0) / (nT.n_t + 1024)) /
+             |               ((cR.c_r + 1.0) / (nR.n_r + 1024))) AS llr
+             |          FROM cR LEFT JOIN cT USING (b) CROSS JOIN nR CROSS JOIN nT),
+             |sc AS (SELECT g2.id, CAST(SUM(CAST(llr AS DECIMAL(28,12))) AS DOUBLE) AS w
+             |       FROM bgR g2 JOIN model USING (b) GROUP BY 1),
+             |sel AS (SELECT id FROM sc ORDER BY ROUND(w, 6) DESC, id LIMIT 100),
+             |p0 AS (SELECT g3.id, g3.n_tokens FROM gated g3 JOIN sel USING (id)),
+             |pc AS (SELECT id, n_tokens,
+             |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+             |       FROM p0)
+             |SELECT id, n_tokens, cum // 256 AS bin, cum % 256 AS offset_tokens
+             |FROM pc ORDER BY id""".stripMargin)),
+
     // ---- 2.4 A4 group shaping ---------------------------------------------
 
     ("a4_group_shape_flat",

@@ -1624,6 +1624,54 @@ object SparkEntry {
              |FROM tot t LEFT JOIN re USING (id)
              |ORDER BY t.id""".stripMargin)),
 
+    // SPAN-level decontamination: the benchmark is the first HALF of every
+    // 10th document's tokens, so those documents must come back with their
+    // leaked half excised and the rest intact — surgical eval-set removal,
+    // not whole-document dropping
+    ("text_decontaminate_spans",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corp = docs.select(col("doc_id").as("id"), col("text"))
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("id"),
+            expr("array_join(slice(regexp_extract_all(lower(text), '\\\\w+', 0), 1, " +
+              "size(regexp_extract_all(lower(text), '\\\\w+', 0)) div 2), ' ')")
+              .as("text"))
+        Dedup.decontaminateSpans(corp, bench, k = 5).orderBy(col("id"))
+      },
+      Some("""WITH corp AS (SELECT doc_id AS id, text FROM documents),
+             |ctok AS (SELECT id, regexp_extract_all(lower(text), '\w+') AS a FROM corp),
+             |btok AS (SELECT regexp_extract_all(lower(text), '\w+') AS a0
+             |         FROM documents WHERE doc_id % 10 = 0),
+             |bha AS (SELECT a0[1 : len(a0) // 2] AS a FROM btok),
+             |bsh AS (SELECT DISTINCT array_to_string(a[i:i+4], ' ') AS s
+             |        FROM (SELECT a, unnest(generate_series(1, len(a) - 4)) AS i
+             |              FROM bha WHERE len(a) >= 5)),
+             |csh AS (SELECT id, i AS st, array_to_string(a[i:i+4], ' ') AS s
+             |        FROM (SELECT id, a, unnest(generate_series(1, len(a) - 4)) AS i
+             |              FROM ctok WHERE len(a) >= 5)),
+             |mark AS (SELECT id, st FROM csh WHERE s IN (SELECT s FROM bsh)),
+             |brk AS (SELECT id, st,
+             |          CASE WHEN st - LAG(st) OVER (PARTITION BY id ORDER BY st) <= 5
+             |               THEN 0 ELSE 1 END AS b FROM mark),
+             |grp AS (SELECT id, st, SUM(b) OVER (PARTITION BY id ORDER BY st) AS g
+             |        FROM brk),
+             |spans AS (SELECT id, g, MIN(st) AS s0, MAX(st) + 4 AS s1
+             |          FROM grp GROUP BY id, g),
+             |tok2 AS (SELECT id, i AS pos, a[i] AS tokv
+             |         FROM (SELECT id, a, unnest(generate_series(1, len(a))) AS i FROM ctok)),
+             |kept AS (SELECT t.id, t.pos, t.tokv FROM tok2 t
+             |         WHERE NOT EXISTS (SELECT 1 FROM spans s2
+             |                           WHERE s2.id = t.id AND t.pos BETWEEN s2.s0 AND s2.s1)),
+             |re AS (SELECT id, string_agg(tokv, ' ' ORDER BY pos) AS text,
+             |              COUNT(*) AS nk
+             |       FROM kept GROUP BY id),
+             |tot AS (SELECT id, len(a) AS n_tokens FROM ctok)
+             |SELECT t.id, COALESCE(re.text, '') AS text, t.n_tokens,
+             |       t.n_tokens - COALESCE(re.nk, 0) AS n_dropped
+             |FROM tot t LEFT JOIN re USING (id)
+             |ORDER BY t.id""".stripMargin)),
+
     ("dedup_minhash_lsh",
       (s, dir) =>
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")

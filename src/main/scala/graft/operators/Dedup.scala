@@ -135,8 +135,24 @@ object Dedup {
       textCol: String = "text",
       k: Int = 5): DataFrame = {
     require(k >= 1, s"shingle width must be positive, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val sh = docs
+    val sh = tokenShingles(docs, idCol, textCol, k)
+    // every instance joins its hash's first occurrence; instances that ARE
+    // the first drop out, which also silently drops singleton shingles
+    val firsts = sh.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("st"))).as("__first"))
+    val dup = sh.join(firsts, Seq("__h"))
+      .filter(!(col(idCol) === col("__first").getField(idCol) &&
+        col("st") === col("__first").getField("st")))
+      .select(col(idCol), col("st"))
+    mergeSpans(dup, idCol, k)
+  }
+
+  /** Positional k-token shingle hashes `(idCol, st, __h)` — the shared
+    * feature pass of the span family. One projection + Generator, rows
+    * carry only the 8-byte hash. */
+  private def tokenShingles(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
       .select(col(idCol),
         expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("__a"))
       // guard: sequence(1, 0) is the DESCENDING [1, 0] (see Lexical.ngrams)
@@ -147,19 +163,17 @@ object Dedup {
             s"i -> array_join(slice(__a, i, $k), ' '))")).as(Seq("__p", "__s")))
       .select(col(idCol), (col("__p") + 1).cast("long").as("st"),
         hash60(col("__s")).as("__h"))
-    // every instance joins its hash's first occurrence; instances that ARE
-    // the first drop out, which also silently drops singleton shingles
-    val firsts = sh.groupBy(col("__h"))
-      .agg(min(struct(col(idCol), col("st"))).as("__first"))
-    val dup = sh.join(firsts, Seq("__h"))
-      .filter(!(col(idCol) === col("__first").getField(idCol) &&
-        col("st") === col("__first").getField("st")))
-      .select(col(idCol), col("st"))
-    // gaps-and-islands merge: equal-width spans sorted by start coalesce
-    // whenever the next start is within k of the previous (overlap or
-    // exact adjacency = one contiguous duplicated run)
+
+  /** Gaps-and-islands merge of marked k-wide starts `(idCol, st)` into
+    * maximal spans: equal-width spans sorted by start coalesce whenever
+    * the next start is within k of the previous (overlap or exact
+    * adjacency = one contiguous run). Per-DOCUMENT window — the corpus
+    * never sorts globally. */
+  private def mergeSpans(
+      marked: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("st"))
-    dup
+    marked
       .withColumn("__brk",
         when(col("st") - lag(col("st"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
       .withColumn("__g", sum(col("__brk")).over(w))
@@ -189,15 +203,75 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "id",
       textCol: String = "text",
+      k: Int = 5): DataFrame =
+    exciseSpans(docs, duplicateSpans(docs, idCol, textCol, k), idCol, textCol)
+
+  /** SPAN-level DECONTAMINATION detection: every maximal token interval of
+    * `docs` covered by k-token shingles that ALSO occur in `bench` (the
+    * held-out eval set). [[graft.operators.TextAnalysis.contamination]]
+    * FLAGS whole documents; this localizes the overlap so
+    * [[decontaminateSpans]] can cut only the leaked text and keep the
+    * rest of the document — the treatment large-model training pipelines
+    * apply before a data freeze.
+    *
+    * Scale shape: both shingle passes are corpus-linear projections; the
+    * benchmark's distinct shingle-hash set is benchmark-sized (tiny next
+    * to the corpus — Spark broadcasts it when it fits) and marking is a
+    * LEFT SEMI join, so corpus shingles never shuffle more than once;
+    * merging is the per-document window. Same k-exactness as
+    * [[duplicateSpans]]: any leaked run of >= k tokens is found. */
+  def contaminatedSpans(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      benchIdCol: String = "id",
+      benchTextCol: String = "text",
       k: Int = 5): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, k)
+    require(k >= 1, s"shingle width must be positive, got $k")
+    val benchHashes = tokenShingles(bench, benchIdCol, benchTextCol, k)
+      .select(col("__h")).distinct()
+    val marked = tokenShingles(docs, idCol, textCol, k)
+      .join(benchHashes, Seq("__h"), "left_semi")
+      .select(col(idCol), col("st"))
+    mergeSpans(marked, idCol, k)
+  }
+
+  /** APPLY step for [[contaminatedSpans]]: rewrite each document with its
+    * benchmark-overlapping spans excised — surgical decontamination that
+    * keeps the rest of the document (dropping whole flagged documents
+    * wastes the 99% that never leaked). Same output contract as
+    * [[removeDuplicateSpans]]. */
+  def decontaminateSpans(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      benchIdCol: String = "id",
+      benchTextCol: String = "text",
+      k: Int = 5): DataFrame =
+    exciseSpans(docs,
+      contaminatedSpans(docs, bench, idCol, textCol, benchIdCol, benchTextCol, k),
+      idCol, textCol)
+
+  /** Excise `spans` `(idCol, span_start, span_end)` from `docs`: tokens
+    * whose 1-based ordinal falls inside any of the document's spans drop,
+    * survivors reassemble in order (single-spaced — the span family
+    * operates on the token stream). Spans must be disjoint per doc (the
+    * [[mergeSpans]] output invariant), so the left join never duplicates
+    * rows. Returns `(idCol, textCol, n_tokens, n_dropped)` with every
+    * input document present. */
+  private def exciseSpans(
+      docs: DataFrame,
+      spanFrame: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spans = spanFrame
       .select(col(idCol).as("__sid"), col("span_start"), col("span_end"))
     val toks = docs.select(col(idCol),
         posexplode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
           .as(Seq("__p", "__tok")))
       .select(col(idCol), (col("__p") + 1).cast("long").as("__pos"), col("__tok"))
-    // maximal merged spans are disjoint per doc, so a token matches at
-    // most one span — the left join never duplicates rows
     val kept = toks.join(spans,
         toks(idCol) === col("__sid") &&
           col("__pos") >= col("span_start") && col("__pos") <= col("span_end"),

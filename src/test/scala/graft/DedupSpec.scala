@@ -66,6 +66,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("decontaminateSpans excises exactly the benchmark-leaked run") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "c d e f g")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(docs, bench,
+        "doc_id", "text", "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1's tokens 3..7 are the leaked bench run -> excised; doc 2 intact
+    assert(got(1L) === (("a b h i j", 10L, 5L)))
+    assert(got(2L) === (("p q r s t u v w", 8L, 0L)))
+  }
+
   test("duplicateSpans on a dup-free corpus is empty") {
     val docs = Seq((1L, "a b c d e f"), (2L, "q r s t u v")).toDF("doc_id", "text")
     assert(Dedup.duplicateSpans(docs, "doc_id", "text", k = 5).count() === 0)

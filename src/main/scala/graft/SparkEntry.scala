@@ -3319,6 +3319,29 @@ object SparkEntry {
              |        / CAST(SUM(c) AS BIGINT), 6) AS dup_frac
              |FROM pc GROUP BY id ORDER BY id""".stripMargin)),
 
+    // sliding token-window chunking (the front half of chunk -> embed ->
+    // pool; emb_doc_pooling is the back half): 32-token windows every 16,
+    // integer-only chunk arithmetic, last chunk short, every token covered
+    ("text_chunk_windows",
+      (s, dir) =>
+        TextAnalysis.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+            windowTokens = 32, strideTokens = 16)
+          .orderBy(col("id"), col("chunk_id")),
+      Some("""WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS a
+             |             FROM documents),
+             |nz AS (SELECT id, a, len(a) AS n FROM tok WHERE len(a) >= 1),
+             |nc AS (SELECT id, a, n,
+             |         CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 15) // 16 END AS m
+             |       FROM nz),
+             |j AS (SELECT id, a, n, unnest(generate_series(0, m - 1)) AS cid FROM nc),
+             |c AS (SELECT id, cid AS chunk_id, cid * 16 + 1 AS chunk_start,
+             |        a[cid * 16 + 1 : LEAST(cid * 16 + 32, n)] AS ch
+             |      FROM j)
+             |SELECT id, chunk_id, chunk_start,
+             |       CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
+             |       array_to_string(ch, ' ') AS chunk_text
+             |FROM c ORDER BY id, chunk_id""".stripMargin)),
+
     // corpus-novelty (cross-document complement of text_repetition): per
     // doc, the fraction of its trigram instances that are the corpus-wide
     // FIRST occurrence — fresh pages score high, mirrors/templates low

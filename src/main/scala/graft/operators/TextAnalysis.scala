@@ -109,6 +109,42 @@ object TextAnalysis {
       .filter(col("n_overlap") >= minHits)
   }
 
+  /** Sliding token-WINDOW chunking — the front half of the
+    * chunk -> embed -> pool loop (the pooling half is
+    * `emb_doc_pooling` / [[graft.operators.Similarity.centroids]]):
+    * split each document into `windowTokens`-token chunks starting every
+    * `strideTokens` (overlapping when stride < window, the usual
+    * embedding-context convention), last chunk short. Integer-only chunk
+    * arithmetic, one projection + Generator — corpus-linear, no shuffle.
+    * Chunk count for n tokens is `1 + max(0, ceil((n - window) /
+    * stride))` (one chunk when n <= window), so every token is covered
+    * and no fully-redundant trailing chunk is emitted. Returns
+    * `(id, chunk_id, chunk_start, n_chunk_tokens, chunk_text)` —
+    * 1-based starts, chunk_id 0-based; docs with zero tokens drop out. */
+  def chunkWindows(
+      docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"window must be positive, got $windowTokens")
+    require(strideTokens >= 1, s"stride must be positive, got $strideTokens")
+    docs
+      .select(col(idCol).as("id"),
+        expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("__a"))
+      .filter(size(col("__a")) >= 1)
+      .select(col("id"), col("__a"),
+        expr(s"case when size(__a) <= $windowTokens then 1 " +
+          s"else 1 + ((size(__a) - $windowTokens + $strideTokens - 1) div $strideTokens) end")
+          .as("__nc"))
+      .select(col("id"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(__nc - 1 as int)), " +
+            s"j -> slice(__a, 1 + j * $strideTokens, $windowTokens))"))
+          .as(Seq("chunk_id", "__c")))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * strideTokens + 1).cast("long").as("chunk_start"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   /** Corpus-NOVELTY signal — the cross-document complement of
     * [[repetition]]: per document, the fraction of its n-gram instances
     * whose corpus-wide FIRST occurrence (smallest `(id, position)` —

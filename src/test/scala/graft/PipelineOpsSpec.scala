@@ -45,6 +45,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped("small") === 10000L)
   }
 
+  test("chunkWindows: coverage, overlap, and short-tail arithmetic") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, toks(5)), (2L, toks(32)), (3L, toks(33)), (4L, toks(48)))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(docs, "doc_id", "text", 32, 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1)).toMap
+    assert(got(1L) === Seq((0L, 1L, 5L)))                      // short doc: one chunk
+    assert(got(2L) === Seq((0L, 1L, 32L)))                     // exact window: one chunk
+    assert(got(3L) === Seq((0L, 1L, 32L), (1L, 17L, 17L)))     // one extra token -> tail
+    assert(got(4L) === Seq((0L, 1L, 32L), (1L, 17L, 32L)))     // every token covered
+  }
+
   test("novelty: first copy of a shared run is novel, the repeat is not") {
     val docs = Seq(
       (1L, "a b c d e"),   // trigrams "a b c","b c d","c d e" — all first

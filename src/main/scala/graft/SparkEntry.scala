@@ -156,12 +156,45 @@ object SparkEntry {
     * stale artifacts instead of rebuilding. */
   private object ArtifactMemo {
     private val built = scala.collection.mutable.Set.empty[String]
+    /** Source-data stamp folded into the artifact path: the driver
+      * REGENERATES the testdata between rounds under the same directory
+      * names, and a fitted artifact reused across a regeneration would
+      * hash-mismatch every oracle — the stamp (source table mtimes) gives
+      * each data generation its own namespace. */
+    private def stamp(dir: String): String = {
+      val ms = Seq("documents.parquet", "embeddings.parquet")
+        .map(f => new java.io.File(s"$dir/$f").lastModified()).mkString("-")
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(ms))
+    }
     def root(dir: String, variant: String): String =
       s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
-        s"${dir.replaceAll("[^a-zA-Z0-9._-]", "_")}/$variant"
+        s"${dir.replaceAll("[^a-zA-Z0-9._-]", "_")}-${stamp(dir)}/$variant"
+    /** Build-once across JVMs: a `_graft_built` completion marker (written
+      * only AFTER a successful build, so a crashed builder never looks
+      * complete) lets a second JVM read instead of rebuild, and a
+      * cross-process file lock serializes concurrent builders — the
+      * Verify-vs-test-suite race that transiently corrupted a shared
+      * artifact dir. The in-memory memo keeps the common single-JVM case
+      * lock-free after the first call. */
     def apply[A](p: String)(build: => A)(read: => A): A = synchronized {
-      if (built(p)) read
-      else { val idx = build; built.add(p); idx }
+      if (built(p)) return read
+      new java.io.File(p).getParentFile.mkdirs()
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(p + ".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = ch.lock()
+      try {
+        val marker = new java.io.File(s"$p/_graft_built")
+        if (marker.exists()) { built.add(p); read }
+        else {
+          val idx = build
+          new java.io.File(p).mkdirs()
+          java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+          built.add(p)
+          idx
+        }
+      } finally { lock.release(); ch.close() }
     }
   }
 

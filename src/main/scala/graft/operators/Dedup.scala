@@ -150,7 +150,7 @@ object Dedup {
   /** Positional k-token shingle hashes `(idCol, st, __h)` — the shared
     * feature pass of the span family. One projection + Generator, rows
     * carry only the 8-byte hash. */
-  private def tokenShingles(
+  private[graft] def tokenShingles(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs
       .select(col(idCol),
@@ -169,7 +169,7 @@ object Dedup {
     * the next start is within k of the previous (overlap or exact
     * adjacency = one contiguous run). Per-DOCUMENT window — the corpus
     * never sorts globally. */
-  private def mergeSpans(
+  private[graft] def mergeSpans(
       marked: DataFrame, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("st"))

@@ -1072,6 +1072,78 @@ object IncrementalIndex {
     q.awaitTermination()
   }
 
+  /** INCREMENTAL SPAN-DEDUP — the streaming form of
+    * [[graft.operators.Dedup.duplicateSpans]]: each maintenance run
+    * shingles ONLY the new documents, marks every span duplicated against
+    * the ACCUMULATED shingle-hash index (old text is never re-shingled),
+    * writes the merged spans as this batch's `batch_id=` partition of
+    * `indexDir/spans`, and lands the batch's distinct hashes into
+    * `indexDir/shingle_hashes`. Precedence is ARRIVAL order — anything
+    * already indexed beats this batch, and within the batch the smallest
+    * `(id, start)` wins, the batch operator's election applied per
+    * arrival — so the first-ever copy of a run is never flagged and every
+    * later copy is, no matter which ingest run carried it.
+    *
+    * Steady-state cost per run: O(new docs' shingles) for the feature
+    * pass + ONE membership semi-join against the accumulated hash set
+    * (8-byte keys; AQE splits hot boilerplate hashes) + the per-document
+    * merge window. The index grows by distinct-new-hashes per batch;
+    * [[compactCells]]-style folding is unnecessary (it is already
+    * hash-distinct per batch) but [[recoverCompaction]]-safe layouts
+    * apply if ever compacted. Replay guard like [[updateDedup]]: a
+    * crashed attempt's own `batch_id=` partitions must not read back as
+    * "old" state or a replay would flag the batch's own first copies. */
+  def updateSpanDedup(
+      spark: SparkSession,
+      landingDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    import org.apache.spark.sql.functions._
+    val hashesDir = s"$indexDir/shingle_hashes"
+    val spansDir = s"$indexDir/spans"
+    val schema = spark.read.parquet(landingDir).schema
+    val src = spark.readStream.schema(schema).parquet(landingDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Dedup
+        val sh = Dedup.tokenShingles(
+          batch.select(col(idCol), col(textCol)), idCol, textCol, k).persist()
+        val haveOld = pathExists(spark, hashesDir)
+        val oldHashes: DataFrame =
+          if (!haveOld) sh.select(col("__h")).limit(0)
+          else
+            try spark.read.parquet(hashesDir)
+              .filter(col("batch_id") =!= batchId).drop("batch_id")
+              .select(col("__h"))
+            catch {
+              case _: org.apache.spark.sql.AnalysisException =>
+                sh.select(col("__h")).limit(0)
+            }
+        // duplicated = seen in ANY earlier batch, or not this batch's
+        // first occurrence of its hash
+        val inOld = sh.join(oldHashes.distinct(), Seq("__h"), "left_semi")
+          .select(col(idCol), col("st"))
+        val firsts = sh.groupBy(col("__h"))
+          .agg(min(struct(col(idCol), col("st"))).as("__first"))
+        val notBatchFirst = sh.join(firsts, Seq("__h"))
+          .filter(!(col(idCol) === col("__first").getField(idCol) &&
+            col("st") === col("__first").getField("st")))
+          .select(col(idCol), col("st"))
+        val marked = inOld.unionByName(notBatchFirst).distinct()
+        writeBatchPartition(Dedup.mergeSpans(marked, idCol, k), batchId, spansDir)
+        writeBatchPartition(sh.select(col("__h")).distinct(), batchId, hashesDir)
+        sh.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming ANN SERVING — the online half of the build/serve split: a
     * stream of query vectors `(query_id LONG, qv ARRAY<FLOAT>)` lands in
     * `queryLandingDir` and every micro-batch is answered from the PERSISTED

@@ -41,6 +41,68 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(pairs() === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("incremental span-dedup: cross-batch spans marked, first copies exempt, replay-idempotent") {
+    import org.apache.spark.sql.functions._
+    val landing = java.nio.file.Files.createTempDirectory("graft_isd_land").toString
+    val index = java.nio.file.Files.createTempDirectory("graft_isd_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_isd_ck").toString
+    def spans(): Set[(Long, Long, Long, Long)] =
+      // an all-empty store (no batch marked anything yet) is a
+      // _SUCCESS-only layout whose schema-less read throws — that is
+      // "no spans", not an error
+      try spark.read.parquet(s"$index/spans")
+        .select("doc_id", "span_start", "span_end", "n_shingles")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Set.empty[(Long, Long, Long, Long)]
+      }
+
+    // batch 1: two disjoint docs -> nothing marked, hashes indexed
+    Seq((1L, "a b c d e f g h"), (2L, "q r s t u v"))
+      .toDF("doc_id", "text").write.mode("append").parquet(landing)
+    IncrementalIndex.updateSpanDedup(spark, landing, index, ckpt)
+    assert(spans() === Set.empty)
+
+    // snapshot the checkpoint BEFORE batch 2 commits (crash simulation)
+    val ckptBackup = java.nio.file.Files.createTempDirectory("graft_isd_ckbk")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(ckpt), ckptBackup.toFile)
+
+    // batch 2: doc 3 repeats doc 1's run (cross-batch, never re-shingling
+    // doc 1) and doc 4 repeats doc 3's fresh tail (within-batch, batch
+    // first exempt)
+    Seq((3L, "x y z a b c d e f w1 w2 w3 w4 w5"),
+        (4L, "n1 n2 n3 w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "text").write.mode("append").parquet(landing)
+    IncrementalIndex.updateSpanDedup(spark, landing, index, ckpt)
+    // doc 3: shingles at st=4,5 ("a b c d e", "b c d e f") hit the index
+    // -> span tokens 4..9; doc 4: "w1..w5" at st=4 first occurred in doc 3
+    // THIS batch -> span 4..8
+    val want = Set((3L, 4L, 9L, 2L), (4L, 4L, 8L, 1L))
+    assert(spans() === want)
+
+    // nothing new -> no-op run, spans unchanged
+    IncrementalIndex.updateSpanDedup(spark, landing, index, ckpt)
+    assert(spans() === want)
+
+    // crash replay: restore the pre-batch-2 checkpoint (sink writes landed,
+    // commit did not) and re-run — the batch's own batch_id= partitions
+    // must not read back as "old" state, or doc 3/4's FIRST copies would
+    // get flagged on replay; result must be bit-identical
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      ckptBackup.toFile, new java.io.File(ckpt))
+    IncrementalIndex.updateSpanDedup(spark, landing, index, ckpt)
+    assert(spans() === want)
+    // the replay rewrote its own batch partition instead of appending a
+    // second copy of the batch's hashes
+    val perBatch = spark.read.parquet(s"$index/shingle_hashes")
+      .groupBy("batch_id", "__h").count().filter(col("count") > 1).count()
+    assert(perBatch === 0, "replay duplicated hashes inside a batch partition")
+  }
+
   test("a zero-shingle first batch does not wedge later runs") {
     // docs under 3 tokens produce no 3-gram shingles: the first batch
     // writes _SUCCESS-only state dirs; later batches must treat that as

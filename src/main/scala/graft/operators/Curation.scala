@@ -132,31 +132,67 @@ object Curation {
       target: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
+      buckets: Int = 1024): DataFrame =
+    dsirScoreFromModel(raw, dsirFit(raw, target, idCol, textCol, buckets),
+      idCol, textCol, buckets)
+
+  /** The FIT half of DSIR as a persistable artifact — the `(b, llr)`
+    * bucket model, one row per raw-occupied bucket, add-one smoothed on
+    * both sides. Train ONCE per (target, raw-distribution) pair, write
+    * the buckets-row table next to the other fitted artifacts, and score
+    * every future shard with [[dsirScoreFromModel]] — the raw/target
+    * corpora are never re-featurized at scoring time (the load-don't-
+    * refit convention every fitted index here follows). The raw corpus
+    * passed to fit stands for the raw DISTRIBUTION: any representative
+    * sample works, and the model stays valid until that distribution
+    * drifts. */
+  def dsirFit(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
       buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
-    def features(docs: DataFrame) =
-      Lexical.ngrams(docs, idCol, textCol, 2)
-        .select(col("id"), (Dedup.hash60(col("ngram")) % buckets).as("b"))
-    val rawB = features(raw)
-    val tgtB = features(target)
+    val rawB = dsirFeatures(raw, idCol, textCol, buckets)
+    val tgtB = dsirFeatures(target, idCol, textCol, buckets)
     val cR = rawB.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
     val cT = tgtB.groupBy(col("b")).agg(count(lit(1)).as("c_t"))
     val nR = rawB.agg(count(lit(1)).as("n_r"))
     val nT = tgtB.agg(count(lit(1)).as("n_t"))
     // buckets absent from the raw corpus can never be scored — the model
     // only needs raw-occupied rows, each add-one smoothed on both sides
-    val model = cR.join(cT, Seq("b"), "left")
+    cR.join(cT, Seq("b"), "left")
       .na.fill(0L, Seq("c_t"))
       .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
       .select(col("b"),
         log(((col("c_t") + lit(1.0)) / (col("n_t") + lit(buckets))) /
           ((col("c_r") + lit(1.0)) / (col("n_r") + lit(buckets)))).as("llr"))
-    rawB.join(broadcast(model), Seq("b"))
+  }
+
+  /** The SCORE half: one featurize pass over the docs + a broadcast join
+    * against the (tiny, possibly persisted) bucket model. A bucket
+    * missing from the model contributes nothing — for in-distribution
+    * corpora that bucket was empty in the fit's raw sample too, so the
+    * instance carries no evidence either way. */
+  def dsirScoreFromModel(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 1024): DataFrame =
+    dsirFeatures(docs, idCol, textCol, buckets)
+      .join(broadcast(model.select(col("b"), col("llr"))), Seq("b"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("llr").cast("decimal(28,12)")).cast("double").as("dsir_weight"))
       .select(col("id"), col("n_bigrams"), col("dsir_weight"))
-  }
+
+  /** Hashed-bigram instance features `(id, b)` — the vocabulary never
+    * materializes; only the 8-byte bucket id leaves the stage. */
+  private def dsirFeatures(
+      docs: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame =
+    Lexical.ngrams(docs, idCol, textCol, 2)
+      .select(col("id"), (Dedup.hash60(col("ngram")) % buckets).as("b"))
 
   /** The selection cut over [[dsirWeights]]: the `targetRows` highest-
     * weight documents (weight desc, id asc — deterministic). */

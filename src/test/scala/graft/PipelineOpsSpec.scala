@@ -73,6 +73,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 3L, 1.0)))
   }
 
+  test("DSIR fit/score split: a persisted bucket model scores identically to the one-shot form") {
+    val styleA = (1L to 8L).map(i => (i, "alpha beta gamma delta alpha beta"))
+    val styleB = (9L to 16L).map(i => (i, "omega psi chi phi omega psi"))
+    val raw = (styleA ++ styleB).toDF("doc_id", "text")
+    val target = (100L to 104L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_model").toString
+    Curation.dsirFit(raw, target, buckets = 64)
+      .write.mode("overwrite").parquet(dir)
+    val fromArtifact = Curation
+      .dsirScoreFromModel(raw, spark.read.parquet(dir), buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = Curation.dsirWeights(raw, target, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromArtifact === oneShot)
+    assert(fromArtifact.nonEmpty)
+  }
+
   test("dsirWeights: target-like raw docs outrank off-target docs") {
     // two disjoint styles; target distribution is style A, so raw docs of
     // style A must carry strictly higher importance weights

@@ -3335,6 +3335,42 @@ object SparkEntry {
              |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS INT) THEN value END) AS p99
              |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // per-source DATA CARD (the datasheet a corpus release ships): doc and
+    // token volumes, language spread, exact rank-selection token-length
+    // quantiles — one grouped pass, the profile ops composed per source
+    ("profile_data_card",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tok",
+            size(expr("regexp_extract_all(lower(text), '\\\\w+', 0)")).cast("long"))
+        val w = Window.partitionBy(col("source")).orderBy(col("n_tok"), col("doc_id"))
+        val ranked = docs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        def pick(p: Double, name: String) =
+          max(when(col("rn") === ceil(col("n") * p).cast("int"), col("n_tok"))).as(name)
+        ranked.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            pick(0.5, "p50_tokens"), pick(0.9, "p90_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source, doc_id, lang, n_chars,
+             |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |rk AS (SELECT *, ROW_NUMBER() OVER (
+             |    PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY source) AS n FROM d)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  COUNT(DISTINCT lang) AS n_langs,
+             |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS INT) THEN n_tok END) AS p50_tokens,
+             |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS INT) THEN n_tok END) AS p90_tokens
+             |FROM rk GROUP BY source ORDER BY source""".stripMargin)),
+
     // Gopher-style repetition gate: per-doc bigram repetition signals
     // (top-ngram share, repeated-ngram share) — boilerplate/loop detection
     ("text_repetition",

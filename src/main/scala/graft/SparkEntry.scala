@@ -2602,10 +2602,21 @@ object SparkEntry {
     // SAME Hamming-banded pairing the text simhash path uses. The planted
     // mutants differ in one trailing byte -> a handful of bits -> every
     // (original, mutant) pair must surface; the oracle verifies the full
-    // fingerprint construction AND the pair set by all-pairs XOR popcount
+    // fingerprint construction AND the pair set by all-pairs XOR popcount.
+    // ORACLE PARITY PIN: aHash slices BYTES (BINARY), while DuckDB cannot
+    // slice BLOBs, so the oracle's substr/strlen over VARCHAR agrees only
+    // when text is pure ASCII (bytes == chars). The assert_true below
+    // makes the query THROW (not silently diverge) if the generated
+    // corpus ever grows non-ASCII text — flip the oracle to a
+    // hex-expansion form if that happens. The operator itself is
+    // byte-defined for arbitrary binary; only the oracle needs the pin.
     ("mm_phash_dedup",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+          .filter(coalesce(
+            expr("assert_true(octet_length(text) = length(text), " +
+              "'mm_phash_dedup oracle requires ASCII text (byte==char)')"),
+            lit(true)))
         val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
           concat(expr("substring(text, 1, length(text) - 1)"), lit("q")).as("text"))
         val corpus = docs.select(col("doc_id"), col("text")).unionByName(mutated)

@@ -53,7 +53,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // under SPARK_GRAFT_ONLY, dump only the selected queries' oracles:
+    // check.py unions declared oracles with dumped dirs, so a full
+    // oracle_sql.json against a subset dump would FAIL every unselected
+    // query as "no output parquet"
+    val oracles = only match {
+      case Some(names) => SparkEntry.oracleSql.filter { case (n, _) => names(n) }
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

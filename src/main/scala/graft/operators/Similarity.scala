@@ -488,6 +488,13 @@ object Similarity {
     * same HALF_UP decimal rule Spark's `round` applies, so the selection
     * boundary is oracle-checkable. Ties break by id ascending. Returns
     * `(rnk, idCol, mmr)` in selection order. */
+  /** Hard cap on the [[mmrRerank]] shortlist: the greedy recurrence is
+    * driver-side over a shortlist^2 pairwise matrix, so a corpus-scale
+    * candidate frame must fail loudly (4096^2 doubles ~ 128 MB is the
+    * ceiling of acceptable driver work; retrieval should have k-bounded
+    * the shortlist far below this). */
+  val MmrMaxShortlist = 4096
+
   def mmrRerank(
       candidates: DataFrame,
       queryDf: DataFrame,
@@ -508,6 +515,15 @@ object Similarity {
     // serving paths — not a head-of-empty NoSuchElementException
     if (rel.isEmpty)
       return Seq.empty[(Int, Long, Double)].toDF("rnk", idCol, "mmr")
+    // the pairwise step below collects a shortlist^2 similarity matrix to
+    // the driver — legitimate only because the shortlist is the retrieval
+    // stage's k-bounded output. Mirror Dedup.cosinePairs' guarded-oracle
+    // contract: refuse a corpus-scale frame instead of OOMing the driver.
+    require(rel.size <= MmrMaxShortlist,
+      s"mmrRerank shortlist has ${rel.size} candidates (max $MmrMaxShortlist): " +
+        "the greedy MMR recurrence materializes a shortlist^2 pairwise " +
+        "similarity matrix on the driver; bound the retrieval stage's k " +
+        "before reranking")
     val va = candidates.select(col(idCol).as("i"), col(vecCol).as("va"))
     val vb = candidates.select(col(idCol).as("j"), col(vecCol).as("vb"))
     val sim = va.join(broadcast(vb), col("i") =!= col("j"))

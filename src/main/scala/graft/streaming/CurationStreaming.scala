@@ -24,11 +24,15 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object CurationStreaming {
 
-  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+  /** A session CLONE with the state-store shuffle-partition override: the
+    * streaming query plans against the clone's conf, so concurrently
+    * planned queries on the caller's session (parallel suites, Verify
+    * tooling) never see the override — `spark.conf.set` on the shared
+    * session would leak it to every query planned during the stream. */
+  private def stateSession(spark: SparkSession, n: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s
   }
 
   /** The pipeline over an existing landing directory; one file per
@@ -40,8 +44,9 @@ object CurationStreaming {
       minTokens: Long = 20L,
       rateBp: Int = 6000,
       salt: String = "scur"): DataFrame = {
-    val schema = spark.read.parquet(landingDir).schema
-    val gated = spark.readStream.schema(schema)
+    val s = stateSession(spark, 8)
+    val schema = s.read.parquet(landingDir).schema
+    val gated = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(landingDir)
       .filter(col("n_chars") >= minChars)
@@ -52,17 +57,15 @@ object CurationStreaming {
       .filter(col("n_tokens") >= minTokens)
       .dropDuplicates("content_hash")
     val name = s"graft_scur_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    withStatePartitions(spark, 8) {
-      val q = gated.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    val rows = spark.table(name).orderBy(col("content_hash"))
+    val q = gated.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = s.table(name).orderBy(col("content_hash"))
     rows.cache().count()
-    spark.catalog.dropTempView(name)
+    s.catalog.dropTempView(name)
     rows
   }
 

@@ -364,20 +364,32 @@ object IncrementalIndex {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
-    def partCol(p: org.apache.hadoop.fs.Path): Option[String] =
+    def partCols(p: org.apache.hadoop.fs.Path): Seq[String] =
       fs.listStatus(p).toSeq
         .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
           s.getPath.getName.contains("="))
         .map(_.getPath.getName.takeWhile(_ != '='))
-        .headOption
-    partCol(root) match {
-      case Some("batch_id") =>
-        fs.listStatus(root).toSeq
+        .distinct
+    // a store carrying TWO distinct cell partition columns side by side is
+    // exactly the damage this seam guards against — resolving it by
+    // whichever name listStatus returns first would let maintenance keep
+    // extending one half of a split store. Fail loudly instead.
+    def resolve(cols: Seq[String]): Option[String] = cols.sorted match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => throw new IllegalStateException(
+        s"index store at $dir is split across partition columns " +
+          s"${many.mkString(", ")}; repair the layout (rewrite one side " +
+          "under a single cell column) before running maintenance")
+    }
+    partCols(root) match {
+      case Seq("batch_id") =>
+        resolve(fs.listStatus(root).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
           .sortBy(_.getPath.getName)
-          .flatMap(b => partCol(b.getPath))
-          .headOption
-      case other => other
+          .flatMap(b => partCols(b.getPath))
+          .distinct)
+      case other => resolve(other)
     }
   }
 

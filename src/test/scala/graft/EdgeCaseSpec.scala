@@ -34,6 +34,21 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got.count() === 0)
   }
 
+  test("mmrRerank refuses a corpus-scale shortlist instead of OOMing the driver") {
+    // the guard must trip BEFORE the shortlist^2 pairwise collect — a
+    // caller handing the full corpus to the reranker gets a clear error
+    // pointing at retrieval-stage k-bounding, not a 2.5G-entry driver map
+    val big = spark.range(Similarity.MmrMaxShortlist + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1f), lit(0f)).as("embedding"))
+    val qv = Seq(Tuple1(Array(1f, 0f))).toDF("qv")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(big, qv, k = 5)
+    }
+    assert(e.getMessage.contains("shortlist"))
+    assert(e.getMessage.contains(Similarity.MmrMaxShortlist.toString))
+  }
+
   test("canonicalIds of an empty pair set is empty") {
     val pairs = Seq.empty[(Long, Long)].toDF("i", "j")
     assert(Dedup.canonicalIds(pairs).count() === 0)

@@ -787,4 +787,27 @@ class IncrementalIndexSpec extends AnyFunSuite {
       statsMap(Similarity.cellStats(
         spark.read.parquet(sink), Seq("label"), "ivf_cell")))
   }
+
+  test("detectCellCol fails loudly on a store split across two cell columns") {
+    // the damage this seam guards against: half the store landed under the
+    // old default ("ivf_cell"), half under the new ("cluster"). Resolving
+    // by listStatus order would silently keep extending one half — the
+    // detector must refuse instead.
+    val base = java.nio.file.Files.createTempDirectory("graft_split_store")
+    val dir = s"$base/sink"
+    val df = spark.range(10).select(col("id").as("vec_id"),
+      (col("id") % 2).as("ivf_cell"), (col("id") % 2).as("cluster"))
+    df.select("vec_id", "ivf_cell").write.partitionBy("ivf_cell").parquet(dir)
+    df.select("vec_id", "cluster").write.mode("append")
+      .partitionBy("cluster").parquet(dir)
+    val e = intercept[IllegalStateException] {
+      IncrementalIndex.detectCellCol(spark, dir)
+    }
+    assert(e.getMessage.contains("split across partition columns"))
+    assert(e.getMessage.contains("cluster") && e.getMessage.contains("ivf_cell"))
+    // an intact single-column store still resolves
+    val ok = s"$base/ok"
+    df.select("vec_id", "cluster").write.partitionBy("cluster").parquet(ok)
+    assert(IncrementalIndex.detectCellCol(spark, ok) === Some("cluster"))
+  }
 }

@@ -877,6 +877,81 @@ object SparkEntry {
              |FROM g GROUP BY source
              |ORDER BY best_score DESC, source""".stripMargin)),
 
+    // ANN-BACKED TEMPORAL RE-QUERY (round 9): the T1 /textsearch-with-
+    // filtervideo flow driven end-to-end by the INDEX-BACKED serving path
+    // instead of the exact corpus scan — previous hits expand to their
+    // neighbor shots (+1..+2 forwards, shot = vec_id div 5), and the
+    // re-query pushes that candidate set INTO the pruned IVF scan
+    // (restrictIds -> semi-join on the probed cells' partitions only);
+    // results sort by the combined prev+cur key exactly like
+    // temporalRequery. The oracle mirrors the WHOLE pipeline — k-means
+    // fit, cell assignment, coarse probe, restricted pruned scan — so
+    // the composition (expansion ∘ ANN serving ∘ combined ordering) is
+    // hash-pinned, not just each stage alone.
+    ("q37_temporal_ann",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val qv2 = emb.filter(col("vec_id") === 1).select(col("embedding").as("qv"))
+        val prev = emb.crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            round(graft.functions.VectorOps.dot(col("embedding"), col("qv")), 4)
+              .as("prev_score"))
+          .orderBy(col("prev_score").desc, col("vec_id"))
+          .limit(5)
+        val hitShots = prev
+          .select(expr("vec_id DIV 5").as("shot_id"), col("prev_score"))
+          .groupBy(col("shot_id")).agg(max(col("prev_score")).as("prev_score"))
+        val neigh = hitShots
+          .select(explode(sequence(col("shot_id") + 1, col("shot_id") + 2))
+            .as("shot_id"), col("prev_score"))
+          .groupBy(col("shot_id")).agg(max(col("prev_score")).as("prev_score"))
+        // candidate ids derive ARITHMETICALLY from the neighbor shots (no
+        // corpus scan): ids outside the corpus simply never match the
+        // restrict semi-join inside the pruned scan
+        val cand = neigh
+          .select(explode(sequence(col("shot_id") * 5, col("shot_id") * 5 + 4))
+            .as("vec_id"), col("prev_score"))
+          .groupBy(col("vec_id")).agg(max(col("prev_score")).as("prev_score"))
+        Similarity.ivfSearchPruned(idx.cells, idx.centroids, qv2,
+            nprobe = 2, k = 20,
+            restrictIds = Some(cand.select(col("vec_id"))))
+          .join(broadcast(cand), Seq("vec_id"))
+          .select(col("vec_id"), col("score"), col("prev_score"),
+            round(col("score") + col("prev_score"), 4).as("combined"))
+          .orderBy(col("combined").desc, col("vec_id"))
+      },
+      Some(s"""$ivfCellCtes,
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+             |prev AS (SELECT e.vec_id, ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x), 4) AS prev_score
+             |         FROM embeddings e CROSS JOIN q
+             |         ORDER BY prev_score DESC, vec_id LIMIT 5),
+             |hs AS (SELECT vec_id // 5 AS shot_id, MAX(prev_score) AS prev_score
+             |       FROM prev GROUP BY 1),
+             |ns AS (SELECT unnest(generate_series(shot_id + 1, shot_id + 2)) AS shot_id,
+             |              prev_score FROM hs),
+             |nagg AS (SELECT shot_id, MAX(prev_score) AS prev_score FROM ns GROUP BY 1),
+             |cand AS (SELECT unnest(generate_series(shot_id * 5, shot_id * 5 + 4)) AS vec_id,
+             |                prev_score FROM nagg),
+             |cagg AS (SELECT vec_id, MAX(prev_score) AS prev_score FROM cand GROUP BY 1),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q2.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN q2),
+             |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2),
+             |ann AS (SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |          FROM (SELECT unnest(e.embedding) a, unnest(q2.qv) b) y), 4) AS score
+             |        FROM embeddings e JOIN a3 USING (vec_id) JOIN cagg USING (vec_id)
+             |        CROSS JOIN q2
+             |        WHERE a3.cluster IN (SELECT cluster FROM probe)
+             |        ORDER BY score DESC, e.vec_id LIMIT 20)
+             |SELECT a.vec_id, a.score, g.prev_score,
+             |       ROUND(a.score + g.prev_score, 4) AS combined
+             |FROM ann a JOIN cagg g USING (vec_id)
+             |ORDER BY combined DESC, vec_id""".stripMargin)),
+
     // END-TO-END CURATION pipeline (round 8): span excision -> token-count
     // quality gate -> DSIR target-domain selection -> sequence packing, the
     // full prepare-a-training-shard flow with every stage oracle-mirrored.
@@ -3348,7 +3423,13 @@ object SparkEntry {
 
     // per-source DATA CARD (the datasheet a corpus release ships): doc and
     // token volumes, language spread, exact rank-selection token-length
-    // quantiles — one grouped pass, the profile ops composed per source
+    // quantiles — PLUS the two numbers a corpus datasheet actually leads
+    // with (round 9): the span-dedup rate (fraction of each source's
+    // tokens covered by corpus-duplicate spans, from duplicateSpans
+    // coverage) and the contamination rate (fraction of each source's
+    // docs carrying >= 1 benchmark-overlapping span, bench = the
+    // text_decontaminate_spans convention). One grouped pass over the
+    // profile stats joined to two corpus-linear span passes per source.
     ("profile_data_card",
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -3360,27 +3441,85 @@ object SparkEntry {
           .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
         def pick(p: Double, name: String) =
           max(when(col("rn") === ceil(col("n") * p).cast("int"), col("n_tok"))).as(name)
-        ranked.groupBy(col("source"))
+        val card = ranked.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tok")).as("n_tokens"),
             sum(col("n_chars")).as("sum_chars"),
             countDistinct(col("lang")).as("n_langs"),
             pick(0.5, "p50_tokens"), pick(0.9, "p90_tokens"))
-          .orderBy(col("source"))
+        val corp = docs.select(col("doc_id").as("id"), col("text"))
+        val dupCov = Dedup.duplicateSpans(corp, "id", "text", k = 5)
+          .groupBy(col("id"))
+          .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tok"))
+          .withColumnRenamed("id", "doc_id")
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("id"),
+            expr("array_join(slice(regexp_extract_all(lower(text), '\\\\w+', 0), 1, " +
+              "size(regexp_extract_all(lower(text), '\\\\w+', 0)) div 2), ' ')")
+              .as("text"))
+        val contamIds = Dedup.contaminatedSpans(corp, bench, k = 5)
+          .select(col("id").as("doc_id")).distinct()
+          .withColumn("is_contam", lit(1L))
+        val rates = docs.select(col("doc_id"), col("source"), col("n_tok"))
+          .join(dupCov, Seq("doc_id"), "left")
+          .join(contamIds, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            round(sum(coalesce(col("dup_tok"), lit(0L))) * lit(1.0)
+              / sum(col("n_tok")), 6).as("dedup_rate"),
+            round(sum(coalesce(col("is_contam"), lit(0L))) * lit(1.0)
+              / count(lit(1)), 6).as("contam_rate"))
+        card.join(rates, Seq("source")).orderBy(col("source"))
       },
       Some("""WITH d AS (SELECT source, doc_id, lang, n_chars,
              |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tok
              |  FROM documents),
              |rk AS (SELECT *, ROW_NUMBER() OVER (
              |    PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
-             |    COUNT(*) OVER (PARTITION BY source) AS n FROM d)
-             |SELECT source, COUNT(*) AS n_docs,
-             |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-             |  COUNT(DISTINCT lang) AS n_langs,
-             |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS INT) THEN n_tok END) AS p50_tokens,
-             |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS INT) THEN n_tok END) AS p90_tokens
-             |FROM rk GROUP BY source ORDER BY source""".stripMargin)),
+             |    COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+             |card AS (SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |    COUNT(DISTINCT lang) AS n_langs,
+             |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS INT) THEN n_tok END) AS p50_tokens,
+             |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS INT) THEN n_tok END) AS p90_tokens
+             |  FROM rk GROUP BY source),
+             |tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS a
+             |        FROM documents),
+             |idx AS (SELECT id, a, unnest(generate_series(1, len(a) - 4)) AS i
+             |        FROM tok WHERE len(a) >= 5),
+             |sh AS (SELECT id, i AS st, array_to_string(a[i:i+4], ' ') AS s FROM idx),
+             |rk2 AS (SELECT id, st,
+             |          ROW_NUMBER() OVER (PARTITION BY s ORDER BY id, st) AS rn,
+             |          COUNT(*) OVER (PARTITION BY s) AS cnt FROM sh),
+             |dup AS (SELECT id, st FROM rk2 WHERE cnt >= 2 AND rn > 1),
+             |brk AS (SELECT id, st,
+             |          CASE WHEN st - LAG(st) OVER (PARTITION BY id ORDER BY st) <= 5
+             |               THEN 0 ELSE 1 END AS b FROM dup),
+             |grp AS (SELECT id, st, SUM(b) OVER (PARTITION BY id ORDER BY st) AS g
+             |        FROM brk),
+             |spans AS (SELECT id, g, MIN(st) AS s0, MAX(st) + 4 AS s1
+             |          FROM grp GROUP BY id, g),
+             |dcov AS (SELECT id, SUM(s1 - s0 + 1) AS dup_tok FROM spans GROUP BY id),
+             |btok AS (SELECT regexp_extract_all(lower(text), '\w+') AS a0
+             |         FROM documents WHERE doc_id % 10 = 0),
+             |bha AS (SELECT a0[1 : len(a0) // 2] AS a FROM btok),
+             |bsh AS (SELECT DISTINCT array_to_string(a[i:i+4], ' ') AS s
+             |        FROM (SELECT a, unnest(generate_series(1, len(a) - 4)) AS i
+             |              FROM bha WHERE len(a) >= 5)),
+             |cids AS (SELECT DISTINCT id FROM sh WHERE s IN (SELECT s FROM bsh)),
+             |pd AS (SELECT d.source, d.doc_id, d.n_tok,
+             |         COALESCE(dc.dup_tok, 0) AS dup_tok,
+             |         CASE WHEN ci.id IS NOT NULL THEN 1 ELSE 0 END AS is_c
+             |       FROM d LEFT JOIN dcov dc ON dc.id = d.doc_id
+             |              LEFT JOIN cids ci ON ci.id = d.doc_id),
+             |rates AS (SELECT source,
+             |            ROUND(SUM(dup_tok) * 1.0 / SUM(n_tok), 6) AS dedup_rate,
+             |            ROUND(SUM(is_c) * 1.0 / COUNT(*), 6) AS contam_rate
+             |          FROM pd GROUP BY source)
+             |SELECT card.*, rates.dedup_rate, rates.contam_rate
+             |FROM card JOIN rates USING (source)
+             |ORDER BY source""".stripMargin)),
 
     // Gopher-style repetition gate: per-doc bigram repetition signals
     // (top-ngram share, repeated-ngram share) — boilerplate/loop detection

@@ -140,12 +140,36 @@ object Dedup {
     // the first drop out, which also silently drops singleton shingles
     val firsts = sh.groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("st"))).as("__first"))
-    val dup = sh.join(firsts, Seq("__h"))
+    val dup = censusJoin(sh, firsts)
       .filter(!(col(idCol) === col("__first").getField(idCol) &&
         col("st") === col("__first").getField("st")))
       .select(col(idCol), col("st"))
     mergeSpans(dup, idCol, k)
   }
+
+  /** The census MARKING join — `instances ⋈ census ON __h` — shaped so
+    * AQE's skew-join can actually split a hot hash. Duplicated text is hot
+    * BY DEFINITION (this family exists to find runs copied millions of
+    * times), and `OptimizeSkewedJoin` only rewrites a join when BOTH
+    * inputs are bare ENSURE_REQUIREMENTS shuffle stages directly under the
+    * join's sorts: a census aggregate PIPELINED into the right side can
+    * never match the rule's pattern, so with the plain `join(..., "__h")`
+    * the hot hash sits in one unsplittable task no matter how the skew
+    * conf is set (found by SkewCensusSpec, round 9). Wrapping both keys in
+    * a single-field struct makes the aggregate's output partitioning
+    * (`hash(__h)`) formally not satisfy the join's requirement
+    * (`hash(struct(__h))`), so EnsureRequirements plants a fresh exchange
+    * above the census — and both join inputs become splittable stages.
+    * Cost: ONE extra shuffle of the DISTINCT-hash census table, which is
+    * small next to the instance table exactly when duplication is hot —
+    * the regime this operator targets. The instance side's physical
+    * layout is unchanged (murmur3 of a struct recurses into its fields,
+    * so `hash(struct(h)) == hash(h)` partition for partition).
+    * SkewCensusSpec pins the skew=true plan this buys. */
+  private[graft] def censusJoin(instances: DataFrame, census: DataFrame): DataFrame =
+    instances.as("__ci").join(census.as("__cc"),
+        struct(col("__ci.__h")) === struct(col("__cc.__h")))
+      .drop(col("__cc.__h"))
 
   /** Positional k-token shingle hashes `(idCol, st, __h)` — the shared
     * feature pass of the span family. One projection + Generator, rows

@@ -175,7 +175,8 @@ object TextAnalysis {
         graft.operators.Dedup.hash60(col("__s")).as("__h"))
     val firsts = sh.groupBy(col("__h"))
       .agg(min(struct(col("id"), col("st"))).as("__first"))
-    sh.join(firsts, Seq("__h"))
+    // the skew-splittable census join shape — see [[Dedup.censusJoin]]
+    graft.operators.Dedup.censusJoin(sh, firsts)
       .withColumn("__novel",
         when(col("id") === col("__first").getField("id") &&
           col("st") === col("__first").getField("st"), 1L).otherwise(0L))

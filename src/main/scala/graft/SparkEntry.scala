@@ -1011,20 +1011,20 @@ object SparkEntry {
              |          FROM clean WHERE n_tokens >= 20),
              |gtok AS (SELECT id, regexp_extract_all(lower(text), '\w+') AS a FROM gated),
              |bgR AS (SELECT id, CAST('0x' || substr(md5(a[i] || ' ' || a[i+1]), 1, 15) AS BIGINT)
-             |               % 1024 AS b
+             |               % 10000 AS b
              |        FROM (SELECT id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM gtok)),
              |ttok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS a
              |         FROM documents WHERE source = 'src0'),
              |bgT AS (SELECT id, CAST('0x' || substr(md5(a[i] || ' ' || a[i+1]), 1, 15) AS BIGINT)
-             |               % 1024 AS b
+             |               % 10000 AS b
              |        FROM (SELECT id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM ttok)),
              |cR AS (SELECT b, COUNT(*) AS c_r FROM bgR GROUP BY 1),
              |cT AS (SELECT b, COUNT(*) AS c_t FROM bgT GROUP BY 1),
              |nR AS (SELECT COUNT(*) AS n_r FROM bgR),
              |nT AS (SELECT COUNT(*) AS n_t FROM bgT),
              |model AS (SELECT cR.b,
-             |            LN(((COALESCE(cT.c_t, 0) + 1.0) / (nT.n_t + 1024)) /
-             |               ((cR.c_r + 1.0) / (nR.n_r + 1024))) AS llr
+             |            LN(((COALESCE(cT.c_t, 0) + 1.0) / (nT.n_t + 10000)) /
+             |               ((cR.c_r + 1.0) / (nR.n_r + 10000))) AS llr
              |          FROM cR LEFT JOIN cT USING (b) CROSS JOIN nR CROSS JOIN nT),
              |sc AS (SELECT g2.id, CAST(SUM(CAST(llr AS DECIMAL(28,12))) AS DOUBLE) AS w
              |       FROM bgR g2 JOIN model USING (b) GROUP BY 1),
@@ -3658,8 +3658,10 @@ object SparkEntry {
              |FROM r LEFT JOIN smp USING (cluster) ORDER BY cluster""".stripMargin)),
 
     // DSIR importance resampling (hashed-bigram likelihood-ratio data
-    // selection, Xie et al. 2023): target = the src0 slice; the 1024-row
-    // broadcast model scores the whole raw corpus in one pass; rank cut
+    // selection, Xie et al. 2023): target = the src0 slice; the 10^4-row
+    // broadcast model (bucket space per the round-9 fidelity study in
+    // BASELINE.md: 1024 buckets kept only 33% of the 10^4 selection,
+    // 10^4 vs 10^5 agree at 91%) scores the raw corpus in one pass; rank cut
     // is the deterministic (auditable) variant of the Gumbel resample
     ("curation_dsir",
       (s, dir) => {
@@ -3672,18 +3674,18 @@ object SparkEntry {
              |tokT AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS a
              |         FROM documents WHERE source = 'src0'),
              |bgR AS (SELECT id, CAST('0x' || substr(md5(a[i] || ' ' || a[i+1]), 1, 15) AS BIGINT)
-             |               % 1024 AS b
+             |               % 10000 AS b
              |        FROM (SELECT id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM tokR)),
              |bgT AS (SELECT id, CAST('0x' || substr(md5(a[i] || ' ' || a[i+1]), 1, 15) AS BIGINT)
-             |               % 1024 AS b
+             |               % 10000 AS b
              |        FROM (SELECT id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM tokT)),
              |cR AS (SELECT b, COUNT(*) AS c_r FROM bgR GROUP BY 1),
              |cT AS (SELECT b, COUNT(*) AS c_t FROM bgT GROUP BY 1),
              |nR AS (SELECT COUNT(*) AS n_r FROM bgR),
              |nT AS (SELECT COUNT(*) AS n_t FROM bgT),
              |model AS (SELECT cR.b,
-             |            LN(((COALESCE(cT.c_t, 0) + 1.0) / (nT.n_t + 1024)) /
-             |               ((cR.c_r + 1.0) / (nR.n_r + 1024))) AS llr
+             |            LN(((COALESCE(cT.c_t, 0) + 1.0) / (nT.n_t + 10000)) /
+             |               ((cR.c_r + 1.0) / (nR.n_r + 10000))) AS llr
              |          FROM cR LEFT JOIN cT USING (b) CROSS JOIN nR CROSS JOIN nT),
              |sc AS (SELECT g.id, COUNT(*) AS n_bigrams,
              |         CAST(SUM(CAST(llr AS DECIMAL(28,12))) AS DOUBLE) AS w

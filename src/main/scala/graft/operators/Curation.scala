@@ -132,7 +132,7 @@ object Curation {
       target: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      buckets: Int = 1024): DataFrame =
+      buckets: Int = 10000): DataFrame =
     dsirScoreFromModel(raw, dsirFit(raw, target, idCol, textCol, buckets),
       idCol, textCol, buckets)
 
@@ -145,13 +145,20 @@ object Curation {
     * refit convention every fitted index here follows). The raw corpus
     * passed to fit stands for the raw DISTRIBUTION: any representative
     * sample works, and the model stays valid until that distribution
-    * drifts. */
+    * drifts.
+    *
+    * Default bucket space = 10^4, the paper's, justified by the round-9
+    * fidelity study ([[graft.DsirBucketStudy]], BASELINE.md): at sf0.1 a
+    * 1024-bucket model kept only 33% of the 10^4 selection (hash
+    * collisions wash out the likelihood ratio), while 10^4 vs 10^5 agree
+    * at 91% — the signal has converged at 10^4 and the model stays a
+    * trivially-broadcast ~10^4-row table. */
   def dsirFit(
       raw: DataFrame,
       target: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 10000): DataFrame = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
     val rawB = dsirFeatures(raw, idCol, textCol, buckets)
     val tgtB = dsirFeatures(target, idCol, textCol, buckets)
@@ -179,7 +186,7 @@ object Curation {
       model: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      buckets: Int = 1024): DataFrame =
+      buckets: Int = 10000): DataFrame =
     dsirFeatures(docs, idCol, textCol, buckets)
       .join(broadcast(model.select(col("b"), col("llr"))), Seq("b"))
       .groupBy(col("id"))
@@ -202,7 +209,7 @@ object Curation {
       targetRows: Int,
       idCol: String = "doc_id",
       textCol: String = "text",
-      buckets: Int = 1024): DataFrame =
+      buckets: Int = 10000): DataFrame =
     GroupShaping.topK(
       dsirWeights(raw, target, idCol, textCol, buckets)
         .select(col("id"), col("n_bigrams"), round(col("dsir_weight"), 6).as("dsir_weight")),

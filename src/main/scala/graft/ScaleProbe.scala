@@ -45,11 +45,16 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }
-    replicate("embeddings", Seq("vec_id"), 1000000L)
-    replicate("documents", Seq("doc_id"), 1000000L, saltText = true)
-    replicate("lineitem", Seq("l_orderkey"), 100000000L)
-    replicate("orders", Seq("o_orderkey"), 100000000L)
-    replicate("events", Seq("event_id"), 1000000000L)
+    // arg 4 restricts replication to the tables the probe set actually
+    // reads — at factor=100 the full five-table replication writes ~2 GB
+    // of parquet the documents-only corpus probes never touch
+    val tables = if (args.length > 3) args(3).split(",").toSet
+      else Set("embeddings", "documents", "lineitem", "orders", "events")
+    if (tables("embeddings")) replicate("embeddings", Seq("vec_id"), 1000000L)
+    if (tables("documents")) replicate("documents", Seq("doc_id"), 1000000L, saltText = true)
+    if (tables("lineitem")) replicate("lineitem", Seq("l_orderkey"), 100000000L)
+    if (tables("orders")) replicate("orders", Seq("o_orderkey"), 100000000L)
+    if (tables("events")) replicate("events", Seq("event_id"), 1000000000L)
 
     val defaultProbes = Seq("j1_knn_dense", "q1_agg_pricing_summary", "c4_tfidf_search",
       "a3_bm25_search", "dedup_minhash_lsh", "dedup_exact", "text_langid",

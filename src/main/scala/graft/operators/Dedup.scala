@@ -290,31 +290,30 @@ object Dedup {
       spanFrame: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val spans = spanFrame
-      .select(col(idCol).as("__sid"), col("span_start"), col("span_end"))
-    val toks = docs.select(col(idCol),
-        posexplode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
-          .as(Seq("__p", "__tok")))
-      .select(col(idCol), (col("__p") + 1).cast("long").as("__pos"), col("__tok"))
-    val kept = toks.join(spans,
-        toks(idCol) === col("__sid") &&
-          col("__pos") >= col("span_start") && col("__pos") <= col("span_end"),
-        "left")
-      .filter(col("__sid").isNull)
-      .select(col(idCol), col("__pos"), col("__tok"))
-    val reasm = kept.groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("__pos"), col("__tok")))).as("__a"),
-        count(lit(1)).as("__nk"))
+    // Array-level excision (round 9): the original form posexploded every
+    // token into its own row, range-joined the whole token stream against
+    // the span list, and reassembled with collect_list + array_sort —
+    // three corpus-TOKEN-scale shuffles. Spans are FEW per doc and
+    // disjoint (the mergeSpans invariant), so instead: group them into a
+    // per-doc array (span-row-scale shuffle), one id-equi join onto the
+    // docs, and drop in-span tokens with an indexed higher-order filter —
+    // the token stream never leaves its document row and the only
+    // corpus-scale movement is the docs side of one id join.
+    val spansPerDoc = spanFrame
+      .groupBy(col(idCol).as("__sid"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    docs.select(col(idCol), col(textCol))
+      .join(spansPerDoc, col(idCol) === col("__sid"), "left")
+      .withColumn("__toks", expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+      .withColumn("__sp", coalesce(col("__spans"),
+        expr("CAST(array() AS ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>)")))
+      .withColumn("__kept", expr(
+        "filter(__toks, (t, i) -> NOT exists(__sp, " +
+          "s -> i + 1 >= s.span_start AND i + 1 <= s.span_end))"))
       .select(col(idCol),
-        concat_ws(" ", transform(col("__a"), s => s.getField("__tok"))).as(textCol),
-        col("__nk"))
-    docs.select(col(idCol),
-        size(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
-          .cast("long").as("n_tokens"))
-      .join(reasm, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol),
-        col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_dropped"))
+        concat_ws(" ", col("__kept")).as(textCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_dropped"))
   }
 
   /** Distinct word n-gram shingle sets `(id, s)`. */

@@ -40,11 +40,13 @@ object SkewCensusStudy {
     def run(skew: Boolean): (Double, Long, Boolean) = {
       val s = session(skew)
       val spans = Dedup.duplicateSpans(fixture(s), "id", "text", k = 5)
-      spans.write.format("noop").mode("overwrite").save() // warm
+      spans.count() // warm
       val t0 = System.nanoTime()
-      spans.write.format("noop").mode("overwrite").save()
+      // count() on the SAME DataFrame whose queryExecution we inspect:
+      // the AQE final plan (with its skew annotations) only exists on an
+      // EXECUTED QueryExecution — a write would execute a different one
+      val n = spans.collect().length.toLong
       val sec = (System.nanoTime() - t0) / 1e9
-      val n = spans.count()
       (sec, n, spans.queryExecution.executedPlan.toString.contains("skew=true"))
     }
     val hot = (nDocs / 2) * (runLen - 4).toLong

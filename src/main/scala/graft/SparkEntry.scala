@@ -1165,6 +1165,41 @@ object SparkEntry {
              |  AND e.vec_id % 3 = 0 AND NOT (e.vec_id % 7 = 3)
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
 
+    // BLOOM-restricted filtered ANN (round 9): the same pruned IVF scan
+    // with the candidate set applied as a hand-planted RUNTIME FILTER
+    // (Candidates.restrictToScalable) instead of a broadcast semi-join —
+    // the scale path when the allow-list is metadata-predicate-sized
+    // (millions of ids): a ~10-bits/id bloom prunes map-side inside the
+    // scan stage, the exact semi-join sees only the survivors. No false
+    // negatives, so the oracle is the SAME query as the broadcast form
+    ("f1f_knn_ann_bloom",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val allow = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+        val probed = Similarity.probeCells(idx.centroids, qv, nprobe = 2)
+        val pruned = idx.cells.filter(col("cluster").isin(probed: _*))
+        Similarity.scoreAll(
+            Candidates.restrictToScalable(pruned, allow, "vec_id"),
+            qv, "vec_id", "embedding")
+          .select(col("vec_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some(s"""$ivfCellCtes,
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN q),
+             |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e JOIN a3 USING (vec_id) CROSS JOIN q
+             |WHERE a3.cluster IN (SELECT cluster FROM probe)
+             |  AND e.vec_id % 3 = 0
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
     // filtered ANN on the IVF-PQ leg: the same IDSelectorArray composition
     // over the persisted CODES — the candidate semi/anti joins restrict the
     // pruned M-byte code scan, so the ADC shortlist only ever contains

@@ -2651,6 +2651,43 @@ object SparkEntry {
              |FROM base b JOIN st ON st.id = b.id
              |ORDER BY b.id""".stripMargin)),
 
+    // C4 line-level cleanup over a PLANTED multi-line corpus (the
+    // synthetic docs are single-line, so each doc gets six lines with a
+    // known fate: good / too-short / javascript / good / no-terminal /
+    // good-or-curly-poison) — line filter and document gate both pinned
+    ("text_c4_clean",
+      (s, dir) => {
+        val synth = t(s, dir, "documents").select(col("doc_id").as("id"),
+          concat_ws("\n",
+            concat(col("text"), lit(".")),
+            lit("too short"),
+            concat(lit("javascript "), col("text"), lit(".")),
+            concat(col("text"), lit(" end?")),
+            col("text"),
+            when(col("doc_id") % 10 === 0, lit("curly { brace."))
+              .otherwise(lit("third good line."))).as("text"))
+        TextAnalysis.c4Clean(synth, "id", "text").orderBy(col("id"))
+      },
+      Some("""WITH synth AS (SELECT doc_id AS id,
+             |    text || '.' || chr(10) || 'too short' || chr(10)
+             |    || 'javascript ' || text || '.' || chr(10)
+             |    || text || ' end?' || chr(10) || text || chr(10)
+             |    || CASE WHEN doc_id % 10 = 0 THEN 'curly { brace.'
+             |            ELSE 'third good line.' END AS text
+             |  FROM documents),
+             |l AS (SELECT id, text, string_split(text, chr(10)) AS lines FROM synth),
+             |k AS (SELECT id, text, lines,
+             |        list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$')
+             |          AND len(regexp_extract_all(trim(x), '\S+')) >= 3
+             |          AND NOT contains(lower(x), 'javascript')) AS kept
+             |      FROM l)
+             |SELECT id, array_to_string(kept, chr(10)) AS text_clean,
+             |       CAST(len(lines) AS BIGINT) AS n_lines,
+             |       CAST(len(kept) AS BIGINT) AS n_kept,
+             |       (len(kept) >= 3 AND NOT contains(text, '{')
+             |        AND NOT contains(lower(text), 'lorem ipsum')) AS keep_doc
+             |FROM k ORDER BY id""".stripMargin)),
+
     ("text_token_count",
       (s, dir) =>
         TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")

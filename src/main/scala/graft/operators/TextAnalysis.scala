@@ -43,6 +43,44 @@ object TextAnalysis {
         coalesce(col("ratio"), lit(0.0)).as("conf"))
   }
 
+  /** C4-style LINE-level cleanup (Raffel et al. 2020 §2.2, the public
+    * rules): within each document keep only lines that end in terminal
+    * punctuation (`. ! ? "`), carry at least `minLineWords` whitespace
+    * words, and do not mention "javascript"; then gate the DOCUMENT on
+    * having at least `minKeptLines` surviving lines and containing
+    * neither `{` nor "lorem ipsum" anywhere. The complement of
+    * [[qualityScore]] (document-level signals) and
+    * [[graft.operators.Dedup.dedupParagraphs]] (cross-document line
+    * dedup): this is the in-document boilerplate strip web-crawl
+    * pipelines run first.
+    *
+    * Scale shape: ONE map-only projection — the line array never leaves
+    * its document row (split + higher-order filter + rejoin, like the
+    * span-excision apply step), no shuffle, no UDF. Returns
+    * `(id, text_clean, n_lines, n_kept, keep_doc)`. */
+  def c4Clean(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineWords: Int = 3,
+      minKeptLines: Int = 3): DataFrame = {
+    require(minLineWords >= 1, s"minLineWords must be positive, got $minLineWords")
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("__t"),
+        split(col(textCol), "\n").as("__lines"))
+      .withColumn("__kept", expr(
+        "filter(__lines, l -> trim(l) RLIKE '[.!?\"]$' AND " +
+          s"size(regexp_extract_all(trim(l), '\\\\S+', 0)) >= $minLineWords AND " +
+          "NOT contains(lower(l), 'javascript'))"))
+      .select(col("id"),
+        array_join(col("__kept"), "\n").as("text_clean"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__kept")) >= minKeptLines &&
+          !col("__t").contains("{") &&
+          !lower(col("__t")).contains("lorem ipsum")).as("keep_doc"))
+  }
+
   /** Heuristic quality features + score: token count, mean word length,
     * stopword ratio, punctuation ratio; keep-flag for the usual
     * "well-formed prose" band. */

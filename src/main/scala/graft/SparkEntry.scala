@@ -2688,6 +2688,70 @@ object SparkEntry {
              |        AND NOT contains(lower(text), 'lorem ipsum')) AS keep_doc
              |FROM k ORDER BY id""".stripMargin)),
 
+    // Gopher quality rules over a planted corpus: %11 docs are all-bullet
+    // (bullet-ratio + stop-word rules fire), %13 get a symbol-noise line
+    // (symbol/alpha rules), %3 get an ellipsis-ended line (ellipsis
+    // rule), everyone else gets a stop-word-bearing closing line; word
+    // count varies naturally around the 50-word floor
+    ("text_gopher_rules",
+      (s, dir) => {
+        val synth = t(s, dir, "documents").select(col("doc_id").as("id"),
+          when(col("doc_id") % 11 === 0,
+            lit("- one bullet\n- two bullet\n- three bullet\n- four bullet"))
+          .otherwise(concat_ws("\n",
+            col("text"),
+            when(col("doc_id") % 13 === 0, lit("# # # # # # # # noise line."))
+              .otherwise(lit("A normal closing line and that will be all here.")),
+            when(col("doc_id") % 3 === 0, lit("some trailing thoughts..."))
+              .otherwise(lit("Final words of the day."))))
+          .as("text"))
+        TextAnalysis.gopherRules(synth, "id", "text").orderBy(col("id"))
+      },
+      Some("""WITH synth AS (SELECT doc_id AS id,
+             |  CASE WHEN doc_id % 11 = 0 THEN
+             |    '- one bullet' || chr(10) || '- two bullet' || chr(10)
+             |    || '- three bullet' || chr(10) || '- four bullet'
+             |  ELSE text || chr(10)
+             |    || CASE WHEN doc_id % 13 = 0 THEN '# # # # # # # # noise line.'
+             |            ELSE 'A normal closing line and that will be all here.' END
+             |    || chr(10)
+             |    || CASE WHEN doc_id % 3 = 0 THEN 'some trailing thoughts...'
+             |            ELSE 'Final words of the day.' END
+             |  END AS text FROM documents),
+             |f AS (SELECT id, text,
+             |   regexp_extract_all(text, '\S+') AS w,
+             |   string_split(text, chr(10)) AS l,
+             |   regexp_extract_all(lower(text), '\w+') AS tok FROM synth),
+             |sig AS (SELECT id,
+             |   CAST(len(w) AS BIGINT) AS n_words,
+             |   CASE WHEN len(w) > 0 THEN
+             |     list_sum(list_transform(w, x -> strlen(x))) * 1.0 / len(w) END AS mean_word_len,
+             |   CASE WHEN len(w) > 0 THEN
+             |     ((strlen(text) - strlen(replace(text, '#', '')))
+             |      + (strlen(text) - strlen(replace(text, '...', ''))) / 3)
+             |     * 1.0 / len(w) END AS symbol_ratio,
+             |   len(list_filter(l, x -> regexp_matches(trim(x), '^[-*]'))) * 1.0 / len(l)
+             |     AS bullet_ratio,
+             |   len(list_filter(l, x -> regexp_matches(trim(x), '\.\.\.$'))) * 1.0 / len(l)
+             |     AS ellipsis_ratio,
+             |   CASE WHEN len(w) > 0 THEN
+             |     len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(w)
+             |   END AS alpha_ratio,
+             |   CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+             |     sw -> list_contains(tok, sw))) AS BIGINT) AS n_stop_kinds
+             | FROM f)
+             |SELECT id, n_words,
+             |  ROUND(mean_word_len, 6) AS mean_word_len,
+             |  ROUND(symbol_ratio, 6) AS symbol_ratio,
+             |  ROUND(bullet_ratio, 6) AS bullet_ratio,
+             |  ROUND(ellipsis_ratio, 6) AS ellipsis_ratio,
+             |  ROUND(alpha_ratio, 6) AS alpha_ratio, n_stop_kinds,
+             |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+             |   AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+             |   AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+             |   AND n_stop_kinds >= 2) AS keep
+             |FROM sig ORDER BY id""".stripMargin)),
+
     ("text_token_count",
       (s, dir) =>
         TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")

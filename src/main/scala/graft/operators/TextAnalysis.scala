@@ -81,6 +81,71 @@ object TextAnalysis {
           !lower(col("__t")).contains("lorem ipsum")).as("keep_doc"))
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, Appendix A1.1 — the
+    * public filter set): word count in [minWords, maxWords], mean word
+    * length in [3, 10], symbol-to-word ratio (`#` or `...`) <= 0.1, at
+    * most 90% of lines starting with a bullet, at most 30% ending in an
+    * ellipsis, >= 80% of words containing an alphabetic character, and at
+    * least two of the eight Gopher stop words (the/be/to/of/and/that/
+    * have/with). The document-level companion of [[c4Clean]] (line level)
+    * and [[repetition]] (the Gopher repetition rules).
+    *
+    * Scale shape: ONE map-only projection — words and lines stay arrays
+    * inside their document row; every signal and the final gate are
+    * scalar expressions on them. Returns the per-rule signals plus
+    * `keep` so pipelines can threshold differently. */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("__t"),
+        expr(s"regexp_extract_all($textCol, '\\\\S+', 0)").as("__w"),
+        split(col(textCol), "\n").as("__l"),
+        expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("__tok"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          expr("aggregate(__w, 0L, (a, w) -> a + length(w))").cast("double")
+            / col("n_words")))
+      .withColumn("symbol_ratio",
+        when(col("n_words") > 0,
+          ((length(col("__t")) - length(regexp_replace(col("__t"), "#", ""))) +
+            (length(col("__t")) - length(regexp_replace(col("__t"), "\\.\\.\\.", "")))
+              / lit(3)).cast("double") / col("n_words")))
+      .withColumn("bullet_ratio",
+        expr("size(filter(__l, l -> trim(l) RLIKE '^[-*]'))").cast("double")
+          / size(col("__l")))
+      .withColumn("ellipsis_ratio",
+        expr("size(filter(__l, l -> trim(l) RLIKE '\\\\.\\\\.\\\\.$'))").cast("double")
+          / size(col("__l")))
+      .withColumn("alpha_ratio",
+        when(col("n_words") > 0,
+          expr("size(filter(__w, w -> w RLIKE '[a-zA-Z]'))").cast("double")
+            / col("n_words")))
+      .withColumn("n_stop_kinds",
+        expr(s"size(filter(array(${stops.map("'" + _ + "'").mkString(",")}), " +
+          "sw -> array_contains(__tok, sw)))").cast("long"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_ratio") >= 0.8 &&
+          col("n_stop_kinds") >= 2)
+      .select(col("id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("symbol_ratio"), 6).as("symbol_ratio"),
+        round(col("bullet_ratio"), 6).as("bullet_ratio"),
+        round(col("ellipsis_ratio"), 6).as("ellipsis_ratio"),
+        round(col("alpha_ratio"), 6).as("alpha_ratio"),
+        col("n_stop_kinds"), col("keep"))
+  }
+
   /** Heuristic quality features + score: token count, mean word length,
     * stopword ratio, punctuation ratio; keep-flag for the usual
     * "well-formed prose" band. */

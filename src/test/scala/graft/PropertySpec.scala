@@ -124,6 +124,75 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  // ---- span-dedup family (round 9): randomized corpora with a tiny
+  // vocabulary force heavy shingle duplication; invariants pin the merge
+  // arithmetic, the census determinism under partitioning, and the
+  // excision accounting against driver-side recomputation
+  private val spanCorpusGen: Gen[List[(Long, String)]] = for {
+    seed <- Gen.chooseNum(0, 10000)
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    (1L to 6L).map(i =>
+      (i, (1 to (8 + rnd.nextInt(8))).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))).toList
+  }
+
+  property("duplicateSpans: per-doc spans are sorted, disjoint, k-wide, shingle-consistent") =
+    forAll(spanCorpusGen) { docs =>
+      import spark.implicits._
+      val k = 3
+      val spans = graft.operators.Dedup
+        .duplicateSpans(docs.toDF("id", "text"), "id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      spans.values.forall { ss =>
+        val sorted = ss.sortBy(_._2)
+        // n_shingles counts the marked STARTS in the island; starts may
+        // gap up to k inside one merged span, so the count is bounded by
+        // [1, width - k + 1], not pinned to it
+        sorted.forall { case (_, s0, s1, n) =>
+          s1 - s0 + 1 >= k && n >= 1 && n <= s1 - s0 - k + 2 } &&
+          sorted.sliding(2).forall {
+            case Array((_, _, e1, _), (_, s2, _, _)) => s2 > e1
+            case _ => true
+          }
+      }
+    }
+
+  property("duplicateSpans is deterministic under input partitioning") =
+    forAll(spanCorpusGen) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("id", "text")
+      def run(parts: Int) = graft.operators.Dedup
+        .duplicateSpans(df.repartition(parts), "id", "text", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      run(7) == run(2)
+    }
+
+  property("removeDuplicateSpans: n_dropped equals total span width, text matches recomputation") =
+    forAll(spanCorpusGen) { docs =>
+      import spark.implicits._
+      val k = 3
+      val df = docs.toDF("id", "text")
+      val spans = graft.operators.Dedup.duplicateSpans(df, "id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+      val cleaned = graft.operators.Dedup.removeDuplicateSpans(df, "id", "text", k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      docs.forall { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val ss = spans.getOrElse(id, Array.empty[(Long, Long)])
+        val expectKept = toks.zipWithIndex.collect {
+          case (t, i) if !ss.exists { case (s0, s1) => i + 1 >= s0 && i + 1 <= s1 } => t
+        }.mkString(" ")
+        val (gotText, nTok, nDrop) = cleaned(id)
+        gotText == expectKept && nTok == toks.length &&
+          nDrop == ss.map { case (s0, s1) => s1 - s0 + 1 }.sum
+      }
+    }
+
   property("temperature mix: rates decrease with source size and never exceed 10000") =
     forAll(Gen.listOfN(3, Gen.chooseNum(5, 400)).map(_.distinct).suchThat(_.size >= 2)) { sizes =>
       import spark.implicits._

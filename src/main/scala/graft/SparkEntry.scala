@@ -2752,6 +2752,94 @@ object SparkEntry {
              |   AND n_stop_kinds >= 2) AS keep
              |FROM sig ORDER BY id""".stripMargin)),
 
+    // END-TO-END WEB-FILTER pipeline (round 9): C4 line strip -> Gopher
+    // document gate -> exact-dedup keeper election, the filter side of
+    // the curation story (q36 pins the shard-prep side). Planted corpus:
+    // %7 docs share a constant body (the dedup group), %10 docs carry a
+    // curly-brace poison line (C4 doc gate), the javascript / too-short /
+    // unterminated lines exercise the C4 line filter, and the symbol-
+    // noise %13 line SURVIVES C4 (it ends in '.') so the Gopher symbol
+    // rule must catch it — the stages interact, which is what this
+    // oracle pins
+    ("q38_webfilter_e2e",
+      (s, dir) => {
+        val body60 =
+          ("the common body line of repeated and shared words here " * 6).trim + "."
+        val synth = t(s, dir, "documents").select(col("doc_id").as("id"),
+          concat_ws("\n",
+            when(col("doc_id") % 7 === 0, lit(body60))
+              .otherwise(concat(col("text"), lit("."))),
+            lit("too short"),
+            when(col("doc_id") % 13 === 0, lit("# # # # # # # # noise line."))
+              .otherwise(concat(lit("javascript "), col("text"), lit("."))),
+            when(col("doc_id") % 7 === 0,
+                lit("And that will be the shared fourth line here?"))
+              .otherwise(concat(col("text"), lit(" end?"))),
+            col("text"),
+            when(col("doc_id") % 10 === 0, lit("curly { brace."))
+              .otherwise(lit("And that should be the third good line.")))
+          .as("text"))
+        val c4 = TextAnalysis.c4Clean(synth, "id", "text")
+          .filter(col("keep_doc"))
+          .select(col("id"), col("text_clean"))
+        val gq = TextAnalysis.gopherRules(c4, "id", "text_clean")
+          .filter(col("keep"))
+          .select(col("id"), col("n_words"))
+          .join(c4, Seq("id"))
+        val w = Window.partitionBy(Dedup.hash60(col("text_clean")))
+        gq.withColumn("__keep", min(col("id")).over(w))
+          .filter(col("id") === col("__keep"))
+          .select(col("id"), col("n_words"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH synth AS (SELECT doc_id AS id,
+             |  (CASE WHEN doc_id % 7 = 0 THEN
+             |     trim(repeat('the common body line of repeated and shared words here ', 6)) || '.'
+             |   ELSE text || '.' END) || chr(10)
+             |  || 'too short' || chr(10)
+             |  || (CASE WHEN doc_id % 13 = 0 THEN '# # # # # # # # noise line.'
+             |      ELSE 'javascript ' || text || '.' END) || chr(10)
+             |  || (CASE WHEN doc_id % 7 = 0 THEN 'And that will be the shared fourth line here?'
+             |      ELSE text || ' end?' END) || chr(10)
+             |  || text || chr(10)
+             |  || (CASE WHEN doc_id % 10 = 0 THEN 'curly { brace.'
+             |      ELSE 'And that should be the third good line.' END) AS text
+             |  FROM documents),
+             |c4l AS (SELECT id, text, string_split(text, chr(10)) AS lines FROM synth),
+             |c4k AS (SELECT id, text,
+             |          list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$')
+             |            AND len(regexp_extract_all(trim(x), '\S+')) >= 3
+             |            AND NOT contains(lower(x), 'javascript')) AS kept
+             |        FROM c4l),
+             |c4 AS (SELECT id, array_to_string(kept, chr(10)) AS text_clean
+             |       FROM c4k
+             |       WHERE len(kept) >= 3 AND NOT contains(text, '{')
+             |         AND NOT contains(lower(text), 'lorem ipsum')),
+             |gf AS (SELECT id, text_clean,
+             |   regexp_extract_all(text_clean, '\S+') AS w,
+             |   string_split(text_clean, chr(10)) AS l,
+             |   regexp_extract_all(lower(text_clean), '\w+') AS tok FROM c4),
+             |sig AS (SELECT id, text_clean,
+             |   CAST(len(w) AS BIGINT) AS n_words,
+             |   list_sum(list_transform(w, x -> strlen(x))) * 1.0 / len(w) AS mwl,
+             |   ((strlen(text_clean) - strlen(replace(text_clean, '#', '')))
+             |    + (strlen(text_clean) - strlen(replace(text_clean, '...', ''))) / 3)
+             |   * 1.0 / len(w) AS symr,
+             |   len(list_filter(l, x -> regexp_matches(trim(x), '^[-*]'))) * 1.0 / len(l) AS bulr,
+             |   len(list_filter(l, x -> regexp_matches(trim(x), '\.\.\.$'))) * 1.0 / len(l) AS ellr,
+             |   len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(w) AS alpr,
+             |   len(list_filter(['the','be','to','of','and','that','have','with'],
+             |     sw -> list_contains(tok, sw))) AS nstop
+             | FROM gf WHERE len(w) > 0),
+             |gq AS (SELECT id, n_words, text_clean FROM sig
+             |       WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+             |         AND symr <= 0.1 AND bulr <= 0.9 AND ellr <= 0.3
+             |         AND alpr >= 0.8 AND nstop >= 2),
+             |dd AS (SELECT id, n_words,
+             |         ROW_NUMBER() OVER (PARTITION BY text_clean ORDER BY id) AS rn
+             |       FROM gq)
+             |SELECT id, n_words FROM dd WHERE rn = 1 ORDER BY id""".stripMargin)),
+
     ("text_token_count",
       (s, dir) =>
         TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")

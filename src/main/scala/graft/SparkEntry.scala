@@ -3948,6 +3948,82 @@ object SparkEntry {
     // exact dedup as one streaming query; gates/sample run BEFORE the state
     // store so only admitted content hashes hold state. Emitted columns are
     // pure functions of the text, so streaming == the batch pipeline
+    // STREAMING WEB-FILTER: the q38 composition (C4 -> Gopher -> dedup)
+    // as one streaming query over a landing dir, one file per micro-batch;
+    // gates run before the state store, state = cleaned-text hashes only,
+    // and the emitted (content_hash, n_words) are text-pure so the
+    // accumulated stream equals the batch pipeline — the oracle is q38's
+    // CTE chain emitting the hash instead of the keeper id
+    ("stream_webfilter",
+      (s, dir) => {
+        val landing = graft.streaming.Staging
+          .stageTable(s"$dir/documents.parquet", "graft_swf_src").toString
+        val body60 =
+          ("the common body line of repeated and shared words here " * 6).trim + "."
+        graft.streaming.CurationStreaming.webfilterLanding(s, landing,
+          docs => docs.select(col("doc_id").as("id"),
+            concat_ws("\n",
+              when(col("doc_id") % 7 === 0, lit(body60))
+                .otherwise(concat(col("text"), lit("."))),
+              lit("too short"),
+              when(col("doc_id") % 13 === 0, lit("# # # # # # # # noise line."))
+                .otherwise(concat(lit("javascript "), col("text"), lit("."))),
+              when(col("doc_id") % 7 === 0,
+                  lit("And that will be the shared fourth line here?"))
+                .otherwise(concat(col("text"), lit(" end?"))),
+              col("text"),
+              when(col("doc_id") % 10 === 0, lit("curly { brace."))
+                .otherwise(lit("And that should be the third good line.")))
+            .as("text")))
+      },
+      Some("""WITH synth AS (SELECT doc_id AS id,
+             |  (CASE WHEN doc_id % 7 = 0 THEN
+             |     trim(repeat('the common body line of repeated and shared words here ', 6)) || '.'
+             |   ELSE text || '.' END) || chr(10)
+             |  || 'too short' || chr(10)
+             |  || (CASE WHEN doc_id % 13 = 0 THEN '# # # # # # # # noise line.'
+             |      ELSE 'javascript ' || text || '.' END) || chr(10)
+             |  || (CASE WHEN doc_id % 7 = 0 THEN 'And that will be the shared fourth line here?'
+             |      ELSE text || ' end?' END) || chr(10)
+             |  || text || chr(10)
+             |  || (CASE WHEN doc_id % 10 = 0 THEN 'curly { brace.'
+             |      ELSE 'And that should be the third good line.' END) AS text
+             |  FROM documents),
+             |c4l AS (SELECT id, text, string_split(text, chr(10)) AS lines FROM synth),
+             |c4k AS (SELECT id, text,
+             |          list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$')
+             |            AND len(regexp_extract_all(trim(x), '\S+')) >= 3
+             |            AND NOT contains(lower(x), 'javascript')) AS kept
+             |        FROM c4l),
+             |c4 AS (SELECT id, array_to_string(kept, chr(10)) AS text_clean
+             |       FROM c4k
+             |       WHERE len(kept) >= 3 AND NOT contains(text, '{')
+             |         AND NOT contains(lower(text), 'lorem ipsum')),
+             |gf AS (SELECT id, text_clean,
+             |   regexp_extract_all(text_clean, '\S+') AS w,
+             |   string_split(text_clean, chr(10)) AS l,
+             |   regexp_extract_all(lower(text_clean), '\w+') AS tok FROM c4),
+             |sig AS (SELECT id, text_clean,
+             |   CAST(len(w) AS BIGINT) AS n_words,
+             |   list_sum(list_transform(w, x -> strlen(x))) * 1.0 / len(w) AS mwl,
+             |   ((strlen(text_clean) - strlen(replace(text_clean, '#', '')))
+             |    + (strlen(text_clean) - strlen(replace(text_clean, '...', ''))) / 3)
+             |   * 1.0 / len(w) AS symr,
+             |   len(list_filter(l, x -> regexp_matches(trim(x), '^[-*]'))) * 1.0 / len(l) AS bulr,
+             |   len(list_filter(l, x -> regexp_matches(trim(x), '\.\.\.$'))) * 1.0 / len(l) AS ellr,
+             |   len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(w) AS alpr,
+             |   len(list_filter(['the','be','to','of','and','that','have','with'],
+             |     sw -> list_contains(tok, sw))) AS nstop
+             | FROM gf WHERE len(w) > 0)
+             |SELECT DISTINCT
+             |  CAST('0x' || substr(md5(text_clean), 1, 15) AS BIGINT) AS content_hash,
+             |  n_words
+             |FROM sig
+             |WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+             |  AND symr <= 0.1 AND bulr <= 0.9 AND ellr <= 0.3
+             |  AND alpr >= 0.8 AND nstop >= 2
+             |ORDER BY content_hash""".stripMargin)),
+
     ("stream_curate",
       (s, dir) => graft.streaming.CurationStreaming.curateStream(s, dir),
       Some("""WITH g AS (SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_hash,

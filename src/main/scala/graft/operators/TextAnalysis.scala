@@ -99,7 +99,8 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       minWords: Int = 50,
-      maxWords: Int = 100000): DataFrame = {
+      maxWords: Int = 100000,
+      carryText: Boolean = false): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     docs
       .select(col(idCol).as("id"), col(textCol).as("__t"),
@@ -137,13 +138,17 @@ object TextAnalysis {
           col("ellipsis_ratio") <= 0.3 &&
           col("alpha_ratio") >= 0.8 &&
           col("n_stop_kinds") >= 2)
-      .select(col("id"), col("n_words"),
+      .select(Seq(col("id"), col("n_words"),
         round(col("mean_word_len"), 6).as("mean_word_len"),
         round(col("symbol_ratio"), 6).as("symbol_ratio"),
         round(col("bullet_ratio"), 6).as("bullet_ratio"),
         round(col("ellipsis_ratio"), 6).as("ellipsis_ratio"),
         round(col("alpha_ratio"), 6).as("alpha_ratio"),
-        col("n_stop_kinds"), col("keep"))
+        col("n_stop_kinds"), col("keep")) ++
+        // carryText threads the gated text through for downstream stages
+        // (a streaming pipeline cannot join it back without a
+        // stream-stream join)
+        (if (carryText) Seq(col("__t").as(textCol)) else Nil): _*)
   }
 
   /** Heuristic quality features + score: token count, mean word length,

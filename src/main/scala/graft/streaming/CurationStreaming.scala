@@ -75,4 +75,49 @@ object CurationStreaming {
   def curateStream(spark: SparkSession, dir: String): DataFrame =
     curateLanding(spark,
       Staging.stageTable(s"$dir/documents.parquet", "graft_scur_src").toString)
+
+  /** STREAMING WEB-FILTER: the q38 composition (C4 line strip -> Gopher
+    * document gate -> exact dedup) as one streaming query. Every gate is
+    * a map-only projection ([[graft.operators.TextAnalysis.c4Clean]] /
+    * [[graft.operators.TextAnalysis.gopherRules]] are scan-shaped), so
+    * they all run BEFORE the state store and state again holds only the
+    * 8-byte hash of each admitted document's CLEANED text. The emitted
+    * columns `(content_hash, n_words)` are pure functions of the text,
+    * so the result set is arrival-order and batching independent —
+    * streaming dropDuplicates keeps the first ARRIVAL where the batch
+    * form keeps the min id, and the oracle can only pin the set because
+    * the columns cannot tell those rows apart. `synth` builds the
+    * document's line structure from the raw row (the planted corpus the
+    * batch oracle uses), keeping the stage a projection. */
+  def webfilterLanding(
+      spark: SparkSession,
+      landingDir: String,
+      synth: DataFrame => DataFrame): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val s = stateSession(spark, 8)
+    val schema = s.read.parquet(landingDir).schema
+    val docs = synth(s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landingDir))
+    val c4 = TextAnalysis.c4Clean(docs, "id", "text")
+      .filter(col("keep_doc"))
+      .select(col("id"), col("text_clean"))
+    val gated = TextAnalysis
+      .gopherRules(c4, "id", "text_clean", carryText = true)
+      .filter(col("keep"))
+      .select(Dedup.hash60(col("text_clean")).as("content_hash"),
+        col("n_words"))
+      .dropDuplicates("content_hash")
+    val name = s"graft_swf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = gated.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = s.table(name).orderBy(col("content_hash"))
+    rows.cache().count()
+    s.catalog.dropTempView(name)
+    rows
+  }
 }

@@ -52,4 +52,44 @@ class CurationStreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === want)
   }
+
+  test("streaming web-filter equals the batch composition; dedup state spans micro-batches") {
+    import graft.operators.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // %5 docs share a constant body -> ONE cleaned-text hash whose members
+    // land in BOTH files, so suppressing the later copies needs state
+    val synth: DataFrame => DataFrame = df => df.select(col("doc_id").as("id"),
+      concat_ws("\n",
+        when(col("doc_id") % 5 === 0,
+          lit(("the shared body of common and repeated words here now " * 6).trim + "."))
+          .otherwise(concat(col("text"), lit("."))),
+        lit("And that will be the good second line."),
+        lit("And the third good line is here.")).as("text"))
+    def batch(df: DataFrame) = {
+      val c4 = TextAnalysis.c4Clean(synth(df), "id", "text")
+        .filter(col("keep_doc")).select(col("id"), col("text_clean"))
+      TextAnalysis.gopherRules(c4, "id", "text_clean", carryText = true)
+        .filter(col("keep"))
+        .select(Dedup.hash60(col("text_clean")).as("content_hash"), col("n_words"))
+        .distinct()
+    }
+    val want = batch(docs).orderBy("content_hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty)
+    val stage = java.nio.file.Files.createTempDirectory("graft_swf_spec")
+    Seq(docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+      .zipWithIndex.foreach { case (df, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_swf_tmp$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, stage.resolve(s"b$i.parquet"))
+      }
+    val got = graft.streaming.CurationStreaming
+      .webfilterLanding(spark, stage.toString, synth)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
 }

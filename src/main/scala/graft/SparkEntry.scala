@@ -75,6 +75,31 @@ object SparkEntry {
     * table), `s3`/`a3` = every corpus row's nearest-cell assignment (the
     * cell-PARTITIONED corpus table `DenseArtifacts` writes once and the
     * ANN queries prune). */
+  /** Unrolled BPE-trainer CTE chain for the `text_bpe_*` oracles (the
+    * DuckDB mirror of [[graft.operators.Lexical.bpeFit]], one p/a/v stage
+    * per merge like the k-means oracle's unrolled Lloyd rounds): `v0` is
+    * the char-symbolized word-frequency vocabulary, `a{i}` the step-i
+    * winning pair, `v{i}` the vocabulary after applying it, `mm` the
+    * merge table. */
+  private def bpeCtes(k: Int): String = {
+    val head =
+      """tokw AS (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS c FROM tokw GROUP BY 1),
+        |v0 AS (SELECT array_to_string(string_split(w, ''), ' ') || ' </w>' AS s, c FROM wc)""".stripMargin
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (SELECT unnest(list_transform(generate_series(1, len(string_split(s, ' ')) - 1),
+         |          j -> string_split(s, ' ')[j] || ' ' || string_split(s, ' ')[j+1])) AS pair, c
+         |        FROM v${i - 1}),
+         |a$i AS (SELECT pair, SUM(c) AS f FROM p$i GROUP BY 1 ORDER BY f DESC, pair ASC LIMIT 1),
+         |v$i AS (SELECT trim(replace(' ' || v.s || ' ', ' ' || a.pair || ' ',
+         |          ' ' || replace(a.pair, ' ', '') || ' ')) AS s, v.c
+         |        FROM v${i - 1} v CROSS JOIN a$i a)""".stripMargin
+    }
+    val mm = (1 to k).map(i => s"SELECT $i AS step, pair, f FROM a$i")
+      .mkString("mm AS (", " UNION ALL ", ")")
+    (head +: steps :+ mm).mkString(",\n")
+  }
+
   private val ivfCellCtes: String =
     s"""$kmeansFitCtes,
        |c2 AS (SELECT cluster, list(cx ORDER BY i) AS cv FROM m2 GROUP BY cluster),
@@ -2839,6 +2864,43 @@ object SparkEntry {
              |         ROW_NUMBER() OVER (PARTITION BY text_clean ORDER BY id) AS rn
              |       FROM gq)
              |SELECT id, n_words FROM dd WHERE rn = 1 ORDER BY id""".stripMargin)),
+
+    // BPE tokenizer FIT (Sennrich et al. 2016): six merge rounds over the
+    // word-frequency vocabulary — the oracle unrolls the trainer round
+    // for round like the k-means Lloyd oracle, so the winning pair, its
+    // count-weighted frequency, AND the tie-break are pinned at each step
+    ("text_bpe_fit",
+      (s, dir) =>
+        Lexical.bpeFit(t(s, dir, "documents"), "doc_id", "text", numMerges = 6)
+          .orderBy(col("step")),
+      Some(s"""WITH ${bpeCtes(6)}
+             |SELECT step, pair, CAST(f AS BIGINT) AS freq FROM mm
+             |ORDER BY step""".stripMargin)),
+
+    // BPE SEGMENT: apply the fitted 6-rule merge table to every document
+    // — the fitted-subword counter the chars/4 heuristic only estimates;
+    // the oracle re-fits AND re-applies (d0..d6 fold the same replaces)
+    ("text_bpe_segment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Lexical.bpeFit(docs, "doc_id", "text", numMerges = 6)
+        Lexical.bpeSegment(docs, merges, "doc_id", "text")
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH ${bpeCtes(6)},
+             |d0 AS (SELECT doc_id AS id,
+             |         CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_words,
+             |         array_to_string(list_transform(regexp_extract_all(lower(text), '\\w+'),
+             |           w -> array_to_string(string_split(w, ''), ' ') || ' </w>'), ' ') AS s
+             |       FROM documents),
+             |${(1 to 6).map(i =>
+                 s"d$i AS (SELECT id, n_words, trim(replace(' ' || d.s || ' ', " +
+                   s"' ' || a.pair || ' ', ' ' || replace(a.pair, ' ', '') || ' ')) AS s " +
+                   s"FROM d${i - 1} d CROSS JOIN a$i a)").mkString(",\n")}
+             |SELECT id, n_words,
+             |  CASE WHEN n_words = 0 THEN 0
+             |       ELSE CAST(len(string_split(s, ' ')) AS BIGINT) END AS n_subwords
+             |FROM d6 ORDER BY id""".stripMargin)),
 
     ("text_token_count",
       (s, dir) =>

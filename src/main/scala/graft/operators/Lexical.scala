@@ -563,4 +563,103 @@ object Lexical {
           s"i -> array_join(slice(toks, i, $nGram), ' ')) " +
           s"else array() end")).as("ngram"))
   }
+
+  /** Byte-pair-encoding trainer (Sennrich, Haddow & Birch 2016, ACL —
+    * the standard subword tokenizer fit): start from characters with an
+    * end-of-word marker, and `numMerges` times promote the most frequent
+    * adjacent symbol pair (count-weighted over the word vocabulary, ties
+    * to the lexicographically smaller pair) into one symbol. Returns the
+    * ordered merge table `(step, pair, freq)` — the tokenizer ARTIFACT;
+    * [[bpeSegment]] applies it.
+    *
+    * Distributed shape — the real trainer's, not a per-doc scan: ONE
+    * corpus pass builds the word-frequency vocabulary (corpus text is
+    * never touched again), then each merge iteration is a pair-count
+    * aggregate + a map-only replace over the VOCABULARY relation (its
+    * cardinality is the distinct-word count, millions of rows at 100 TB
+    * — distributed here, while toy implementations hold it in a dict).
+    * k merges = k tiny shuffles after the single corpus-scale one. The
+    * driver sees one (pair, freq) row per iteration, like the k-means
+    * driver sees centroids.
+    *
+    * Merge application uses literal leftmost non-overlapping string
+    * replacement on the space-joined symbol string — for an odd-length
+    * run of one repeated symbol both engines keep the same leftover
+    * (identical `replace` semantics), which pins the convention the
+    * oracle mirrors. */
+  def bpeFit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
+    val spark = docs.sparkSession
+    val vocab = tokens(docs, idCol, textCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .select(
+        // filter(… <> '') : Spark's split uses limit -1, which keeps the
+        // trailing empty match a char-split produces (DuckDB's does not)
+        concat(array_join(expr("filter(split(term, ''), x -> x <> '')"), " "),
+          lit(" </w>")).as("s"),
+        col("c"))
+    var v = vocab
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (step <- 1 to numMerges) {
+      val top = v
+        // guard: a fully-merged word has ONE symbol, and sequence(1, 0)
+        // is the DESCENDING [1, 0] (see ngrams) — element_at(_, 0) throws
+        .select(explode(expr(
+            "case when size(split(s, ' ')) >= 2 then " +
+              "transform(sequence(1, size(split(s, ' ')) - 1), " +
+              "i -> concat(element_at(split(s, ' '), i), ' ', " +
+              "element_at(split(s, ' '), i + 1))) " +
+              "else array() end")).as("pair"),
+          col("c"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("f"))
+        .orderBy(col("f").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (pair, f) = (top.head.getString(0), top.head.getLong(1))
+        rules += ((step, pair, f))
+        val merged = pair.replace(" ", "")
+        v = v.select(
+          expr(s"btrim(replace(concat(' ', s, ' '), ' $pair ', ' $merged '))").as("s"),
+          col("c"))
+      }
+    }
+    import spark.implicits._
+    rules.toSeq.toDF("step", "pair", "freq")
+  }
+
+  /** Apply a [[bpeFit]] merge table: symbolize each document's tokens
+    * (characters + end-of-word marker) and fold the merges in step
+    * order — one map-only projection per document row; the merge list is
+    * driver-collected (it is the k-row tokenizer artifact, like a probed
+    * centroid set). Returns `(id, n_words, n_subwords)` — the fitted
+    * subword count [[graft.operators.TextAnalysis.tokenCounts]]'
+    * chars/4 heuristic only estimates. */
+  def bpeSegment(
+      docs: DataFrame,
+      merges: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val rules = merges.orderBy(col("step")).collect()
+      .map(r => r.getAs[String]("pair"))
+    val base = docs.select(col(idCol).as("id"),
+      expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("__w"))
+      .withColumn("__s", expr(
+        "array_join(transform(__w, w -> concat(" +
+          "array_join(filter(split(w, ''), x -> x <> ''), ' '), ' </w>')), ' ')"))
+    // fold with Column functions (an expr string cannot nest a Column);
+    // replace() has no Column-API form, so call it by name
+    val foldedCol = rules.foldLeft(col("__s")) { (c, pair) =>
+      val merged = pair.replace(" ", "")
+      btrim(call_function("replace",
+        concat(lit(" "), c, lit(" ")), lit(s" $pair "), lit(s" $merged ")))
+    }
+    base.select(col("id"),
+      size(col("__w")).cast("long").as("n_words"),
+      when(size(col("__w")) === 0, lit(0L))
+        .otherwise(size(split(foldedCol, " ")).cast("long")).as("n_subwords"))
+  }
 }

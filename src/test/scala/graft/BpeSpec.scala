@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Lexical
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Lexical.bpeFit]] / [[Lexical.bpeSegment]] — BPE subword trainer
+  * (Sennrich et al. 2016). The first test is the paper's own worked
+  * example corpus shape (low/lower/newest/widest with counts). */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // word counts planted via repetition: low*5 lower*2 newest*6 widest*3
+  private lazy val corpus = Seq(
+    (1L, Array.fill(5)("low").mkString(" ")),
+    (2L, Array.fill(2)("lower").mkString(" ")),
+    (3L, Array.fill(6)("newest").mkString(" ")),
+    (4L, Array.fill(3)("widest").mkString(" "))).toDF("id", "text")
+
+  test("fit reproduces the paper-style merge sequence on the worked corpus") {
+    val merges = Lexical.bpeFit(corpus, "id", "text", numMerges = 4)
+      .orderBy(col("step"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // freq 9: 'e s' and 's t' both appear in newest+widest (6+3); tie
+    // breaks lexicographically -> 'e s' first, after it merges 'es t' is 9
+    assert(merges(0) === ((1, "e s", 9L)))
+    assert(merges(1) === ((2, "es t", 9L)))
+    assert(merges(2) === ((3, "est </w>", 9L)))
+    // next: 'l o' in low+lower = 7
+    assert(merges(3) === ((4, "l o", 7L)))
+  }
+
+  test("segment counts subwords under the fitted merges") {
+    val merges = Lexical.bpeFit(corpus, "id", "text", numMerges = 4)
+    val got = Lexical.bpeSegment(corpus, merges, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // after (e s)(es t)(est </w>)(l o): 'newest' = n e w est</w> -> 4
+    // subwords x 6 copies = 24; 'low' = lo w </w> -> 3 x 5 = 15
+    assert(got(3L) === ((6L, 24L)))
+    assert(got(1L) === ((5L, 15L)))
+    // 'widest' = w i d est</w> -> 4 x 3 = 12; 'lower' = lo w e r </w> -> 5 x 2 = 10
+    assert(got(4L) === ((3L, 12L)))
+    assert(got(2L) === ((2L, 10L)))
+  }
+
+  test("empty documents and single-char words survive") {
+    val df = Seq((1L, ""), (2L, "a a a"), (3L, "I")).toDF("id", "text")
+    val merges = Lexical.bpeFit(df, "id", "text", numMerges = 2)
+    val rules = merges.collect().map(r => (r.getInt(0), r.getString(1)))
+    // only possible first pair: 'a </w>' (weight 3) beats 'i </w>' (1)
+    assert(rules.head === ((1, "a </w>")))
+    val seg = Lexical.bpeSegment(df, merges, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(seg(1L) === ((0L, 0L)))
+    // leftmost non-overlapping replace: the 1st and 3rd 'a </w>' merge,
+    // the middle one is skipped (its leading boundary space was consumed
+    // by match 1) — the pinned convention the oracle mirrors
+    assert(seg(2L) === ((3L, 4L)))
+  }
+
+  test("fit is deterministic under input partitioning") {
+    def run(parts: Int) = Lexical
+      .bpeFit(corpus.repartition(parts), "id", "text", numMerges = 4)
+      .orderBy(col("step")).collect().map(_.getString(1)).toSeq
+    assert(run(5) === run(2))
+  }
+}

@@ -3721,6 +3721,12 @@ object SparkEntry {
         val docs = t(s, dir, "documents")
           .withColumn("n_tok",
             size(expr("regexp_extract_all(lower(text), '\\\\w+', 0)")).cast("long"))
+          // the C6 quality gate (qualityScore's keep) as a per-row flag, so
+          // the card can report the keep RATE a release datasheet quotes
+          .withColumn("q_keep",
+            (col("n_tok").between(20, 1000) &&
+              size(expr("filter(regexp_extract_all(lower(text), '\\\\w+', 0), " +
+                "x -> x IN ('the', 'a'))")) > 0).cast("int"))
         val w = Window.partitionBy(col("source")).orderBy(col("n_tok"), col("doc_id"))
         val ranked = docs
           .withColumn("rn", row_number().over(w))
@@ -3732,7 +3738,8 @@ object SparkEntry {
             sum(col("n_tok")).as("n_tokens"),
             sum(col("n_chars")).as("sum_chars"),
             countDistinct(col("lang")).as("n_langs"),
-            pick(0.5, "p50_tokens"), pick(0.9, "p90_tokens"))
+            pick(0.5, "p50_tokens"), pick(0.9, "p90_tokens"),
+            round(avg(col("q_keep")), 6).as("quality_keep_rate"))
         val corp = docs.select(col("doc_id").as("id"), col("text"))
         val dupCov = Dedup.duplicateSpans(corp, "id", "text", k = 5)
           .groupBy(col("id"))
@@ -3758,7 +3765,9 @@ object SparkEntry {
         card.join(rates, Seq("source")).orderBy(col("source"))
       },
       Some("""WITH d AS (SELECT source, doc_id, lang, n_chars,
-             |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tok
+             |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tok,
+             |    len(list_filter(regexp_extract_all(lower(text), '\w+'),
+             |        x -> x IN ('the', 'a'))) AS q_stop
              |  FROM documents),
              |rk AS (SELECT *, ROW_NUMBER() OVER (
              |    PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
@@ -3768,7 +3777,9 @@ object SparkEntry {
              |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              |    COUNT(DISTINCT lang) AS n_langs,
              |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS INT) THEN n_tok END) AS p50_tokens,
-             |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS INT) THEN n_tok END) AS p90_tokens
+             |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS INT) THEN n_tok END) AS p90_tokens,
+             |    ROUND(AVG(CASE WHEN n_tok BETWEEN 20 AND 1000 AND q_stop > 0
+             |              THEN 1 ELSE 0 END), 6) AS quality_keep_rate
              |  FROM rk GROUP BY source),
              |tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS a
              |        FROM documents),

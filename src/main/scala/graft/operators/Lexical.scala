@@ -631,6 +631,23 @@ object Lexical {
     rules.toSeq.toDF("step", "pair", "freq")
   }
 
+  /** Persist a [[bpeFit]] merge table — the tokenizer ARTIFACT, under the
+    * same fit-once/load-don't-refit discipline as [[writeIndex]]: train on
+    * the data freeze, then every segmentation job (and every future
+    * shard) loads the k-row table instead of refitting. */
+  def writeBpe(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int, dir: String): DataFrame = {
+    bpeFit(docs, idCol, textCol, numMerges)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(s"$dir/bpe_merges")
+    loadBpeMerges(spark, dir)
+  }
+
+  /** Load a persisted [[writeBpe]] merge table. */
+  def loadBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/bpe_merges")
+
   /** Apply a [[bpeFit]] merge table: symbolize each document's tokens
     * (characters + end-of-word marker) and fold the merges in step
     * order — one map-only projection per document row; the merge list is

@@ -59,6 +59,19 @@ class BpeSpec extends AnyFunSuite {
     assert(seg(2L) === ((3L, 4L)))
   }
 
+  test("persisted merge artifact segments identically to a fresh fit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_art").toString
+    val persisted = Lexical.writeBpe(spark, corpus, "id", "text", 4, dir)
+    val fresh = Lexical.bpeFit(corpus, "id", "text", 4)
+    def seg(m: org.apache.spark.sql.DataFrame) =
+      Lexical.bpeSegment(corpus, m, "id", "text")
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(seg(persisted) === seg(fresh))
+    // the artifact is the k-row merge table, loadable in a fresh reader
+    assert(Lexical.loadBpeMerges(spark, dir).count() === 4L)
+  }
+
   test("fit is deterministic under input partitioning") {
     def run(parts: Int) = Lexical
       .bpeFit(corpus.repartition(parts), "id", "text", numMerges = 4)

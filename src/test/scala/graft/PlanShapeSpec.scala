@@ -333,6 +333,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(m(df) === m(graft.operators.TextAnalysis.lmQuality(docs, "doc_id", "text")))
   }
 
+  test("quality filters are scan-shaped: no Exchange, no Generate before the rows emerge") {
+    import graft.operators.{Lexical, TextAnalysis}
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+    // c4Clean and gopherRules must be pure projections — the line/word
+    // arrays never explode into rows and nothing shuffles
+    val pc4 = plan(TextAnalysis.c4Clean(docs, "doc_id", "text"))
+    assert(!pc4.contains("Exchange") && !pc4.contains("Generate"),
+      s"c4Clean must be map-only:\n$pc4")
+    val pg = plan(TextAnalysis.gopherRules(docs, "doc_id", "text"))
+    assert(!pg.contains("Exchange") && !pg.contains("Generate"),
+      s"gopherRules must be map-only:\n$pg")
+    // bpeSegment folds the k-rule artifact as in-row replaces — also
+    // map-only once the (tiny) merge table has been collected
+    val merges = Lexical.bpeFit(docs.limit(50), "doc_id", "text", numMerges = 2)
+    val ps = plan(Lexical.bpeSegment(docs, merges, "doc_id", "text"))
+    assert(!ps.contains("Exchange") && !ps.contains("Generate"),
+      s"bpeSegment must be map-only:\n$ps")
+  }
+
   test("FULL SWEEP: zero CartesianProduct across every query plan") {
     // VERDICT r6 #2 done-criterion: with dedup_embedding_cosine re-blocked,
     // no query in the suite may plan a CartesianProduct. (Broadcast

@@ -4010,6 +4010,141 @@ object SparkEntry {
              |       cum_before % 256 AS offset_tokens
              |FROM c ORDER BY source, doc_id""".stripMargin)),
 
+    // EXACT-QUOTA stratified sampling: every lang stratum contributes
+    // exactly ceil(n_lang * 20%) rows by hash rank — per-stratum
+    // proportions are preserved by construction (hashSample's per-row coin
+    // would give each stratum binomial variance; tail langs can vanish
+    // from a small eval set). Quota is integer-exact, membership a pure
+    // function of (salt, id) within the stratum.
+    ("curation_stratified_sample",
+      (s, dir) =>
+        Curation.stratifiedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang", fracBp = 2000, salt = "strat")
+          .orderBy(col("lang"), col("doc_id")),
+      Some("""WITH s AS (SELECT doc_id, lang,
+             |    ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      % 10000 AS sk
+             |  FROM documents),
+             |n AS (SELECT lang, COUNT(*) AS cnt FROM s GROUP BY 1),
+             |r AS (SELECT doc_id, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS rk
+             |  FROM s)
+             |SELECT r.doc_id, r.lang FROM r JOIN n USING (lang)
+             |WHERE rk <= (cnt * 2000 + 9999) // 10000
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // RETRIEVAL-QUALITY EVALUATION: per-query recall@10 / MRR / binary
+    // nDCG of the pruned IVF serving path (nprobe=2 — deliberately partial
+    // so the metrics measure something) against the exact top-10 ground
+    // truth, both ranked on the rounded-score + id convention. The oracle
+    // re-derives BOTH sides (the full kmeans -> cell -> probe chain and
+    // the exact scan) and the metric arithmetic down to the decimal-exact
+    // DCG sums — the whole evaluation harness is pinned, not just the
+    // serving path.
+    ("eval_ann_quality",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val ann = Eval.ranked(
+          Similarity.ivfSearchBatchPruned(idx.cells, idx.centroids, queries,
+            nprobe = 2, k = 10),
+          "query_id", "vec_id", "sim")
+        val truth = Eval.ranked(
+          Similarity.knnBatch(emb, queries, k = 10),
+          "query_id", "vec_id", "sim")
+        Eval.annQuality(ann, truth, k = 10).orderBy(col("query_id"))
+      },
+      Some(s"""$ivfCellCtes,
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
+             |scored AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN probe p ON p.cluster = a3.cluster
+             |  JOIN qs q ON q.query_id = p.query_id),
+             |ann AS (SELECT query_id, vec_id, rn AS rank FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored) x
+             |  WHERE rn <= 10),
+             |exact AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e CROSS JOIN qs q),
+             |truth AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM exact) x
+             |  WHERE rn <= 10),
+             |idcg AS (SELECT CAST(SUM(CAST(1.0 / log2(i + 1.0) AS DECIMAL(28,12)))
+             |                     AS DOUBLE) AS idcg
+             |         FROM (SELECT unnest(generate_series(1, 10)) AS i)),
+             |hits AS (SELECT a.query_id, a.rank FROM ann a
+             |         JOIN truth t ON a.query_id = t.query_id AND a.vec_id = t.vec_id),
+             |perq AS (SELECT query_id, COUNT(*) AS n_hit, MIN(rank) AS first_hit,
+             |           CAST(SUM(CAST(1.0 / log2(rank + 1.0) AS DECIMAL(28,12)))
+             |                AS DOUBLE) AS dcg
+             |         FROM hits GROUP BY 1)
+             |SELECT u.query_id, COALESCE(p.n_hit, 0) AS n_hit,
+             |       ROUND(COALESCE(p.n_hit, 0) / 10.0, 6) AS recall,
+             |       ROUND(COALESCE(1.0 / p.first_hit, 0.0), 6) AS mrr,
+             |       ROUND(COALESCE(p.dcg, 0.0) / i.idcg, 6) AS ndcg
+             |FROM (SELECT DISTINCT query_id FROM truth) u
+             |LEFT JOIN perq p USING (query_id) CROSS JOIN idcg i
+             |ORDER BY query_id""".stripMargin)),
+
+    // PCA TOP COMPONENT by power iteration over the one-corpus-pass Gram
+    // matrix: G entries are decimal-exact round-8 sums; the 4 unrolled
+    // iteration rounds (matvec -> norm -> normalize, every intermediate
+    // rounded to 8 before reuse) and the final Rayleigh quotient are
+    // mirrored step-for-step in the oracle like the kmeans Lloyd CTEs.
+    ("sim_pca_power",
+      (s, dir) =>
+        Similarity.pcaPowerFit(t(s, dir, "embeddings"), "embedding", iters = 4)
+          .orderBy(col("pos")),
+      Some("""WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+             |       unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+             |g AS (SELECT a.i, b.i AS j,
+             |        ROUND(CAST(SUM(CAST(a.x::DOUBLE * b.x::DOUBLE AS DECIMAL(28,12)))
+             |              AS DOUBLE), 8) AS g
+             |      FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+             |dd AS (SELECT MAX(i) AS d FROM g),
+             |v0 AS (SELECT i, ROUND(1.0 / sqrt(d), 8) AS v
+             |       FROM (SELECT DISTINCT i FROM g) CROSS JOIN dd),
+             |w1 AS (SELECT g.i, ROUND(CAST(SUM(CAST(g.g * v.v AS DECIMAL(28,12)))
+             |         AS DOUBLE), 8) AS w FROM g JOIN v0 v ON g.j = v.i GROUP BY 1),
+             |n1 AS (SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
+             |         AS DOUBLE)), 8) AS nrm FROM w1),
+             |v1 AS (SELECT i, ROUND(w / nrm, 8) AS v FROM w1 CROSS JOIN n1),
+             |w2 AS (SELECT g.i, ROUND(CAST(SUM(CAST(g.g * v.v AS DECIMAL(28,12)))
+             |         AS DOUBLE), 8) AS w FROM g JOIN v1 v ON g.j = v.i GROUP BY 1),
+             |n2 AS (SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
+             |         AS DOUBLE)), 8) AS nrm FROM w2),
+             |v2 AS (SELECT i, ROUND(w / nrm, 8) AS v FROM w2 CROSS JOIN n2),
+             |w3 AS (SELECT g.i, ROUND(CAST(SUM(CAST(g.g * v.v AS DECIMAL(28,12)))
+             |         AS DOUBLE), 8) AS w FROM g JOIN v2 v ON g.j = v.i GROUP BY 1),
+             |n3 AS (SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
+             |         AS DOUBLE)), 8) AS nrm FROM w3),
+             |v3 AS (SELECT i, ROUND(w / nrm, 8) AS v FROM w3 CROSS JOIN n3),
+             |w4 AS (SELECT g.i, ROUND(CAST(SUM(CAST(g.g * v.v AS DECIMAL(28,12)))
+             |         AS DOUBLE), 8) AS w FROM g JOIN v3 v ON g.j = v.i GROUP BY 1),
+             |n4 AS (SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
+             |         AS DOUBLE)), 8) AS nrm FROM w4),
+             |v4 AS (SELECT i, ROUND(w / nrm, 8) AS v FROM w4 CROSS JOIN n4),
+             |ray AS (SELECT ROUND(CAST(SUM(CAST(g.g * a.v * b.v AS DECIMAL(28,12)))
+             |          AS DOUBLE), 6) AS eigval
+             |        FROM g JOIN v4 a ON g.i = a.i JOIN v4 b ON g.j = b.i)
+             |SELECT CAST(i - 1 AS BIGINT) AS pos, v AS pc, eigval
+             |FROM v4 CROSS JOIN ray ORDER BY pos""".stripMargin)),
+
     // streaming stateful dedup: first-seen keys across micro-batches ==
     // batch DISTINCT when only the key columns are emitted
     ("stream_dedup",

@@ -238,6 +238,34 @@ object Curation {
       .drop("cum_before")
   }
 
+  /** EXACT-QUOTA stratified sampling: each stratum contributes exactly
+    * `ceil(n_s * fracBp / 10000)` rows — the per-stratum proportions of the
+    * output match the corpus per-stratum proportions by construction, where
+    * [[hashSample]]'s per-row coin gives each stratum binomial variance
+    * around its expectation (a 2% lang gets 0 rows in an unlucky small
+    * sample; an eval set built that way silently loses the tail strata).
+    * Rows are chosen by hash rank within the stratum (ties by id), so the
+    * kept set is deterministic, engine-portable, and a new row displaces
+    * only lower-ranked rows of ITS OWN stratum. The quota is integer-exact
+    * (`(n*bp + 9999) div 10000`) — no float ceil. One ranking window per
+    * stratum (a single shuffle on the stratum key); at 100 TB the window
+    * input can be pre-filtered by a hash-range over-approximation of the
+    * cutoff exactly like [[capPerSource]]. */
+  def stratifiedSample(
+      docs: DataFrame, idCol: String, strataCol: String,
+      fracBp: Int, salt: String): DataFrame = {
+    require(fracBp >= 0 && fracBp <= 10000,
+      s"fracBp must be in [0, 10000], got $fracBp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(sampleKey(col(idCol), salt).asc, col(idCol).asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    docs.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__rk") <= expr(s"(__n * $fracBp + 9999) div 10000"))
+      .drop("__rk", "__n")
+  }
+
   /** Leakage-safe split assignment: docs in the same NEAR-DUP component get
     * the same train/val/test split — splitting by raw doc id would leak
     * near-identical text across the train/eval boundary. The split key is

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation — the measurement half of serving an ANN
+  * index: how good are the approximate results against exact ground truth?
+  * (Engine extension; the reference tunes its FAISS `nprobe` by eye —
+  * `utils/faiss_processing.py` exposes the knob but ships no recall
+  * harness. At 100 TB nobody can eyeball recall; the engine has to
+  * measure it.)
+  *
+  * Conventions:
+  *  - both result sets arrive as `(query_id, vec_id, rank)` with rank
+  *    1..k assigned on the ROUNDED score plus an id tiebreak (the same
+  *    cutoff rule every serving query here uses), so ranks are
+  *    engine-portable;
+  *  - per-query metric sums (DCG, IDCG) go through decimal-exact sums and
+  *    are rounded to 6 — `log2` may differ across libm implementations in
+  *    the last ulp, far below the rounding grain;
+  *  - queries with ZERO hits stay in the output (recall 0), via a left
+  *    join from the truth-side query universe — an inner hit-join would
+  *    silently drop exactly the queries an evaluation exists to expose.
+  *
+  * Scale shape: one equi-join on `(query_id, vec_id)` + one groupBy on
+  * `query_id` — both shuffles are on the evaluation batch (q×k rows),
+  * never on the corpus. The expensive part is producing the exact
+  * ground-truth top-k, which is a one-off audit pass (typically over a
+  * hash-sampled query set, [[graft.operators.Curation.hashSample]]).
+  */
+object Eval {
+
+  /** Attach 1..n ranks per query on (score desc, id asc). `scoreCol`
+    * should already be rounded to the serving convention (4-6 decimals)
+    * so the rank cutoff is engine-portable. */
+  def ranked(results: DataFrame, queryCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    results.withColumn("rank", row_number().over(w))
+  }
+
+  /** Per-query recall@k, MRR@k, and (binary-gain) nDCG@k of `ann` against
+    * `truth`. Inputs are `(query_id, vec_id, rank)` frames ([[ranked]]);
+    * `truth` holds the exact top-k — every truth row is relevant, so
+    * IDCG@k is the full geometric series `Σ_{i=1..k} 1/log2(i+1)`.
+    * Output: `(query_id, n_hit, recall, mrr, ndcg)`, metrics rounded to
+    * 6, one row per truth-side query. */
+  def annQuality(ann: DataFrame, truth: DataFrame, k: Int,
+      queryCol: String = "query_id", idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = ann.sparkSession
+    // IDCG is a k-row constant; compute it with the SAME engine ops the
+    // per-query DCG uses (decimal-exact sum of 1/log2(i+1)) so the ratio
+    // is bit-stable against the oracle
+    val idcg = broadcast(spark.range(1, k + 1L).toDF("i")
+      .agg(sum((lit(1.0) / log2(col("i") + lit(1.0))).cast("decimal(28,12)"))
+        .cast("double").as("idcg")))
+    val hits = ann.select(col(queryCol), col(idCol), col("rank"))
+      .join(truth.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
+    val perQ = hits.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_hit"),
+        min(col("rank")).as("__first"),
+        sum((lit(1.0) / log2(col("rank") + lit(1.0))).cast("decimal(28,12)"))
+          .cast("double").as("__dcg"))
+    truth.select(col(queryCol)).distinct()
+      .join(perQ, Seq(queryCol), "left")
+      .crossJoin(idcg)
+      .select(col(queryCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("__dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+  }
+}

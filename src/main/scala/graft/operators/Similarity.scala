@@ -1025,6 +1025,79 @@ object Similarity {
     cent
   }
 
+  /** Uncentered Gram matrix `G = XᵀX` of an embedding column — the moment
+    * matrix PCA / spectral methods start from. ONE corpus pass, map-only
+    * feature expansion: each row emits its d² `(i, j, x_i·x_j)` products
+    * via two generators over the SAME row (no self-join, so no row-id
+    * shuffle of exploded coordinates), and the only shuffle is the
+    * (d×d)-key partial aggregate — the reduce side sees d² keys, never
+    * corpus rows. Entry sums are DECIMAL-exact (partition-order-invariant)
+    * and round to `coordRound`; output `(i, j, g)` with 0-based dims. The
+    * d²-fold map-side amplification is inherent to covariance — at 100 TB
+    * this runs over a hash sample ([[Curation.hashSample]]), the standard
+    * estimator practice, and the result is a d²-row artifact. */
+  def gramMatrix(
+      vecs: DataFrame,
+      vecCol: String = "embedding",
+      coordRound: Int = 8): DataFrame =
+    vecs
+      .select(posexplode(col(vecCol)).as(Seq("i", "__xa")), col(vecCol).as("__v"))
+      .select(col("i"), col("__xa"), posexplode(col("__v")).as(Seq("j", "__xb")))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum((col("__xa").cast("double") * col("__xb").cast("double"))
+        .cast("decimal(28,12)")).cast("double"), coordRound).as("g"))
+
+  /** Top principal direction of the uncentered Gram matrix by POWER
+    * ITERATION (the dominant-eigenvector step of PCA / spectral embedding
+    * pipelines — e.g. the rotation estimate an OPQ-style index build
+    * starts from). The corpus is touched exactly once ([[gramMatrix]]);
+    * the d×d Gram is nlist-scale (corpus-INDEPENDENT, like the centroid
+    * probe reads), so the iterations run on a driver-localized copy —
+    * each round is `v ← round₈(G·v) / round₈(‖G·v‖)` computed with the
+    * same engine ops an oracle uses (decimal-exact matvec sums, round-8
+    * floats at every step), making the whole trajectory engine-portable:
+    * v₀ = uniform `round₈(1/√d)`, matvec sums decimal-exact, every
+    * intermediate rounded before reuse. Output one row per dimension:
+    * `(pos, pc, eigval)` with `eigval` the Rayleigh quotient `vᵀGv`
+    * rounded to 6 (v is unit up to the round-8 grain, and the oracle
+    * computes the identical formula). Deterministic for any iteration
+    * count — `iters` trades convergence for plan length, it never breaks
+    * reproducibility. */
+  def pcaPowerFit(
+      vecs: DataFrame,
+      vecCol: String = "embedding",
+      iters: Int = 6,
+      coordRound: Int = 8): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = vecs.sparkSession
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    // d² rows — corpus-independent artifact scale; localizing severs the
+    // corpus lineage so the iteration jobs never re-enter the scan
+    val g = localize(gramMatrix(vecs, vecCol, coordRound))
+    val d = g.agg(max(col("i"))).head().getInt(0) + 1
+    var v = localize(g.select(col("i")).distinct()
+      .select(col("i"), round(lit(1.0) / sqrt(lit(d.toDouble)), coordRound).as("v")))
+    for (_ <- 1 to iters) {
+      val w = g
+        .join(v.select(col("i").as("j"), col("v").as("__vj")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(round(sum((col("g") * col("__vj")).cast("decimal(28,12)"))
+          .cast("double"), coordRound).as("w"))
+      val nrm = w.agg(round(sqrt(sum((col("w") * col("w"))
+        .cast("decimal(28,12)")).cast("double")), coordRound).as("nrm"))
+      v = localize(w.crossJoin(broadcast(nrm))
+        .select(col("i"), round(col("w") / col("nrm"), coordRound).as("v")))
+    }
+    val ray = g
+      .join(v.select(col("i"), col("v").as("__vi")), Seq("i"))
+      .join(v.select(col("i").as("j"), col("v").as("__vj")), Seq("j"))
+      .agg(round(sum((col("g") * col("__vi") * col("__vj"))
+        .cast("decimal(28,12)")).cast("double"), 6).as("eigval"))
+    v.crossJoin(broadcast(ray))
+      .select(col("i").cast("long").as("pos"), col("v").as("pc"), col("eigval"))
+  }
+
   /** Driver-side cell probe: the `nprobe` best cells for one query vector,
     * as LITERAL cluster ids. Ranks the (tiny — k rows) centroid artifact
     * against the broadcast query and collects the winners, so the caller

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{Curation, Eval, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Eval.annQuality]] retrieval metrics, [[Curation.stratifiedSample]]
+  * exact quotas, and [[Similarity.pcaPowerFit]] spectral invariants. */
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranked(rows: (Long, Long)*) =
+    // (query_id, vec_id) in rank order per query
+    rows.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      rs.map(_._2).zipWithIndex.map { case (v, i) => (q, v, i + 1) }
+    }.toDF("query_id", "vec_id", "rank")
+
+  test("perfect result set scores 1.0 on every metric") {
+    val truth = ranked(1L -> 10L, 1L -> 11L, 1L -> 12L)
+    val got = Eval.annQuality(truth, truth, k = 3).collect().head
+    assert(got.getAs[Long]("n_hit") === 3L)
+    assert(got.getAs[Double]("recall") === 1.0)
+    assert(got.getAs[Double]("mrr") === 1.0)
+    assert(got.getAs[Double]("ndcg") === 1.0)
+  }
+
+  test("zero-hit query stays in the output with recall 0") {
+    val truth = ranked(1L -> 10L, 1L -> 11L, 2L -> 20L, 2L -> 21L)
+    val ann = ranked(1L -> 10L, 1L -> 11L, 2L -> 98L, 2L -> 99L)
+    val got = Eval.annQuality(ann, truth, k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(2L).getAs[Long]("n_hit") === 0L)
+    assert(got(2L).getAs[Double]("recall") === 0.0)
+    assert(got(2L).getAs[Double]("mrr") === 0.0)
+    assert(got(2L).getAs[Double]("ndcg") === 0.0)
+  }
+
+  test("partial hit: metrics reflect the ANN-side rank of the hit") {
+    // truth = {10, 11}; ann = {99, 10}: one hit at ann rank 2
+    val truth = ranked(1L -> 10L, 1L -> 11L)
+    val ann = ranked(1L -> 99L, 1L -> 10L)
+    val got = Eval.annQuality(ann, truth, k = 2).collect().head
+    assert(got.getAs[Long]("n_hit") === 1L)
+    assert(got.getAs[Double]("recall") === 0.5)
+    assert(got.getAs[Double]("mrr") === 0.5)
+    // dcg = 1/log2(3); idcg = 1/log2(2) + 1/log2(3)
+    val expected = (1.0 / (math.log(3) / math.log(2))) /
+      (1.0 + 1.0 / (math.log(3) / math.log(2)))
+    assert(math.abs(got.getAs[Double]("ndcg") - expected) < 1e-6)
+  }
+
+  test("full-probe IVF serving evaluates to recall 1.0 vs exact") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 7 + j * 3) % 11) / 11.0f)))
+    }.toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansFit(emb, k = 4, iters = 1)
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cells = Similarity.assignCells(emb, cent)
+    val ann = Eval.ranked(
+      Similarity.ivfSearchBatchPruned(cells, cent, queries, nprobe = 4, k = 5),
+      "query_id", "vec_id", "sim")
+    val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 5),
+      "query_id", "vec_id", "sim")
+    val got = Eval.annQuality(ann, truth, k = 5).collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      assert(r.getAs[Double]("recall") === 1.0, s"full probe must be exact: $r")
+      assert(r.getAs[Double]("ndcg") === 1.0)
+    }
+    cent.unpersist()
+  }
+
+  test("stratifiedSample: exact ceil quota per stratum, deterministic") {
+    val docs = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 107L).map(i => (i, "tail"))).toDF("doc_id", "lang")
+    val got = Curation.stratifiedSample(docs, "doc_id", "lang", 2000, "s")
+    val counts = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("big") === 20L)      // ceil(100 * 0.2)
+    assert(counts("tail") === 2L)      // ceil(7 * 0.2) — the tail survives
+    val again = Curation.stratifiedSample(docs, "doc_id", "lang", 2000, "s")
+    assert(got.collect().toSet === again.collect().toSet)
+    // membership is stable: a kept tail doc stays kept when ITS stratum
+    // is untouched and another stratum grows
+    val grown = docs.union(Seq((500L, "big"), (501L, "big")).toDF("doc_id", "lang"))
+    val keptTail = got.filter(col("lang") === "tail")
+      .select("doc_id").as[Long].collect().toSet
+    val grownTail = Curation.stratifiedSample(grown, "doc_id", "lang", 2000, "s")
+      .filter(col("lang") === "tail").select("doc_id").as[Long].collect().toSet
+    assert(keptTail === grownTail)
+  }
+
+  test("stratifiedSample: fracBp bounds enforced; 10000 keeps everything") {
+    val docs = (0L until 9L).map(i => (i, "x")).toDF("doc_id", "lang")
+    assertThrows[IllegalArgumentException] {
+      Curation.stratifiedSample(docs, "doc_id", "lang", 10001, "s")
+    }
+    assert(Curation.stratifiedSample(docs, "doc_id", "lang", 10000, "s")
+      .count() === 9L)
+    assert(Curation.stratifiedSample(docs, "doc_id", "lang", 0, "s")
+      .count() === 0L)
+  }
+
+  test("pcaPowerFit: unit direction, positive eigval, dominant-axis recovery") {
+    // rows concentrated along axis 0 with small noise on axis 1
+    val emb = (0L until 30L).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array(s * 1.0f, (((i % 5) - 2) / 50.0f), 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.pcaPowerFit(emb, "embedding", iters = 8)
+      .orderBy("pos").collect()
+    assert(got.length === 4)
+    val v = got.map(_.getAs[Double]("pc"))
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6, s"unit vector, got $norm")
+    val eig = got.head.getAs[Double]("eigval")
+    assert(eig > 0.0)
+    // the dominant direction is axis 0
+    assert(math.abs(math.abs(v(0)) - 1.0) < 1e-3, s"axis-0 dominant, got ${v.toList}")
+    // Rayleigh quotient equals the dominant Gram eigenvalue ~ n (unit rows)
+    assert(math.abs(eig - 30.0) < 1.0, s"eigval ~ n for unit axis rows, got $eig")
+  }
+
+  test("gramMatrix is symmetric with decimal-exact entries") {
+    val emb = (0L until 10L).map(i =>
+      (i, Array.tabulate(3)(j => (i * 3 + j) / 10.0f))).toDF("vec_id", "embedding")
+    val g = Similarity.gramMatrix(emb, "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(g.size === 9)
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(g((i, j)) === g((j, i)), s"G($i,$j) != G($j,$i)")
+  }
+}

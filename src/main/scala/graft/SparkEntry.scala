@@ -4145,6 +4145,145 @@ object SparkEntry {
              |SELECT CAST(i - 1 AS BIGINT) AS pos, v AS pc, eigval
              |FROM v4 CROSS JOIN ray ORDER BY pos""".stripMargin)),
 
+    // RECALL-vs-NPROBE CURVE as an oracle query: the nprobe-selection
+    // evidence (RECALL.md / calibrateNprobe) pinned end-to-end — per-query
+    // recall@10 of the pruned serving path at nprobe = 1, 2, 3 against the
+    // exact top-10, every branch's probe prefix, pruned scoring, top-k cut,
+    // and hit count re-derived in SQL. Monotonicity in nprobe is visible
+    // in the output and spec-asserted on toy data (EvalSpec).
+    ("eval_recall_curve",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
+          "query_id", "vec_id", "sim")
+        Seq(1, 2, 3).map { np =>
+          val ann = Eval.ranked(
+            Similarity.ivfSearchBatchPruned(idx.cells, idx.centroids, queries,
+              nprobe = np, k = 10),
+            "query_id", "vec_id", "sim")
+          Eval.annQuality(ann, truth, k = 10)
+            .select(lit(np).as("nprobe"), col("query_id"), col("n_hit"),
+              col("recall"))
+        }.reduce(_ unionByName _).orderBy(col("nprobe"), col("query_id"))
+      },
+      Some(s"""$ivfCellCtes,
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN qs q),
+             |csr AS (SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |          ORDER BY cscore DESC, cluster) AS rn FROM cs),
+             |exact AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e CROSS JOIN qs q),
+             |truth AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM exact) x
+             |  WHERE rn <= 10),
+             |s1q AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN csr p ON p.cluster = a3.cluster AND p.rn <= 1
+             |  JOIN qs q ON q.query_id = p.query_id),
+             |an1 AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM s1q) x
+             |  WHERE rn <= 10),
+             |h1 AS (SELECT t.query_id, COUNT(a.vec_id) AS n_hit FROM truth t
+             |       LEFT JOIN an1 a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+             |       GROUP BY 1),
+             |s2q AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN csr p ON p.cluster = a3.cluster AND p.rn <= 2
+             |  JOIN qs q ON q.query_id = p.query_id),
+             |an2 AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM s2q) x
+             |  WHERE rn <= 10),
+             |h2 AS (SELECT t.query_id, COUNT(a.vec_id) AS n_hit FROM truth t
+             |       LEFT JOIN an2 a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+             |       GROUP BY 1),
+             |s3q AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN csr p ON p.cluster = a3.cluster AND p.rn <= 3
+             |  JOIN qs q ON q.query_id = p.query_id),
+             |an3 AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM s3q) x
+             |  WHERE rn <= 10),
+             |h3 AS (SELECT t.query_id, COUNT(a.vec_id) AS n_hit FROM truth t
+             |       LEFT JOIN an3 a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+             |       GROUP BY 1)
+             |SELECT 1 AS nprobe, query_id, n_hit, ROUND(n_hit / 10.0, 6) AS recall FROM h1
+             |UNION ALL
+             |SELECT 2 AS nprobe, query_id, n_hit, ROUND(n_hit / 10.0, 6) AS recall FROM h2
+             |UNION ALL
+             |SELECT 3 AS nprobe, query_id, n_hit, ROUND(n_hit / 10.0, 6) AS recall FROM h3
+             |ORDER BY nprobe, query_id""".stripMargin)),
+
+    // SEMDEDUP END-TO-END (Abbas et al. 2023): within-cluster cosine
+    // pairing over the FITTED geometry (probes=1 => pure cell blocking,
+    // the paper's within-cluster comparison set) -> connected components
+    // -> keeper election by LOWEST centroid similarity (SemDeDup keeps
+    // the example farthest from the cluster center — the most marginal
+    // member — where dedup_semantic_keep_best keeps the highest-quality
+    // one). The oracle walks the identical chain: kmeans CTEs, cell
+    // candidates, threshold pairs, recursive-CTE closure, rank election.
+    ("q39_semdedup_e2e",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val pairs = Dedup.cosinePairsBlocked(emb, idx.centroids,
+          "vec_id", "embedding", threshold = 0.45, probes = 1)
+        val comps = Dedup.canonicalIds(pairs.select(col("i"), col("j")))
+        val assigned = Similarity.assignCells(emb, idx.centroids)
+        val csim = assigned.join(idx.centroids, Seq("cluster"))
+          .select(col("vec_id").as("id"),
+            round(lit(-1.0) * VectorOps.dot(col("embedding"), col("cv")), 6)
+              .as("score"))
+        Dedup.keepBest(comps, csim).orderBy(col("id"))
+      },
+      Some((s"""$ivfCellCtes,
+             |cand AS (SELECT a.vec_id AS i, b.vec_id AS j
+             |         FROM a3 a JOIN a3 b ON a.cluster = b.cluster
+             |           AND a.vec_id < b.vec_id),
+             |prs AS (SELECT c.i, c.j FROM cand c
+             |        JOIN embeddings a ON a.vec_id = c.i
+             |        JOIN embeddings b ON b.vec_id = c.j
+             |        WHERE (SELECT SUM(x.x::DOUBLE * x.y::DOUBLE)
+             |               FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y) x)
+             |          >= 0.45),
+             |edges AS (SELECT i AS a, j AS b FROM prs
+             |          UNION ALL SELECT j AS a, i AS b FROM prs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |reach AS (SELECT id, id AS r FROM nodes
+             |          UNION
+             |          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+             |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+             |csim AS (SELECT a3.vec_id AS id,
+             |           ROUND(-1.0 * (SELECT SUM(x.x::DOUBLE * x.y::DOUBLE)
+             |                 FROM (SELECT unnest(e.embedding) x, unnest(c.cv) y) x), 6) AS score
+             |         FROM a3 JOIN embeddings e ON e.vec_id = a3.vec_id
+             |         JOIN c2 c ON c.cluster = a3.cluster),
+             |scored AS (SELECT cm.id, cm.comp, cs.score FROM comp cm JOIN csim cs USING (id)),
+             |rk AS (SELECT id, comp, score, ROW_NUMBER() OVER (
+             |         PARTITION BY comp ORDER BY score DESC, id) AS rn FROM scored),
+             |best AS (SELECT comp, id AS best_id FROM rk WHERE rn = 1)
+             |SELECT s.id, b.best_id, s.score, s.id = b.best_id AS keep
+             |FROM scored s JOIN best b USING (comp)
+             |ORDER BY s.id""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
     // streaming stateful dedup: first-seen keys across micro-batches ==
     // batch DISTINCT when only the key columns are emitted
     ("stream_dedup",

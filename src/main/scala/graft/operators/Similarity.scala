@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dense similarity search (the reference's J1: 1xd query vs Nxd corpus exact
@@ -1040,12 +1040,57 @@ object Similarity {
       vecs: DataFrame,
       vecCol: String = "embedding",
       coordRound: Int = 8): DataFrame =
-    vecs
+    roundGram(gramMatrixRaw(vecs, vecCol), coordRound)
+
+  /** UNROUNDED Gram sums `(i, j, gsum DECIMAL)` — the MERGEABLE artifact
+    * form. Because every entry is an EXACT decimal sum of the per-row
+    * products, Gram artifacts over disjoint batches merge by plain
+    * addition with NO error: `mergeGramRaw(g(A), g(B)) == g(A ∪ B)`
+    * bit-for-bit ([[mergeGramRaw]]; spec-pinned). That makes the moment
+    * matrix an incrementally-maintainable artifact in the
+    * [[graft.streaming.IncrementalIndex]] sense — each arriving batch
+    * contributes one batch-local Gram pass, the running artifact is a
+    * d²-row add, and a PCA refresh ([[pcaPowerFit]]'s iteration half)
+    * never re-reads old batches. Rounding happens ONCE, at fit time
+    * ([[roundGram]]) — rounding per batch and then adding would drift
+    * from the full recompute. */
+  def gramMatrixRaw(
+      vecs: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    // the d² generator expansion happens map-side BEFORE any exchange, so
+    // its parallelism is the INPUT partitioning — a small fit sample read
+    // from one parquet file would run the whole expansion on one task.
+    // Spread narrow inputs across the cluster first (row-count shuffle of
+    // the RAW vectors, cheap at fit time); wide-at-scale inputs pass
+    // through untouched.
+    val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (vecs.rdd.getNumPartitions < parallelism) vecs.repartition(parallelism)
+      else vecs
+    spread
       .select(posexplode(col(vecCol)).as(Seq("i", "__xa")), col(vecCol).as("__v"))
       .select(col("i"), col("__xa"), posexplode(col("__v")).as(Seq("j", "__xb")))
       .groupBy(col("i"), col("j"))
-      .agg(round(sum((col("__xa").cast("double") * col("__xb").cast("double"))
-        .cast("decimal(28,12)")).cast("double"), coordRound).as("g"))
+      .agg(sum((col("__xa").cast("double") * col("__xb").cast("double"))
+        .cast("decimal(28,12)")).as("gsum"))
+  }
+
+  /** Exact merge of [[gramMatrixRaw]] artifacts over disjoint row sets:
+    * union + one (d×d)-key decimal re-sum. Decimal addition is
+    * associative and exact, so any merge tree (batch-by-batch, pairwise,
+    * all-at-once) produces the identical artifact. */
+  def mergeGramRaw(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeGramRaw needs at least one Gram part")
+    parts.reduce(_ unionByName _)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("gsum")).as("gsum"))
+  }
+
+  /** The fit-time rounding step: raw decimal sums -> the round-`coordRound`
+    * double entries every consumer ([[pcaPowerFit]], oracles) reads. */
+  def roundGram(raw: DataFrame, coordRound: Int = 8): DataFrame =
+    raw.select(col("i"), col("j"),
+      round(col("gsum").cast("double"), coordRound).as("g"))
 
   /** Top principal direction of the uncentered Gram matrix by POWER
     * ITERATION (the dominant-eigenvector step of PCA / spectral embedding
@@ -1070,13 +1115,67 @@ object Similarity {
       coordRound: Int = 8): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = vecs.sparkSession
-    def localize(df: DataFrame): DataFrame =
-      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
     // d² rows — corpus-independent artifact scale; localizing severs the
     // corpus lineage so the iteration jobs never re-enter the scan
-    val g = localize(gramMatrix(vecs, vecCol, coordRound))
+    val g = localizeDf(spark, gramMatrix(vecs, vecCol, coordRound))
+    val (v, ray) = powerIterate(g, iters, coordRound)
+    v.crossJoin(broadcast(ray))
+      .select(col("i").cast("long").as("pos"), col("v").as("pc"), col("eigval"))
+  }
+
+  /** Top-`m` principal directions by power iteration WITH DEFLATION —
+    * the full rotation/whitening prep (an OPQ-style build wants the
+    * leading subspace, not just the dominant axis). After each component
+    * converges, the Gram deflates by its rank-1 contribution
+    * (`G ← G − λ v vᵀ`, every updated entry re-rounded to `coordRound`),
+    * so the next power iteration converges to the next-largest
+    * eigenpair. All arithmetic runs on the driver-localized d²-row Gram
+    * with the same rounded engine ops as [[pcaPowerFit]] — the corpus is
+    * still touched exactly once, for any `m`. Output one row per
+    * (component, dimension): `(comp, pos, pc, eigval)`, components
+    * numbered 0..m-1 in non-increasing eigenvalue order; orthogonality
+    * and eigenvalue ordering are spec-pinned (`EvalSpec`). */
+  def pcaTopComponents(
+      vecs: DataFrame,
+      vecCol: String = "embedding",
+      m: Int = 2,
+      iters: Int = 8,
+      coordRound: Int = 8): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = vecs.sparkSession
+    var g = localizeDf(spark, gramMatrix(vecs, vecCol, coordRound))
+    val comps = (0 until m).map { c =>
+      val (v, ray) = powerIterate(g, iters, coordRound)
+      val out = v.crossJoin(broadcast(ray))
+        .select(lit(c).as("comp"), col("i").cast("long").as("pos"),
+          col("v").as("pc"), col("eigval"))
+      // deflate: G ← round(G − λ vᵢ vⱼ) — localized so the next power
+      // pass does not re-run this one's lineage
+      g = localizeDf(spark, g
+        .join(v.select(col("i"), col("v").as("__vi")), Seq("i"))
+        .join(v.select(col("i").as("j"), col("v").as("__vj")), Seq("j"))
+        .crossJoin(broadcast(ray))
+        .select(col("i"), col("j"),
+          round(col("g") - col("eigval") * col("__vi") * col("__vj"),
+            coordRound).as("g")))
+      localizeDf(spark, out)
+    }
+    comps.reduce(_ unionByName _)
+  }
+
+  private def localizeDf(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** One power-iteration run over a LOCALIZED Gram frame `(i, j, g)`:
+    * `iters` rounds of matvec → norm → normalize with every intermediate
+    * rounded to `coordRound`, then the Rayleigh quotient. Returns the
+    * unit direction `(i, v)` and the 1-row `(eigval)`. */
+  private def powerIterate(
+      g: DataFrame, iters: Int, coordRound: Int): (DataFrame, DataFrame) = {
+    val spark = g.sparkSession
     val d = g.agg(max(col("i"))).head().getInt(0) + 1
-    var v = localize(g.select(col("i")).distinct()
+    var v = localizeDf(spark, g.select(col("i")).distinct()
       .select(col("i"), round(lit(1.0) / sqrt(lit(d.toDouble)), coordRound).as("v")))
     for (_ <- 1 to iters) {
       val w = g
@@ -1086,16 +1185,15 @@ object Similarity {
           .cast("double"), coordRound).as("w"))
       val nrm = w.agg(round(sqrt(sum((col("w") * col("w"))
         .cast("decimal(28,12)")).cast("double")), coordRound).as("nrm"))
-      v = localize(w.crossJoin(broadcast(nrm))
+      v = localizeDf(spark, w.crossJoin(broadcast(nrm))
         .select(col("i"), round(col("w") / col("nrm"), coordRound).as("v")))
     }
-    val ray = g
+    val ray = localizeDf(spark, g
       .join(v.select(col("i"), col("v").as("__vi")), Seq("i"))
       .join(v.select(col("i").as("j"), col("v").as("__vj")), Seq("j"))
       .agg(round(sum((col("g") * col("__vi") * col("__vj"))
-        .cast("decimal(28,12)")).cast("double"), 6).as("eigval"))
-    v.crossJoin(broadcast(ray))
-      .select(col("i").cast("long").as("pos"), col("v").as("pc"), col("eigval"))
+        .cast("decimal(28,12)")).cast("double"), 6).as("eigval")))
+    (v, ray)
   }
 
   /** Driver-side cell probe: the `nprobe` best cells for one query vector,

@@ -73,6 +73,30 @@ class EvalSpec extends AnyFunSuite {
     cent.unpersist()
   }
 
+  test("recall is monotone non-decreasing in nprobe") {
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 13 + j * 5) % 17) / 17.0f)))
+    }.toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansFit(emb, k = 6, iters = 1)
+    val cells = Similarity.assignCells(emb, cent)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 8),
+      "query_id", "vec_id", "sim")
+    val byNp = (1 to 6).map { np =>
+      val ann = Eval.ranked(
+        Similarity.ivfSearchBatchPruned(cells, cent, queries, nprobe = np, k = 8),
+        "query_id", "vec_id", "sim")
+      np -> Eval.annQuality(ann, truth, k = 8)
+        .agg(sum(col("n_hit"))).head().getLong(0)
+    }
+    byNp.sliding(2).foreach { case Seq((np1, h1), (np2, h2)) =>
+      assert(h1 <= h2, s"recall must not drop: nprobe $np1 -> $np2 went $h1 -> $h2")
+    }
+    assert(byNp.last._2 === 24L, "full probe recalls everything (3 queries x 8)")
+    cent.unpersist()
+  }
+
   test("stratifiedSample: exact ceil quota per stratum, deterministic") {
     val docs = ((0L until 100L).map(i => (i, "big")) ++
       (100L until 107L).map(i => (i, "tail"))).toDF("doc_id", "lang")
@@ -122,6 +146,76 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(math.abs(v(0)) - 1.0) < 1e-3, s"axis-0 dominant, got ${v.toList}")
     // Rayleigh quotient equals the dominant Gram eigenvalue ~ n (unit rows)
     assert(math.abs(eig - 30.0) < 1.0, s"eigval ~ n for unit axis rows, got $eig")
+  }
+
+  test("pcaTopComponents: orthogonal components, non-increasing eigenvalues") {
+    // three scaled axes: eigenvalues ~ 40*1, 40*0.25, 40*0.04
+    val emb = (0L until 40L).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      val ax = (i % 3).toInt
+      val v = Array(0.0f, 0.0f, 0.0f, 0.0f)
+      v(ax) = s * (ax match { case 0 => 1.0f; case 1 => 0.5f; case _ => 0.2f })
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.pcaTopComponents(emb, "embedding", m = 3, iters = 10)
+      .orderBy(col("comp"), col("pos")).collect()
+    assert(got.length === 12)
+    val byComp = got.groupBy(_.getAs[Int]("comp")).view
+      .mapValues(rs => (rs.sortBy(_.getAs[Long]("pos")).map(_.getAs[Double]("pc")),
+        rs.head.getAs[Double]("eigval"))).toMap
+    // each component is unit and they are mutually orthogonal
+    for (c <- 0 to 2) {
+      val n = math.sqrt(byComp(c)._1.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"comp $c not unit: $n")
+    }
+    for (a <- 0 to 2; b <- (a + 1) to 2) {
+      val dot = byComp(a)._1.zip(byComp(b)._1).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 1e-3, s"comps $a,$b not orthogonal: $dot")
+    }
+    // eigenvalues come out largest-first and track the planted spectrum
+    val eigs = (0 to 2).map(byComp(_)._2)
+    assert(eigs(0) > eigs(1) && eigs(1) > eigs(2), s"not sorted: $eigs")
+    // axis recovery: comp 0 ~ axis 0, comp 1 ~ axis 1, comp 2 ~ axis 2
+    for (c <- 0 to 2)
+      assert(math.abs(math.abs(byComp(c)._1(c)) - 1.0) < 1e-2,
+        s"comp $c should align with axis $c: ${byComp(c)._1.toList}")
+  }
+
+  test("gram artifacts over disjoint batches merge EXACTLY (incremental fit)") {
+    val all = (0L until 24L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 5 + j * 7) % 13) / 13.0f)))
+      .toDF("vec_id", "embedding")
+    val a = all.filter(col("vec_id") < 10)
+    val b = all.filter(col("vec_id") >= 10 && col("vec_id") < 17)
+    val c = all.filter(col("vec_id") >= 17)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+    val whole = toMap(Similarity.gramMatrixRaw(all, "embedding"))
+    // batch-by-batch and all-at-once merge trees produce the identical
+    // artifact — decimal addition is associative and exact
+    val m1 = toMap(Similarity.mergeGramRaw(Seq(
+      Similarity.gramMatrixRaw(a, "embedding"),
+      Similarity.gramMatrixRaw(b, "embedding"),
+      Similarity.gramMatrixRaw(c, "embedding"))))
+    val m2 = toMap(Similarity.mergeGramRaw(Seq(
+      Similarity.mergeGramRaw(Seq(
+        Similarity.gramMatrixRaw(a, "embedding"),
+        Similarity.gramMatrixRaw(b, "embedding"))),
+      Similarity.gramMatrixRaw(c, "embedding"))))
+    assert(whole.keySet === m1.keySet)
+    whole.foreach { case (k, v) =>
+      assert(v.compareTo(m1(k)) === 0, s"merge drift at $k: $v vs ${m1(k)}")
+      assert(v.compareTo(m2(k)) === 0, s"merge-tree drift at $k: $v vs ${m2(k)}")
+    }
+    // and the rounded fit-time view matches the one-shot gramMatrix
+    val direct = Similarity.gramMatrix(all, "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val viaMerge = Similarity.roundGram(Similarity.mergeGramRaw(Seq(
+      Similarity.gramMatrixRaw(a, "embedding"),
+      Similarity.gramMatrixRaw(b, "embedding"),
+      Similarity.gramMatrixRaw(c, "embedding")))).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(direct === viaMerge)
   }
 
   test("gramMatrix is symmetric with decimal-exact entries") {

@@ -100,6 +100,35 @@ object SparkEntry {
     (head +: steps :+ mm).mkString(",\n")
   }
 
+  /** Shared DuckDB oracle chain for the PCA queries: the one-pass Gram
+    * (`g`, decimal-exact round-8 entries), 4 unrolled power-iteration
+    * rounds (w/n/v per round, every intermediate rounded to 8 — the
+    * mirror of [[graft.operators.Similarity.pcaPowerFit]]), and the
+    * Rayleigh quotient (`ray`). Ends at `v4` = (i 1-based, v) and
+    * `ray` = (eigval); consumers append their own SELECT. */
+  private val pcaPowerCtes: String = {
+    val iterSteps = (1 to 4).map { k =>
+      s"""w$k AS (SELECT g.i, ROUND(CAST(SUM(CAST(g.g * v.v AS DECIMAL(28,12)))
+         |         AS DOUBLE), 8) AS w FROM g JOIN v${k - 1} v ON g.j = v.i GROUP BY 1),
+         |n$k AS (SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
+         |         AS DOUBLE)), 8) AS nrm FROM w$k),
+         |v$k AS (SELECT i, ROUND(w / nrm, 8) AS v FROM w$k CROSS JOIN n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+       |       unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+       |g AS (SELECT a.i, b.i AS j,
+       |        ROUND(CAST(SUM(CAST(a.x::DOUBLE * b.x::DOUBLE AS DECIMAL(28,12)))
+       |              AS DOUBLE), 8) AS g
+       |      FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+       |dd AS (SELECT MAX(i) AS d FROM g),
+       |v0 AS (SELECT i, ROUND(1.0 / sqrt(d), 8) AS v
+       |       FROM (SELECT DISTINCT i FROM g) CROSS JOIN dd),
+       |$iterSteps,
+       |ray AS (SELECT ROUND(CAST(SUM(CAST(g.g * a.v * b.v AS DECIMAL(28,12)))
+       |          AS DOUBLE), 6) AS eigval
+       |        FROM g JOIN v4 a ON g.i = a.i JOIN v4 b ON g.j = b.i)""".stripMargin
+  }
+
   private val ivfCellCtes: String =
     s"""$kmeansFitCtes,
        |c2 AS (SELECT cluster, list(cx ORDER BY i) AS cv FROM m2 GROUP BY cluster),
@@ -4110,40 +4139,30 @@ object SparkEntry {
       (s, dir) =>
         Similarity.pcaPowerFit(t(s, dir, "embeddings"), "embedding", iters = 4)
           .orderBy(col("pos")),
-      Some("""WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
-             |       unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-             |g AS (SELECT a.i, b.i AS j,
-             |        ROUND(CAST(SUM(CAST(a.x::DOUBLE * b.x::DOUBLE AS DECIMAL(28,12)))
-             |              AS DOUBLE), 8) AS g
-             |      FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
-             |dd AS (SELECT MAX(i) AS d FROM g),
-             |v0 AS (SELECT i, ROUND(1.0 / sqrt(d), 8) AS v
-             |       FROM (SELECT DISTINCT i FROM g) CROSS JOIN dd),
-             |w1 AS (SELECT g.i, ROUND(CAST(SUM(CAST(g.g * v.v AS DECIMAL(28,12)))
-             |         AS DOUBLE), 8) AS w FROM g JOIN v0 v ON g.j = v.i GROUP BY 1),
-             |n1 AS (SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
-             |         AS DOUBLE)), 8) AS nrm FROM w1),
-             |v1 AS (SELECT i, ROUND(w / nrm, 8) AS v FROM w1 CROSS JOIN n1),
-             |w2 AS (SELECT g.i, ROUND(CAST(SUM(CAST(g.g * v.v AS DECIMAL(28,12)))
-             |         AS DOUBLE), 8) AS w FROM g JOIN v1 v ON g.j = v.i GROUP BY 1),
-             |n2 AS (SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
-             |         AS DOUBLE)), 8) AS nrm FROM w2),
-             |v2 AS (SELECT i, ROUND(w / nrm, 8) AS v FROM w2 CROSS JOIN n2),
-             |w3 AS (SELECT g.i, ROUND(CAST(SUM(CAST(g.g * v.v AS DECIMAL(28,12)))
-             |         AS DOUBLE), 8) AS w FROM g JOIN v2 v ON g.j = v.i GROUP BY 1),
-             |n3 AS (SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
-             |         AS DOUBLE)), 8) AS nrm FROM w3),
-             |v3 AS (SELECT i, ROUND(w / nrm, 8) AS v FROM w3 CROSS JOIN n3),
-             |w4 AS (SELECT g.i, ROUND(CAST(SUM(CAST(g.g * v.v AS DECIMAL(28,12)))
-             |         AS DOUBLE), 8) AS w FROM g JOIN v3 v ON g.j = v.i GROUP BY 1),
-             |n4 AS (SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
-             |         AS DOUBLE)), 8) AS nrm FROM w4),
-             |v4 AS (SELECT i, ROUND(w / nrm, 8) AS v FROM w4 CROSS JOIN n4),
-             |ray AS (SELECT ROUND(CAST(SUM(CAST(g.g * a.v * b.v AS DECIMAL(28,12)))
-             |          AS DOUBLE), 6) AS eigval
-             |        FROM g JOIN v4 a ON g.i = a.i JOIN v4 b ON g.j = b.i)
+      Some(s"""$pcaPowerCtes
              |SELECT CAST(i - 1 AS BIGINT) AS pos, v AS pc, eigval
              |FROM v4 CROSS JOIN ray ORDER BY pos""".stripMargin)),
+
+    // the PROJECTION apply step (dimensionality reduction before indexing /
+    // the whitening front half): every corpus row's coordinate along the
+    // FITTED principal direction, one map-only pass with the packed
+    // component broadcast as literals — fit once, project many, the
+    // load-don't-refit convention. The oracle refits with the shared
+    // unrolled CTE chain and projects via the same unnest-pair dot.
+    ("sim_pca_project",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val comps = Similarity.pcaPowerFit(emb, "embedding", iters = 4)
+          .select(col("pos"), col("pc"))
+        Similarity.pcaProject(emb, comps).orderBy(col("vec_id"))
+      },
+      Some(s"""$pcaPowerCtes,
+             |vp AS (SELECT list(v ORDER BY i) AS varr FROM v4)
+             |SELECT e.vec_id, 0 AS comp,
+             |  ROUND((SELECT SUM(y.a::DOUBLE * y.b)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(p.varr) b) y), 6) AS proj
+             |FROM embeddings e CROSS JOIN vp p
+             |ORDER BY e.vec_id""".stripMargin)),
 
     // RECALL-vs-NPROBE CURVE as an oracle query: the nprobe-selection
     // evidence (RECALL.md / calibrateNprobe) pinned end-to-end — per-query

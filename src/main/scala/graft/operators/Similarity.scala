@@ -1164,6 +1164,38 @@ object Similarity {
     comps.reduce(_ unionByName _)
   }
 
+  /** The PROJECTION apply step: every row's coordinates along FITTED
+    * principal directions ([[pcaPowerFit]] output `(pos, pc)` or
+    * [[pcaTopComponents]] output `(comp, pos, pc)`) — dimensionality
+    * reduction before indexing, the whitening front half. Fit once,
+    * project many: the m×d component matrix is corpus-independent, so it
+    * collects to the driver and broadcasts as packed LITERAL arrays, and
+    * the projection is ONE map-only pass — a sequential-fold dot per
+    * (row, component), no shuffle, no join. Output long-form
+    * `(id, comp, proj)` with `proj` rounded to `projRound`. */
+  def pcaProject(
+      vecs: DataFrame,
+      components: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      projRound: Int = 6): DataFrame = {
+    val withComp =
+      if (components.columns.contains("comp"))
+        components.select(col("comp").cast("int"), col("pos"), col("pc"))
+      else components.select(lit(0).as("comp"), col("pos"), col("pc"))
+    val byComp = withComp.collect()
+      .map(r => (r.getInt(0), r.getAs[Number](1).longValue(), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, rs) => c -> rs.sortBy(_._2).map(_._3) }
+    require(byComp.nonEmpty, "pcaProject needs at least one fitted component")
+    val projCols = byComp.map { case (_, v) =>
+      round(graft.functions.VectorOps.dotHof(col(vecCol),
+        array(v.map(lit(_)): _*)), projRound)
+    }
+    vecs.select(col(idCol),
+      posexplode(array(projCols: _*)).as(Seq("comp", "proj")))
+  }
+
   private def localizeDf(spark: SparkSession, df: DataFrame): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
 

@@ -181,6 +181,36 @@ class EvalSpec extends AnyFunSuite {
         s"comp $c should align with axis $c: ${byComp(c)._1.toList}")
   }
 
+  test("pcaProject recovers planted per-row coordinates for fitted components") {
+    // rows live on axes 0/1 with known magnitudes; projecting onto the
+    // fitted top-2 subspace must recover those magnitudes (up to the
+    // component's sign, which power iteration fixes deterministically)
+    val emb = (0L until 20L).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      if (i % 4 < 2) (i, Array(s * 2.0f, 0.0f, 0.0f))
+      else (i, Array(0.0f, s * 1.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val comps = Similarity.pcaTopComponents(emb, "embedding", m = 2, iters = 10)
+    val got = Similarity.pcaProject(emb, comps)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 40)
+    for (i <- 0L until 20L) {
+      val (p0, p1) = (got((i, 0)), got((i, 1)))
+      if (i % 4 < 2) {
+        assert(math.abs(math.abs(p0) - 2.0) < 1e-3, s"row $i axis-0 coord: $p0")
+        assert(math.abs(p1) < 1e-3, s"row $i should be orthogonal to comp 1: $p1")
+      } else {
+        assert(math.abs(p0) < 1e-3, s"row $i should be orthogonal to comp 0: $p0")
+        assert(math.abs(math.abs(p1) - 1.0) < 1e-3, s"row $i axis-1 coord: $p1")
+      }
+    }
+    // single-direction form (pcaPowerFit output, no comp column) works too
+    val one = Similarity.pcaProject(emb,
+      Similarity.pcaPowerFit(emb, "embedding", iters = 10)
+        .select(col("pos"), col("pc")))
+    assert(one.select(countDistinct(col("comp"))).head().getLong(0) === 1L)
+  }
+
   test("gram artifacts over disjoint batches merge EXACTLY (incremental fit)") {
     val all = (0L until 24L).map(i =>
       (i, Array.tabulate(4)(j => ((i * 5 + j * 7) % 13) / 13.0f)))

@@ -3521,6 +3521,32 @@ object SparkEntry {
       Some("""SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // ZIPF PROFILE (data-card family): the corpus term-frequency power law
+    // — natural text fits ln(freq) ~ s*ln(rank) with s ~ -1; templated or
+    // machine-generated corpora bend the curve, so the fitted slope is a
+    // one-number whole-corpus quality signal. One tokenize pass; the
+    // regression runs over the top-100 terms with decimal-exact sums.
+    ("profile_zipf",
+      (s, dir) =>
+        TextAnalysis.zipfProfile(t(s, dir, "documents"), "text", topK = 100),
+      Some("""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS term
+             |            FROM documents),
+             |tc AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS n_tokens FROM tc),
+             |top AS (SELECT ln(r) AS x, ln(c) AS y FROM (
+             |    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r FROM tc) z
+             |  WHERE r <= 100),
+             |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+             |        CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             |        CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             |        CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             |        CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+             |      FROM top)
+             |SELECT t.n_terms, t.n_tokens,
+             |       ROUND((s.k * s.sxy - s.sx * s.sy) /
+             |             (s.k * s.sxx - s.sx * s.sx), 6) AS zipf_slope
+             |FROM tot t CROSS JOIN s""".stripMargin)),
+
     ("profile_stats",
       (s, dir) => {
         val li = t(s, dir, "lineitem")

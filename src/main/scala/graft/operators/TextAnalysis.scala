@@ -374,4 +374,36 @@ object TextAnalysis {
         // division scale rules differ across engines, double/long doesn't
         (sum(col("__lp").cast("decimal(28,12)")).cast("double") / sum(col("tf")))
           .as("lm_logprob"))
+
+  /** Zipf profile — the term-frequency power-law summary a corpus data
+    * card reports (natural text follows freq ∝ rank^s with s ≈ −1;
+    * machine-generated or templated corpora bend the curve, so the fitted
+    * slope is a cheap whole-corpus quality signal). One tokenize pass into
+    * a vocab-sized count table; the slope is the least-squares fit of
+    * ln(freq) on ln(rank) over the top-`topK` terms — the top-k cut is a
+    * vocab-sized TakeOrdered (freq desc, term asc — deterministic ranks),
+    * and the regression sums are decimal-exact over k rows. Output ONE
+    * row: `(n_terms, n_tokens, zipf_slope)`. */
+  def zipfProfile(
+      docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2 to fit a slope, got $topK")
+    val tc = docs
+      .select(explode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = tc.agg(count(lit(1)).as("n_terms"), sum(col("c")).as("n_tokens"))
+    val w = Window.orderBy(col("c").desc, col("term").asc)
+    val top = GroupShaping.topK(tc, topK, col("c"), col("term"))
+      .withColumn("r", row_number().over(w))
+      .select(log(col("r")).as("x"), log(col("c")).as("y"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    val s = top.agg(count(lit(1)).cast("double").as("k"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"), dsum(col("x") * col("x")).as("sxx"))
+    tot.crossJoin(broadcast(s))
+      .select(col("n_terms"), col("n_tokens"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+  }
 }

@@ -65,7 +65,9 @@ object ScaleProbe {
       "sim_cluster_assign", "f1d_knn_ann_adaptive", "f1e_knn_batch_adaptive",
       "stream_ann_topk", "q35_hybrid_rrf",
       "sim_ivf_range", "sim_ivf_range_batch", "sim_ivf_int8_refine",
-      "sim_range_post_delete", "dedup_semantic_keep_best")
+      "sim_range_post_delete", "dedup_semantic_keep_best",
+      "eval_ann_quality", "eval_recall_curve", "sim_pca_power",
+      "sim_pca_project", "curation_stratified_sample", "profile_zipf")
     // an explicit comma-separated probe list (arg 3) scopes a re-run to the
     // queries under study without re-measuring the whole table
     val probes = if (args.length > 2) args(2).split(",").toSeq else defaultProbes

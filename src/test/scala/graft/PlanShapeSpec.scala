@@ -352,6 +352,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bpeSegment must be map-only:\n$ps")
   }
 
+  test("pcaProject is map-only: packed-literal components, no shuffle, no join") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val comps = Similarity.pcaTopComponents(emb, "embedding", m = 2, iters = 2)
+    val p = plan(Similarity.pcaProject(emb, comps))
+    assert(!p.contains("Exchange"), s"pcaProject must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"pcaProject must not join — components are literals:\n$p")
+  }
+
   test("FULL SWEEP: zero CartesianProduct across every query plan") {
     // VERDICT r6 #2 done-criterion: with dedup_embedding_cosine re-blocked,
     // no query in the suite may plan a CartesianProduct. (Broadcast

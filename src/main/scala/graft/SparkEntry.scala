@@ -3817,7 +3817,26 @@ object SparkEntry {
               / sum(col("n_tok")), 6).as("dedup_rate"),
             round(sum(coalesce(col("is_contam"), lit(0L))) * lit(1.0)
               / count(lit(1)), 6).as("contam_rate"))
-        card.join(rates, Seq("source")).orderBy(col("source"))
+        // per-source Zipf slope (TextAnalysis.zipfProfile grouped by
+        // source): templated sources bend away from the ~-1 power law
+        val wz = Window.partitionBy(col("source"))
+          .orderBy(col("c").desc, col("term").asc)
+        def dsum(c: Column) = sum(c.cast("decimal(28,12)")).cast("double")
+        val zipf = docs
+          .select(col("source"),
+            explode(expr("regexp_extract_all(lower(text), '\\\\w+', 0)")).as("term"))
+          .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+          .withColumn("r", row_number().over(wz)).filter(col("r") <= 100)
+          .select(col("source"), log(col("r")).as("x"), log(col("c")).as("y"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("double").as("k"),
+            dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+            dsum(col("x") * col("y")).as("sxy"), dsum(col("x") * col("x")).as("sxx"))
+          .select(col("source"),
+            round((col("k") * col("sxy") - col("sx") * col("sy")) /
+              (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+        card.join(rates, Seq("source")).join(zipf, Seq("source"))
+          .orderBy(col("source"))
       },
       Some("""WITH d AS (SELECT source, doc_id, lang, n_chars,
              |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tok,
@@ -3868,9 +3887,25 @@ object SparkEntry {
              |rates AS (SELECT source,
              |            ROUND(SUM(dup_tok) * 1.0 / SUM(n_tok), 6) AS dedup_rate,
              |            ROUND(SUM(is_c) * 1.0 / COUNT(*), 6) AS contam_rate
-             |          FROM pd GROUP BY source)
-             |SELECT card.*, rates.dedup_rate, rates.contam_rate
-             |FROM card JOIN rates USING (source)
+             |          FROM pd GROUP BY source),
+             |ztc AS (SELECT source, term, COUNT(*) AS c FROM
+             |         (SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+             |          FROM documents) GROUP BY 1, 2),
+             |ztop AS (SELECT source, ln(r) AS x, ln(c) AS y FROM (
+             |    SELECT source, c, ROW_NUMBER() OVER (
+             |      PARTITION BY source ORDER BY c DESC, term ASC) AS r FROM ztc) z
+             |  WHERE r <= 100),
+             |zs AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS k,
+             |         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             |         CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             |         CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             |         CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+             |       FROM ztop GROUP BY source),
+             |zipf AS (SELECT source, ROUND((k * sxy - sx * sy) /
+             |                              (k * sxx - sx * sx), 6) AS zipf_slope
+             |         FROM zs)
+             |SELECT card.*, rates.dedup_rate, rates.contam_rate, zipf.zipf_slope
+             |FROM card JOIN rates USING (source) JOIN zipf USING (source)
              |ORDER BY source""".stripMargin)),
 
     // Gopher-style repetition gate: per-doc bigram repetition signals

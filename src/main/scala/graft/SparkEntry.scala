@@ -4225,6 +4225,41 @@ object SparkEntry {
              |FROM embeddings e CROSS JOIN vp p
              |ORDER BY e.vec_id""".stripMargin)),
 
+    // PCA-ROTATED two-stage serving (matryoshka's learned-rotation twin
+    // for embeddings without matryoshka training): coarse-rank on the
+    // fitted projection coordinate(s) — m/d of the flops/bytes — then
+    // exact re-score of only the kCoarse shortlist. The oracle walks the
+    // identical chain: refit via the shared CTEs, project corpus + query,
+    // coarse cut at 50 on the rounded projection product, exact top-10
+    // over the shortlist. Exactness at kCoarse >= corpus is spec-pinned.
+    ("sim_pca_refine",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val comps = Similarity.pcaPowerFit(emb, "embedding", iters = 4)
+          .select(col("pos"), col("pc"))
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.pcaCoarseRefineSearch(emb, comps, qv, kCoarse = 50, k = 10)
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some(s"""$pcaPowerCtes,
+             |vp AS (SELECT list(v ORDER BY i) AS varr FROM v4),
+             |pr AS (SELECT e.vec_id,
+             |         ROUND((SELECT SUM(y.a::DOUBLE * y.b)
+             |                FROM (SELECT unnest(e.embedding) a, unnest(p.varr) b) y), 6) AS proj
+             |       FROM embeddings e CROSS JOIN vp p),
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |qp AS (SELECT ROUND((SELECT SUM(y.a::DOUBLE * y.b)
+             |                FROM (SELECT unnest(q.qv) a, unnest(p.varr) b) y), 6) AS qproj
+             |       FROM q CROSS JOIN vp p),
+             |coarse AS (SELECT pr.vec_id, ROUND(pr.proj * qp.qproj, 6) AS cs
+             |           FROM pr CROSS JOIN qp
+             |           ORDER BY cs DESC, vec_id LIMIT 50)
+             |SELECT e.vec_id,
+             |  ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e JOIN coarse c ON c.vec_id = e.vec_id CROSS JOIN q
+             |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin)),
+
     // RECALL-vs-NPROBE CURVE as an oracle query: the nprobe-selection
     // evidence (RECALL.md / calibrateNprobe) pinned end-to-end — per-query
     // recall@10 of the pruned serving path at nprobe = 1, 2, 3 against the

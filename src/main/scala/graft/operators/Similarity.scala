@@ -1178,6 +1178,19 @@ object Similarity {
       components: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
+      projRound: Int = 6): DataFrame =
+    pcaProjectPacked(vecs, components, idCol, vecCol, projRound)
+      .select(col(idCol), posexplode(col("parr")).as(Seq("comp", "proj")))
+
+  /** [[pcaProject]] in PACKED form: `(id, parr ARRAY<DOUBLE>)` with the m
+    * projection coordinates in component order — the shape the coarse
+    * serving stage ([[pcaCoarseRefineSearch]]) scans. Same map-only
+    * packed-literal plan; no generator, no shuffle. */
+  def pcaProjectPacked(
+      vecs: DataFrame,
+      components: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
       projRound: Int = 6): DataFrame = {
     val withComp =
       if (components.columns.contains("comp"))
@@ -1192,8 +1205,51 @@ object Similarity {
       round(graft.functions.VectorOps.dotHof(col(vecCol),
         array(v.map(lit(_)): _*)), projRound)
     }
-    vecs.select(col(idCol),
-      posexplode(array(projCols: _*)).as(Seq("comp", "proj")))
+    vecs.select(col(idCol), array(projCols: _*).as("parr"))
+  }
+
+  /** PCA-ROTATED two-stage serving — [[matryoshkaRefineSearch]]'s
+    * LEARNED-rotation counterpart for embeddings without matryoshka
+    * training: coarse-rank every row on its m fitted projection
+    * coordinates (m/d of the multiply-adds, and m doubles vs d floats of
+    * IO when the packed projections persist as an artifact beside the
+    * cells — the byte economics of the SQ8 path via geometry instead of
+    * quantization), then exact-re-score ONLY the `kCoarse` shortlist from
+    * the full vectors. The projections concentrate variance by
+    * construction, so a small m preserves the coarse ordering far better
+    * than an arbitrary m-slice of raw coordinates. Exact at
+    * `kCoarse >= corpus` (spec-pinned parity with [[knnExact]]); the
+    * cell-pruned composition works exactly like [[ivfInt8RefineSearch]] —
+    * both stages read the probed partitions. `queryDf` = 1-row `(qv)`. */
+  def pcaCoarseRefineSearch(
+      emb: DataFrame,
+      components: DataFrame,
+      queryDf: DataFrame,
+      kCoarse: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      projRound: Int = 6,
+      simRound: Int = 4): DataFrame = {
+    require(kCoarse >= k, s"kCoarse ($kCoarse) must be >= k ($k)")
+    val projs = pcaProjectPacked(emb, components, idCol, vecCol, projRound)
+    val qp = pcaProjectPacked(
+      queryDf.select(lit(0L).as(idCol), col("qv").as(vecCol)),
+      components, idCol, vecCol, projRound)
+      .select(col("parr").as("qparr"))
+    val coarse = GroupShaping.topK(
+      projs.crossJoin(broadcast(qp))
+        .select(col(idCol),
+          round(graft.functions.VectorOps.dotHof(col("parr"), col("qparr")),
+            projRound).as("cs")),
+      kCoarse, col("cs"), col(idCol))
+    GroupShaping.topK(
+      emb.join(coarse.select(col(idCol)), Seq(idCol))
+        .crossJoin(broadcast(queryDf))
+        .select(col(idCol),
+          round(graft.functions.VectorOps.dot(col(vecCol), col("qv")), simRound)
+            .as("score")),
+      k, col("score"), col(idCol))
   }
 
   private def localizeDf(spark: SparkSession, df: DataFrame): DataFrame =

@@ -211,6 +211,31 @@ class EvalSpec extends AnyFunSuite {
     assert(one.select(countDistinct(col("comp"))).head().getLong(0) === 1L)
   }
 
+  test("pcaCoarseRefineSearch is exact at kCoarse >= corpus; coarse cut stays top-k-correct on planted geometry") {
+    val emb = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 11 + j * 3) % 19) / 19.0f)))
+    }.toDF("vec_id", "embedding")
+    val comps = Similarity.pcaTopComponents(emb, "embedding", m = 2, iters = 8)
+    val qv = emb.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val exact = Similarity.knnExact(emb, qv, k = 10)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4))).toList
+    val full = Similarity.pcaCoarseRefineSearch(emb, comps, qv, kCoarse = 50, k = 10)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4))).toList
+    assert(full === exact, "full-coarse two-stage must equal exact top-k")
+    // a tight coarse cut still returns k rows, each with its true score
+    val tight = Similarity.pcaCoarseRefineSearch(emb, comps, qv, kCoarse = 15, k = 10)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4))).toMap
+    assert(tight.size === 10)
+    val exactScores = Similarity.scoreAll(emb, qv)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4))).toMap
+    tight.foreach { case (id, s) =>
+      assert(s === exactScores(id), s"refine stage must re-score exactly: $id")
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.pcaCoarseRefineSearch(emb, comps, qv, kCoarse = 5, k = 10)
+    }
+  }
+
   test("gram artifacts over disjoint batches merge EXACTLY (incremental fit)") {
     val all = (0L until 24L).map(i =>
       (i, Array.tabulate(4)(j => ((i * 5 + j * 7) % 13) / 13.0f)))

@@ -352,6 +352,35 @@ object SparkEntry {
     }
   }
 
+  /** Per-JVM memoized PCA fit over the `embeddings` table — fit ONCE
+    * ([[Similarity.pcaPowerFit]], 4 rounds, the geometry the oracle SQL
+    * unrolls), persist the component table AND the packed per-row
+    * projections; every PCA query reads the artifacts (the
+    * load-don't-refit convention every fitted index here follows). The
+    * projections table is the coarse-serving artifact: m doubles per row
+    * instead of d floats — the byte economics that make the two-stage
+    * path pay at scale. */
+  private[graft] object PcaArtifacts {
+    case class Pca(components: DataFrame, projections: DataFrame)
+    def fit(s: SparkSession, dir: String): Pca = {
+      val p = ArtifactMemo.root(dir, "pca")
+      def read = Pca(
+        components = s.read.parquet(s"$p/components"),
+        projections = s.read.parquet(s"$p/projections"))
+      ArtifactMemo(p) {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pcaPowerFit(emb, "embedding", iters = 4)
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$p/components")
+        Similarity.pcaProjectPacked(emb,
+            s.read.parquet(s"$p/components").select(col("pos"), col("pc")))
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$p/projections")
+        read
+      }(read)
+    }
+  }
+
   /** Skew-mitigated IVF layout (VERDICT r6 #7): a DELIBERATELY skewed cell
     * assignment — 80% of the corpus in cell 0, the Zipf-ish hot-cell shape
     * real embeddings produce — split by
@@ -4198,8 +4227,7 @@ object SparkEntry {
     // mirrored step-for-step in the oracle like the kmeans Lloyd CTEs.
     ("sim_pca_power",
       (s, dir) =>
-        Similarity.pcaPowerFit(t(s, dir, "embeddings"), "embedding", iters = 4)
-          .orderBy(col("pos")),
+        PcaArtifacts.fit(s, dir).components.orderBy(col("pos")),
       Some(s"""$pcaPowerCtes
              |SELECT CAST(i - 1 AS BIGINT) AS pos, v AS pc, eigval
              |FROM v4 CROSS JOIN ray ORDER BY pos""".stripMargin)),
@@ -4211,12 +4239,12 @@ object SparkEntry {
     // load-don't-refit convention. The oracle refits with the shared
     // unrolled CTE chain and projects via the same unnest-pair dot.
     ("sim_pca_project",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val comps = Similarity.pcaPowerFit(emb, "embedding", iters = 4)
-          .select(col("pos"), col("pc"))
-        Similarity.pcaProject(emb, comps).orderBy(col("vec_id"))
-      },
+      (s, dir) =>
+        // serving reads the PERSISTED packed projections — zero fit or
+        // projection jobs at query time (load-don't-refit)
+        PcaArtifacts.fit(s, dir).projections
+          .select(col("vec_id"), posexplode(col("parr")).as(Seq("comp", "proj")))
+          .orderBy(col("vec_id")),
       Some(s"""$pcaPowerCtes,
              |vp AS (SELECT list(v ORDER BY i) AS varr FROM v4)
              |SELECT e.vec_id, 0 AS comp,
@@ -4234,11 +4262,12 @@ object SparkEntry {
     // over the shortlist. Exactness at kCoarse >= corpus is spec-pinned.
     ("sim_pca_refine",
       (s, dir) => {
+        val pca = PcaArtifacts.fit(s, dir)
         val emb = t(s, dir, "embeddings")
-        val comps = Similarity.pcaPowerFit(emb, "embedding", iters = 4)
-          .select(col("pos"), col("pc"))
         val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-        Similarity.pcaCoarseRefineSearch(emb, comps, qv, kCoarse = 50, k = 10)
+        Similarity.pcaCoarseRefineSearch(emb,
+            pca.components.select(col("pos"), col("pc")), qv,
+            kCoarse = 50, k = 10, projections = Some(pca.projections))
           .orderBy(col("score").desc, col("vec_id"))
       },
       Some(s"""$pcaPowerCtes,

@@ -1230,9 +1230,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       projRound: Int = 6,
-      simRound: Int = 4): DataFrame = {
+      simRound: Int = 4,
+      projections: Option[DataFrame] = None): DataFrame = {
     require(kCoarse >= k, s"kCoarse ($kCoarse) must be >= k ($k)")
-    val projs = pcaProjectPacked(emb, components, idCol, vecCol, projRound)
+    // production passes the PERSISTED packed projections (m doubles/row
+    // read instead of d floats — the artifact's whole point); the inline
+    // projection is the build-it-on-the-fly fallback and parity oracle
+    val projs = projections.getOrElse(
+      pcaProjectPacked(emb, components, idCol, vecCol, projRound))
     val qp = pcaProjectPacked(
       queryDf.select(lit(0L).as(idCol), col("qv").as(vecCol)),
       components, idCol, vecCol, projRound)

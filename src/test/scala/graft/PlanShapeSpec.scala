@@ -352,6 +352,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bpeSegment must be map-only:\n$ps")
   }
 
+  test("PCA serving reads persisted artifacts: no fit, no corpus projection at query time") {
+    // sim_pca_project must scan ONLY the pca artifacts — a corpus scan or
+    // a decimal Gram aggregate in the plan means the query is refitting
+    val p = plan(q("sim_pca_project"))
+    assert(!p.contains("embeddings.parquet"),
+      s"projection serving must not rescan the corpus:\n$p")
+    assert(p.contains("/pca/"), s"must read the pca artifact store:\n$p")
+    // the two-stage refine scans the packed projections artifact for its
+    // coarse stage (plus the corpus for the exact refine of the shortlist)
+    val pr = plan(q("sim_pca_refine"))
+    assert(pr.contains("/pca/"), s"coarse stage must read persisted projections:\n$pr")
+  }
+
   test("pcaProject is map-only: packed-literal components, no shuffle, no join") {
     import graft.operators.Similarity
     val emb = Tables(spark, TestSpark.sfDir, "embeddings")

@@ -1112,12 +1112,24 @@ object Similarity {
       vecs: DataFrame,
       vecCol: String = "embedding",
       iters: Int = 6,
+      coordRound: Int = 8): DataFrame =
+    pcaPowerFitFromGram(gramMatrix(vecs, vecCol, coordRound), iters, coordRound)
+
+  /** [[pcaPowerFit]] from an ALREADY-COMPUTED rounded Gram `(i, j, g)` —
+    * the entry the incremental store uses:
+    * `pcaPowerFitFromGram(roundGram(IncrementalIndex.loadGram(...)))`
+    * refreshes the components from d² accumulated rows with ZERO corpus
+    * reads. Identical trajectory to the one-shot fit by construction —
+    * the Gram is the fit's only corpus-dependent input. */
+  def pcaPowerFitFromGram(
+      gram: DataFrame,
+      iters: Int = 6,
       coordRound: Int = 8): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val spark = vecs.sparkSession
+    val spark = gram.sparkSession
     // d² rows — corpus-independent artifact scale; localizing severs the
     // corpus lineage so the iteration jobs never re-enter the scan
-    val g = localizeDf(spark, gramMatrix(vecs, vecCol, coordRound))
+    val g = localizeDf(spark, gram)
     val (v, ray) = powerIterate(g, iters, coordRound)
     v.crossJoin(broadcast(ray))
       .select(col("i").cast("long").as("pos"), col("v").as("pc"), col("eigval"))

@@ -1156,6 +1156,51 @@ object IncrementalIndex {
     q.awaitTermination()
   }
 
+  /** INCREMENTAL GRAM (moment-matrix) MAINTENANCE — the streaming form of
+    * [[graft.operators.Similarity.gramMatrixRaw]]: each maintenance run
+    * computes the batch-LOCAL raw Gram of the newly landed vectors ONLY
+    * and writes it as this batch's `batch_id=` partition of
+    * `indexDir/gram`. Decimal sums are exact and associative
+    * ([[graft.operators.Similarity.mergeGramRaw]], spec-pinned), so the
+    * accumulated store reads back ([[loadGram]]) as the BIT-EXACT Gram of
+    * every vector ever landed, and a PCA refresh
+    * ([[graft.operators.Similarity.pcaPowerFitFromGram]]) runs from d²
+    * accumulated rows with ZERO re-reads of old batches — the moment
+    * matrix joins cells/codes/histograms as an incrementally-maintained
+    * artifact. Replay-idempotent: the batch-local Gram is a pure function
+    * of the batch, and a crashed attempt's partition is dynamically
+    * overwritten by its replay. Store growth is d² rows per batch;
+    * compaction = replacing all partitions with their [[loadGram]] merge
+    * (exact, any time). */
+  def updateGram(
+      spark: SparkSession,
+      landingDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      vecCol: String = "embedding"): Unit = {
+    val gramDir = s"$indexDir/gram"
+    val schema = spark.read.parquet(landingDir).schema
+    val src = spark.readStream.schema(schema).parquet(landingDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.operators.Similarity.gramMatrixRaw(batch, vecCol),
+          batchId, gramDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The merged raw-Gram view of the accumulated [[updateGram]] store: one
+    * (d×d)-key decimal re-sum over the batch partitions — exactly
+    * [[graft.operators.Similarity.mergeGramRaw]] applied to the store. */
+  def loadGram(spark: SparkSession, gramDir: String): DataFrame =
+    graft.operators.Similarity.mergeGramRaw(Seq(
+      spark.read.parquet(gramDir).drop("batch_id")))
+
   /** Streaming ANN SERVING — the online half of the build/serve split: a
     * stream of query vectors `(query_id LONG, qv ARRAY<FLOAT>)` lands in
     * `queryLandingDir` and every micro-batch is answered from the PERSISTED

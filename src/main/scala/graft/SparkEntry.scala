@@ -2680,6 +2680,39 @@ object SparkEntry {
              |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS next_type
              |FROM e ORDER BY user_id, event_id""".stripMargin)),
 
+    // EXPONENTIAL TIME-DECAY scoring (the recency-weighted feature op of
+    // behavioral pipelines): per user, Σ value·exp(-λ·Δt) with Δt measured
+    // back from the user's LAST purchase, λ = ln2/3600 (1-hour half-life,
+    // passed as an identical decimal literal to both engines — no
+    // transcendental λ derivation to diverge). Each exp() result rounds to
+    // 8 before the product so a last-ulp libm difference cannot straddle
+    // the decimal-sum quantization grid; the per-user sum is decimal-exact.
+    ("w4_time_decay",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+        t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .withColumn("__t", unix_micros(col("ts")))
+          .withColumn("__tmax", max(col("__t")).over(w))
+          .withColumn("__term",
+            (col("value") * round(exp(lit(-1.9254088348e-4) *
+              ((col("__tmax") - col("__t")) / lit(1e6))), 8))
+              .cast("decimal(28,12)"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum(col("__term")).cast("double"), 6).as("decayed_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |          FROM events WHERE event_type = 'purchase'),
+             |m AS (SELECT user_id, value, t,
+             |        MAX(t) OVER (PARTITION BY user_id) AS tmax FROM e)
+             |SELECT user_id, COUNT(*) AS n_purchases,
+             |  ROUND(CAST(SUM(CAST(value * ROUND(
+             |      exp(-0.00019254088348 * ((tmax - t) / 1000000.0)), 8)
+             |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS decayed_value
+             |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- text analysis (training-data pipeline extension) -----------------
 
     ("text_langid",

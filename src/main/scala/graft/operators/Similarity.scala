@@ -1279,7 +1279,13 @@ object Similarity {
   private def powerIterate(
       g: DataFrame, iters: Int, coordRound: Int): (DataFrame, DataFrame) = {
     val spark = g.sparkSession
-    val d = g.agg(max(col("i"))).head().getInt(0) + 1
+    val maxI = g.agg(max(col("i"))).head()
+    // an empty Gram (empty/null-vector corpus) would otherwise surface as
+    // an opaque NPE out of the null max — fail with the actual problem
+    require(!maxI.isNullAt(0),
+      "power iteration needs a non-empty Gram — fit on an empty or " +
+        "all-null-vector corpus has no spectrum")
+    val d = maxI.getInt(0) + 1
     var v = localizeDf(spark, g.select(col("i")).distinct()
       .select(col("i"), round(lit(1.0) / sqrt(lit(d.toDouble)), coordRound).as("v")))
     for (_ <- 1 to iters) {

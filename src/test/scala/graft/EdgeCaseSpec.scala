@@ -102,4 +102,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(twice(1L) / twice(2L) > once(1L) / once(2L))
     assert(twice(2L) < once(2L))
   }
+
+  test("PCA fit on an empty corpus fails with the actual problem, not an NPE") {
+    import graft.operators.Similarity
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaPowerFit(emptyVecs, "embedding", iters = 2)
+    }
+    assert(e.getMessage.contains("non-empty Gram"))
+    // empty Gram frame through the artifact entry fails the same way
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pcaPowerFitFromGram(
+        Similarity.gramMatrix(emptyVecs, "embedding"), iters = 2)
+    }
+    assert(e2.getMessage.contains("non-empty Gram"))
+  }
+
+  test("zipfProfile on an empty corpus returns one all-null summary row, not an error") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.zipfProfile(emptyDocs, "text").collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === 0L)        // n_terms
+    assert(got.head.isNullAt(2))              // zipf_slope: no terms, no slope
+  }
 }

@@ -4253,6 +4253,67 @@ object SparkEntry {
              |LEFT JOIN perq p USING (query_id) CROSS JOIN idcg i
              |ORDER BY query_id""".stripMargin)),
 
+    // KENDALL-TAU rank agreement between the pruned-ANN and exact
+    // rankings — the ORDER metric recall cannot see (two lists can share
+    // all items yet order them oppositely; re-ranker evaluations need
+    // exactly this). Pairs are classified over the intersection of the
+    // two top-10 lists; every stage is k-bounded.
+    ("eval_rank_corr",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val ann = Eval.ranked(
+          Similarity.ivfSearchBatchPruned(idx.cells, idx.centroids, queries,
+            nprobe = 2, k = 10),
+          "query_id", "vec_id", "sim")
+        val exact = Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
+          "query_id", "vec_id", "sim")
+        Eval.rankCorrelation(ann, exact).orderBy(col("query_id"))
+      },
+      Some(s"""$ivfCellCtes,
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
+             |scored AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN probe p ON p.cluster = a3.cluster
+             |  JOIN qs q ON q.query_id = p.query_id),
+             |ann AS (SELECT query_id, vec_id, rn AS ra FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored) x
+             |  WHERE rn <= 10),
+             |exact AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e CROSS JOIN qs q),
+             |ext AS (SELECT query_id, vec_id, rn AS rb FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM exact) x
+             |  WHERE rn <= 10),
+             |bothr AS (SELECT a.query_id, a.vec_id, a.ra, e.rb
+             |          FROM ann a JOIN ext e USING (query_id, vec_id)),
+             |mm AS (SELECT query_id, COUNT(*) AS m FROM bothr GROUP BY 1),
+             |prs AS (SELECT x.query_id,
+             |          CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0 THEN 1 ELSE 0 END AS conc
+             |        FROM bothr x JOIN bothr y
+             |          ON x.query_id = y.query_id AND x.vec_id < y.vec_id),
+             |cd AS (SELECT query_id, CAST(SUM(conc) AS BIGINT) AS c,
+             |         CAST(COUNT(*) - SUM(conc) AS BIGINT) AS d FROM prs GROUP BY 1)
+             |SELECT m.query_id, m.m,
+             |  CASE WHEN m.m >= 2 THEN
+             |    ROUND((cd.c - cd.d) / (m.m * (m.m - 1) / 2.0), 6) END AS kendall_tau
+             |FROM mm m LEFT JOIN cd USING (query_id)
+             |ORDER BY m.query_id""".stripMargin)),
+
     // PCA TOP COMPONENT by power iteration over the one-corpus-pass Gram
     // matrix: G entries are decimal-exact round-8 sums; the 4 unrolled
     // iteration rounds (matvec -> norm -> normalize, every intermediate

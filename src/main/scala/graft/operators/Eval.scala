@@ -41,6 +41,38 @@ object Eval {
     results.withColumn("rank", row_number().over(w))
   }
 
+  /** Per-query KENDALL-TAU rank correlation between two rankings of the
+    * same queries — the ORDER-agreement metric recall cannot see (two
+    * result sets can share all k items yet order them oppositely; a
+    * re-ranker evaluation needs exactly this signal). Computed over the
+    * intersection of the two lists (items both sides ranked): all
+    * `m(m-1)/2` pairs are classified concordant/discordant and
+    * `tau = (C - D) / (m(m-1)/2)`. Integer pair counts, one rounded
+    * division at the end; `m < 2` yields NULL (no pair to agree on), not
+    * a division artifact. Everything is k-bounded — the pair join is at
+    * most k² rows per query, never corpus-scale. */
+  def rankCorrelation(a: DataFrame, b: DataFrame,
+      queryCol: String = "query_id", idCol: String = "vec_id"): DataFrame = {
+    val both = a.select(col(queryCol), col(idCol), col("rank").as("__ra"))
+      .join(b.select(col(queryCol), col(idCol), col("rank").as("__rb")),
+        Seq(queryCol, idCol))
+    val m = both.groupBy(col(queryCol)).agg(count(lit(1)).as("m"))
+    val pairs = both.as("x").join(both.as("y"),
+        col(s"x.$queryCol") === col(s"y.$queryCol") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$queryCol").as(queryCol),
+        when((col("x.__ra") - col("y.__ra")) * (col("x.__rb") - col("y.__rb")) > 0,
+          1L).otherwise(0L).as("__conc"))
+    val cd = pairs.groupBy(col(queryCol))
+      .agg(sum(col("__conc")).as("__c"),
+        (count(lit(1)) - sum(col("__conc"))).as("__d"))
+    m.join(cd, Seq(queryCol), "left")
+      .select(col(queryCol), col("m"),
+        when(col("m") >= 2,
+          round((col("__c") - col("__d")) /
+            (col("m") * (col("m") - 1) / lit(2.0)), 6)).as("kendall_tau"))
+  }
+
   /** Per-query recall@k, MRR@k, and (binary-gain) nDCG@k of `ann` against
     * `truth`. Inputs are `(query_id, vec_id, rank)` frames ([[ranked]]);
     * `truth` holds the exact top-k — every truth row is relevant, so

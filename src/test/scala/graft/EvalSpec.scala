@@ -148,6 +148,25 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(eig - 30.0) < 1.0, s"eigval ~ n for unit axis rows, got $eig")
   }
 
+  test("rankCorrelation: identical order -> 1, reversed -> -1, m<2 -> null") {
+    val fwd = ranked(1L -> 10L, 1L -> 11L, 1L -> 12L, 1L -> 13L)
+    val rev = ranked(1L -> 13L, 1L -> 12L, 1L -> 11L, 1L -> 10L)
+    val same = Eval.rankCorrelation(fwd, fwd).collect().head
+    assert(same.getAs[Long]("m") === 4L)
+    assert(same.getAs[Double]("kendall_tau") === 1.0)
+    val opp = Eval.rankCorrelation(fwd, rev).collect().head
+    assert(opp.getAs[Double]("kendall_tau") === -1.0)
+    // single shared item: correlation undefined, NULL not NaN/Inf
+    val one = Eval.rankCorrelation(
+      ranked(2L -> 10L), ranked(2L -> 10L)).collect().head
+    assert(one.getAs[Long]("m") === 1L)
+    assert(one.isNullAt(one.fieldIndex("kendall_tau")))
+    // partial agreement: fwd vs one adjacent swap = 1 - 2*1/(4*3/2) = 2/3
+    val swap = ranked(1L -> 10L, 1L -> 12L, 1L -> 11L, 1L -> 13L)
+    val part = Eval.rankCorrelation(fwd, swap).collect().head
+    assert(math.abs(part.getAs[Double]("kendall_tau") - 2.0 / 3.0) < 1e-6)
+  }
+
   test("pcaTopComponents: orthogonal components, non-increasing eigenvalues") {
     // three scaled axes: eigenvalues ~ 40*1, 40*0.25, 40*0.04
     val emb = (0L until 40L).map { i =>

@@ -4162,6 +4162,55 @@ object SparkEntry {
              |       cum_before % 256 AS offset_tokens
              |FROM c ORDER BY source, doc_id""".stripMargin)),
 
+    // CCNET PERPLEXITY BUCKETS (Wenzek et al. 2020): per language, rank
+    // docs by the ARTIFACT-FED LM quality score and cut head/middle/tail
+    // terciles with integer-exact boundaries — the split CCNet publishes
+    // its corpus in, and the precursor of perplexity-filtered training
+    // mixes. Scoring reads the persisted postings artifacts (zero
+    // tokenize); the oracle re-derives the LM, the ranking, and the
+    // tercile arithmetic.
+    ("curation_ccnet_buckets",
+      (s, dir) => {
+        val lm = SparseArtifacts.lm(s, dir)
+        val scored = TextAnalysis.lmQualityFromModel(
+          SparseArtifacts.bigram(s, dir).postings
+            .select(col("id"), col("term").as("ngram"), col("tf")),
+          lm.bgCounts, lm.uniCounts, lm.vocab)
+          .select(col("id"), round(col("lm_logprob"), 6).as("lp"))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("lang"))
+        Curation.perplexityBuckets(docs.join(scored, Seq("id")),
+            "lang", "lp", "id")
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(min(col("lp")), 6).as("min_lp"),
+            round(max(col("lp")), 6).as("max_lp"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some("""WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '\w+') AS toks
+             |            FROM documents),
+             |i2 AS (SELECT id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tok),
+             |bg AS (SELECT id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS ngram FROM i2),
+             |bgc AS (SELECT ngram, COUNT(*) AS c_bg FROM bg GROUP BY 1),
+             |uni AS (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS term FROM documents),
+             |unic AS (SELECT term, COUNT(*) AS c_uni FROM uni GROUP BY 1),
+             |vv AS (SELECT COUNT(DISTINCT term) AS v FROM uni),
+             |lp AS (SELECT id,
+             |  ROUND(CAST(SUM(CAST(LN((c_bg + 1.0) / (c_uni + v)) AS DECIMAL(28,12))) AS DOUBLE)
+             |        / COUNT(*), 6) AS lp
+             |  FROM bg JOIN bgc USING (ngram) JOIN unic ON unic.term = bg.w1 CROSS JOIN vv
+             |  GROUP BY id),
+             |dl AS (SELECT d.doc_id AS id, d.lang, lp.lp
+             |       FROM documents d JOIN lp ON lp.id = d.doc_id),
+             |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lp DESC, id) AS r,
+             |         COUNT(*) OVER (PARTITION BY lang) AS n FROM dl),
+             |bk AS (SELECT lang, lp, CASE WHEN r <= (n + 2) // 3 THEN 'head'
+             |                             WHEN r <= (2 * n + 2) // 3 THEN 'middle'
+             |                             ELSE 'tail' END AS bucket FROM rk)
+             |SELECT lang, bucket, COUNT(*) AS n_docs,
+             |       ROUND(MIN(lp), 6) AS min_lp, ROUND(MAX(lp), 6) AS max_lp
+             |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
+
     // EXACT-QUOTA stratified sampling: every lang stratum contributes
     // exactly ceil(n_lang * 20%) rows by hash rank — per-stratum
     // proportions are preserved by construction (hashSample's per-row coin

@@ -238,6 +238,30 @@ object Curation {
       .drop("cum_before")
   }
 
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020 §4.4: the
+    * head/middle/tail split CCNet publishes its corpus in): per group
+    * (language), rank docs by LM quality — higher `scoreCol` (log-prob) =
+    * lower perplexity = "head" — and cut into terciles with INTEGER-exact
+    * boundaries (`ceil(n/3)` as `(n+2) div 3`; no float percentile to
+    * diverge). Ranking uses the ROUNDED score plus an id tiebreak, so
+    * bucket membership is deterministic and engine-portable. One ranking
+    * window per group, same scale shape as [[stratifiedSample]]. Adds a
+    * `bucket` column ('head' | 'middle' | 'tail'). */
+  def perplexityBuckets(
+      scored: DataFrame, byCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byCol)).orderBy(col(scoreCol).desc, col(idCol).asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(byCol))
+    scored.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("bucket",
+        when(col("__rk") <= expr("(__n + 2) div 3"), lit("head"))
+          .when(col("__rk") <= expr("(2 * __n + 2) div 3"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__rk", "__n")
+  }
+
   /** EXACT-QUOTA stratified sampling: each stratum contributes exactly
     * `ceil(n_s * fracBp / 10000)` rows — the per-stratum proportions of the
     * output match the corpus per-stratum proportions by construction, where

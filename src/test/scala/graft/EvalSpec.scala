@@ -117,6 +117,22 @@ class EvalSpec extends AnyFunSuite {
     assert(keptTail === grownTail)
   }
 
+  test("perplexityBuckets: integer-exact terciles, best scores land in head") {
+    // n=7 per group: head = ceil(7/3) = 3, middle = ceil(14/3) - 3 = 2, tail = 2
+    val scored = (0L until 7L).map(i => (i, "en", 10.0 - i))
+      .toDF("id", "lang", "lp")
+    val got = Curation.perplexityBuckets(scored, "lang", "lp", "id")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("bucket")).toMap
+    assert((0L to 2L).forall(got(_) == "head"))
+    assert((3L to 4L).forall(got(_) == "middle"))
+    assert((5L to 6L).forall(got(_) == "tail"))
+    // groups bucket independently; a 1-doc group is all head
+    val two = Curation.perplexityBuckets(
+      scored.union(Seq((99L, "de", 1.0)).toDF("id", "lang", "lp")),
+      "lang", "lp", "id")
+    assert(two.filter(col("lang") === "de").head().getAs[String]("bucket") === "head")
+  }
+
   test("stratifiedSample: fracBp bounds enforced; 10000 keeps everything") {
     val docs = (0L until 9L).map(i => (i, "x")).toDF("doc_id", "lang")
     assertThrows[IllegalArgumentException] {

@@ -4302,6 +4302,49 @@ object SparkEntry {
              |LEFT JOIN perq p USING (query_id) CROSS JOIN idcg i
              |ORDER BY query_id""".stripMargin)),
 
+    // batch PCA two-stage serving: three queries coarse-rank against the
+    // PERSISTED packed projections in one pass (per-query kCoarse bounded
+    // through the TopKAggregator before any shuffle), one exact refine of
+    // the union of shortlists — the batch economics every other serving
+    // family already has, on the learned-rotation path.
+    ("sim_pca_refine_batch",
+      (s, dir) => {
+        val pca = PcaArtifacts.fit(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        Similarity.pcaCoarseRefineSearchBatch(emb,
+            pca.components.select(col("pos"), col("pc")), queries,
+            kCoarse = 30, k = 5, projections = Some(pca.projections))
+          .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+      },
+      Some(s"""$pcaPowerCtes,
+             |vp AS (SELECT list(v ORDER BY i) AS varr FROM v4),
+             |pr AS (SELECT e.vec_id,
+             |         ROUND((SELECT SUM(y.a::DOUBLE * y.b)
+             |                FROM (SELECT unnest(e.embedding) a, unnest(p.varr) b) y), 6) AS proj
+             |       FROM embeddings e CROSS JOIN vp p),
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2)),
+             |qp AS (SELECT q.query_id,
+             |         ROUND((SELECT SUM(y.a::DOUBLE * y.b)
+             |                FROM (SELECT unnest(q.qv) a, unnest(p.varr) b) y), 6) AS qproj
+             |       FROM qs q CROSS JOIN vp p),
+             |coarse AS (SELECT query_id, vec_id FROM (
+             |    SELECT qp.query_id, pr.vec_id,
+             |      ROW_NUMBER() OVER (PARTITION BY qp.query_id
+             |        ORDER BY ROUND(pr.proj * qp.qproj, 6) DESC, pr.vec_id) AS rn
+             |    FROM pr CROSS JOIN qp) x WHERE rn <= 30),
+             |sc AS (SELECT c.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM coarse c JOIN embeddings e ON e.vec_id = c.vec_id
+             |  JOIN qs q ON q.query_id = c.query_id),
+             |rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (
+             |         PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sc)
+             |SELECT query_id, vec_id, sim FROM rk WHERE rn <= 5
+             |ORDER BY query_id, sim DESC, vec_id""".stripMargin)),
+
     // KENDALL-TAU rank agreement between the pruned-ANN and exact
     // rankings — the ORDER metric recall cannot see (two lists can share
     // all items yet order them oppositely; re-ranker evaluations need

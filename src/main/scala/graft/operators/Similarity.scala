@@ -1269,6 +1269,47 @@ object Similarity {
       k, col("score"), col(idCol))
   }
 
+  /** Batch form of [[pcaCoarseRefineSearch]]: every query of a broadcast
+    * `(query_id, qv)` batch coarse-ranks against the (persisted) packed
+    * projections in ONE pass — each corpus row's m-dot is evaluated per
+    * query, per-query kCoarse bounded through the
+    * [[graft.functions.TopKAggregator]] BEFORE any shuffle — and the
+    * exact refine joins only the union of shortlists back to the full
+    * vectors. Same batch economics as [[ivfSearchBatchPruned]] /
+    * [[ivfPqSearchBatchPruned]]. */
+  def pcaCoarseRefineSearchBatch(
+      emb: DataFrame,
+      components: DataFrame,
+      queries: DataFrame,
+      kCoarse: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      projRound: Int = 6,
+      simRound: Int = 4,
+      projections: Option[DataFrame] = None): DataFrame = {
+    require(kCoarse >= k, s"kCoarse ($kCoarse) must be >= k ($k)")
+    val projs = projections.getOrElse(
+      pcaProjectPacked(emb, components, idCol, vecCol, projRound))
+    val qp = pcaProjectPacked(
+      queries.select(col("query_id"), col("qv").as(vecCol)),
+      components, "query_id", vecCol, projRound)
+      .select(col("query_id"), col("parr").as("__qparr"))
+    val coarse = topKPerQuery(
+      projs.crossJoin(broadcast(qp))
+        .select(col("query_id"), col(idCol),
+          round(graft.functions.VectorOps.dotHof(col("parr"), col("__qparr")),
+            projRound).as("cs")),
+      kCoarse, idCol, "cs")
+    topKPerQuery(
+      emb.join(coarse.select(col("query_id"), col(idCol)), Seq(idCol))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          round(graft.functions.VectorOps.dot(col(vecCol), col("qv")), simRound)
+            .as("sim")),
+      k, idCol, "sim")
+  }
+
   private def localizeDf(spark: SparkSession, df: DataFrame): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
 

@@ -1201,6 +1201,56 @@ object IncrementalIndex {
     graft.operators.Similarity.mergeGramRaw(Seq(
       spark.read.parquet(gramDir).drop("batch_id")))
 
+  /** INCREMENTAL PROJECTION maintenance — the apply-side twin of
+    * [[updateGram]]: each maintenance run projects ONLY the newly landed
+    * vectors onto the FROZEN fitted components
+    * ([[graft.operators.Similarity.pcaProjectPacked]] — map-only,
+    * packed-literal) and lands the packed rows as this batch's
+    * `batch_id=` partition of `indexDir/projections`, so the coarse
+    * serving artifact ([[graft.operators.Similarity.pcaCoarseRefineSearch]]'s
+    * `projections` input) stays current without re-projecting old
+    * batches. The components are pinned at call time — per-row output is
+    * a pure function of (row, components), so replay overwrites are
+    * idempotent and the accumulated store equals the one-shot projection
+    * of everything landed (spec-pinned). After a REFIT (components
+    * change), rebuild the store — the same full-rebuild boundary the
+    * codebook drift gate draws for PQ codes. */
+  def updateProjections(
+      spark: SparkSession,
+      landingDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      components: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val projDir = s"$indexDir/projections"
+    // collect ONCE — inside foreachBatch the components frame would
+    // re-localize per batch, and a concurrent refit could change it
+    // mid-run, splitting the store across two geometries
+    val frozen = components.sparkSession.createDataFrame(
+      java.util.Arrays.asList(components.collect(): _*), components.schema)
+    val schema = spark.read.parquet(landingDir).schema
+    val src = spark.readStream.schema(schema).parquet(landingDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.operators.Similarity.pcaProjectPacked(
+            batch, frozen, idCol, vecCol),
+          batchId, projDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The accumulated [[updateProjections]] store as one packed-projection
+    * relation (`batch_id` dropped — serving does not care which run
+    * landed a row). */
+  def loadProjections(spark: SparkSession, projDir: String): DataFrame =
+    spark.read.parquet(projDir).drop("batch_id")
+
   /** Streaming ANN SERVING — the online half of the build/serve split: a
     * stream of query vectors `(query_id LONG, qv ARRAY<FLOAT>)` lands in
     * `queryLandingDir` and every micro-batch is answered from the PERSISTED

@@ -55,4 +55,35 @@ class IncrementalGramSpec extends AnyFunSuite {
     val after = gmap(IncrementalIndex.loadGram(spark, s"$index/gram"))
     assert(after.forall { case (k, v) => v.compareTo(store(k)) == 0 })
   }
+
+  test("incremental projections equal the one-shot projection of everything landed") {
+    val landing = java.nio.file.Files.createTempDirectory("graft_ipr_land").toString
+    val index = java.nio.file.Files.createTempDirectory("graft_ipr_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ipr_ck").toString
+    val all = vecs(0 until 50)
+    val comps = Similarity.pcaTopComponents(all, "embedding", m = 2, iters = 6)
+
+    vecs(0 until 30).write.mode("append").parquet(landing)
+    IncrementalIndex.updateProjections(spark, landing, index, ckpt, comps)
+    vecs(30 until 50).write.mode("append").parquet(landing)
+    IncrementalIndex.updateProjections(spark, landing, index, ckpt, comps)
+
+    def pmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    val store = pmap(IncrementalIndex.loadProjections(spark, s"$index/projections"))
+    val oneShot = pmap(Similarity.pcaProjectPacked(all, comps))
+    assert(store === oneShot)
+    // the accumulated store serves the two-stage path identically to the
+    // inline projection
+    val qv = all.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+    val viaStore = Similarity.pcaCoarseRefineSearch(all,
+        comps.select(col("comp"), col("pos"), col("pc")), qv, kCoarse = 20, k = 5,
+        projections = Some(
+          IncrementalIndex.loadProjections(spark, s"$index/projections")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val inline = Similarity.pcaCoarseRefineSearch(all,
+        comps.select(col("comp"), col("pos"), col("pc")), qv, kCoarse = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(viaStore === inline)
+  }
 }

@@ -4345,6 +4345,67 @@ object SparkEntry {
              |SELECT query_id, vec_id, sim FROM rk WHERE rn <= 5
              |ORDER BY query_id, sim DESC, vec_id""".stripMargin)),
 
+    // measured quality of the PCA two-stage path — every approximate
+    // serving family here gets an eval query (IVF has eval_ann_quality /
+    // eval_recall_curve); this one scores the learned-rotation coarse cut:
+    // recall@10 of coarse(kCoarse=20) -> exact-refine vs the exact top-10.
+    ("eval_pca_recall",
+      (s, dir) => {
+        val pca = PcaArtifacts.fit(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val approx = Eval.ranked(
+          Similarity.pcaCoarseRefineSearchBatch(emb,
+            pca.components.select(col("pos"), col("pc")), queries,
+            kCoarse = 20, k = 10, projections = Some(pca.projections)),
+          "query_id", "vec_id", "sim")
+        val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
+          "query_id", "vec_id", "sim")
+        Eval.annQuality(approx, truth, k = 10)
+          .select(col("query_id"), col("n_hit"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""$pcaPowerCtes,
+             |vp AS (SELECT list(v ORDER BY i) AS varr FROM v4),
+             |pr AS (SELECT e.vec_id,
+             |         ROUND((SELECT SUM(y.a::DOUBLE * y.b)
+             |                FROM (SELECT unnest(e.embedding) a, unnest(p.varr) b) y), 6) AS proj
+             |       FROM embeddings e CROSS JOIN vp p),
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2)),
+             |qp AS (SELECT q.query_id,
+             |         ROUND((SELECT SUM(y.a::DOUBLE * y.b)
+             |                FROM (SELECT unnest(q.qv) a, unnest(p.varr) b) y), 6) AS qproj
+             |       FROM qs q CROSS JOIN vp p),
+             |coarse AS (SELECT query_id, vec_id FROM (
+             |    SELECT qp.query_id, pr.vec_id,
+             |      ROW_NUMBER() OVER (PARTITION BY qp.query_id
+             |        ORDER BY ROUND(pr.proj * qp.qproj, 6) DESC, pr.vec_id) AS rn
+             |    FROM pr CROSS JOIN qp) x WHERE rn <= 20),
+             |sc AS (SELECT c.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM coarse c JOIN embeddings e ON e.vec_id = c.vec_id
+             |  JOIN qs q ON q.query_id = c.query_id),
+             |approx AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sc) x
+             |  WHERE rn <= 10),
+             |exact AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e CROSS JOIN qs q),
+             |truth AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM exact) x
+             |  WHERE rn <= 10),
+             |h AS (SELECT t.query_id, COUNT(a.vec_id) AS n_hit FROM truth t
+             |      LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+             |      GROUP BY 1)
+             |SELECT query_id, n_hit, ROUND(n_hit / 10.0, 6) AS recall
+             |FROM h ORDER BY query_id""".stripMargin)),
+
     // KENDALL-TAU rank agreement between the pruned-ANN and exact
     // rankings — the ORDER metric recall cannot see (two lists can share
     // all items yet order them oppositely; re-ranker evaluations need

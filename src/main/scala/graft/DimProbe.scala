@@ -170,6 +170,44 @@ object DimProbe {
       row("build_radii", p1.radiiBuild, pk.radiiBuild)
       row("serve_range_half", p1.range, pk.range)
     }
+
+    // PCA leg at real dims: the Gram's d² generator expansion is the
+    // documented cost driver at d=768 (589,824 products per row) — the
+    // fit runs over a FIXED-SIZE hash sample (corpus-INDEPENDENT, the
+    // standard covariance-estimator practice the operator docs point to),
+    // so what matters is the per-sample-row cost, not corpus growth; the
+    // projection apply and the two-stage serve are then corpus passes of
+    // m doubles per row. Measured: fit on a 1000-row sample, packed
+    // m=1 projection of the FULL 1x corpus, coarse+refine serve.
+    locally {
+      val emb1 = spark.read.parquet(s"$outDir/x1/emb")
+      val sample = graft.operators.Curation
+        .hashSample(emb1, "vec_id", rateBp = (10000000.0 / p1.rows).toInt
+          .max(1).min(10000), salt = "pcadim")
+        .limit(1000)
+      sample.persist(); val ns = sample.count()
+      val (_, tFit) = time {
+        Similarity.pcaPowerFit(sample, "embedding", iters = 4)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/pca/components")
+      }
+      sample.unpersist()
+      val comps = spark.read.parquet(s"$outDir/pca/components")
+        .select(col("pos"), col("pc"))
+      val (_, tProj) = time {
+        Similarity.pcaProjectPacked(emb1, comps)
+          .write.mode("overwrite").parquet(s"$outDir/pca/projections")
+      }
+      val projs = spark.read.parquet(s"$outDir/pca/projections")
+      val qv = emb1.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+      def serve(): Unit =
+        Similarity.pcaCoarseRefineSearch(emb1, comps, qv,
+            kCoarse = 100, k = 20, projections = Some(projs))
+          .write.format("noop").mode("overwrite").save()
+      serve() // warm
+      val tServe = math.min(time(serve())._2, time(serve())._2)
+      println(f"[x1] d=768 PCA leg: fit(sample=$ns)=${tFit}%.1fs " +
+        f"project(full ${p1.rows} rows)=${tProj}%.1fs serve_refine=${tServe}%.2fs")
+    }
     spark.stop()
   }
 }

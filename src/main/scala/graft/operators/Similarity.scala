@@ -1243,13 +1243,20 @@ object Similarity {
       vecCol: String = "embedding",
       projRound: Int = 6,
       simRound: Int = 4,
-      projections: Option[DataFrame] = None): DataFrame = {
+      projections: Option[DataFrame] = None,
+      restrictIds: Option[DataFrame] = None): DataFrame = {
     require(kCoarse >= k, s"kCoarse ($kCoarse) must be >= k ($k)")
     // production passes the PERSISTED packed projections (m doubles/row
     // read instead of d floats — the artifact's whole point); the inline
     // projection is the build-it-on-the-fly fallback and parity oracle
-    val projs = projections.getOrElse(
+    val projs0 = projections.getOrElse(
       pcaProjectPacked(emb, components, idCol, vecCol, projRound))
+    // candidate pushdown (the IDSelectorArray story the IVF paths carry):
+    // the restriction semi-joins the m-double projection rows BEFORE the
+    // coarse rank, so kCoarse counts ADMISSIBLE candidates — a tight
+    // filter cannot starve the refine stage the way post-filtering would
+    val projs = restrictIds.fold(projs0)(ids =>
+      projs0.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_semi"))
     val qp = pcaProjectPacked(
       queryDf.select(lit(0L).as(idCol), col("qv").as(vecCol)),
       components, idCol, vecCol, projRound)

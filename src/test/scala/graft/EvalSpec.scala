@@ -269,6 +269,17 @@ class EvalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Similarity.pcaCoarseRefineSearch(emb, comps, qv, kCoarse = 5, k = 10)
     }
+    // candidate pushdown: restricted full-coarse search == exact top-k
+    // over the filtered corpus (the filter reaches the coarse stage, so a
+    // tight candidate set cannot starve the refine)
+    val cands = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val restricted = Similarity.pcaCoarseRefineSearch(emb, comps, qv,
+        kCoarse = 50, k = 5, restrictIds = Some(cands))
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4))).toList
+    val exactFiltered = Similarity.knnExact(
+        emb.filter(col("vec_id") % 3 === 0), qv, k = 5)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4))).toList
+    assert(restricted === exactFiltered)
   }
 
   test("gram artifacts over disjoint batches merge EXACTLY (incremental fit)") {

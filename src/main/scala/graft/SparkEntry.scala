@@ -4345,6 +4345,46 @@ object SparkEntry {
              |SELECT query_id, vec_id, sim FROM rk WHERE rn <= 5
              |ORDER BY query_id, sim DESC, vec_id""".stripMargin)),
 
+    // measured recall of the MinHash-LSH banding vs exact Jaccard — the
+    // dedup-side eval (the banding s-curve is a probabilistic promise;
+    // this query pins what it actually delivered on this corpus at the
+    // 0.5 threshold). LSH pairs are exact-verified, so they are a subset
+    // of the exact pair set and the intersection is computed honestly
+    // rather than assumed.
+    ("eval_lsh_recall",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+          .select(col("i"), col("j"))
+        val exact = Dedup.jaccardPairs(docs, "doc_id", "text")
+          .select(col("i"), col("j"))
+        val hit = lsh.join(exact, Seq("i", "j")).agg(count(lit(1)).as("n_hit"))
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(hit)
+          .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+            when(col("n_exact") > 0,
+              round(col("n_hit") / (col("n_exact") * lit(1.0)), 6))
+              .as("lsh_recall"))
+      },
+      Some(s"""$minhashJacSql,
+             |exinter AS (SELECT a.id AS i, b.id AS j, COUNT(*) AS cc
+             |            FROM shh a JOIN shh b ON a.hvv = b.hvv AND a.id < b.id
+             |            GROUP BY 1, 2),
+             |exjac AS (SELECT i, j, cc * 1.0 / (sa.n + sb.n - cc) AS jaccard
+             |          FROM exinter JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j),
+             |expairs AS (SELECT i, j FROM exjac WHERE jaccard >= 0.5),
+             |lshpairs AS (SELECT i, j FROM jac WHERE jaccard >= 0.5),
+             |hit AS (SELECT COUNT(*) AS n_hit FROM lshpairs l
+             |        JOIN expairs e ON l.i = e.i AND l.j = e.j)
+             |SELECT (SELECT COUNT(*) FROM expairs) AS n_exact,
+             |       (SELECT COUNT(*) FROM lshpairs) AS n_lsh,
+             |       h.n_hit,
+             |       CASE WHEN (SELECT COUNT(*) FROM expairs) > 0 THEN
+             |         ROUND(h.n_hit / ((SELECT COUNT(*) FROM expairs) * 1.0), 6)
+             |       END AS lsh_recall
+             |FROM hit h""".stripMargin)),
+
     // measured quality of the PCA two-stage path — every approximate
     // serving family here gets an eval query (IVF has eval_ann_quality /
     // eval_recall_curve); this one scores the learned-rotation coarse cut:

@@ -3970,6 +3970,23 @@ object SparkEntry {
              |FROM card JOIN rates USING (source) JOIN zipf USING (source)
              |ORDER BY source""".stripMargin)),
 
+    // per-document token-distribution entropy — the within-doc diversity
+    // signal the repetition ratios approximate from the other side:
+    // near-zero entropy = boilerplate / keyword stuffing / generation
+    // loops. One tokenize pass; per-doc decimal-exact sum.
+    ("text_entropy",
+      (s, dir) =>
+        TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("id")),
+      Some("""WITH tok AS (SELECT doc_id AS id,
+             |    unnest(regexp_extract_all(lower(text), '\w+')) AS term FROM documents),
+             |tc AS (SELECT id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+             |wn AS (SELECT id, term, c, SUM(c) OVER (PARTITION BY id) AS n FROM tc)
+             |SELECT id, CAST(MAX(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+             |  ROUND(-1.0 * CAST(SUM(CAST((c / (n * 1.0)) * log2(c / (n * 1.0))
+             |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+             |FROM wn GROUP BY id ORDER BY id""".stripMargin)),
+
     // Gopher-style repetition gate: per-doc bigram repetition signals
     // (top-ngram share, repeated-ngram share) — boilerplate/loop detection
     ("text_repetition",

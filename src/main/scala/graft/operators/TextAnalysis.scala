@@ -375,6 +375,31 @@ object TextAnalysis {
         (sum(col("__lp").cast("decimal(28,12)")).cast("double") / sum(col("tf")))
           .as("lm_logprob"))
 
+  /** Per-document token-distribution (Shannon) entropy — the
+    * within-document diversity signal the repetition ratios approximate
+    * from the other side: `H = -Σ (c/n)·log2(c/n)` over the doc's term
+    * frequencies. Near-zero entropy = a document that keeps saying the
+    * same thing (boilerplate, keyword stuffing, generation loops); the
+    * per-doc maximum is log2(n_distinct). One tokenize pass + a per-(doc,
+    * term) count + a per-doc decimal-exact sum; every shuffle key is the
+    * doc id or (doc, term). Output `(id, n_tokens, n_distinct, entropy)`
+    * rounded to `roundTo`. */
+  def tokenEntropy(
+      docs: DataFrame, idCol: String, textCol: String,
+      roundTo: Int = 6): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+          .as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("id"))))
+      .groupBy(col("id"))
+      .agg(max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(lit(-1.0) * sum(((col("c") / col("n")) *
+          log2(col("c") / col("n"))).cast("decimal(28,12)")).cast("double"),
+          roundTo).as("entropy"))
+
   /** Zipf profile — the term-frequency power-law summary a corpus data
     * card reports (natural text follows freq ∝ rank^s with s ≈ −1;
     * machine-generated or templated corpora bend the curve, so the fitted

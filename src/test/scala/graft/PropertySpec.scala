@@ -193,6 +193,24 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("stratified sample: exact ceil quota per stratum, at every fraction") =
+    forAll(
+      Gen.listOfN(3, Gen.chooseNum(1, 80)).map(_.zipWithIndex),
+      Gen.chooseNum(0, 10000)) { (sizes, bp) =>
+      import spark.implicits._
+      val docs = sizes.flatMap { case (n, s) =>
+        (0 until n).map(i => (s * 100000L + i, s"lang$s"))
+      }.toDF("doc_id", "lang")
+      val got = graft.operators.Curation
+        .stratifiedSample(docs, "doc_id", "lang", bp, "prop")
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      sizes.forall { case (n, s) =>
+        val expect = (n.toLong * bp + 9999) / 10000
+        got.getOrElse(s"lang$s", 0L) == expect
+      }
+    }
+
   property("temperature mix: rates decrease with source size and never exceed 10000") =
     forAll(Gen.listOfN(3, Gen.chooseNum(5, 400)).map(_.distinct).suchThat(_.size >= 2)) { sizes =>
       import spark.implicits._

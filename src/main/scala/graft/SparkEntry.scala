@@ -3048,19 +3048,24 @@ object SparkEntry {
       Some(s"""$mmMetaSql
              |SELECT id, width, height, n_frames, duration_s FROM meta ORDER BY id""".stripMargin)),
 
-    // PERCEPTUAL near-dup over the multimodal binary column: aHash
-    // fingerprints (locality-preserving under the stub boundary — cell
-    // intensities derive from each cell's OWN byte slice) through the
-    // SAME Hamming-banded pairing the text simhash path uses. The planted
-    // mutants differ in one trailing byte -> a handful of bits -> every
-    // (original, mutant) pair must surface; the oracle verifies the full
-    // fingerprint construction AND the pair set by all-pairs XOR popcount.
-    // ORACLE PARITY PIN: aHash slices BYTES (BINARY), while DuckDB cannot
-    // slice BLOBs, so the oracle's substr/strlen over VARCHAR agrees only
-    // when text is pure ASCII (bytes == chars). The assert_true below
-    // makes the query THROW (not silently diverge) if the generated
-    // corpus ever grows non-ASCII text — flip the oracle to a
-    // hex-expansion form if that happens. The operator itself is
+    // PERCEPTUAL near-dup over the multimodal binary column: WIDE aHash
+    // fingerprints (7 words × 18 bits = 126 cells; cell intensities
+    // derive from each cell's OWN byte slice — locality-preserving under
+    // the stub boundary) through word-per-band Hamming pairing. The
+    // 63-bit form's banded join carried an N²/2⁹ per-band candidate term
+    // (the named first-to-fail term at the next 100×, BASELINE.md); the
+    // 18-bit bands cut per-band collisions 512× with the pigeonhole
+    // exact-recall guarantee intact (7 words > maxHamming 6). The
+    // planted mutants differ in one trailing byte -> a handful of bits
+    // -> every (original, mutant) pair must surface; the oracle verifies
+    // the full 126-cell construction AND the pair set by all-pairs
+    // summed XOR popcount over the words.
+    // ORACLE PARITY PIN: aHashWide slices BYTES (BINARY), while DuckDB
+    // cannot slice BLOBs, so the oracle's substr/strlen over VARCHAR
+    // agrees only when text is pure ASCII (bytes == chars). The
+    // assert_true below makes the query THROW (not silently diverge) if
+    // the generated corpus ever grows non-ASCII text — flip the oracle
+    // to a hex-expansion form if that happens. The operator itself is
     // byte-defined for arbitrary binary; only the oracle needs the pin.
     ("mm_phash_dedup",
       (s, dir) => {
@@ -3072,11 +3077,10 @@ object SparkEntry {
         val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
           concat(expr("substring(text, 1, length(text) - 1)"), lit("q")).as("text"))
         val corpus = docs.select(col("doc_id"), col("text")).unionByName(mutated)
-        val fp = Multimodal.aHash(
+        val fp = Multimodal.aHashWide(
           corpus.select(col("doc_id"), col("text").cast("binary").as("content")),
-          "doc_id", "content")
-        Dedup.simhashPairsBanded(
-            fp.select(col("id"), col("ahash").as("simhash")), maxHamming = 6)
+          "doc_id", "content", bands = 7, bandBits = 18)
+        Dedup.hammingPairsBandedWide(fp, maxHamming = 6)
           .orderBy(col("i"), col("j"))
       },
       Some("""WITH corpus AS (SELECT doc_id AS id, text FROM documents
@@ -3084,20 +3088,20 @@ object SparkEntry {
              |                SELECT doc_id + 100000, substr(text, 1, strlen(text) - 1) || 'q'
              |                FROM documents),
              |t AS (SELECT id, text, strlen(text) AS L FROM corpus),
-             |idx AS (SELECT id, text, L, unnest(generate_series(0, 62)) AS i FROM t),
+             |idx AS (SELECT id, text, L, unnest(generate_series(0, 125)) AS i FROM t),
              |c AS (SELECT id, i,
-             |        CAST('0x' || substr(md5(substr(text, 1 + (i * L) // 63,
-             |          ((i + 1) * L) // 63 - (i * L) // 63)), 1, 15) AS BIGINT) % 1000 AS x
+             |        CAST('0x' || substr(md5(substr(text, 1 + (i * L) // 126,
+             |          ((i + 1) * L) // 126 - (i * L) // 126)), 1, 15) AS BIGINT) % 1000 AS x
              |      FROM idx),
              |s AS (SELECT id, SUM(x) AS tot FROM c GROUP BY 1),
-             |fp AS (SELECT c.id,
-             |         SUM(CASE WHEN c.x * 63 > s.tot
-             |             THEN (CAST(1 AS BIGINT) << c.i) ELSE 0 END) AS h
-             |       FROM c JOIN s USING (id) GROUP BY 1)
+             |fpw AS (SELECT c.id, c.i // 18 AS w,
+             |          SUM(CASE WHEN c.x * 126 > s.tot
+             |              THEN (CAST(1 AS BIGINT) << (c.i % 18)) ELSE 0 END) AS word
+             |        FROM c JOIN s USING (id) GROUP BY 1, 2)
              |SELECT a.id AS i, b.id AS j,
-             |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-             |FROM fp a JOIN fp b ON a.id < b.id
-             |WHERE bit_count(xor(a.h, b.h)) <= 6
+             |       CAST(SUM(bit_count(xor(a.word, b.word))) AS BIGINT) AS hamming
+             |FROM fpw a JOIN fpw b ON a.id < b.id AND a.w = b.w
+             |GROUP BY 1, 2 HAVING SUM(bit_count(xor(a.word, b.word))) <= 6
              |ORDER BY i, j""".stripMargin)),
 
     // aspect-preserving fit into 640x480, integer-only arithmetic (scale in
@@ -3897,7 +3901,9 @@ object SparkEntry {
           .select(col("source"),
             round((col("k") * col("sxy") - col("sx") * col("sy")) /
               (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
-        card.join(rates, Seq("source")).join(zipf, Seq("source"))
+        // left join: a source with no \w+ tokens has no Zipf ranks but
+        // must still appear on the card (NULL slope), not vanish from it
+        card.join(rates, Seq("source")).join(zipf, Seq("source"), "left")
           .orderBy(col("source"))
       },
       Some("""WITH d AS (SELECT source, doc_id, lang, n_chars,
@@ -3967,7 +3973,7 @@ object SparkEntry {
              |                              (k * sxx - sx * sx), 6) AS zipf_slope
              |         FROM zs)
              |SELECT card.*, rates.dedup_rate, rates.contam_rate, zipf.zipf_slope
-             |FROM card JOIN rates USING (source) JOIN zipf USING (source)
+             |FROM card JOIN rates USING (source) LEFT JOIN zipf USING (source)
              |ORDER BY source""".stripMargin)),
 
     // per-document token-distribution entropy — the within-doc diversity
@@ -4302,21 +4308,22 @@ object SparkEntry {
              |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
              |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM exact) x
              |  WHERE rn <= 10),
-             |idcg AS (SELECT CAST(SUM(CAST(1.0 / log2(i + 1.0) AS DECIMAL(28,12)))
-             |                     AS DOUBLE) AS idcg
-             |         FROM (SELECT unnest(generate_series(1, 10)) AS i)),
+             |idcg AS (SELECT query_id, CAST(SUM(CAST(1.0 / log2(i + 1.0)
+             |                     AS DECIMAL(28,12))) AS DOUBLE) AS idcg
+             |         FROM (SELECT query_id, ROW_NUMBER() OVER (
+             |                 PARTITION BY query_id ORDER BY vec_id) AS i FROM truth)
+             |         GROUP BY 1),
              |hits AS (SELECT a.query_id, a.rank FROM ann a
              |         JOIN truth t ON a.query_id = t.query_id AND a.vec_id = t.vec_id),
              |perq AS (SELECT query_id, COUNT(*) AS n_hit, MIN(rank) AS first_hit,
              |           CAST(SUM(CAST(1.0 / log2(rank + 1.0) AS DECIMAL(28,12)))
              |                AS DOUBLE) AS dcg
              |         FROM hits GROUP BY 1)
-             |SELECT u.query_id, COALESCE(p.n_hit, 0) AS n_hit,
+             |SELECT i.query_id, COALESCE(p.n_hit, 0) AS n_hit,
              |       ROUND(COALESCE(p.n_hit, 0) / 10.0, 6) AS recall,
              |       ROUND(COALESCE(1.0 / p.first_hit, 0.0), 6) AS mrr,
              |       ROUND(COALESCE(p.dcg, 0.0) / i.idcg, 6) AS ndcg
-             |FROM (SELECT DISTINCT query_id FROM truth) u
-             |LEFT JOIN perq p USING (query_id) CROSS JOIN idcg i
+             |FROM idcg i LEFT JOIN perq p USING (query_id)
              |ORDER BY query_id""".stripMargin)),
 
     // batch PCA two-stage serving: three queries coarse-rank against the
@@ -4517,12 +4524,14 @@ object SparkEntry {
              |        FROM bothr x JOIN bothr y
              |          ON x.query_id = y.query_id AND x.vec_id < y.vec_id),
              |cd AS (SELECT query_id, CAST(SUM(conc) AS BIGINT) AS c,
-             |         CAST(COUNT(*) - SUM(conc) AS BIGINT) AS d FROM prs GROUP BY 1)
-             |SELECT m.query_id, m.m,
-             |  CASE WHEN m.m >= 2 THEN
+             |         CAST(COUNT(*) - SUM(conc) AS BIGINT) AS d FROM prs GROUP BY 1),
+             |uni AS (SELECT DISTINCT query_id FROM
+             |          (SELECT query_id FROM ann UNION SELECT query_id FROM ext))
+             |SELECT u.query_id, COALESCE(m.m, 0) AS m,
+             |  CASE WHEN COALESCE(m.m, 0) >= 2 THEN
              |    ROUND((cd.c - cd.d) / (m.m * (m.m - 1) / 2.0), 6) END AS kendall_tau
-             |FROM mm m LEFT JOIN cd USING (query_id)
-             |ORDER BY m.query_id""".stripMargin)),
+             |FROM uni u LEFT JOIN mm m USING (query_id) LEFT JOIN cd USING (query_id)
+             |ORDER BY u.query_id""".stripMargin)),
 
     // PCA TOP COMPONENT by power iteration over the one-corpus-pass Gram
     // matrix: G entries are decimal-exact round-8 sums; the 4 unrolled

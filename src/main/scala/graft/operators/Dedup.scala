@@ -415,10 +415,24 @@ object Dedup {
   /** Exact all-pairs n-gram Jaccard (blocked on shared shingles) — the
     * small-data oracle for [[minhashLshPairs]]. Single pass: the shingle
     * self-join feeds the intersection count directly (no candidate
-    * materialization + re-join). */
+    * materialization + re-join).
+    *
+    * ORACLE FORM, guarded like [[cosinePairs]]: the blocking is only as
+    * good as the shingle distribution — one hot shingle shared by half
+    * the corpus (boilerplate) makes that block's self-join quadratic in
+    * the corpus, so the guard is on DOCUMENT count, not shingle count.
+    * The scale form is [[minhashLshPairs]] (banded candidates, exact
+    * verify on candidates only). */
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxRows: Long = 100000L): DataFrame = {
+    val n = docs.count()
+    require(n <= maxRows,
+      s"jaccardPairs is the all-pairs ORACLE form: $n docs exceeds maxRows=" +
+        s"$maxRows (a hot shared shingle makes its block quadratic). Use " +
+        "minhashLshPairs (banded candidates + exact verify), or raise " +
+        "maxRows deliberately.")
     // hash-first (see verifyJaccard): the blocked self-join shuffles longs
     val sh = shingles(docs, idCol, textCol, shingleN)
       .select(col("id"), hash60(col("s")).as("hv"))
@@ -486,6 +500,33 @@ object Dedup {
     a.join(b, Seq("band", "bucket")).filter(col("i") < col("j"))
       .select(col("i"), col("j"),
         expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** [[simhashPairsBanded]] for MULTI-WORD fingerprints — the scale form
+    * of banded Hamming pairing for fingerprints wider than one BIGINT
+    * ([[graft.operators.Multimodal.aHashWide]]). Each ARRAY WORD is one
+    * whole band: pigeonhole exact recall holds whenever the array is
+    * longer than `maxHamming` (≤ maxHamming differing bits cannot touch
+    * every word), and per-band collision probability for unrelated
+    * content is `2^-bandBits` of the word width — the wider the words,
+    * the smaller the `N²/2^bandBits` candidate term that dominates the
+    * 63-bit form at large N. Candidates equi-join on (band index, word
+    * value); the exact Hamming verify (`Σ bit_count(xorᵥ)`) runs on
+    * candidates only. Identical result set to the all-pairs cross join. */
+  def hammingPairsBandedWide(fp: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val bucketed = fp
+      .select(col("id"), col("ahash"),
+        posexplode(col("ahash")).as(Seq("band", "bucket")))
+    val a = bucketed.select(col("band"), col("bucket"),
+      col("id").as("i"), col("ahash").as("fa"))
+    val b = bucketed.select(col("band"), col("bucket"),
+      col("id").as("j"), col("ahash").as("fb"))
+    a.join(b, Seq("band", "bucket")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        expr("aggregate(zip_with(fa, fb, (x, y) -> bigint(bit_count(x ^ y)))," +
+          " 0L, (acc, h) -> acc + h)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

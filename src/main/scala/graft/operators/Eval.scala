@@ -50,13 +50,23 @@ object Eval {
     * `tau = (C - D) / (m(m-1)/2)`. Integer pair counts, one rounded
     * division at the end; `m < 2` yields NULL (no pair to agree on), not
     * a division artifact. Everything is k-bounded — the pair join is at
-    * most k² rows per query, never corpus-scale. */
+    * most k² rows per query, never corpus-scale.
+    *
+    * Queries whose two lists share ZERO items — the worst-disagreement
+    * case an order metric exists to expose — stay in the output with
+    * `m = 0` and NULL tau: the query universe is the UNION of both
+    * sides' query ids, not the hit intersection (same retention rule as
+    * [[annQuality]]'s zero-hit queries). */
   def rankCorrelation(a: DataFrame, b: DataFrame,
       queryCol: String = "query_id", idCol: String = "vec_id"): DataFrame = {
+    val universe = a.select(col(queryCol)).union(b.select(col(queryCol))).distinct()
     val both = a.select(col(queryCol), col(idCol), col("rank").as("__ra"))
       .join(b.select(col(queryCol), col(idCol), col("rank").as("__rb")),
         Seq(queryCol, idCol))
-    val m = both.groupBy(col(queryCol)).agg(count(lit(1)).as("m"))
+    val m = universe.join(
+      both.groupBy(col(queryCol)).agg(count(lit(1)).as("__m")),
+      Seq(queryCol), "left")
+      .select(col(queryCol), coalesce(col("__m"), lit(0L)).as("m"))
     val pairs = both.as("x").join(both.as("y"),
         col(s"x.$queryCol") === col(s"y.$queryCol") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -75,34 +85,43 @@ object Eval {
 
   /** Per-query recall@k, MRR@k, and (binary-gain) nDCG@k of `ann` against
     * `truth`. Inputs are `(query_id, vec_id, rank)` frames ([[ranked]]);
-    * `truth` holds the exact top-k — every truth row is relevant, so
-    * IDCG@k is the full geometric series `Σ_{i=1..k} 1/log2(i+1)`.
-    * Output: `(query_id, n_hit, recall, mrr, ndcg)`, metrics rounded to
-    * 6, one row per truth-side query. */
+    * both are CLIPPED to `rank <= k` here (a longer-than-k frame cannot
+    * push recall or nDCG past 1 by accident). `truth` holds the exact
+    * top-k — every truth row is relevant, so per-query IDCG is
+    * `Σ_{i=1..n_truth} 1/log2(i+1)` over that query's OWN truth-list
+    * size: a corpus shorter than k still scores a perfect result 1.0
+    * (a constant k-term series would cap it below 1). Output:
+    * `(query_id, n_hit, recall, mrr, ndcg)`, metrics rounded to 6, one
+    * row per truth-side query (zero-hit queries kept, recall 0). */
   def annQuality(ann: DataFrame, truth: DataFrame, k: Int,
       queryCol: String = "query_id", idCol: String = "vec_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val spark = ann.sparkSession
-    // IDCG is a k-row constant; compute it with the SAME engine ops the
-    // per-query DCG uses (decimal-exact sum of 1/log2(i+1)) so the ratio
-    // is bit-stable against the oracle
-    val idcg = broadcast(spark.range(1, k + 1L).toDF("i")
-      .agg(sum((lit(1.0) / log2(col("i") + lit(1.0))).cast("decimal(28,12)"))
-        .cast("double").as("idcg")))
-    val hits = ann.select(col(queryCol), col(idCol), col("rank"))
-      .join(truth.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
+    val annK = ann.filter(col("rank") <= k)
+    val truthK =
+      if (truth.columns.contains("rank")) truth.filter(col("rank") <= k)
+      else truth
+    // per-query IDCG over the truth-list size, with the SAME engine ops
+    // the per-query DCG uses (decimal-exact sum of 1/log2(i+1)) so the
+    // ratio is bit-stable against the oracle
+    val wi = Window.partitionBy(col(queryCol)).orderBy(col(idCol).asc)
+    val idcgQ = truthK.select(col(queryCol), col(idCol))
+      .withColumn("__i", row_number().over(wi))
+      .groupBy(col(queryCol))
+      .agg(sum((lit(1.0) / log2(col("__i") + lit(1.0))).cast("decimal(28,12)"))
+        .cast("double").as("__idcg"))
+    val hits = annK.select(col(queryCol), col(idCol), col("rank"))
+      .join(truthK.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
     val perQ = hits.groupBy(col(queryCol))
       .agg(count(lit(1)).as("n_hit"),
         min(col("rank")).as("__first"),
         sum((lit(1.0) / log2(col("rank") + lit(1.0))).cast("decimal(28,12)"))
           .cast("double").as("__dcg"))
-    truth.select(col(queryCol)).distinct()
+    idcgQ
       .join(perQ, Seq(queryCol), "left")
-      .crossJoin(idcg)
       .select(col(queryCol),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         round(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble), 6).as("recall"),
         round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"),
-        round(coalesce(col("__dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+        round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6).as("ndcg"))
   }
 }

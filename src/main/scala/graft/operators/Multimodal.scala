@@ -127,6 +127,51 @@ object Multimodal {
             .otherwise(lit(0L))).reduce(_ + _).as("ahash"))
   }
 
+  /** WIDE aHash — [[aHash]] scaled past the 63-bit BIGINT ceiling for
+    * banded pairing at large N. The banded Hamming candidate join
+    * generates ~`N²/2^bandBits` pairs per band for unrelated content,
+    * so the 63-bit form (9-bit bands at maxHamming 6) carries an
+    * `N²/2⁹` term — measured 7.1× at the 1M-row probe and the named
+    * first term to fail at the next 100× (BASELINE.md). Widening the
+    * fingerprint to `bands × bandBits` cells (default 7 × 18 = 126
+    * bits) drops per-band collisions by `2^(bandBits-9)` (512× at the
+    * default) while the pigeonhole exact-recall guarantee is untouched:
+    * each WORD of the output array is one whole band, and ≤ maxHamming
+    * differing bits cannot touch all `maxHamming + 1` words.
+    *
+    * Construction is [[aHash]]'s, with `cells = bands * bandBits`:
+    * cell intensities from per-cell byte slices (locality-preserving
+    * under the ==STUB boundary==), integer-exact threshold
+    * `x_i * cells > Σx`, bit `i` packed into word `i div bandBits` at
+    * position `i mod bandBits`. One map-only projection, no shuffle.
+    * Output `(id, ahash ARRAY<BIGINT>)` of length `bands`, ready for
+    * [[graft.operators.Dedup.hammingPairsBandedWide]]. */
+  def aHashWide(
+      df: DataFrame, idCol: String, binCol: String,
+      bands: Int = 7, bandBits: Int = 18): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(bandBits >= 1 && bandBits <= 63,
+      s"bandBits must be in [1, 63], got $bandBits")
+    val cells = bands * bandBits
+    val slice =
+      s"substring($binCol, 1 + cast((i * length($binCol)) div $cells as int), " +
+        s"cast(((i + 1) * length($binCol)) div $cells as int) - " +
+        s"cast((i * length($binCol)) div $cells as int))"
+    df.select(col(idCol).as("id"),
+        expr(s"transform(sequence(0, ${cells - 1}), i -> " +
+          s"cast(conv(substring(md5($slice), 1, 15), 16, 10) as bigint) % 1000)")
+          .as("__x"))
+      .select(col("id"), col("__x"),
+        expr("aggregate(__x, 0L, (acc, x) -> acc + x)").as("__tot"))
+      .select(col("id"),
+        array((0 until bands).map { w =>
+          (0 until bandBits).map { b =>
+            when(element_at(col("__x"), w * bandBits + b + 1) * cells > col("__tot"),
+              lit(1L << b)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        }: _*).as("ahash"))
+  }
+
   /** Deterministic stand-in for a batched media encoder: `dim` floats in
     * [0, 1) from independent md5 nibbles of the content. */
   def stubInfer(batch: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =

@@ -66,6 +66,41 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("aHashWide: 126-bit fingerprint keeps the mutant near, banded == all-pairs") {
+    import graft.operators.Multimodal
+    val base = ('a' to 'z').mkString(" ") * 4
+    val mutant = base.dropRight(1) + "q"
+    val other = "totally different content that shares no bytes at all " * 4
+    val df = Seq((1L, base), (2L, mutant), (3L, other)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val fp = Multimodal.aHashWide(df, "doc_id", "content")
+    val words = fp.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(words(1L).length === 7, "7 words, one per band")
+    def ham(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(ham(words(1L), words(2L)) <= 6,
+      s"mutant drifted ${ham(words(1L), words(2L))} of 126 bits")
+    assert(ham(words(1L), words(3L)) > 6)
+    // each word respects its 18-bit band width
+    words.values.foreach(_.foreach(w => assert((w >> 18) === 0L, s"word overflow: $w")))
+    // banded pairing = exactly the planted pair = the all-pairs result
+    val banded = Dedup.hammingPairsBandedWide(fp, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val allPairs = (for {
+      (i, wa) <- words; (j, wb) <- words if i < j
+      h = ham(wa, wb).toLong if h <= 6
+    } yield (i, j, h)).toSet
+    assert(banded === allPairs)
+    assert(banded.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    // bands=1 degenerates to the classic 63-bit aHash, bit for bit
+    val classic = Multimodal.aHash(df, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = Multimodal.aHashWide(df, "doc_id", "content", bands = 1, bandBits = 63)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).head).toMap
+    assert(one === classic)
+  }
+
   test("decontaminateSpans excises exactly the benchmark-leaked run") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
@@ -128,6 +163,17 @@ class DedupSpec extends AnyFunSuite {
       Dedup.cosinePairs(emb, "vec_id", "embedding", 0.45, maxRows = 100L)
     }
     assert(ex.getMessage.contains("cosinePairsBlocked"), ex.getMessage)
+  }
+
+  test("all-pairs jaccard is GUARDED the same way (hot-shingle quadratic risk)") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "f g h i"),
+      (4L, "a b c d")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docs, "doc_id", "text", maxRows = 3L)
+    }
+    assert(ex.getMessage.contains("minhashLshPairs"), ex.getMessage)
+    // under the limit the oracle form still runs
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text").count() >= 1L)
   }
 
   test("cell-blocked cosine: exact scores, candidates gated by co-probing; full probes == all-pairs") {

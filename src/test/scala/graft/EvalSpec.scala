@@ -51,6 +51,46 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("ndcg") - expected) < 1e-6)
   }
 
+  test("annQuality clips both frames to rank <= k: long frames cannot inflate metrics") {
+    // ann carries 4 ranked rows but k=2: rows at rank 3-4 must not count,
+    // even though row 3 (id 12) IS in the truth top-2
+    val truth = ranked(1L -> 10L, 1L -> 12L)
+    val ann = ranked(1L -> 10L, 1L -> 11L, 1L -> 12L, 1L -> 13L)
+    val got = Eval.annQuality(ann, truth, k = 2).collect().head
+    assert(got.getAs[Long]("n_hit") === 1L, "rank-3 hit must be clipped at k=2")
+    assert(got.getAs[Double]("recall") === 0.5)
+    // and an over-long truth frame cannot push recall past 1.0
+    val longTruth = ranked(1L -> 10L, 1L -> 11L, 1L -> 12L)
+    val perfect = Eval.annQuality(ranked(1L -> 10L, 1L -> 11L), longTruth, k = 2)
+      .collect().head
+    assert(perfect.getAs[Double]("recall") === 1.0)
+    assert(perfect.getAs[Double]("ndcg") === 1.0)
+  }
+
+  test("annQuality: truth list shorter than k scores a perfect result 1.0 nDCG") {
+    // corpus (truth) holds a single relevant item; a perfect ann result
+    // must reach nDCG 1.0 (per-query IDCG), not 1/series(k)
+    val truth = ranked(1L -> 10L)
+    val ann = ranked(1L -> 10L, 1L -> 98L, 1L -> 99L)
+    val got = Eval.annQuality(ann, truth, k = 3).collect().head
+    assert(got.getAs[Long]("n_hit") === 1L)
+    assert(got.getAs[Double]("ndcg") === 1.0, "per-query IDCG must match truth size")
+    assert(got.getAs[Double]("mrr") === 1.0)
+  }
+
+  test("rankCorrelation keeps disjoint-list queries with m = 0 and NULL tau") {
+    // query 1 agrees fully; query 2's lists share nothing — the worst
+    // disagreement must stay visible, not vanish from the output
+    val a = ranked(1L -> 10L, 1L -> 11L, 2L -> 20L, 2L -> 21L)
+    val b = ranked(1L -> 10L, 1L -> 11L, 2L -> 88L, 2L -> 89L)
+    val got = Eval.rankCorrelation(a, b).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L).getAs[Double]("kendall_tau") === 1.0)
+    assert(got(2L).getAs[Long]("m") === 0L)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("kendall_tau")))
+  }
+
   test("full-probe IVF serving evaluates to recall 1.0 vs exact") {
     val emb = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(j => (((i * 7 + j * 3) % 11) / 11.0f)))

@@ -4470,6 +4470,140 @@ object SparkEntry {
              |SELECT query_id, n_hit, ROUND(n_hit / 10.0, 6) AS recall
              |FROM h ORDER BY query_id""".stripMargin)),
 
+    // measured recall of the IVF-SQ8 two-stage path (sim_ivf_int8_refine's
+    // serving shape at a deliberately tight kCoarse) — closes the eval
+    // matrix for the scalar-quantizer family: the int8 coarse cut has the
+    // same kCoarse-miss mode eval_pca_recall measures for the learned
+    // rotation, and at 100 TB its recall must be a measured number, not
+    // the quantizer's reputation.
+    ("eval_sq8_recall",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val approx = Seq(0L, 1L, 2L).map { q =>
+          Similarity.ivfInt8RefineSearch(
+              idx.int8.get, idx.cells, idx.centroids,
+              emb.filter(col("vec_id") === q).select(col("embedding").as("qv")),
+              nprobe = 2, kCoarse = 20, k = 10)
+            .select(lit(q).as("query_id"), col("vec_id"), col("score").as("sim"))
+        }.reduce(_ unionByName _)
+        val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
+          "query_id", "vec_id", "sim")
+        Eval.annQuality(Eval.ranked(approx, "query_id", "vec_id", "sim"),
+            truth, k = 10)
+          .select(col("query_id"), col("n_hit"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""$ivfCellCtes,
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
+             |isc AS (SELECT p.query_id, e.vec_id,
+             |    CAST((SELECT SUM(CAST(round(x.a::DOUBLE * 127) AS BIGINT) *
+             |                     CAST(round(x.b::DOUBLE * 127) AS BIGINT))
+             |          FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x) AS BIGINT) AS score_i
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN probe p ON p.cluster = a3.cluster
+             |  JOIN qs q ON q.query_id = p.query_id),
+             |shortlist AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY score_i DESC, vec_id) AS rn FROM isc) x WHERE rn <= 20),
+             |sc AS (SELECT sl.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id
+             |  JOIN qs q ON q.query_id = sl.query_id),
+             |approx AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sc) x
+             |  WHERE rn <= 10),
+             |exact AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e CROSS JOIN qs q),
+             |truth AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM exact) x
+             |  WHERE rn <= 10),
+             |hh AS (SELECT t.query_id, COUNT(a.vec_id) AS n_hit FROM truth t
+             |      LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+             |      GROUP BY 1)
+             |SELECT query_id, n_hit, ROUND(n_hit / 10.0, 6) AS recall
+             |FROM hh ORDER BY query_id""".stripMargin)),
+
+    // measured recall of the matryoshka truncated-prefix coarse cut
+    // (sim_matryoshka_refine's serving shape): the adaptive-retrieval
+    // promise is that the leading 16 of 64 coordinates rank well — this
+    // query turns that promise into a number for THIS corpus, completing
+    // the per-family eval matrix (IVF, LSH, PCA, SQ8, matryoshka).
+    ("eval_matryoshka_recall",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val approx = Seq(0L, 1L, 2L).map { q =>
+          Similarity.matryoshkaRefineSearch(
+              idx.cells, idx.centroids,
+              emb.filter(col("vec_id") === q).select(col("embedding").as("qv")),
+              dPrime = 16, nprobe = 2, kCoarse = 20, k = 10)
+            .select(lit(q).as("query_id"), col("vec_id"), col("score").as("sim"))
+        }.reduce(_ unionByName _)
+        val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
+          "query_id", "vec_id", "sim")
+        Eval.annQuality(Eval.ranked(approx, "query_id", "vec_id", "sim"),
+            truth, k = 10)
+          .select(col("query_id"), col("n_hit"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""$ivfCellCtes,
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
+             |tsc AS (SELECT p.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding[1:16]) a, unnest(q.qv[1:16]) b) x), 6) AS cscore
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN probe p ON p.cluster = a3.cluster
+             |  JOIN qs q ON q.query_id = p.query_id),
+             |shortlist AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, vec_id) AS rn FROM tsc) x WHERE rn <= 20),
+             |sc AS (SELECT sl.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id
+             |  JOIN qs q ON q.query_id = sl.query_id),
+             |approx AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sc) x
+             |  WHERE rn <= 10),
+             |exact AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e CROSS JOIN qs q),
+             |truth AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM exact) x
+             |  WHERE rn <= 10),
+             |hh AS (SELECT t.query_id, COUNT(a.vec_id) AS n_hit FROM truth t
+             |      LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+             |      GROUP BY 1)
+             |SELECT query_id, n_hit, ROUND(n_hit / 10.0, 6) AS recall
+             |FROM hh ORDER BY query_id""".stripMargin)),
+
     // KENDALL-TAU rank agreement between the pruned-ANN and exact
     // rankings — the ORDER metric recall cannot see (two lists can share
     // all items yet order them oppositely; re-ranker evaluations need

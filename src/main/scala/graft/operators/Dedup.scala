@@ -516,7 +516,19 @@ object Dedup {
     * value); the exact Hamming verify (`Σ bit_count(xorᵥ)`) runs on
     * candidates only. Identical result set to the all-pairs cross join. */
   def hammingPairsBandedWide(fp: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val bucketed = fp
+    // OPTIMIZER BARRIER on the fingerprint input: posexplode makes the
+    // optimizer infer `size(ahash) > 0 AND isnotnull(ahash)` filters and
+    // push them BELOW the projection that computes the fingerprint,
+    // re-inlining the whole cells-many-md5 expression into each filter
+    // conjunct (measured ~10x the fingerprint cost at sf0.1). The RDD
+    // round-trip pins the column as computed data — each join side then
+    // evaluates the fingerprint exactly once. (At artifact scale the
+    // caller persists fingerprints like any other fitted store; the
+    // barrier covers the compute-inline usage.)
+    val spark = fp.sparkSession
+    val fpCols = fp.select(col("id"), col("ahash"))
+    val fpM = spark.createDataFrame(fpCols.rdd, fpCols.schema)
+    val bucketed = fpM
       .select(col("id"), col("ahash"),
         posexplode(col("ahash")).as(Seq("band", "bucket")))
     val a = bucketed.select(col("band"), col("bucket"),

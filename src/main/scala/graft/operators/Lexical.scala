@@ -591,10 +591,84 @@ object Lexical {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int,
+      maxLocalVocab: Int = 1000000): DataFrame = {
     require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
     val spark = docs.sparkSession
-    val vocab = tokens(docs, idCol, textCol)
+    import spark.implicits._
+    val vocab = bpeVocab(docs, idCol, textCol)
+    // DRIVER-LOCAL merge loop (the powerIterate localization precedent):
+    // after the one corpus-scale tokenize+count pass, the working set is
+    // the WORD-FREQUENCY TABLE — corpus-independent, the thing BPE
+    // implementations iterate in memory. The distributed loop
+    // ([[bpeFitDistributed]], kept as the parity oracle) schedules one
+    // aggregate + one map per merge over that table's ever-growing
+    // lineage, so a production 32k-merge vocabulary means ~64k sequential
+    // driver-scheduled jobs (r9 verdict #3). Here the table collects once
+    // and the merges run as in-memory passes mirroring the engine ops
+    // exactly: same adjacent-pair counts, same (freq DESC, pair ASC)
+    // selection with the UTF8-binary string order Spark sorts by, same
+    // leftmost non-overlapping space-sentinel replace (both
+    // String.replace and UTF8String.replace resume AFTER the replacement
+    // — the pinned leftover convention). BpeSpec pins local ==
+    // distributed at numMerges ∈ {6, 100}. A vocabulary larger than
+    // `maxLocalVocab` falls back to the distributed loop.
+    val head = vocab.limit(maxLocalVocab + 1).collect()
+    if (head.length > maxLocalVocab)
+      return bpeFitDistributed(docs, idCol, textCol, numMerges)
+    var words = head.map(r => (r.getString(0), r.getLong(1)))
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    // Spark's string ORDER BY is UTF8 binary (unsigned byte) order
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    for (step <- 1 to numMerges) {
+      val freq = new java.util.HashMap[String, Long]()
+      words.foreach { case (s, c) =>
+        val syms = s.split(' ')
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = syms(i) + " " + syms(i + 1)
+          freq.merge(p, c, _ + _)
+          i += 1
+        }
+      }
+      if (!freq.isEmpty) {
+        var bestPair: String = null
+        var bestF = Long.MinValue
+        freq.forEach { (p, f) =>
+          if (f > bestF || (f == bestF && utf8Less(p, bestPair)))
+            { bestPair = p; bestF = f }
+        }
+        rules += ((step, bestPair, bestF))
+        val merged = bestPair.replace(" ", "")
+        val from = " " + bestPair + " "
+        val to = " " + merged + " "
+        words = words.map { case (s, c) =>
+          // the boundary spaces always survive the replace (the
+          // replacement starts/ends with one) — strip exactly them
+          val r = (" " + s + " ").replace(from, to)
+          (r.substring(1, r.length - 1), c)
+        }
+      }
+    }
+    rules.toSeq.toDF("step", "pair", "freq")
+  }
+
+  /** The symbolized word-frequency table both fit forms start from: one
+    * tokenize+count pass, `(s, c)` with `s` the space-joined characters
+    * plus the `</w>` end marker. */
+  private def bpeVocab(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(docs, idCol, textCol)
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
       .select(
         // filter(… <> '') : Spark's split uses limit -1, which keeps the
@@ -602,7 +676,18 @@ object Lexical {
         concat(array_join(expr("filter(split(term, ''), x -> x <> '')"), " "),
           lit(" </w>")).as("s"),
         col("c"))
-    var v = vocab
+
+  /** The DISTRIBUTED merge loop — [[bpeFit]]'s parity oracle and its
+    * fallback for vocabularies past `maxLocalVocab` (each merge = one
+    * tiny aggregate + one map over the vocabulary relation). */
+  def bpeFitDistributed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
+    val spark = docs.sparkSession
+    var v = bpeVocab(docs, idCol, textCol)
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (step <- 1 to numMerges) {
       val top = v

@@ -111,20 +111,35 @@ object Multimodal {
   def aHash(
       df: DataFrame, idCol: String, binCol: String, cells: Int = 63): DataFrame = {
     require(cells >= 1 && cells <= 63, s"cells must be in [1, 63], got $cells")
+    df.select(col(idCol).as("id"),
+      element_at(aHashWords(binCol, bands = 1, bandBits = cells), 1).as("ahash"))
+  }
+
+  /** The fingerprint construction shared by [[aHash]] and [[aHashWide]]:
+    * `bands` BIGINT words of `bandBits` threshold bits each, as ONE
+    * nested-lambda expression. The single-expression shape is
+    * load-bearing: the cell-intensity transform (`cells` md5 slices) and
+    * the total are bound ONCE per row as lambda variables (`transform(
+    * array(x), x -> …)` is SQL's let-binding), so no later projection
+    * collapse can re-inline the md5 pass into every bit reference — the
+    * three-projection form of this computation collapsed into ~2×cells
+    * transform re-evaluations per row inside the pairing join's plan
+    * (measured 50 s vs 2 s at sf0.1). */
+  private def aHashWords(binCol: String, bands: Int, bandBits: Int): Column = {
+    val cells = bands * bandBits
     val slice =
       s"substring($binCol, 1 + cast((i * length($binCol)) div $cells as int), " +
         s"cast(((i + 1) * length($binCol)) div $cells as int) - " +
         s"cast((i * length($binCol)) div $cells as int))"
-    df.select(col(idCol).as("id"),
-        expr(s"transform(sequence(0, ${cells - 1}), i -> " +
-          s"cast(conv(substring(md5($slice), 1, 15), 16, 10) as bigint) % 1000)")
-          .as("__x"))
-      .select(col("id"), col("__x"),
-        expr("aggregate(__x, 0L, (acc, x) -> acc + x)").as("__tot"))
-      .select(col("id"),
-        (0 until cells).map(b =>
-          when(element_at(col("__x"), b + 1) * cells > col("__tot"), lit(1L << b))
-            .otherwise(lit(0L))).reduce(_ + _).as("ahash"))
+    val xs = s"transform(sequence(0, ${cells - 1}), i -> " +
+      s"cast(conv(substring(md5($slice), 1, 15), 16, 10) as bigint) % 1000)"
+    expr(
+      s"""element_at(transform(array($xs), xv ->
+         |  element_at(transform(array(aggregate(xv, 0L, (acc, x) -> acc + x)), tot ->
+         |    transform(sequence(0, ${bands - 1}), w ->
+         |      aggregate(sequence(0, ${bandBits - 1}), 0L, (a2, b) ->
+         |        a2 + if(element_at(xv, cast(w * $bandBits + b + 1 as int)) * $cells > tot,
+         |                shiftleft(1L, b), 0L)))), 1)), 1)""".stripMargin)
   }
 
   /** WIDE aHash — [[aHash]] scaled past the 63-bit BIGINT ceiling for
@@ -152,24 +167,8 @@ object Multimodal {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     require(bandBits >= 1 && bandBits <= 63,
       s"bandBits must be in [1, 63], got $bandBits")
-    val cells = bands * bandBits
-    val slice =
-      s"substring($binCol, 1 + cast((i * length($binCol)) div $cells as int), " +
-        s"cast(((i + 1) * length($binCol)) div $cells as int) - " +
-        s"cast((i * length($binCol)) div $cells as int))"
     df.select(col(idCol).as("id"),
-        expr(s"transform(sequence(0, ${cells - 1}), i -> " +
-          s"cast(conv(substring(md5($slice), 1, 15), 16, 10) as bigint) % 1000)")
-          .as("__x"))
-      .select(col("id"), col("__x"),
-        expr("aggregate(__x, 0L, (acc, x) -> acc + x)").as("__tot"))
-      .select(col("id"),
-        array((0 until bands).map { w =>
-          (0 until bandBits).map { b =>
-            when(element_at(col("__x"), w * bandBits + b + 1) * cells > col("__tot"),
-              lit(1L << b)).otherwise(lit(0L))
-          }.reduce(_ + _)
-        }: _*).as("ahash"))
+      aHashWords(binCol, bands, bandBits).as("ahash"))
   }
 
   /** Deterministic stand-in for a batched media encoder: `dim` floats in

@@ -1057,12 +1057,117 @@ object Similarity {
   def gramMatrixRaw(
       vecs: DataFrame,
       vecCol: String = "embedding"): DataFrame = {
-    // the d² generator expansion happens map-side BEFORE any exchange, so
-    // its parallelism is the INPUT partitioning — a small fit sample read
+    // the d² expansion happens map-side BEFORE any exchange, so its
+    // parallelism is the INPUT partitioning — a small fit sample read
     // from one parquet file would run the whole expansion on one task.
     // Spread narrow inputs across the cluster first (row-count shuffle of
     // the RAW vectors, cheap at fit time); wide-at-scale inputs pass
     // through untouched.
+    val spark = vecs.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val spread =
+      if (vecs.rdd.getNumPartitions < parallelism) vecs.repartition(parallelism)
+      else vecs
+    // PRIMITIVE KERNEL (the assignCellsBulk precedent): the declarative
+    // posexplode×posexplode form evaluates d² interpreted generator rows
+    // per input row — measured 74 ms/row at d=768 (DimProbe, r9 verdict
+    // #2). The Gram is a dense rank-k update and belongs in a tight
+    // loop: per partition, accumulate round₁₂(xᵢ·xⱼ) of the UPPER
+    // TRIANGLE (the product is symmetric, so the rounded value is too —
+    // half the multiplies) into a long array of 10⁻¹² units, spilling
+    // into exact BigDecimal on (rare) overflow, then emit d² mirrored
+    // `(i, j, gsum DECIMAL(28,12))` partials — the SAME mergeable
+    // artifact rows the explode form produced, bit for bit
+    // (GramKernelSpec pins kernel == explode on the raw decimals).
+    //
+    // Bit-parity contract with `cast(double as decimal(28,12))`: Spark
+    // casts through BigDecimal.valueOf (Double.toString shortest form)
+    // then setScale(12, HALF_UP). The fast path rounds the binary
+    // product at 10¹² and falls back to the exact BigDecimal form
+    // whenever the scaled value sits within an error band of a
+    // half-integer boundary (|band| covers both the multiply's and the
+    // shortest-form's relative error, ~2.5e-16 each) — off-boundary the
+    // two roundings provably agree, on-boundary the slow path decides.
+    val vecIdx = spread.schema.fieldIndex(vecCol)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("gsum",
+        org.apache.spark.sql.types.DecimalType(28, 12), nullable = true)))
+    val out = spread.rdd.mapPartitions { it =>
+      import graft.functions.DecimalUnits
+      var d = 0
+      var acc: DecimalUnits.AccArray = null            // upper-tri accumulators
+      var rowStart: Array[Int] = null                  // tri-index base per i
+      def triIndex(i: Int, j: Int): Int = rowStart(i) + (j - i)
+      def grow(nd: Int): Unit = {
+        val nStart = Array.tabulate(nd)(i => i * nd - i * (i - 1) / 2)
+        val nAcc = new DecimalUnits.AccArray(nd * (nd + 1) / 2)
+        if (acc != null) {
+          var i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              val o = triIndex(i, j); val n = nStart(i) + (j - i)
+              nAcc.addUnits(n, acc.unitsAt(o))
+              if (acc.spillAt(o) != null) nAcc.addDecimal(n, acc.spillAt(o))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        d = nd; acc = nAcc; rowStart = nStart
+      }
+      it.foreach { row =>
+        if (!row.isNullAt(vecIdx)) {
+          val v = row.getSeq[Float](vecIdx) match {
+            case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+            case other => other.toArray
+          }
+          val n = v.length
+          if (n > d) grow(n)
+          var i = 0
+          while (i < n) {
+            val xi = v(i).toDouble
+            var j = i
+            var k = rowStart(i)
+            while (j < n) {
+              acc.addProduct(k, xi * v(j).toDouble)
+              k += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      if (acc == null) Iterator.empty
+      else {
+        val dd = d
+        (0 until dd).iterator.flatMap { i =>
+          (i until dd).iterator.flatMap { j =>
+            val g = acc.result(triIndex(i, j))
+            if (i == j) Iterator(org.apache.spark.sql.Row(i, j, g))
+            else Iterator(org.apache.spark.sql.Row(i, j, g),
+              org.apache.spark.sql.Row(j, i, g))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("gsum")).as("gsum"))
+  }
+
+  /** The DECLARATIVE posexplode×posexplode form of [[gramMatrixRaw]] —
+    * kept as the kernel's bit-parity oracle (GramKernelSpec), exactly
+    * like the chunked-SQL assignment backs [[assignCellsBulk]]. Same
+    * output contract: `(i, j, gsum DECIMAL(28,12))`, per-product
+    * decimal cast before the exact sum. */
+  def gramMatrixRawExplode(
+      vecs: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
     val parallelism = vecs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (vecs.rdd.getNumPartitions < parallelism) vecs.repartition(parallelism)
@@ -1126,11 +1231,9 @@ object Similarity {
       iters: Int = 6,
       coordRound: Int = 8): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val spark = gram.sparkSession
-    // d² rows — corpus-independent artifact scale; localizing severs the
-    // corpus lineage so the iteration jobs never re-enter the scan
-    val g = localizeDf(spark, gram)
-    val (v, ray) = powerIterate(g, iters, coordRound)
+    // d² rows — corpus-independent artifact scale; the driver-local
+    // iteration collects them once, so the corpus scan runs exactly once
+    val (v, ray) = powerIterate(gram, iters, coordRound)
     v.crossJoin(broadcast(ray))
       .select(col("i").cast("long").as("pos"), col("v").as("pc"), col("eigval"))
   }
@@ -1320,16 +1423,95 @@ object Similarity {
   private def localizeDf(spark: SparkSession, df: DataFrame): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
 
-  /** One power-iteration run over a LOCALIZED Gram frame `(i, j, g)`:
-    * `iters` rounds of matvec → norm → normalize with every intermediate
-    * rounded to `coordRound`, then the Rayleigh quotient. Returns the
-    * unit direction `(i, v)` and the 1-row `(eigval)`. */
-  private def powerIterate(
+  /** One power-iteration run over a Gram frame `(i, j, g)`: `iters`
+    * rounds of matvec → norm → normalize with every intermediate rounded
+    * to `coordRound`, then the Rayleigh quotient. Returns the unit
+    * direction `(i, v)` and the 1-row `(eigval)` as localized frames.
+    *
+    * DRIVER-LOCAL KERNEL: the Gram is a d²-row corpus-independent
+    * artifact, but the SQL iteration form still scheduled 2 Spark jobs
+    * per round over the 589k-row LocalRelation at d=768 (~8 s/round —
+    * the fit leg's dominant cost once [[gramMatrixRaw]] went primitive).
+    * The loop below replicates the SQL ops bit for bit on collected
+    * arrays — [[graft.functions.DecimalUnits]] reproduces the
+    * `cast(… AS DECIMAL(28,12))` exact sums and `round(…, n)` double
+    * semantics — so the trajectory is IDENTICAL to [[powerIterateSql]]
+    * (PcaPowerParitySpec pins v and eigval to bit equality). */
+  private[graft] def powerIterate(
       g: DataFrame, iters: Int, coordRound: Int): (DataFrame, DataFrame) = {
+    import graft.functions.DecimalUnits
     val spark = g.sparkSession
+    import spark.implicits._
+    val rows = g.select(col("i").cast("int"), col("j").cast("int"),
+      col("g").cast("double")).collect()
+    // an empty Gram (empty/null-vector corpus) must surface as the actual
+    // problem, not an opaque NPE
+    require(rows.nonEmpty,
+      "power iteration needs a non-empty Gram — fit on an empty or " +
+        "all-null-vector corpus has no spectrum")
+    val m = rows.length
+    val iArr = new Array[Int](m); val jArr = new Array[Int](m)
+    val gArr = new Array[Double](m)
+    var r = 0
+    while (r < m) {
+      iArr(r) = rows(r).getInt(0); jArr(r) = rows(r).getInt(1)
+      gArr(r) = if (rows(r).isNullAt(2)) Double.NaN else rows(r).getDouble(2)
+      r += 1
+    }
+    val d = iArr.max + 1
+    val present = new Array[Boolean](d)
+    iArr.foreach(present(_) = true)
+    val v = new Array[Double](d)
+    val v0 = DecimalUnits.roundDouble(1.0 / math.sqrt(d.toDouble), coordRound)
+    var i = 0
+    while (i < d) { if (present(i)) v(i) = v0; i += 1 }
+    for (_ <- 1 to iters) {
+      // w ← round(Σⱼ dec12(g·vⱼ), cr), per i — the SQL groupBy("i") sum
+      val acc = new DecimalUnits.AccArray(d)
+      r = 0
+      while (r < m) { acc.addProduct(iArr(r), gArr(r) * v(jArr(r))); r += 1 }
+      val w = new Array[Double](d)
+      val nAcc = new DecimalUnits.AccArray(1)
+      i = 0
+      while (i < d) {
+        if (present(i)) {
+          w(i) = DecimalUnits.roundDouble(acc.result(i).doubleValue(), coordRound)
+          nAcc.addProduct(0, w(i) * w(i))
+        }
+        i += 1
+      }
+      val nrm = DecimalUnits.roundDouble(
+        math.sqrt(nAcc.result(0).doubleValue()), coordRound)
+      i = 0
+      while (i < d) {
+        if (present(i)) v(i) = DecimalUnits.roundDouble(w(i) / nrm, coordRound)
+        i += 1
+      }
+    }
+    // Rayleigh quotient: round₆(Σ dec12((g·vᵢ)·vⱼ)) — same left-assoc
+    // multiply order as the SQL expression
+    val rAcc = new DecimalUnits.AccArray(1)
+    r = 0
+    while (r < m) {
+      rAcc.addProduct(0, gArr(r) * v(iArr(r)) * v(jArr(r)))
+      r += 1
+    }
+    val eig = DecimalUnits.roundDouble(rAcc.result(0).doubleValue(), 6)
+    val vDf = localizeDf(spark,
+      (0 until d).filter(present).map(i => (i, v(i))).toDF("i", "v"))
+    val rayDf = localizeDf(spark, Seq(eig).toDF("eigval"))
+    (vDf, rayDf)
+  }
+
+  /** The DECLARATIVE Spark-expression form of [[powerIterate]] — kept as
+    * the driver-local loop's bit-parity oracle (PcaPowerParitySpec), the
+    * same keep-the-SQL-twin discipline as [[gramMatrixRawExplode]] /
+    * the chunked cell assignment. */
+  private[graft] def powerIterateSql(
+      g0: DataFrame, iters: Int, coordRound: Int): (DataFrame, DataFrame) = {
+    val spark = g0.sparkSession
+    val g = localizeDf(spark, g0)
     val maxI = g.agg(max(col("i"))).head()
-    // an empty Gram (empty/null-vector corpus) would otherwise surface as
-    // an opaque NPE out of the null max — fail with the actual problem
     require(!maxI.isNullAt(0),
       "power iteration needs a non-empty Gram — fit on an empty or " +
         "all-null-vector corpus has no spectrum")

@@ -44,6 +44,39 @@ class BpeSpec extends AnyFunSuite {
     assert(got(2L) === ((2L, 10L)))
   }
 
+  test("driver-local fit == distributed fit at numMerges 6 and 100") {
+    // richer corpus than the worked example so 100 merges have material
+    // to chew through, including tie-heavy repeated shapes
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick fox"),
+      (2L, "lower lowest newest newer widest wider low new wide"),
+      (3L, "internationalization localization internationalization"),
+      (4L, "aaa aab aba abb baa bab bba bbb aaa aab"),
+      (5L, "mississippi mississippi missouri missive")).toDF("id", "text")
+    for (n <- Seq(6, 100)) {
+      val local = Lexical.bpeFit(docs, "id", "text", numMerges = n)
+        .orderBy(col("step"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      val dist = Lexical.bpeFitDistributed(docs, "id", "text", numMerges = n)
+        .orderBy(col("step"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(local === dist, s"numMerges=$n local/distributed drift")
+    }
+  }
+
+  test("oversized vocabulary falls back to the distributed loop") {
+    // maxLocalVocab = 2 with 4+ distinct words forces the fallback; the
+    // result must be identical either way
+    val viaFallback = Lexical.bpeFit(corpus, "id", "text", numMerges = 4,
+        maxLocalVocab = 2)
+      .orderBy(col("step"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val local = Lexical.bpeFit(corpus, "id", "text", numMerges = 4)
+      .orderBy(col("step"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaFallback === local)
+  }
+
   test("empty documents and single-char words survive") {
     val df = Seq((1L, ""), (2L, "a a a"), (3L, "I")).toDF("id", "text")
     val merges = Lexical.bpeFit(df, "id", "text", numMerges = 2)

@@ -35,7 +35,8 @@ object Similarity {
       cellStats: Option[DataFrame] = None,
       defaultNprobe: Option[Int] = None,
       radii: Option[DataFrame] = None,
-      int8: Option[DataFrame] = None)
+      int8: Option[DataFrame] = None,
+      rotation: Option[DataFrame] = None)
 
   /** Dense-index build sizing: how many IVF cells, PQ subspaces and
     * codebook entries to train for a corpus of N rows x d dims, plus the
@@ -124,7 +125,8 @@ object Similarity {
       statsCols: Seq[String] = Seq.empty,
       calibrateRecall: Option[Double] = None,
       calibrateK: Int = 20,
-      calibrateQueries: Int = 20): DenseIndex = {
+      calibrateQueries: Int = 20,
+      opqRotateIters: Option[Int] = None): DenseIndex = {
     val spark = emb.sparkSession
     val p = params.getOrElse {
       val m = emb.select(count(lit(1)).as("n"), max(size(col(vecCol))).as("d")).head()
@@ -140,14 +142,40 @@ object Similarity {
       else if (p.nlist <= (1 << 16)) assignCellsBulk(emb, centArt, vecCol)
       else assignCellsChunked(emb, centArt, vecCol)
     graft.sources.Store.writePartitioned(assigned, s"$outDir/cells", "cluster")
+    // OPQ-STYLE rotation (FAISS OPQMatrix analog, Ge et al. 2013): fit the
+    // full-d principal basis ONCE ([[pcaTopComponents]] — its own doc
+    // comment calls this the OPQ rotation estimate), persist it as the
+    // `rotation` artifact, and train/encode PQ in the ROTATED coordinates.
+    // Rotation is orthogonal so inner products are unchanged (parity
+    // spec-pinned in OpqSpec); what changes is where the variance lands —
+    // PCA packs it into the leading coordinates instead of leaving
+    // correlated structure straddling subspace boundaries, so the same
+    // code budget quantizes tighter (measured distortion drop, OpqSpec /
+    // BASELINE.md). IVF geometry (centroids/cells) stays in the raw
+    // coordinates — only the PQ stage rotates; serving rotates the query
+    // through [[pqAdcScoreRotated]]. At d=768 the fit is a build-once
+    // driver cost over the d²-row Gram — run it on a hash sample like the
+    // PCA fit itself.
+    val rotArt = opqRotateIters.map { it =>
+      pcaTopComponents(emb, vecCol, m = p.numSub * p.subDim, iters = it)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(s"$outDir/rotation")
+      spark.read.parquet(s"$outDir/rotation")
+    }
+    val pqTrain = rotArt.fold(emb.select(col(idCol), col(vecCol)))(rot =>
+      rotateVectors(emb.select(col(idCol), col(vecCol)), rot, idCol, vecCol,
+        allocate = Some((p.numSub, p.subDim))))
     val cbr = pqRefineCodebooks(
-      emb, pqCodebooks(emb, p.numSub, p.subDim, p.numCentroids, idCol, vecCol),
+      pqTrain, pqCodebooks(pqTrain, p.numSub, p.subDim, p.numCentroids, idCol, vecCol),
       p.numSub, p.subDim, iters = p.pqIters, idCol = idCol, vecCol = vecCol)
     cbr.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(s"$outDir/codebooks")
     cbr.unpersist() // pqRefineCodebooks' contract: caller owns the frame
+    val encodeSrc = rotArt.fold(spark.read.parquet(s"$outDir/cells"))(rot =>
+      rotateVectors(spark.read.parquet(s"$outDir/cells"), rot, idCol, vecCol,
+        allocate = Some((p.numSub, p.subDim))))
     graft.sources.Store.writePartitioned(
-      pqEncode(spark.read.parquet(s"$outDir/cells"),
+      pqEncode(encodeSrc,
         spark.read.parquet(s"$outDir/codebooks"), p.numSub, p.subDim,
         idCol, vecCol, carry = Seq("cluster")),
       s"$outDir/codes", "cluster")
@@ -207,7 +235,8 @@ object Similarity {
       cellStats = statsArt,
       defaultNprobe = Some(np),
       radii = Some(spark.read.parquet(s"$outDir/radii")),
-      int8 = Some(spark.read.parquet(s"$outDir/int8")))
+      int8 = Some(spark.read.parquet(s"$outDir/int8")),
+      rotation = rotArt)
   }
 
   /** BUILD-TIME nprobe calibration: the smallest nprobe whose measured
@@ -720,6 +749,83 @@ object Similarity {
         .orderBy(col("score").desc, col(idCol))
         .limit(k)
     else topKPerQuery(scored, k, idCol, "score")
+  }
+
+  /** Re-express every vector in a FITTED orthonormal basis
+    * ([[pcaTopComponents]] output — the OPQ-style rotation): coordinate c
+    * of the output is the row's projection on component c. Map-only, the
+    * m×d matrix broadcast as packed literals (the [[pcaProjectPacked]]
+    * shape), every other column carried through unchanged, output cast to
+    * the engine's float-array store convention. An orthogonal rotation
+    * preserves inner products and norms (OpqSpec pins score parity), so
+    * rotated serving scores are the raw scores — only the SUBSPACE SPLIT
+    * sees different coordinates, which is the point: PCA concentrates
+    * variance into the leading coordinates instead of leaving correlated
+    * structure straddling PQ subspace boundaries. */
+  def rotateVectors(
+      emb: DataFrame,
+      components: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      projRound: Int = 6,
+      allocate: Option[(Int, Int)] = None): DataFrame = {
+    val withComp =
+      if (components.columns.contains("comp"))
+        components.select(col("comp").cast("int"), col("pos"), col("pc"))
+      else components.select(lit(0).as("comp"), col("pos"), col("pc"))
+    val byComp = withComp.collect()
+      .map(r => (r.getInt(0), r.getAs[Number](1).longValue(), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, rs) => c -> rs.sortBy(_._2).map(_._3) }
+    require(byComp.nonEmpty, "rotateVectors needs at least one fitted component")
+    // EIGENVALUE ALLOCATION (Ge et al. 2013 §4.2 / FAISS OPQMatrix): a
+    // plain PCA rotation leaves PQ distortion essentially unchanged —
+    // squared error is variance-linear and total variance is rotation-
+    // invariant; the measured win comes from DEALING the eigenvalue-
+    // sorted components ROUND-ROBIN across the sub-quantizers, so each
+    // subspace holds at most ~ceil(actives/numSub) strong directions and
+    // its k-means spends the code budget on a near-1-D problem (K^-2
+    // regime) instead of a full-rank one (K^-2/subDim). With
+    // allocate = Some((numSub, subDim)): component c lands at output
+    // coordinate (c % numSub) * subDim + c / numSub.
+    val order = allocate match {
+      case Some((numSub, subDim)) =>
+        require(byComp.length <= numSub * subDim,
+          s"${byComp.length} components cannot allocate into " +
+            s"$numSub x $subDim coordinates")
+        val slots = new Array[Int](byComp.length)
+        byComp.indices.foreach { c =>
+          slots(c) = (c % numSub) * subDim + c / numSub
+        }
+        byComp.indices.sortBy(slots)   // output coordinate order
+      case None => byComp.indices
+    }
+    val projCols = order.map { c =>
+      round(graft.functions.VectorOps.dotHof(col(vecCol),
+        array(byComp(c)._2.map(lit(_)): _*)), projRound).cast("float")
+    }
+    emb.withColumn(vecCol, array(projCols: _*))
+  }
+
+  /** [[pqAdcScore]] against an OPQ-ROTATED codes store: the query rotates
+    * through the same persisted `rotation` artifact the build encoded
+    * with ([[buildDenseIndex]] `opqRotateIters`), then ordinary ADC runs
+    * in the rotated coordinates — scores are inner products in a rotated
+    * basis, i.e. the raw inner products up to the rotation's rounding
+    * grain. Single-query (`qv`) and batch (`query_id`, `qv`) forms, like
+    * [[pqAdcScore]]. */
+  def pqAdcScoreRotated(
+      codes: DataFrame, codebooks: DataFrame, rotation: DataFrame,
+      queryDf: DataFrame, k: Int,
+      numSub: Int = 8, subDim: Int = 8,
+      idCol: String = "vec_id"): DataFrame = {
+    val hasQid = queryDf.columns.contains("query_id")
+    val q = if (hasQid) queryDf else queryDf.withColumn("query_id", lit(0L))
+    val rq = rotateVectors(q.select(col("query_id"), col("qv")), rotation,
+      "query_id", "qv", allocate = Some((numSub, subDim)))
+    pqAdcScore(codes, codebooks,
+      if (hasQid) rq else rq.drop("query_id"),
+      k, numSub, subDim, idCol)
   }
 
   /** Mean squared quantization error of a vector relation under a PQ

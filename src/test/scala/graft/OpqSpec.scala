@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OPQ-style rotate-then-quantize (Ge et al. 2013 / FAISS OPQMatrix):
+  * [[Similarity.rotateVectors]] with EIGENVALUE ALLOCATION, wired into
+  * [[Similarity.buildDenseIndex]] as `opqRotateIters` and served by
+  * [[Similarity.pqAdcScoreRotated]]. The spec pins the two halves of the
+  * contract: the rotation is score-NEUTRAL (orthogonal basis — exact
+  * rankings unchanged up to the round-6 projection grain), and on
+  * anisotropic data the allocated rotation measurably CUTS quantization
+  * distortion at the same code budget (a plain PCA-ordered rotation does
+  * not — squared error is variance-linear and rotation-invariant; the
+  * win is dealing eigen-sorted components round-robin across the
+  * sub-quantizers, measured 1.05 -> 0.44 on this corpus, BASELINE.md). */
+class OpqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def h(i: Long, j: Int) =
+    ((i * 2654435761L + j * 40503L) % 1000) / 1000.0 - 0.5
+
+  /** Four dense orthogonal (Hadamard) directions with scales 20/12/6/3
+    * plus per-coordinate noise — correlated structure that straddles
+    * every PQ subspace boundary in the raw coordinates. */
+  private lazy val corpus = {
+    val had = Array(
+      Array(1, 1, 1, 1, 1, 1, 1, 1), Array(1, -1, 1, -1, 1, -1, 1, -1),
+      Array(1, 1, -1, -1, 1, 1, -1, -1), Array(1, -1, -1, 1, 1, -1, -1, 1))
+    val scales = Array(20.0, 12.0, 6.0, 3.0)
+    (0L until 300L).map { i =>
+      val coefs = Array.tabulate(4)(f => h(i, f * 7) * scales(f))
+      (i, Array.tabulate(8) { j =>
+        ((0 until 4).map(f => coefs(f) * had(f)(j) / math.sqrt(8)).sum
+          + h(i, j + 50) * 0.3).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+  }
+  private val (ns, sd) = (4, 2)
+  private lazy val rot =
+    Similarity.pcaTopComponents(corpus, "embedding", m = 8, iters = 10)
+
+  test("rotation is score-neutral: exact top-k ids unchanged, scores within the projection grain") {
+    val qv = corpus.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val raw = Similarity.knnExact(corpus, qv, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val cr = Similarity.rotateVectors(corpus, rot, allocate = Some((ns, sd)))
+    val qr = Similarity.rotateVectors(
+      qv.select(lit(0L).as("vec_id"), col("qv").as("embedding")), rot,
+      allocate = Some((ns, sd)))
+      .select(col("embedding").as("qv"))
+    val rotated = Similarity.knnExact(cr, qr, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(raw.map(_._1).toSeq === rotated.map(_._1).toSeq)
+    raw.zip(rotated).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-3, s"score drift $a vs $b")
+    }
+  }
+
+  test("eigenvalue-allocated rotation cuts PQ distortion; plain PCA order does not") {
+    def distortion(vecs: org.apache.spark.sql.DataFrame): Double = {
+      val cb = Similarity.pqRefineCodebooks(vecs,
+        Similarity.pqCodebooks(vecs, ns, sd, 4), ns, sd, iters = 3)
+      val d = Similarity.quantizationDistortion(vecs, cb, ns, sd)
+      cb.unpersist(); d
+    }
+    val dRaw = distortion(corpus)
+    val dPca = distortion(Similarity.rotateVectors(corpus, rot))
+    val dAlloc = distortion(
+      Similarity.rotateVectors(corpus, rot, allocate = Some((ns, sd))))
+    assert(dAlloc < 0.6 * dRaw,
+      s"allocated rotation must cut distortion materially: $dAlloc vs raw $dRaw")
+    assert(dAlloc <= dPca,
+      s"allocation must not lose to plain PCA order: $dAlloc vs $dPca")
+  }
+
+  test("ADC over rotated codes recalls at least as much of the exact top-k") {
+    val qv = corpus.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+    val truth = Similarity.knnExact(corpus, qv, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    def adcHits(vecs: org.apache.spark.sql.DataFrame,
+        q: org.apache.spark.sql.DataFrame): Int = {
+      val cb = Similarity.pqRefineCodebooks(vecs,
+        Similarity.pqCodebooks(vecs, ns, sd, 4), ns, sd, iters = 3)
+      val got = Similarity.pqAdcScore(
+        Similarity.pqEncode(vecs, cb, ns, sd), cb, q, k = 10, ns, sd)
+        .collect().map(_.getLong(0)).count(truth)
+      cb.unpersist(); got
+    }
+    val rawHits = adcHits(corpus, qv)
+    val cr = Similarity.rotateVectors(corpus, rot, allocate = Some((ns, sd)))
+    val qr = Similarity.rotateVectors(
+      qv.select(lit(0L).as("vec_id"), col("qv").as("embedding")), rot,
+      allocate = Some((ns, sd)))
+      .select(col("embedding").as("qv"))
+    val rotHits = adcHits(cr, qr)
+    assert(rotHits >= rawHits,
+      s"rotated ADC must not recall less: $rotHits vs $rawHits of ${truth.size}")
+  }
+
+  test("buildDenseIndex(opqRotateIters) persists the rotation and serves through pqAdcScoreRotated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq").toString
+    val p = Similarity.IvfParams(nlist = 4, lloydIters = 1, numSub = ns,
+      subDim = sd, numCentroids = 4, pqIters = 2, defaultNprobe = 2)
+    val idx = Similarity.buildDenseIndex(corpus, dir, params = Some(p),
+      opqRotateIters = Some(8))
+    assert(idx.rotation.isDefined)
+    assert(idx.rotation.get.count() === 64L, "8 components x 8 dims")
+    val qv = corpus.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val served = Similarity.pqAdcScoreRotated(
+      idx.codes, idx.codebooks, idx.rotation.get, qv, k = 5, ns, sd)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.length === 5)
+    // serving parity: rotating the query by hand and running plain ADC
+    // over the same persisted codes must give the identical result
+    val qr = Similarity.rotateVectors(
+      qv.select(lit(0L).as("vec_id"), col("qv").as("embedding")),
+      idx.rotation.get, allocate = Some((ns, sd)))
+      .select(col("embedding").as("qv"))
+    val manual = Similarity.pqAdcScore(idx.codes, idx.codebooks, qr, k = 5, ns, sd)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.toSeq === manual.toSeq)
+    // scores come back rank-ordered
+    assert(served.map(_._2).toSeq === served.map(_._2).sorted(
+      Ordering[Double].reverse).toSeq)
+    // and the un-rotated build leaves no rotation artifact
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_noopq").toString
+    val idx2 = Similarity.buildDenseIndex(corpus, dir2, params = Some(p))
+    assert(idx2.rotation.isEmpty)
+  }
+
+  test("allocation guards: more components than coordinates is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.rotateVectors(corpus, rot, allocate = Some((2, 2)))
+    }
+    assert(e.getMessage.contains("allocate"))
+  }
+}

@@ -1364,6 +1364,63 @@ object Similarity {
       coordRound: Int = 8): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    import graft.functions.DecimalUnits
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // DRIVER-LOCAL deflation (the powerIterate localization carried to
+    // the multi-component fit): the Gram collects ONCE, each component's
+    // power run and the rank-1 deflation
+    // `G ← round(G − λ vᵢ vⱼ, coordRound)` execute as in-memory passes
+    // with the identical rounded ops the SQL twin
+    // ([[pcaTopComponentsSqlDeflate]]) schedules as per-component jobs —
+    // bit parity spec-pinned (PcaPowerParitySpec), and a d=768 rotation
+    // fit stops costing m d²-row Spark jobs.
+    val rows = gramMatrix(vecs, vecCol, coordRound)
+      .select(col("i").cast("int"), col("j").cast("int"),
+        col("g").cast("double")).collect()
+    require(rows.nonEmpty,
+      "power iteration needs a non-empty Gram — fit on an empty or " +
+        "all-null-vector corpus has no spectrum")
+    val n = rows.length
+    val iArr = new Array[Int](n); val jArr = new Array[Int](n)
+    val gArr = new Array[Double](n)
+    var r = 0
+    while (r < n) {
+      iArr(r) = rows(r).getInt(0); jArr(r) = rows(r).getInt(1)
+      gArr(r) = if (rows(r).isNullAt(2)) Double.NaN else rows(r).getDouble(2)
+      r += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    for (c <- 0 until m) {
+      val (present, v, eig) = powerIterateArrays(iArr, jArr, gArr, iters, coordRound)
+      var i = 0
+      while (i < v.length) {
+        if (present(i)) out += ((c, i.toLong, v(i), eig))
+        i += 1
+      }
+      // deflate in place — same left-assoc multiply and round as the SQL
+      // expression `round(g - eigval * vi * vj, coordRound)`
+      r = 0
+      while (r < n) {
+        gArr(r) = DecimalUnits.roundDouble(
+          gArr(r) - eig * v(iArr(r)) * v(jArr(r)), coordRound)
+        r += 1
+      }
+    }
+    localizeDf(spark, out.toSeq.toDF("comp", "pos", "pc", "eigval"))
+  }
+
+  /** The SQL-deflation twin of [[pcaTopComponents]] — kept as the
+    * driver-local loop's parity oracle (each deflation round is the
+    * Spark-expression join the local form mirrors). */
+  private[graft] def pcaTopComponentsSqlDeflate(
+      vecs: DataFrame,
+      vecCol: String = "embedding",
+      m: Int = 2,
+      iters: Int = 8,
+      coordRound: Int = 8): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = vecs.sparkSession
     var g = localizeDf(spark, gramMatrix(vecs, vecCol, coordRound))
     val comps = (0 until m).map { c =>
@@ -1545,7 +1602,6 @@ object Similarity {
     * (PcaPowerParitySpec pins v and eigval to bit equality). */
   private[graft] def powerIterate(
       g: DataFrame, iters: Int, coordRound: Int): (DataFrame, DataFrame) = {
-    import graft.functions.DecimalUnits
     val spark = g.sparkSession
     import spark.implicits._
     val rows = g.select(col("i").cast("int"), col("j").cast("int"),
@@ -1564,6 +1620,24 @@ object Similarity {
       gArr(r) = if (rows(r).isNullAt(2)) Double.NaN else rows(r).getDouble(2)
       r += 1
     }
+    val (present, v, eig) = powerIterateArrays(iArr, jArr, gArr, iters, coordRound)
+    val vDf = localizeDf(spark,
+      v.indices.filter(present).map(i => (i, v(i))).toDF("i", "v"))
+    val rayDf = localizeDf(spark, Seq(eig).toDF("eigval"))
+    (vDf, rayDf)
+  }
+
+  /** The array core of [[powerIterate]]: `iters` rounds of
+    * matvec → norm → normalize over COO Gram triples, then the Rayleigh
+    * quotient — every step the exact-decimal mirror of the SQL ops
+    * (see [[powerIterateSql]]). Shared by the one-shot fit and the
+    * deflating multi-component fit, which re-enters with the deflated
+    * `gArr`. Returns (presence mask, unit direction, round-6 eigval). */
+  private def powerIterateArrays(
+      iArr: Array[Int], jArr: Array[Int], gArr: Array[Double],
+      iters: Int, coordRound: Int): (Array[Boolean], Array[Double], Double) = {
+    import graft.functions.DecimalUnits
+    val m = iArr.length
     val d = iArr.max + 1
     val present = new Array[Boolean](d)
     iArr.foreach(present(_) = true)
@@ -1571,6 +1645,7 @@ object Similarity {
     val v0 = DecimalUnits.roundDouble(1.0 / math.sqrt(d.toDouble), coordRound)
     var i = 0
     while (i < d) { if (present(i)) v(i) = v0; i += 1 }
+    var r = 0
     for (_ <- 1 to iters) {
       // w ← round(Σⱼ dec12(g·vⱼ), cr), per i — the SQL groupBy("i") sum
       val acc = new DecimalUnits.AccArray(d)
@@ -1602,11 +1677,7 @@ object Similarity {
       rAcc.addProduct(0, gArr(r) * v(iArr(r)) * v(jArr(r)))
       r += 1
     }
-    val eig = DecimalUnits.roundDouble(rAcc.result(0).doubleValue(), 6)
-    val vDf = localizeDf(spark,
-      (0 until d).filter(present).map(i => (i, v(i))).toDF("i", "v"))
-    val rayDf = localizeDf(spark, Seq(eig).toDF("eigval"))
-    (vDf, rayDf)
+    (present, v, DecimalUnits.roundDouble(rAcc.result(0).doubleValue(), 6))
   }
 
   /** The DECLARATIVE Spark-expression form of [[powerIterate]] — kept as

@@ -53,6 +53,20 @@ class PcaPowerParitySpec extends AnyFunSuite {
     assert(eL === eS)
   }
 
+  test("driver-local deflation == SQL deflation for the multi-component fit") {
+    val emb = vecs(40, 8)
+    def collectComps(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("comp", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val local = collectComps(
+      Similarity.pcaTopComponents(emb, "embedding", m = 3, iters = 6))
+    val sql = collectComps(
+      Similarity.pcaTopComponentsSqlDeflate(emb, "embedding", m = 3, iters = 6))
+    assert(local === sql)
+  }
+
   test("empty Gram fails loudly from both forms") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

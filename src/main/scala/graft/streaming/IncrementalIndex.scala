@@ -123,7 +123,8 @@ object IncrementalIndex {
       cellCol: String = "cluster",
       statsCols: Seq[String] = Seq.empty,
       statsDir: Option[String] = None,
-      radiiDir: Option[String] = None): Unit = {
+      radiiDir: Option[String] = None,
+      rotation: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.functions._
     // half-specifying the PQ leg would SILENTLY skip it and leave the codes
     // artifact stale — the exact staleness this maintenance job exists to
@@ -133,6 +134,17 @@ object IncrementalIndex {
         s"(got codebooks=${codebooks.isDefined}, codesDir=${codesDir.isDefined})")
     require(trainDistortion.isEmpty || codebooks.isDefined,
       "trainDistortion given without codebooks — there is nothing to gate")
+    // an OPQ-rotated index's codebooks live in the ROTATED coordinates
+    // ([[graft.operators.Similarity.buildDenseIndex]] opqRotateIters /
+    // [[retrainAndSwap]] rotation): encoding a raw batch against them
+    // would land garbage codes — and the drift gate would scream about a
+    // distribution shift that is actually a basis mismatch. Passing the
+    // index's rotation artifact routes the batch through the SAME
+    // allocated rotation before both the gate and the encode; the landed
+    // CELLS store stays raw (IVF geometry is unrotated by design).
+    require(rotation.isEmpty || codebooks.isDefined,
+      "rotation given without codebooks — only the PQ leg encodes in the " +
+        "rotated basis")
     // same fail-fast for the histogram leg: a stale cellstats artifact
     // makes the adaptive probe planner silently mis-size probes
     require(statsCols.isEmpty == statsDir.isEmpty,
@@ -155,12 +167,17 @@ object IncrementalIndex {
     val q = src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the PQ-side view of the batch: rotated when the index is
+        // OPQ-rotated, the raw vectors otherwise
+        def pqBatch = rotation.fold(batch.select(col(idCol), col(vecCol)))(rot =>
+          graft.operators.Similarity.rotateVectors(
+            batch.select(col(idCol), col(vecCol)), rot, idCol, vecCol,
+            allocate = Some((numSub, subDim))))
         // drift gate FIRST — before any write, so a drifted batch fails the
         // run without committing and replays cleanly after a retrain
         for (cb <- codebooks; trained <- trainDistortion) {
           val d = graft.operators.Similarity.quantizationDistortion(
-            batch.select(col(idCol), col(vecCol)), cb, numSub, subDim,
-            idCol, vecCol)
+            pqBatch, cb, numSub, subDim, idCol, vecCol)
           if (d > trained * driftTolerance)
             throw new IllegalStateException(
               f"codebook drift: batch $batchId distortion $d%.6f is " +
@@ -194,7 +211,7 @@ object IncrementalIndex {
             .delete(codesBatchPath, true)
           val codesCol = ccCodes.getOrElse(cc)
           graft.operators.Similarity
-            .pqEncode(batch.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol)),
+            .pqEncode(pqBatch.join(assigned, Seq(idCol)),
               cb, numSub, subDim, idCol, vecCol, carry = Seq(cc))
             .withColumnRenamed(cc, codesCol)
             .withColumn("batch_id", lit(batchId))
@@ -812,6 +829,22 @@ object IncrementalIndex {
     (cb, d, v, s"$indexRoot/v=$v/codes")
   }
 
+  /** The published version's OPQ rotation artifact, when the version was
+    * retrained with `opqRotateIters` — None for an unrotated index.
+    * Callers thread it into [[updateDenseIndex]]'s `rotation` so landed
+    * batches encode in the version's basis. */
+  def currentRotation(
+      spark: SparkSession,
+      indexRoot: String): Option[DataFrame] = {
+    val v = currentVersion(spark, indexRoot).getOrElse(
+      throw new IllegalStateException(
+        s"no published index version under $indexRoot — bootstrap with retrainAndSwap"))
+    val p = new org.apache.hadoop.fs.Path(s"$indexRoot/v=$v/rotation")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(s"$indexRoot/v=$v/rotation"))
+    else None
+  }
+
   /** RETRAIN-AND-SWAP (the drift gate's follow-through): refit PQ
     * codebooks over `trainCorpus` (the accumulated store UNION the
     * drifted, still-unlanded landing rows — retraining on the OLD
@@ -834,20 +867,37 @@ object IncrementalIndex {
       pqIters: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      cellCol: String = "cluster"): Long = {
+      cellCol: String = "cluster",
+      opqRotateIters: Option[Int] = None): Long = {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
     recoverVersionSwap(spark, indexRoot)
     val root = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = currentVersion(spark, indexRoot).getOrElse(-1L) + 1
-    val emb = trainCorpus.select(col(idCol), col(vecCol))
+    val staging = s"$indexRoot/_version_staging/v=$next"
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexRoot/_version_staging"), true)
+    // OPQ-rotated retrain: a drift-tripped OPQ index refits the ROTATION
+    // along with the codebooks (the basis is part of the quantizer), and
+    // the published version carries it so [[currentRotation]] readers and
+    // the next [[updateDenseIndex]] encode in the matching coordinates
+    val rotArt = opqRotateIters.map { it =>
+      Similarity.pcaTopComponents(trainCorpus, vecCol,
+          m = numSub * subDim, iters = it)
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", "zstd").parquet(s"$staging/rotation")
+      spark.read.parquet(s"$staging/rotation")
+    }
+    // rotateVectors carries every non-vector column through, so the store
+    // re-encode keeps its cell column
+    def rotated(df: DataFrame) = rotArt.fold(df)(rot =>
+      Similarity.rotateVectors(df, rot, idCol, vecCol,
+        allocate = Some((numSub, subDim))))
+    val emb = rotated(trainCorpus.select(col(idCol), col(vecCol)))
     val cb = Similarity.pqRefineCodebooks(
       emb, Similarity.pqCodebooks(emb, numSub, subDim, numCentroids, idCol, vecCol),
       numSub, subDim, iters = pqIters, idCol = idCol, vecCol = vecCol)
     val dist = Similarity.quantizationDistortion(emb, cb, numSub, subDim, idCol, vecCol)
-    val staging = s"$indexRoot/_version_staging/v=$next"
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexRoot/_version_staging"), true)
     cb.coalesce(1).write.mode("overwrite")
       .option("compression", "zstd").parquet(s"$staging/codebooks")
     cb.unpersist() // pqRefineCodebooks' contract: the caller owns the frame
@@ -857,7 +907,7 @@ object IncrementalIndex {
     // NEW codebooks (one epoch subtree, the compactCells convention);
     // later batches append their own batch_id= subtrees via updateDenseIndex
     store.foreach { st =>
-      Similarity.pqEncode(st, spark.read.parquet(s"$staging/codebooks"),
+      Similarity.pqEncode(rotated(st), spark.read.parquet(s"$staging/codebooks"),
           numSub, subDim, idCol, vecCol, carry = Seq(cellCol))
         .withColumn("batch_id", lit(-1L))
         .write.mode("append")
@@ -956,7 +1006,8 @@ object IncrementalIndex {
       cellCol: String = "cluster",
       statsCols: Seq[String] = Seq.empty,
       statsDir: Option[String] = None,
-      radiiDir: Option[String] = None): Unit = {
+      radiiDir: Option[String] = None,
+      opqRotateIters: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions._
     // same layout-first resolution as [[updateDenseIndex]]
     val cc = resolveCellCol(spark, sinkDir, cellCol)
@@ -972,13 +1023,17 @@ object IncrementalIndex {
     if (currentVersion(spark, indexRoot).isEmpty)
       retrainAndSwap(spark, indexRoot, trainCorpus, landedStore,
         numSub, subDim, numCentroids, idCol = idCol, vecCol = vecCol,
-        cellCol = cc)
+        cellCol = cc, opqRotateIters = opqRotateIters)
     def runOnce(): Unit = {
       val (cb, dist, _, codesDir) = currentCodebooks(spark, indexRoot)
+      // the version's basis travels with its codebooks: an OPQ-retrained
+      // version publishes a rotation artifact, and every landed batch
+      // must encode through it
       updateDenseIndex(spark, landingDir, sinkDir, checkpointDir, centroids,
         idCol, vecCol, Some(cb), Some(codesDir), numSub, subDim,
         Some(dist), driftTolerance, centroidIdCol, cc,
-        statsCols, statsDir, radiiDir)
+        statsCols, statsDir, radiiDir,
+        rotation = currentRotation(spark, indexRoot))
     }
     try runOnce()
     catch {
@@ -987,7 +1042,7 @@ object IncrementalIndex {
             .exists(t => Option(t.getMessage).exists(_.contains("codebook drift"))) =>
         retrainAndSwap(spark, indexRoot, trainCorpus, landedStore,
           numSub, subDim, numCentroids, idCol = idCol, vecCol = vecCol,
-          cellCol = cc)
+          cellCol = cc, opqRotateIters = opqRotateIters)
         runOnce()
     }
   }

@@ -131,6 +131,69 @@ class OpqSpec extends AnyFunSuite {
     assert(idx2.rotation.isEmpty)
   }
 
+  test("incremental maintenance encodes landed batches in the index's rotated basis") {
+    import graft.streaming.IncrementalIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_opq_incr")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val codes = base.resolve("codes").toString
+    val ckpt = base.resolve("ckpt").toString
+    val labeled = corpus.select(col("vec_id"), col("embedding"),
+      (col("vec_id") % 3).cast("int").as("label"))
+    val cents = Similarity.centroids(labeled, "label", "embedding")
+    val rotated = Similarity.rotateVectors(corpus, rot, allocate = Some((ns, sd)))
+    val cb = Similarity.pqRefineCodebooks(rotated,
+      Similarity.pqCodebooks(rotated, ns, sd, 4), ns, sd, iters = 2)
+    val trained = Similarity.quantizationDistortion(rotated, cb, ns, sd)
+    // the basis-mismatch failure mode this wiring prevents: RAW vectors
+    // against the rotated codebooks read as massive "drift"
+    val rawAgainstRotated = Similarity.quantizationDistortion(corpus, cb, ns, sd)
+    assert(rawAgainstRotated > trained * 1.5,
+      s"expected basis mismatch to look like drift: $rawAgainstRotated vs $trained")
+    corpus.filter(col("vec_id") < 150).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt,
+      cents.select(col("label"), col("cv")),
+      codebooks = Some(cb), codesDir = Some(codes), numSub = ns, subDim = sd,
+      trainDistortion = Some(trained), driftTolerance = 1.5,
+      centroidIdCol = "label", cellCol = "ivf_cell", rotation = Some(rot))
+    corpus.filter(col("vec_id") >= 150).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt,
+      cents.select(col("label"), col("cv")),
+      codebooks = Some(cb), codesDir = Some(codes), numSub = ns, subDim = sd,
+      trainDistortion = Some(trained), driftTolerance = 1.5,
+      centroidIdCol = "label", cellCol = "ivf_cell", rotation = Some(rot))
+    // accumulated codes == one-shot encode of the ROTATED corpus
+    val want = Similarity.pqEncode(rotated, cb, ns, sd)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val got = spark.read.parquet(codes).select("vec_id", "m", "code")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got === want)
+    cb.unpersist()
+  }
+
+  test("retrainAndSwap(opqRotateIters) publishes the rotation; currentRotation reads it") {
+    import graft.streaming.IncrementalIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_opq_ver").toString
+    val v = IncrementalIndex.retrainAndSwap(spark, root, corpus, None,
+      numSub = ns, subDim = sd, numCentroids = 4, pqIters = 2,
+      opqRotateIters = Some(8))
+    assert(v === 0L)
+    val rotArt = IncrementalIndex.currentRotation(spark, root)
+    assert(rotArt.isDefined)
+    assert(rotArt.get.count() === 64L, "8 components x 8 dims")
+    // the published distortion is the ROTATED-basis training distortion
+    val (cb, dist, _, _) = IncrementalIndex.currentCodebooks(spark, root)
+    val rotated = Similarity.rotateVectors(corpus, rotArt.get,
+      allocate = Some((ns, sd)))
+    val recomputed = Similarity.quantizationDistortion(rotated, cb, ns, sd)
+    assert(math.abs(dist - recomputed) < 1e-9, s"$dist vs $recomputed")
+    // an unrotated retrain publishes no rotation artifact
+    val root2 = java.nio.file.Files.createTempDirectory("graft_noopq_ver").toString
+    IncrementalIndex.retrainAndSwap(spark, root2, corpus, None,
+      numSub = ns, subDim = sd, numCentroids = 4, pqIters = 2)
+    assert(IncrementalIndex.currentRotation(spark, root2).isEmpty)
+  }
+
   test("allocation guards: more components than coordinates is rejected") {
     val e = intercept[IllegalArgumentException] {
       Similarity.rotateVectors(corpus, rot, allocate = Some((2, 2)))

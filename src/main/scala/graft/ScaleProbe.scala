@@ -67,7 +67,12 @@ object ScaleProbe {
       "sim_ivf_range", "sim_ivf_range_batch", "sim_ivf_int8_refine",
       "sim_range_post_delete", "dedup_semantic_keep_best",
       "eval_ann_quality", "eval_recall_curve", "sim_pca_power",
-      "sim_pca_project", "curation_stratified_sample", "profile_zipf")
+      "sim_pca_project", "curation_stratified_sample", "profile_zipf",
+      // round-10 additions: wide-fingerprint media near-dup, the SQ8 /
+      // matryoshka eval queries (q×k-bounded like eval_ann_quality),
+      // OPQ ADC serving, and the driver-localized BPE trainer
+      "mm_phash_dedup", "eval_sq8_recall", "eval_matryoshka_recall",
+      "sim_opq_adc", "text_bpe_fit", "text_bpe_segment")
     // an explicit comma-separated probe list (arg 3) scopes a re-run to the
     // queries under study without re-measuring the whole table
     val probes = if (args.length > 2) args(2).split(",").toSeq else defaultProbes

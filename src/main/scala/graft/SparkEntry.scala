@@ -4036,6 +4036,42 @@ object SparkEntry {
              |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
              |FROM wn GROUP BY id ORDER BY id""".stripMargin)),
 
+    // NAIVE-BAYES quality classifier — the fastText-style trusted-corpus
+    // discriminator the GPT-3/CCNet pipelines run beside the heuristic
+    // and LM gates (weak label here: lang='en' as the trusted class).
+    // The whole chain is pinned: add-one-smoothed per-term LLRs (round-8
+    // — ln's last-ulp libm differences sit far below the grain, the
+    // log2-DCG convention), broadcast-model scoring, per-doc decimal-
+    // exact mean with OOV-neutral denominator semantics, NULL for
+    // token-less docs.
+    ("text_nb_classifier",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = TextAnalysis.nbQualityFit(
+          docs.withColumn("trusted", col("lang") === "en"),
+          "doc_id", "text", "trusted")
+        TextAnalysis.nbQualityScore(docs, model, "doc_id", "text")
+          .orderBy(col("id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id AS id, lang = 'en' AS pos,
+             |    unnest(regexp_extract_all(lower(text), '\w+')) AS term FROM documents),
+             |cnt AS (SELECT term, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tfp,
+             |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS tfn
+             |        FROM tok GROUP BY 1),
+             |tot AS (SELECT SUM(tfp) AS np, SUM(tfn) AS nn, COUNT(*) AS v FROM cnt),
+             |model AS (SELECT term,
+             |    ROUND(ln((tfp + 1) / (np + v)) - ln((tfn + 1) / (nn + v)), 8) AS llr
+             |  FROM cnt CROSS JOIN tot),
+             |n AS (SELECT doc_id AS id,
+             |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |s AS (SELECT t.id, CAST(SUM(CAST(m.llr AS DECIMAL(28,12))) AS DOUBLE) AS sm
+             |      FROM tok t JOIN model m USING (term) GROUP BY 1)
+             |SELECT n.id, n.n_tokens,
+             |  CASE WHEN n.n_tokens > 0
+             |       THEN ROUND(COALESCE(s.sm, 0.0) / n.n_tokens, 6) END AS nb_score
+             |FROM n LEFT JOIN s USING (id) ORDER BY id""".stripMargin)),
+
     // Gopher-style repetition gate: per-doc bigram repetition signals
     // (top-ngram share, repeated-ngram share) — boilerplate/loop detection
     ("text_repetition",

@@ -431,4 +431,65 @@ object TextAnalysis {
         round((col("k") * col("sxy") - col("sx") * col("sy")) /
           (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
   }
+
+  /** Fit a NAIVE-BAYES quality classifier — the fastText/logreg
+    * "does this look like trusted reference text?" filter the GPT-3 and
+    * CCNet pipelines run beside the heuristic gates ([[gopherRules]])
+    * and the LM gate ([[lmQuality]]): a LABELED sample (label true =
+    * trusted corpus) trains per-term log-likelihood ratios
+    * `llr(t) = ln((tf⁺+1)/(N⁺+V)) − ln((tf⁻+1)/(N⁻+V))` (add-one
+    * smoothing; V = shared vocabulary size), each rounded to `llrRound`
+    * so the model artifact is engine-portable. One tokenize pass over
+    * the labeled sample; the totals are a broadcast 1-row aggregate.
+    * Persist the returned `(term, llr)` relation like any fitted index
+    * (the [[graft.operators.Lexical.writeBpe]] discipline) — scoring
+    * loads it, never refits. Vocabulary is corpus-bounded; at 100 TB
+    * cap it like production fastText does (fit on a hash sample /
+    * min-frequency floor) so the model stays broadcastable. */
+  def nbQualityFit(
+      docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+      llrRound: Int = 8): DataFrame = {
+    val tok = docs.select(col(labelCol).cast("boolean").as("__pos"),
+      explode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+        .as("term"))
+    val counts = tok.groupBy(col("term"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__tfp"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("__tfn"))
+    val totals = broadcast(counts.agg(
+      sum(col("__tfp")).as("__np"), sum(col("__tfn")).as("__nn"),
+      count(lit(1)).as("__v")))
+    counts.crossJoin(totals)
+      .select(col("term"),
+        round(log((col("__tfp") + 1) / (col("__np") + col("__v"))) -
+          log((col("__tfn") + 1) / (col("__nn") + col("__v"))), llrRound)
+          .as("llr"))
+  }
+
+  /** Score every document under a fitted [[nbQualityFit]] model: the
+    * per-doc MEAN llr of its tokens (out-of-vocabulary tokens contribute
+    * 0 — the neutral prior — and still count in the denominator, so an
+    * OOV-heavy doc scores near 0, not undefined). Broadcast model join +
+    * one per-doc decimal-exact aggregate; a token-less doc gets a NULL
+    * score (there is nothing to classify), mirroring [[zipfProfile]]'s
+    * empty-corpus convention. Output `(id, n_tokens, nb_score)` rounded
+    * to `scoreRound`; filter `nb_score >= threshold` downstream exactly
+    * like the pipelines this mirrors. */
+  def nbQualityScore(
+      docs: DataFrame, model: DataFrame, idCol: String, textCol: String,
+      scoreRound: Int = 6): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+        .as("term"))
+    val sums = tok.join(broadcast(model), Seq("term"))
+      .groupBy(col("id"))
+      .agg(sum(col("llr").cast("decimal(28,12)")).cast("double").as("__s"))
+    docs.select(col(idCol).as("id"),
+        size(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+          .cast("long").as("n_tokens"))
+      .join(sums, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("__s"), lit(0.0)) / col("n_tokens"), scoreRound))
+          .as("nb_score"))
+  }
 }

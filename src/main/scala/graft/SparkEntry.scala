@@ -4072,6 +4072,54 @@ object SparkEntry {
              |       THEN ROUND(COALESCE(s.sm, 0.0) / n.n_tokens, 6) END AS nb_score
              |FROM n LEFT JOIN s USING (id) ORDER BY id""".stripMargin)),
 
+    // GPT-3's document-selection rule end to end (Brown et al. 2020
+    // App. A): NB classifier score -> sigmoid probability -> keep iff
+    // pareto(9) > 1 - p, with the Pareto draw DETERMINISTIC via the
+    // portable hash's inverse-transform (Lomax quantile, round-8
+    // boundary). Quality-tilted keeps without a hard-threshold cliff;
+    // the oracle re-derives classifier, sigmoid, hash-u, draw, and the
+    // keep boundary.
+    ("curation_classifier_resample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = TextAnalysis.nbQualityFit(
+          docs.withColumn("trusted", col("lang") === "en"),
+          "doc_id", "text", "trusted")
+        val scored = TextAnalysis.nbQualityScore(docs, model, "doc_id", "text")
+          .withColumn("p_trusted",
+            round(lit(1.0) / (lit(1.0) + exp(-col("nb_score"))), 6))
+        Curation.classifierResample(scored, "id", "p_trusted")
+          .select(col("id"), col("p_trusted"), col("pareto_draw"), col("kept"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id AS id, lang = 'en' AS pos,
+             |    unnest(regexp_extract_all(lower(text), '\w+')) AS term FROM documents),
+             |cnt AS (SELECT term, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tfp,
+             |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS tfn
+             |        FROM tok GROUP BY 1),
+             |tot AS (SELECT SUM(tfp) AS np, SUM(tfn) AS nn, COUNT(*) AS v FROM cnt),
+             |model AS (SELECT term,
+             |    ROUND(ln((tfp + 1) / (np + v)) - ln((tfn + 1) / (nn + v)), 8) AS llr
+             |  FROM cnt CROSS JOIN tot),
+             |n AS (SELECT doc_id AS id,
+             |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |s AS (SELECT t.id, CAST(SUM(CAST(m.llr AS DECIMAL(28,12))) AS DOUBLE) AS sm
+             |      FROM tok t JOIN model m USING (term) GROUP BY 1),
+             |sc AS (SELECT n.id, CASE WHEN n.n_tokens > 0
+             |         THEN ROUND(COALESCE(s.sm, 0.0) / n.n_tokens, 6) END AS nb
+             |       FROM n LEFT JOIN s USING (id)),
+             |pr AS (SELECT id, CASE WHEN nb IS NOT NULL
+             |         THEN ROUND(1.0 / (1.0 + exp(-nb)), 6) END AS p_trusted FROM sc),
+             |rs AS (SELECT id, p_trusted,
+             |    ROUND(pow(1.0 - (('0x' || substr(md5('resample:' || CAST(id AS VARCHAR)),
+             |      1, 15))::BIGINT % 1000000) / 1000000.0, -1.0/9) - 1.0, 8) AS pareto_draw
+             |  FROM pr)
+             |SELECT id, p_trusted, pareto_draw,
+             |  CASE WHEN pareto_draw > 1.0 - COALESCE(p_trusted, 0.0)
+             |       THEN 1 ELSE 0 END AS kept
+             |FROM rs ORDER BY id""".stripMargin)),
+
     // Gopher-style repetition gate: per-doc bigram repetition signals
     // (top-ngram share, repeated-ngram share) — boilerplate/loop detection
     ("text_repetition",

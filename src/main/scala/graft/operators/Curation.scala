@@ -347,4 +347,33 @@ object Curation {
       .drop("__key", "__keep")
     hashSample(kept, idCol, sampleBp, salt)
   }
+
+  /** PARETO-NOISED classifier resampling — GPT-3's document-selection
+    * rule (Brown et al. 2020, Appendix A: keep a document iff
+    * `np.random.pareto(α) > 1 − score`, α = 9): high-scoring documents
+    * are kept near-surely while low scorers survive with a heavy-tailed
+    * residual probability, so the kept corpus is quality-TILTED without
+    * the hard-threshold cliff that wipes out distributional diversity.
+    * Deterministic here: the Pareto draw comes from the portable hash
+    * via inverse transform (`u` in [0,1) from [[sampleKey]]'s hash at
+    * 10⁻⁶ resolution; `draw = round((1−u)^(−1/α) − 1, 8)` — the Lomax
+    * quantile function, rounded so the keep boundary is engine-portable
+    * like every score cutoff here). `scoreCol` is a probability-like
+    * score in [0,1] (sigmoid a [[graft.operators.TextAnalysis
+    * .nbQualityFit]] mean LLR first); NULL scores count as 0 — the
+    * untrusted prior. Map-only: one hash + one pow per row, no shuffle.
+    * Output: the input plus `(pareto_draw, kept INT)`. */
+  def classifierResample(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      alpha: Int = 9, salt: String = "resample"): DataFrame = {
+    require(alpha >= 1, s"alpha must be >= 1, got $alpha")
+    val u = (Dedup.hash60(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+      % 1000000L).cast("double") / lit(1000000.0)
+    val draw = round(pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0), 8)
+    scored
+      .withColumn("pareto_draw", draw)
+      .withColumn("kept",
+        (col("pareto_draw") >
+          lit(1.0) - coalesce(col(scoreCol), lit(0.0))).cast("int"))
+  }
 }

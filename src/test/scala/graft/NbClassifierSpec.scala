@@ -57,6 +57,35 @@ class NbClassifierSpec extends AnyFunSuite {
     assert(got(23L) === ((0L, None)))
   }
 
+  test("classifierResample: keeps are monotone in score, tilted not cliffed, deterministic") {
+    import graft.operators.Curation
+    // the same id (same Pareto draw) with a higher score can only gain
+    // the keep — monotonicity of the GPT-3 rule per document
+    val ids = (0L until 2000L)
+    def keptAt(score: Double) = Curation
+      .classifierResample(ids.map(i => (i, score)).toDF("id", "p"), "id", "p")
+      .filter(col("kept") === 1).select("id").as[Long].collect().toSet
+    val lo = keptAt(0.05); val mid = keptAt(0.5); val hi = keptAt(0.95)
+    assert(lo.subsetOf(mid) && mid.subsetOf(hi), "keeps must nest by score")
+    // quality TILT without a cliff: keep rate tracks the Lomax tail
+    // P(pareto(9) > 1-s) = (2-s)^-9 — ~64% at s=0.95, ~2.6% at 0.5,
+    // ~0.25% at 0.05: low scorers survive, high scorers dominate
+    assert(lo.nonEmpty, "low scores must not be wiped out (no hard cliff)")
+    assert(lo.size < mid.size && mid.size < hi.size)
+    assert(math.abs(hi.size - 2000 * math.pow(1.05, -9)) < 100,
+      s"score 0.95 keep rate off the Lomax tail: ${hi.size}/2000")
+    assert(math.abs(mid.size - 2000 * math.pow(1.5, -9)) < 40,
+      s"score 0.5 keep rate off the Lomax tail: ${mid.size}/2000")
+    assert(lo.size < 20, s"score 0.05 should keep rarely: ${lo.size}/2000")
+    // NULL score = the untrusted prior (score 0), not an error
+    val withNull = Curation.classifierResample(
+      Seq((1L, Some(0.9)), (2L, None)).toDF("id", "p"), "id", "p")
+      .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("kept"))).toMap
+    assert(withNull.contains(2L))
+    // determinism: same salt, same keeps
+    assert(keptAt(0.5) === keptAt(0.5))
+  }
+
   test("deterministic: refit and rescore bit-identical") {
     val m2 = TextAnalysis.nbQualityFit(labeled, "doc_id", "text", "trusted")
     assert(model.collect().toSet === m2.collect().toSet)

@@ -5108,6 +5108,46 @@ object SparkEntry {
              |  AND alpr >= 0.8 AND nstop >= 2
              |ORDER BY content_hash""".stripMargin)),
 
+    // STREAMING CLASSIFIER GATE: the GPT-3 selection rule as a streaming
+    // admission filter — the NB model fits once in batch (the data
+    // freeze), broadcasts into the stream as a literal map, and the
+    // score -> sigmoid -> deterministic-Pareto keep all run as pure
+    // projections BEFORE the state store (state = admitted content
+    // hashes). The emitted set is batching-independent; the oracle
+    // re-derives the whole chain in batch SQL.
+    ("stream_classifier_gate",
+      (s, dir) =>
+        graft.streaming.CurationStreaming.classifierGateStream(s, dir),
+      Some("""WITH tok AS (SELECT doc_id AS id, lang = 'en' AS pos,
+             |    unnest(regexp_extract_all(lower(text), '\w+')) AS term FROM documents),
+             |cnt AS (SELECT term, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tfp,
+             |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS tfn
+             |        FROM tok GROUP BY 1),
+             |tot AS (SELECT SUM(tfp) AS np, SUM(tfn) AS nn, COUNT(*) AS v FROM cnt),
+             |model AS (SELECT term,
+             |    ROUND(ln((tfp + 1) / (np + v)) - ln((tfn + 1) / (nn + v)), 8) AS llr
+             |  FROM cnt CROSS JOIN tot),
+             |n AS (SELECT doc_id AS id,
+             |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |s AS (SELECT t.id, CAST(SUM(CAST(m.llr AS DECIMAL(28,12))) AS DOUBLE) AS sm
+             |      FROM tok t JOIN model m USING (term) GROUP BY 1),
+             |sc AS (SELECT n.id, CASE WHEN n.n_tokens > 0
+             |         THEN ROUND(COALESCE(s.sm, 0.0) / n.n_tokens, 6) END AS nb
+             |       FROM n LEFT JOIN s USING (id)),
+             |pr AS (SELECT id, CASE WHEN nb IS NOT NULL
+             |         THEN ROUND(1.0 / (1.0 + exp(-nb)), 6) END AS p_trusted FROM sc),
+             |rs AS (SELECT id, p_trusted,
+             |    ROUND(pow(1.0 - (('0x' || substr(md5('resample:' || CAST(id AS VARCHAR)),
+             |      1, 15))::BIGINT % 1000000) / 1000000.0, -1.0/9) - 1.0, 8) AS pareto_draw
+             |  FROM pr)
+             |SELECT DISTINCT
+             |  CAST('0x' || substr(md5(d.text), 1, 15) AS BIGINT) AS content_hash,
+             |  r.p_trusted
+             |FROM documents d JOIN rs r ON r.id = d.doc_id
+             |WHERE r.pareto_draw > 1.0 - COALESCE(r.p_trusted, 0.0)
+             |ORDER BY content_hash""".stripMargin)),
+
     ("stream_curate",
       (s, dir) => graft.streaming.CurationStreaming.curateStream(s, dir),
       Some("""WITH g AS (SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_hash,

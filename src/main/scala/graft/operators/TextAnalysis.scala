@@ -492,4 +492,43 @@ object TextAnalysis {
           round(coalesce(col("__s"), lit(0.0)) / col("n_tokens"), scoreRound))
           .as("nb_score"))
   }
+
+  /** [[nbQualityScore]] as a pure MAP-ONLY projection: the fitted model
+    * collects to the driver (it is the vocab-row tokenizer-style
+    * artifact, like [[graft.operators.Lexical.bpeSegment]]'s merge list)
+    * and enters the plan as ONE map literal; each row's score is an
+    * exact-decimal fold over its own token array — no explode, no model
+    * join, no per-doc aggregate, NOTHING stateful. Identical output to
+    * the join form (spec-pinned): the fold adds the same
+    * `cast(llr AS DECIMAL)` terms the SQL sum adds, OOV terms contribute
+    * exact 0, and decimal addition is order-invariant. This is the shape
+    * a STREAMING admission gate needs (score before the state store —
+    * [[graft.streaming.CurationStreaming]]) and the 100 TB serving
+    * shape (model ships once per executor, the corpus never shuffles). */
+  def nbQualityScoreMapOnly(
+      docs: DataFrame, model: DataFrame, idCol: String, textCol: String,
+      scoreRound: Int = 6, carryCols: Seq[String] = Nil): DataFrame = {
+    val m = typedlit(model.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    val carry = carryCols.map(col)
+    docs
+      .select(col(idCol).as("id") +: carry :+
+        expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("__t"): _*)
+      .select(col("id") +: carry :+
+        size(col("__t")).cast("long").as("n_tokens") :+
+        // the accumulator stays decimal(30,12) EXPLICITLY: letting the
+        // addition's result type float up to the 38-precision cap makes
+        // Spark rescale to (38,11) and the fold would round where the
+        // SQL sum does not; (30,12)+(28,12) -> (31,12) fits, and the
+        // cast back is scale-preserving (exact)
+        aggregate(col("__t"),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(30,12)"),
+          (acc, t) => (acc +
+            coalesce(element_at(m, t), lit(0.0)).cast("decimal(28,12)"))
+            .cast("decimal(30,12)"))
+          .cast("double").as("__s"): _*)
+      .select(col("id") +: carry :+ col("n_tokens") :+
+        when(col("n_tokens") > 0,
+          round(col("__s") / col("n_tokens"), scoreRound)).as("nb_score"): _*)
+  }
 }

@@ -89,6 +89,70 @@ object CurationStreaming {
     * the columns cannot tell those rows apart. `synth` builds the
     * document's line structure from the raw row (the planted corpus the
     * batch oracle uses), keeping the stage a projection. */
+  /** STREAMING CLASSIFIER GATE: the GPT-3 document-selection rule
+    * ([[graft.operators.Curation.classifierResample]]) as a streaming
+    * admission filter. The NB model is a FITTED artifact (fit once on
+    * the data freeze — the load-don't-refit discipline every index here
+    * follows) entering the stream as a broadcast map literal
+    * ([[graft.operators.TextAnalysis.nbQualityScoreMapOnly]]), so score
+    * → sigmoid → deterministic-Pareto keep are all pure per-row
+    * projections evaluated BEFORE the state store; state again holds
+    * only the 8-byte content hash of admitted documents. The emitted
+    * columns `(content_hash, p_trusted)` are pure functions of the text
+    * under the frozen model, so the result SET is arrival-order and
+    * batching independent (a duplicate text is admitted iff ANY of its
+    * keep-diced copies is). */
+  def classifierGateLanding(
+      spark: SparkSession,
+      landingDir: String,
+      model: DataFrame,
+      salt: String = "resample"): DataFrame = {
+    import graft.operators.{Curation, Dedup, TextAnalysis}
+    val s = stateSession(spark, 8)
+    val schema = s.read.parquet(landingDir).schema
+    val docs = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landingDir)
+    // score (map-only literal-map fold, text carried through for the
+    // content hash) -> sigmoid -> deterministic Pareto keep: all pure
+    // per-row projections, nothing touches state until dropDuplicates
+    val admitted = Curation.classifierResample(
+        TextAnalysis.nbQualityScoreMapOnly(
+            docs.select(col("doc_id"), col("text")), model,
+            "doc_id", "text", carryCols = Seq("text"))
+          .withColumn("p_trusted",
+            round(lit(1.0) / (lit(1.0) + exp(-col("nb_score"))), 6)),
+        "id", "p_trusted", salt = salt)
+      .filter(col("kept") === 1)
+      .select(Dedup.hash60(col("text")).as("content_hash"), col("p_trusted"))
+      .dropDuplicates("content_hash")
+    val name = s"graft_scg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = admitted.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = s.table(name).orderBy(col("content_hash"))
+    rows.cache().count()
+    s.catalog.dropTempView(name)
+    rows
+  }
+
+  /** Oracle-query form of the classifier gate: fit the NB model in
+    * BATCH over the staged table (the fit-once freeze), then stream the
+    * same files through the gate. */
+  def classifierGateStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = TextAnalysis.nbQualityFit(
+      docs.withColumn("trusted", col("lang") === lit("en")),
+      "doc_id", "text", "trusted")
+    classifierGateLanding(spark,
+      Staging.stageTable(s"$dir/documents.parquet", "graft_scg_src").toString,
+      model)
+  }
+
   def webfilterLanding(
       spark: SparkSession,
       landingDir: String,

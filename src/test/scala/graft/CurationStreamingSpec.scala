@@ -53,6 +53,47 @@ class CurationStreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming classifier gate equals the batch rule; dedup state spans micro-batches") {
+    import graft.operators.{Curation, Dedup, TextAnalysis}
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val model = TextAnalysis.nbQualityFit(
+      docs.withColumn("trusted", col("lang") === "en"), "doc_id", "text", "trusted")
+    // exact text copies under fresh ids land in a LATER micro-batch: each
+    // copy gets its own Pareto dice (id-keyed), but the emitted
+    // (content_hash, p_trusted) row must appear exactly once
+    val corpus = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 100000L))
+    val want = Curation.classifierResample(
+        TextAnalysis.nbQualityScore(corpus, model, "doc_id", "text")
+          .withColumn("p_trusted",
+            round(lit(1.0) / (lit(1.0) + exp(-col("nb_score"))), 6)),
+        "id", "p_trusted")
+      .filter(col("kept") === 1)
+      .join(corpus.select(col("doc_id").as("id"), col("text")), Seq("id"))
+      .select(Dedup.hash60(col("text")).as("content_hash"), col("p_trusted"))
+      .distinct()
+      .orderBy("content_hash")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(want.nonEmpty)
+    val stage = java.nio.file.Files.createTempDirectory("graft_scg_spec")
+    val parts = Seq(
+      docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250),
+      docs.withColumn("doc_id", col("doc_id") + 100000L))
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_scg_tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, stage.resolve(s"b$i.parquet"))
+    }
+    val got = graft.streaming.CurationStreaming
+      .classifierGateLanding(spark, stage.toString, model)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want)
+  }
+
   test("streaming web-filter equals the batch composition; dedup state spans micro-batches") {
     import graft.operators.{Dedup, TextAnalysis}
     import org.apache.spark.sql.DataFrame

@@ -86,6 +86,27 @@ class NbClassifierSpec extends AnyFunSuite {
     assert(keptAt(0.5) === keptAt(0.5))
   }
 
+  test("map-only literal-map scoring == join-form scoring bit for bit") {
+    val docs = labeled.select(col("doc_id"), col("text"))
+      .unionByName(Seq((30L, "clean zzz prose qqq click"), (31L, ""))
+        .toDF("doc_id", "text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue
+        else java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    val joinForm = TextAnalysis.nbQualityScore(docs, model, "doc_id", "text")
+      .collect().map(key).toSet
+    val mapForm = TextAnalysis.nbQualityScoreMapOnly(docs, model, "doc_id", "text")
+      .collect().map(key).toSet
+    assert(mapForm === joinForm)
+    // carryCols thread extra columns through the projection untouched
+    val carried = TextAnalysis.nbQualityScoreMapOnly(
+      docs.withColumn("tag", concat(lit("t"), col("doc_id"))),
+      model, "doc_id", "text", carryCols = Seq("tag"))
+    assert(carried.columns.toSeq === Seq("id", "tag", "n_tokens", "nb_score"))
+    assert(carried.filter(col("tag") =!= concat(lit("t"), col("id"))).count() === 0L)
+  }
+
   test("deterministic: refit and rescore bit-identical") {
     val m2 = TextAnalysis.nbQualityFit(labeled, "doc_id", "text", "trusted")
     assert(model.collect().toSet === m2.collect().toSet)

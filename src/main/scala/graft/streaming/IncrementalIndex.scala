@@ -124,7 +124,8 @@ object IncrementalIndex {
       statsCols: Seq[String] = Seq.empty,
       statsDir: Option[String] = None,
       radiiDir: Option[String] = None,
-      rotation: Option[DataFrame] = None): Unit = {
+      rotation: Option[DataFrame] = None,
+      int8Dir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     // half-specifying the PQ leg would SILENTLY skip it and leave the codes
     // artifact stale — the exact staleness this maintenance job exists to
@@ -261,6 +262,26 @@ object IncrementalIndex {
             .write.mode("append")
             .partitionBy("batch_id")
             .parquet(rd)
+        }
+        // SQ8 byte-store delta — the build persists an int8 artifact
+        // beside the cells ([[graft.operators.Similarity.buildDenseIndex]])
+        // and [[graft.operators.Similarity.ivfInt8RefineSearch]] scans it
+        // INSTEAD of the float cells, so an unmaintained int8 store goes
+        // silently stale the moment a batch lands: the coarse stage would
+        // rank over yesterday's corpus while the refine reads today's.
+        // Encode is on the RAW vectors (SQ8 serves the raw basis — the
+        // OPQ rotation concerns only the PQ codes), cell-partitioned
+        // under the same batch_id replay-idempotence as cells/codes.
+        for (i8d <- int8Dir) {
+          val i8BatchPath = new org.apache.hadoop.fs.Path(s"$i8d/batch_id=$batchId")
+          i8BatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(i8BatchPath, true)
+          graft.operators.Similarity
+            .int8EncodeCells(batch.join(assigned, Seq(idCol)), idCol, vecCol, cc)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append")
+            .partitionBy("batch_id", cc)
+            .parquet(i8d)
         }
         ()
       }

@@ -116,6 +116,52 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(codes).count() === n)
   }
 
+  test("incremental SQ8 store stays in lockstep; serving over it equals the batch build") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_incr_sq8")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val int8 = base.resolve("int8").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+
+    emb.filter(col("vec_id") < 30).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell", int8Dir = Some(int8))
+    emb.filter(col("vec_id") >= 30 && col("vec_id") < 50)
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell", int8Dir = Some(int8))
+
+    // accumulated byte store == one-shot encode of everything landed
+    val got = spark.read.parquet(int8)
+      .select(col("vec_id"), col("q8"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1).toSeq).toMap
+    val want = Similarity.int8EncodeCells(
+        spark.read.parquet(sink), clusterCol = "ivf_cell")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](2).toSeq).toMap
+    assert(got === want)
+    assert(got.size === 50)
+    // SQ8 two-stage serving over the INCREMENTAL artifacts == over a
+    // one-shot batch encode of the same corpus (same probe, same knobs)
+    val cells = spark.read.parquet(sink)
+    val centArt = cents.select(col("label").as("ivf_cell"), col("cv"))
+    val qv = emb.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    def results(i8: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfInt8RefineSearch(i8, cells, centArt, qv,
+          nprobe = 2, kCoarse = 20, k = 10, clusterCol = "ivf_cell")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIncremental = results(spark.read.parquet(int8))
+    val viaBatch = results(Similarity.int8EncodeCells(cells, clusterCol = "ivf_cell"))
+    assert(viaIncremental === viaBatch)
+    assert(viaIncremental.nonEmpty)
+    // idle re-run: the byte store does not grow
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell", int8Dir = Some(int8))
+    assert(spark.read.parquet(int8).count() === 50)
+  }
+
   test("compactCells folds N batch subtrees into one epoch: fewer files, same rows, same pruning") {
     import graft.operators.Similarity
     val base = java.nio.file.Files.createTempDirectory("graft_compact")

@@ -160,6 +160,13 @@ class IncrementalIndexSpec extends AnyFunSuite {
     IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
       centroidIdCol = "label", cellCol = "ivf_cell", int8Dir = Some(int8))
     assert(spark.read.parquet(int8).count() === 50)
+    // the generic cell compaction applies to the byte store too: fold the
+    // batch subtrees into one epoch, contents and serving unchanged
+    IncrementalIndex.compactCells(spark, int8, cellCol = "ivf_cell")
+    assert(spark.read.parquet(int8)
+      .select(col("vec_id"), col("q8"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1).toSeq).toMap === want)
+    assert(results(spark.read.parquet(int8)) === viaBatch)
   }
 
   test("compactCells folds N batch subtrees into one epoch: fewer files, same rows, same pruning") {

@@ -529,6 +529,15 @@ object Dedup {
     val fpCols = fp.select(col("id"), col("ahash"))
     val fpM = spark.createDataFrame(fpCols.rdd, fpCols.schema)
     val bucketed = fpM
+      // pigeonhole precondition, enforced per row: with <= maxHamming
+      // words, maxHamming differing bits CAN touch every band and the
+      // join would silently MISS pairs — exactly the failure a banded
+      // exact-recall operator must never have quietly
+      .filter(coalesce(
+        expr(s"assert_true(size(ahash) > $maxHamming, " +
+          s"'hammingPairsBandedWide needs more than maxHamming=$maxHamming " +
+          "words for pigeonhole exact recall — widen the fingerprint or " +
+          "lower maxHamming')"), lit(true)))
       .select(col("id"), col("ahash"),
         posexplode(col("ahash")).as(Seq("band", "bucket")))
     val a = bucketed.select(col("band"), col("bucket"),

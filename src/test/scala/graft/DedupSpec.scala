@@ -99,6 +99,15 @@ class DedupSpec extends AnyFunSuite {
     val one = Multimodal.aHashWide(df, "doc_id", "content", bands = 1, bandBits = 63)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).head).toMap
     assert(one === classic)
+    // pigeonhole precondition is ENFORCED, not assumed: too few words for
+    // the requested maxHamming throws instead of silently missing pairs
+    val narrow = Multimodal.aHashWide(df, "doc_id", "content",
+      bands = 4, bandBits = 18)
+    val e = intercept[Exception] {
+      Dedup.hammingPairsBandedWide(narrow, maxHamming = 6).collect()
+    }
+    assert(e.getMessage.contains("pigeonhole") ||
+      Option(e.getCause).exists(_.getMessage.contains("pigeonhole")), e.getMessage)
   }
 
   test("decontaminateSpans excises exactly the benchmark-leaked run") {

@@ -59,12 +59,22 @@ object GramProbe {
       Similarity.pcaPowerFit(emb768, "embedding", iters = 4)
         .write.format("noop").mode("overwrite").save()
     }
+    // the OPQ build's rotation fit: the FULL d-component deflating fit
+    // (arg 3 overrides m; 0 skips) — one corpus pass + m driver-local
+    // power+deflate rounds over the collected Gram
+    val mRot = args.lift(2).map(_.toInt).getOrElse(768)
+    val tRot = if (mRot <= 0) 0.0 else time {
+      Similarity.pcaTopComponents(emb768, "embedding", m = mRot, iters = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
     println(f"d=768 Gram probe ($sfDir, $n sample rows)")
     println(f"gram_kernel          ${tKernel}%8.2f s  (${tKernel * 1000 / n}%6.2f ms/row)")
     println(f"gram_explode_oracle  ${tExplode}%8.2f s  on $oracleRows rows " +
       f"(${tExplode * 1000 / oracleRows}%6.2f ms/row)")
     println(f"kernel speedup: ${(tExplode / oracleRows) / (tKernel / n)}%.0fx per row")
     println(f"pca_fit_iters4       ${tFit}%8.2f s  (kernel Gram + localized iterations)")
+    if (mRot > 0)
+      println(f"opq_rotation_fit m=$mRot ${tRot}%8.2f s  (full-basis deflating fit)")
     spark.stop()
   }
 }

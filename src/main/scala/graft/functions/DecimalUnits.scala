@@ -42,10 +42,29 @@ private[graft] object DecimalUnits {
   }
 
   /** Spark's `round(x, s)` on DOUBLE: NaN/Infinity pass through, finite
-    * values go BigDecimal.valueOf → setScale(s, HALF_UP) → double. */
-  def roundDouble(x: Double, s: Int): Double =
-    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
-    else JBD.valueOf(x).setScale(s, RoundingMode.HALF_UP).doubleValue()
+    * values behave as BigDecimal.valueOf → setScale(s, HALF_UP) →
+    * double. Fast path (the [[fastUnits]] pattern — the d=768 deflation
+    * loop calls this per Gram entry per component, and the BigDecimal
+    * form alone cost ~180 s of a 305 s rotation fit): compute the
+    * half-up integer of `x·10^s` in double arithmetic and divide back —
+    * `k` and `10^s` are exactly representable below the 4e15 guard, so
+    * `k / 10^s` is the correctly-rounded double of the decimal value,
+    * bit-identical to `BigDecimal(k, s).doubleValue()`; within the
+    * boundary band (shortest-form vs binary-value ambiguity, same bound
+    * as [[fastUnits]]) the exact form decides. */
+  def roundDouble(x: Double, s: Int): Double = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return x
+    val scale = math.pow(10.0, s)     // exact for every s the engine uses
+    val y = x * scale
+    if (math.abs(y) < 4.0e15) {
+      val f = math.floor(y)
+      val frac = y - f
+      val band = math.abs(y) * 5e-16 + 1e-9
+      if (math.abs(frac - 0.5) > band)
+        return (if (frac > 0.5) f + 1.0 else f) / scale
+    }
+    JBD.valueOf(x).setScale(s, RoundingMode.HALF_UP).doubleValue()
+  }
 
   /** `n` exact accumulators of `castDecimal12(product)` terms. */
   final class AccArray(n: Int) {

@@ -194,6 +194,62 @@ class OpqSpec extends AnyFunSuite {
     assert(IncrementalIndex.currentRotation(spark, root2).isEmpty)
   }
 
+  test("versioned self-healing loop refits the ROTATION with the codebooks on drift") {
+    import graft.streaming.IncrementalIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_opq_heal")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    val indexRoot = base.resolve("index").toString
+    val labeled = corpus.select(col("vec_id"), col("embedding"),
+      (col("vec_id") % 3).cast("int").as("label"))
+    val cents = Similarity.centroids(labeled, "label", "embedding")
+      .select(col("label"), col("cv"))
+    // bootstrap: version 0 publishes codebooks AND a rotation
+    corpus.filter(col("vec_id") < 150).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
+      cents, indexRoot, numSub = ns, subDim = sd, numCentroids = 4,
+      centroidIdCol = "label", cellCol = "ivf_cell",
+      opqRotateIters = Some(6))
+    assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(0L))
+    val rot0 = IncrementalIndex.currentRotation(spark, indexRoot)
+    assert(rot0.isDefined)
+    // a shifted batch trips the (rotated-basis) drift gate; the loop must
+    // retrain rotation+codebooks together, publish v=1, and replay
+    corpus.filter(col("vec_id") >= 150)
+      .withColumn("embedding", expr("transform(embedding, x -> x + 50.0f)"))
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
+      cents, indexRoot, numSub = ns, subDim = sd, numCentroids = 4,
+      centroidIdCol = "label", cellCol = "ivf_cell",
+      opqRotateIters = Some(6))
+    assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(1L))
+    assert(spark.read.parquet(sink).count() === 300)
+    val rot1 = IncrementalIndex.currentRotation(spark, indexRoot)
+    assert(rot1.isDefined)
+    // the v1 basis was REFIT on the drifted mixture, not carried over
+    def rotMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Number]("comp").intValue,
+        r.getAs[Number]("pos").longValue) -> r.getDouble(r.fieldIndex("pc"))).toMap
+    assert(rotMap(rot0.get) !== rotMap(rot1.get))
+    // the live version's codes equal a one-shot encode of the landed
+    // store ROTATED through the live basis — both halves (swap-time
+    // re-encode of old rows + replay-time encode of the gated batch)
+    // went through v=1's rotation
+    val (cb1, _, v1, codesDir) = IncrementalIndex.currentCodebooks(spark, indexRoot)
+    assert(v1 === 1L)
+    val store = spark.read.parquet(sink).select(col("vec_id"), col("embedding"))
+    val want = Similarity.pqEncode(
+        Similarity.rotateVectors(store, rot1.get, allocate = Some((ns, sd))),
+        cb1, ns, sd)
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("m").intValue) ->
+        r.getAs[Number]("code").intValue).toMap
+    val got = spark.read.parquet(codesDir).select("vec_id", "m", "code")
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("m").intValue) ->
+        r.getAs[Number]("code").intValue).toMap
+    assert(got === want)
+  }
+
   test("allocation guards: more components than coordinates is rejected") {
     val e = intercept[IllegalArgumentException] {
       Similarity.rotateVectors(corpus, rot, allocate = Some((2, 2)))

@@ -465,6 +465,26 @@ object TextAnalysis {
           .as("llr"))
   }
 
+  /** Persist a fitted [[nbQualityFit]] model — the classifier ARTIFACT,
+    * under the same fit-once/load-don't-refit discipline as
+    * [[graft.operators.Lexical.writeBpe]]: train on the trusted-corpus
+    * freeze, then every scoring job (batch or the streaming admission
+    * gate) loads the vocab-row table instead of refitting. */
+  def writeNbQuality(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+      dir: String): DataFrame = {
+    nbQualityFit(docs, idCol, textCol, labelCol)
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(s"$dir/nb_model")
+    loadNbQuality(spark, dir)
+  }
+
+  /** Load a persisted [[writeNbQuality]] model. */
+  def loadNbQuality(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nb_model")
+
   /** Score every document under a fitted [[nbQualityFit]] model: the
     * per-doc MEAN llr of its tokens (out-of-vocabulary tokens contribute
     * 0 — the neutral prior — and still count in the denominator, so an

@@ -107,9 +107,13 @@ class NbClassifierSpec extends AnyFunSuite {
     assert(carried.filter(col("tag") =!= concat(lit("t"), col("id"))).count() === 0L)
   }
 
-  test("deterministic: refit and rescore bit-identical") {
+  test("deterministic: refit and rescore bit-identical; persisted model round-trips") {
     val m2 = TextAnalysis.nbQualityFit(labeled, "doc_id", "text", "trusted")
     assert(model.collect().toSet === m2.collect().toSet)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    val loaded = TextAnalysis.writeNbQuality(spark, labeled,
+      "doc_id", "text", "trusted", dir)
+    assert(loaded.collect().toSet === model.collect().toSet)
     val s1 = TextAnalysis.nbQualityScore(labeled, model, "doc_id", "text")
       .collect().toSet
     val s2 = TextAnalysis.nbQualityScore(labeled, m2, "doc_id", "text")

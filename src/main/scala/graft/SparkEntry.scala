@@ -4731,6 +4731,76 @@ object SparkEntry {
              |SELECT query_id, n_hit, ROUND(n_hit / 10.0, 6) AS recall
              |FROM hh ORDER BY query_id""".stripMargin)),
 
+    // measured recall of the IVF-PQ ADC path — completes the PQ family's
+    // eval story: eval_rank_corr measures its ORDER agreement, this pins
+    // what fraction of the exact top-10 the code-only ADC ranking
+    // recovers at the tight probe (the quantization + probe miss modes
+    // recall sees and tau cannot).
+    ("eval_pq_recall",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val ann = Eval.ranked(
+          Similarity.ivfPqSearchBatchPruned(
+            idx.codes, idx.codebooks, idx.centroids, queries, nprobe = 2, k = 10),
+          "query_id", "vec_id", "score")
+        val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
+          "query_id", "vec_id", "sim")
+        Eval.annQuality(ann, truth, k = 10)
+          .select(col("query_id"), col("n_hit"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""$ivfCellCtes,
+             |$pqRefinedCbCtes,
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
+             |pc AS (SELECT DISTINCT cluster FROM probe),
+             |dist AS (SELECT s.id, s.m, cbr.c,
+             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+             |     FROM (SELECT unnest(s.sv) a, unnest(cbr.cbv) b) x) AS d
+             |  FROM sub s JOIN a3 ON a3.vec_id = s.id
+             |  JOIN pc ON a3.cluster = pc.cluster
+             |  JOIN cbr USING (m)),
+             |code AS (SELECT id, m, c AS code FROM (
+             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |qtab AS (SELECT q.query_id, cbr.m, cbr.c,
+             |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |     FROM (SELECT unnest(cbr.cbv) a, unnest(q.qv[cbr.m*8+1 : cbr.m*8+8]) b) x) AS p
+             |  FROM cbr CROSS JOIN qs q),
+             |sc AS (SELECT p.query_id, code.id,
+             |         CAST(SUM(CAST(qt.p AS DECIMAL(18,12))) AS DOUBLE) AS score
+             |       FROM code JOIN a3 ON a3.vec_id = code.id
+             |       JOIN probe p ON p.cluster = a3.cluster
+             |       JOIN qtab qt ON qt.query_id = p.query_id
+             |         AND qt.m = code.m AND qt.c = code.code
+             |       GROUP BY 1, 2),
+             |approx AS (SELECT query_id, id AS vec_id FROM (
+             |    SELECT query_id, id, ROUND(score, 6) AS score, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, id) AS rn FROM sc) x
+             |  WHERE rn <= 10),
+             |exact AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e CROSS JOIN qs q),
+             |truth AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM exact) x
+             |  WHERE rn <= 10),
+             |hh AS (SELECT t.query_id, COUNT(a.vec_id) AS n_hit FROM truth t
+             |      LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+             |      GROUP BY 1)
+             |SELECT query_id, n_hit, ROUND(n_hit / 10.0, 6) AS recall
+             |FROM hh ORDER BY query_id""".stripMargin)),
+
     // OPQ-STYLE rotated-PQ ADC serving from the persisted rotation +
     // rotated codes (OpqArtifacts: top-16 principal basis, eigenvalue
     // allocation across the 4x4 sub-quantizers, Lloyd-refined codebooks).

@@ -162,18 +162,20 @@ object Similarity {
         .option("compression", "zstd").parquet(s"$outDir/rotation")
       spark.read.parquet(s"$outDir/rotation")
     }
-    val pqTrain = rotArt.fold(emb.select(col(idCol), col(vecCol)))(rot =>
-      rotateVectors(emb.select(col(idCol), col(vecCol)), rot, idCol, vecCol,
-        allocate = Some((p.numSub, p.subDim))))
+    // collect the m×d component matrix ONCE; both rotate applications
+    // (PQ train sample + cell-store encode source) reuse it
+    val rotCoefs = rotArt.map(rot =>
+      rotationCoefs(rot, Some((p.numSub, p.subDim))))
+    val pqTrain = rotCoefs.fold(emb.select(col(idCol), col(vecCol)))(cs =>
+      rotateVectorsPrepared(emb.select(col(idCol), col(vecCol)), cs, vecCol))
     val cbr = pqRefineCodebooks(
       pqTrain, pqCodebooks(pqTrain, p.numSub, p.subDim, p.numCentroids, idCol, vecCol),
       p.numSub, p.subDim, iters = p.pqIters, idCol = idCol, vecCol = vecCol)
     cbr.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(s"$outDir/codebooks")
     cbr.unpersist() // pqRefineCodebooks' contract: caller owns the frame
-    val encodeSrc = rotArt.fold(spark.read.parquet(s"$outDir/cells"))(rot =>
-      rotateVectors(spark.read.parquet(s"$outDir/cells"), rot, idCol, vecCol,
-        allocate = Some((p.numSub, p.subDim))))
+    val encodeSrc = rotCoefs.fold(spark.read.parquet(s"$outDir/cells"))(cs =>
+      rotateVectorsPrepared(spark.read.parquet(s"$outDir/cells"), cs, vecCol))
     graft.sources.Store.writePartitioned(
       pqEncode(encodeSrc,
         spark.read.parquet(s"$outDir/codebooks"), p.numSub, p.subDim,
@@ -768,7 +770,30 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       projRound: Int = 6,
-      allocate: Option[(Int, Int)] = None): DataFrame = {
+      allocate: Option[(Int, Int)] = None): DataFrame =
+    rotateVectorsPrepared(emb, rotationCoefs(components, allocate),
+      vecCol, projRound)
+
+  /** Collect a fitted component frame ONCE into the dense coefficient
+    * matrix [[rotateVectorsPrepared]] consumes — output-coordinate
+    * order, eigenvalue allocation applied. Callers that rotate several
+    * relations through the same basis ([[buildDenseIndex]] rotates the
+    * train sample and the cell store) collect here once instead of once
+    * per rotate call.
+    *
+    * EIGENVALUE ALLOCATION (Ge et al. 2013 §4.2 / FAISS OPQMatrix): a
+    * plain PCA rotation leaves PQ distortion essentially unchanged —
+    * squared error is variance-linear and total variance is rotation-
+    * invariant; the measured win comes from DEALING the eigenvalue-
+    * sorted components ROUND-ROBIN across the sub-quantizers, so each
+    * subspace holds at most ~ceil(actives/numSub) strong directions and
+    * its k-means spends the code budget on a near-1-D problem (K^-2
+    * regime) instead of a full-rank one (K^-2/subDim). With
+    * allocate = Some((numSub, subDim)): component c lands at output
+    * coordinate (c % numSub) * subDim + c / numSub. */
+  private[graft] def rotationCoefs(
+      components: DataFrame,
+      allocate: Option[(Int, Int)]): Array[Array[Double]] = {
     val withComp =
       if (components.columns.contains("comp"))
         components.select(col("comp").cast("int"), col("pos"), col("pc"))
@@ -778,16 +803,6 @@ object Similarity {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (c, rs) => c -> rs.sortBy(_._2).map(_._3) }
     require(byComp.nonEmpty, "rotateVectors needs at least one fitted component")
-    // EIGENVALUE ALLOCATION (Ge et al. 2013 §4.2 / FAISS OPQMatrix): a
-    // plain PCA rotation leaves PQ distortion essentially unchanged —
-    // squared error is variance-linear and total variance is rotation-
-    // invariant; the measured win comes from DEALING the eigenvalue-
-    // sorted components ROUND-ROBIN across the sub-quantizers, so each
-    // subspace holds at most ~ceil(actives/numSub) strong directions and
-    // its k-means spends the code budget on a near-1-D problem (K^-2
-    // regime) instead of a full-rank one (K^-2/subDim). With
-    // allocate = Some((numSub, subDim)): component c lands at output
-    // coordinate (c % numSub) * subDim + c / numSub.
     val order = allocate match {
       case Some((numSub, subDim)) =>
         require(byComp.length <= numSub * subDim,
@@ -800,11 +815,95 @@ object Similarity {
         byComp.indices.sortBy(slots)   // output coordinate order
       case None => byComp.indices
     }
-    val projCols = order.map { c =>
-      round(graft.functions.VectorOps.dotHof(col(vecCol),
-        array(byComp(c)._2.map(lit(_)): _*)), projRound).cast("float")
+    order.map(c => byComp(c)._2.toArray).toArray
+  }
+
+  /** Literal-expression budget for the projection form of
+    * [[rotateVectorsPrepared]]: past ~2^16 coefficient literals
+    * (m×d — a FULL d=768 rotation is ~590k) the projection's expression
+    * tree blows past Janino codegen limits and planning time, so the
+    * rotation switches to the primitive partition kernel. The OPQ
+    * builds here (m ≤ 16 components) stay comfortably on the literal
+    * path at any realistic d. */
+  private val RotateLiteralMax = 1 << 16
+
+  /** The apply half of [[rotateVectors]] over pre-collected coefficients:
+    * coordinate c of the output is the row's round-`projRound` float
+    * projection on `coefs(c)`. Two bit-identical forms behind one
+    * contract (null vector → all-null coordinates, length mismatch →
+    * null coordinate, every other column carried through): the
+    * codegen'd literal projection for small m×d, and past
+    * [[RotateLiteralMax]] a mapPartitions kernel (the [[gramMatrixRaw]]
+    * precedent) that broadcasts the m×d matrix implicitly via closure
+    * capture and runs the same sequential-fold dot + HALF_UP round
+    * ([[graft.functions.DecimalUnits.roundDouble]]) per row — parity
+    * spec-pinned (OpqSpec). */
+  private[graft] def rotateVectorsPrepared(
+      emb: DataFrame,
+      coefs: Array[Array[Double]],
+      vecCol: String = "embedding",
+      projRound: Int = 6): DataFrame = {
+    require(coefs.nonEmpty, "rotateVectors needs at least one fitted component")
+    val nLits = coefs.length.toLong * coefs.map(_.length).max
+    if (nLits <= RotateLiteralMax) {
+      val projCols = coefs.map { v =>
+        round(graft.functions.VectorOps.dotHof(col(vecCol),
+          array(v.map(lit(_)).toIndexedSeq: _*)), projRound).cast("float")
+      }
+      emb.withColumn(vecCol, array(projCols.toIndexedSeq: _*))
+    } else rotateVectorsKernel(emb, coefs, vecCol, projRound)
+  }
+
+  /** The mapPartitions half of [[rotateVectorsPrepared]] — public to the
+    * test package so OpqSpec can pin kernel == literal on the same
+    * inputs without crossing the [[RotateLiteralMax]] threshold. */
+  private[graft] def rotateVectorsKernel(
+      emb: DataFrame,
+      coefs: Array[Array[Double]],
+      vecCol: String = "embedding",
+      projRound: Int = 6): DataFrame = {
+    {
+      val spark = emb.sparkSession
+      val vecIdx = emb.schema.fieldIndex(vecCol)
+      val outSchema = org.apache.spark.sql.types.StructType(emb.schema.map(f =>
+        if (f.name == vecCol)
+          f.copy(dataType = org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = true))
+        else f))
+      val m = coefs.length
+      val out = emb.rdd.mapPartitions { it =>
+        import graft.functions.DecimalUnits
+        it.map { row =>
+          val vals = row.toSeq.toArray
+          if (row.isNullAt(vecIdx)) {
+            // literal-path contract: zip_with(NULL, lits) → NULL projection
+            // per component — an array of nulls, not a null array
+            vals(vecIdx) = Seq.fill[Any](m)(null)
+          } else {
+            val v = row.getSeq[Float](vecIdx) match {
+              case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+              case other => other.toArray
+            }
+            val arr = new Array[Any](m)
+            var c = 0
+            while (c < m) {
+              val pc = coefs(c)
+              if (v.length != pc.length) arr(c) = null // zip_with null-pad
+              else {
+                var acc = 0.0
+                var i = 0
+                while (i < pc.length) { acc += v(i).toDouble * pc(i); i += 1 }
+                arr(c) = DecimalUnits.roundDouble(acc, projRound).toFloat
+              }
+              c += 1
+            }
+            vals(vecIdx) = arr.toIndexedSeq
+          }
+          org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+      spark.createDataFrame(out, outSchema)
     }
-    emb.withColumn(vecCol, array(projCols: _*))
   }
 
   /** [[pqAdcScore]] against an OPQ-ROTATED codes store: the query rotates
@@ -2109,12 +2208,36 @@ object Similarity {
       idCol: String = "vec_id",
       clusterCol: String = "cluster",
       restrictIds: Option[DataFrame] = None,
-      excludeIds: Option[DataFrame] = None): DataFrame = {
+      excludeIds: Option[DataFrame] = None,
+      rotation: Option[DataFrame] = None): DataFrame = {
+    // BASIS DISCIPLINE (an OPQ index stores codes/codebooks in the
+    // ROTATED coordinates while IVF geometry stays raw — buildDenseIndex):
+    // the cell probe ranks RAW centroids against the RAW query; only the
+    // ADC stage sees the rotated query. Pass `DenseIndex.rotation` here
+    // whenever the index was built with `opqRotateIters` — feeding a
+    // rotated codes store a raw query silently scores in mismatched bases.
     val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
     pqAdcScore(
       applyCandidateFilters(codes.filter(col(clusterCol).isin(probed: _*)),
         idCol, restrictIds, excludeIds),
-      codebooks, queryDf, k, numSub, subDim, idCol)
+      codebooks, rotateQueries(queryDf, rotation, numSub, subDim),
+      k, numSub, subDim, idCol)
+  }
+
+  /** Rotate a `(qv)` / `(query_id, qv)` query frame into an OPQ index's
+    * stored basis — the query half of [[pqAdcScoreRotated]], shared by
+    * every pruned/batch IVF-PQ serving path's `rotation` parameter.
+    * No-op when the index carries no rotation artifact. */
+  private def rotateQueries(
+      queryDf: DataFrame, rotation: Option[DataFrame],
+      numSub: Int, subDim: Int): DataFrame = rotation match {
+    case None => queryDf
+    case Some(rot) =>
+      val hasQid = queryDf.columns.contains("query_id")
+      val q = if (hasQid) queryDf else queryDf.withColumn("query_id", lit(0L))
+      val rq = rotateVectors(q.select(col("query_id"), col("qv")), rot,
+        "query_id", "qv", allocate = Some((numSub, subDim)))
+      if (hasQid) rq else rq.drop("query_id")
   }
 
   /** Two-stage IVF-PQ + exact-refine serving (the FAISS `IndexRefineFlat`
@@ -2144,13 +2267,18 @@ object Similarity {
       clusterCol: String = "cluster",
       roundTo: Int = 4,
       restrictIds: Option[DataFrame] = None,
-      excludeIds: Option[DataFrame] = None): DataFrame = {
+      excludeIds: Option[DataFrame] = None,
+      rotation: Option[DataFrame] = None): DataFrame = {
     require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
+    // OPQ basis discipline (see [[ivfPqSearchPruned]]): probe raw, ADC
+    // rotated, exact refine raw — the refine stage re-scores ORIGINAL
+    // vectors, so the raw query is already the right operand there.
     val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
     val shortlist = pqAdcScore(
       applyCandidateFilters(codes.filter(col(clusterCol).isin(probed: _*)),
         idCol, restrictIds, excludeIds),
-      codebooks, queryDf, kCoarse, numSub, subDim, idCol)
+      codebooks, rotateQueries(queryDf, rotation, numSub, subDim),
+      kCoarse, numSub, subDim, idCol)
     // rank on the ROUNDED exact score (engine-portable boundary at k)
     scoreAll(
       cells.filter(col(clusterCol).isin(probed: _*))
@@ -2246,13 +2374,18 @@ object Similarity {
       numSub: Int = 8,
       subDim: Int = 8,
       idCol: String = "vec_id",
-      clusterCol: String = "cluster"): DataFrame = {
+      clusterCol: String = "cluster",
+      rotation: Option[DataFrame] = None): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
+    // OPQ basis discipline (see [[ivfPqSearchPruned]]): the probe ranks
+    // raw centroids against the raw batch; the ADC lookup table builds
+    // from the ROTATED queries when the codes store is rotated.
     val probed = probeCellsBatch(centroids, queries, nprobe, clusterCol)
     val probedDf = probed.toDF("query_id", clusterCol)
     val cellUnion = probed.map(_._2).distinct
-    val qsub = subvectors(queries, "qv", "qsv", numSub, subDim, Seq("query_id"))
+    val qsub = subvectors(rotateQueries(queries, rotation, numSub, subDim),
+      "qv", "qsv", numSub, subDim, Seq("query_id"))
     val qtab = codebooks.join(broadcast(qsub), Seq("m"))
       .select(col("query_id"), col("m"), col("c"),
         VectorOps.dot(col("cbv"), col("qsv")).as("p"))

@@ -157,7 +157,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // check and a spec carries the substance). Growing this set is a
     // review decision, not a convenience.
     val rowsOnly = Set(
-      "sim_opq_adc") // 16-component deflation chain; OpqSpec pins substance
+      // 16-component deflation chain; OpqSpec pins substance and
+      // sim_opq_adc_m2 hash-pins the SAME code path at oracle geometry
+      "sim_opq_adc")
     assert(SparkEntry.queries.keySet -- rowsOnly === SparkEntry.oracleSql.keySet)
     assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
     assert(rowsOnly.intersect(SparkEntry.oracleSql.keySet).isEmpty,

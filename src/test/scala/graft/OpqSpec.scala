@@ -250,6 +250,74 @@ class OpqSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("pruned/batch IVF-PQ serving is rotation-aware (basis mismatch guarded)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq_serve").toString
+    val p = Similarity.IvfParams(nlist = 4, lloydIters = 1, numSub = ns,
+      subDim = sd, numCentroids = 4, pqIters = 2, defaultNprobe = 2)
+    val idx = Similarity.buildDenseIndex(corpus, dir, params = Some(p),
+      opqRotateIters = Some(8))
+    val qv = corpus.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    // FULL probe through the rotation-aware pruned path == flat rotated ADC
+    val flat = Similarity.pqAdcScoreRotated(
+      idx.codes, idx.codebooks, idx.rotation.get, qv, k = 5, ns, sd)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pruned = Similarity.ivfPqSearchPruned(
+      idx.codes, idx.codebooks, idx.centroids, qv, nprobe = 4, k = 5, ns, sd,
+      rotation = idx.rotation)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned === flat)
+    // ...and WITHOUT the rotation the raw query scores a mismatched basis
+    // (the silent failure mode the parameter exists to prevent)
+    val mismatched = Similarity.ivfPqSearchPruned(
+      idx.codes, idx.codebooks, idx.centroids, qv, nprobe = 4, k = 5, ns, sd)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mismatched !== flat)
+    // batch form: each query's rows equal its single-query rotated ADC
+    val queries = corpus.filter(col("vec_id").isin(7, 42))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = Similarity.ivfPqSearchBatchPruned(
+      idx.codes, idx.codebooks, idx.centroids, queries, nprobe = 4, k = 5,
+      ns, sd, rotation = idx.rotation)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(x => (-x._2, x._1))).toMap
+    Seq(7L, 42L).foreach { q =>
+      val one = Similarity.pqAdcScoreRotated(
+        idx.codes, idx.codebooks, idx.rotation.get,
+        corpus.filter(col("vec_id") === q).select(col("embedding").as("qv")),
+        k = 5, ns, sd)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q).toSeq === one, s"batch vs single for query $q")
+    }
+    // two-stage refine with rotation: the ADC stage rotates, the exact
+    // stage re-scores RAW vectors with the RAW query — at a full
+    // shortlist the result must equal exact kNN bit-for-bit (any basis
+    // slip in either stage breaks this)
+    val ref = Similarity.ivfPqRefineSearch(
+      idx.cells, idx.codes, idx.codebooks, idx.centroids, qv,
+      nprobe = 4, kCoarse = 300, k = 5, ns, sd, rotation = idx.rotation)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Similarity.knnExact(corpus, qv, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ref.map(_._1) === exact.map(_._1))
+  }
+
+  test("rotation kernel == literal projection bit-for-bit (incl. null vectors)") {
+    // the scale form: past RotateLiteralMax coefficient literals (d=768
+    // full rotations are ~590k) the projection runs as a partition
+    // kernel — same contract as the codegen'd literal path, pinned here
+    // on the same inputs (with a null-vector row mixed in)
+    val coefs = Similarity.rotationCoefs(rot, Some((ns, sd)))
+    val withNull = corpus.unionByName(
+      Seq((999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0),
+        Option(r.getSeq[java.lang.Float](1)).map(_.toList))).toMap
+    val lit = rows(Similarity.rotateVectorsPrepared(withNull, coefs))
+    val ker = rows(Similarity.rotateVectorsKernel(withNull, coefs))
+    assert(ker === lit)
+    assert(lit(999L).get.forall(_ == null), "null vector → all-null coords")
+  }
+
   test("allocation guards: more components than coordinates is rejected") {
     val e = intercept[IllegalArgumentException] {
       Similarity.rotateVectors(corpus, rot, allocate = Some((2, 2)))

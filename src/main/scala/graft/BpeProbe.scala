@@ -37,16 +37,29 @@ object BpeProbe {
     val (localRules, tLocal) = time {
       Lexical.bpeFit(docs, "doc_id", "text", numMerges).collect()
     }
-    val smallMerges = 25
-    val (_, tDist) = time {
-      Lexical.bpeFitDistributed(docs, "doc_id", "text", smallMerges).collect()
+    // FLATNESS CHECK for the lineage-truncated fallback (VERDICT r10 #2):
+    // marginal s/merge on successive ranges. Without localCheckpoint each
+    // merge replans the whole prefix, so the marginal cost GROWS with the
+    // merge index; with truncation the later segment should cost the same
+    // per merge as the earlier one.
+    val (_, t50) = time {
+      Lexical.bpeFitDistributed(docs, "doc_id", "text", 50).collect()
+    }
+    val (_, t200) = time {
+      Lexical.bpeFitDistributed(docs, "doc_id", "text", 200).collect()
+    }
+    val (_, tFull) = time {
+      Lexical.bpeFitDistributed(docs, "doc_id", "text", numMerges).collect()
     }
     println(f"BPE probe ($sfDir, vocab=$nVocab distinct words)")
     println(f"local fit, $numMerges merges:      ${tLocal}%8.1f s " +
       f"(${localRules.length} rules emitted)")
-    println(f"distributed fit, $smallMerges merges: ${tDist}%8.1f s " +
-      f"(${tDist / smallMerges}%.2f s/merge -> ${tDist / smallMerges * numMerges}%.0f s " +
-      f"extrapolated at $numMerges)")
+    println(f"distributed fit, 50 merges:   ${t50}%8.1f s (${t50 / 50}%.3f s/merge)")
+    println(f"distributed fit, 200 merges:  ${t200}%8.1f s (${t200 / 200}%.3f s/merge; " +
+      f"marginal 50->200: ${(t200 - t50) / 150}%.3f s/merge)")
+    println(f"distributed fit, $numMerges merges: ${tFull}%8.1f s " +
+      f"(${tFull / numMerges}%.3f s/merge; " +
+      f"marginal 200->$numMerges: ${(tFull - t200) / (numMerges - 200)}%.3f s/merge)")
     spark.stop()
   }
 }

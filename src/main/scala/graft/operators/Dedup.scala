@@ -427,9 +427,16 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       maxRows: Long = 100000L): DataFrame = {
-    val n = docs.count()
-    require(n <= maxRows,
-      s"jaccardPairs is the all-pairs ORACLE form: $n docs exceeds maxRows=" +
+    // CHEAP bound probe (the bpeFit maxLocalVocab pattern): limit(max+1)
+    // stops the scan at the boundary instead of a full corpus count on
+    // every happy-path invocation (limit takes an Int; a maxRows past
+    // Int range — absurd for an all-pairs oracle — probes by full count)
+    val over =
+      if (maxRows < Int.MaxValue)
+        docs.limit(maxRows.toInt + 1).count() > maxRows
+      else docs.count() > maxRows
+    require(!over,
+      s"jaccardPairs is the all-pairs ORACLE form: docs exceed maxRows=" +
         s"$maxRows (a hot shared shingle makes its block quadratic). Use " +
         "minhashLshPairs (banded candidates + exact verify), or raise " +
         "maxRows deliberately.")

@@ -90,7 +90,12 @@ object Eval {
     * top-k — every truth row is relevant, so per-query IDCG is
     * `Σ_{i=1..n_truth} 1/log2(i+1)` over that query's OWN truth-list
     * size: a corpus shorter than k still scores a perfect result 1.0
-    * (a constant k-term series would cap it below 1). Output:
+    * (a constant k-term series would cap it below 1). RECALL uses the
+    * same per-query denominator (`min(k, truth size)` — the truth side
+    * is already clipped to k): a perfect result on a short truth list
+    * scores recall 1.0 AND ndcg 1.0, never the internally-inconsistent
+    * ndcg=1/recall<1 a fixed-k denominator produced. On full-k truth
+    * lists (every oracle here) the two denominators coincide. Output:
     * `(query_id, n_hit, recall, mrr, ndcg)`, metrics rounded to 6, one
     * row per truth-side query (zero-hit queries kept, recall 0). */
   def annQuality(ann: DataFrame, truth: DataFrame, k: Int,
@@ -108,7 +113,8 @@ object Eval {
       .withColumn("__i", row_number().over(wi))
       .groupBy(col(queryCol))
       .agg(sum((lit(1.0) / log2(col("__i") + lit(1.0))).cast("decimal(28,12)"))
-        .cast("double").as("__idcg"))
+        .cast("double").as("__idcg"),
+        count(lit(1)).as("__nt"))
     val hits = annK.select(col(queryCol), col(idCol), col("rank"))
       .join(truthK.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
     val perQ = hits.groupBy(col(queryCol))
@@ -120,7 +126,8 @@ object Eval {
       .join(perQ, Seq(queryCol), "left")
       .select(col(queryCol),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble), 6).as("recall"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("__nt").cast("double"), 6)
+          .as("recall"),
         round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"),
         round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6).as("ndcg"))
   }

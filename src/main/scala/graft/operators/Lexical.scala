@@ -679,13 +679,28 @@ object Lexical {
 
   /** The DISTRIBUTED merge loop — [[bpeFit]]'s parity oracle and its
     * fallback for vocabularies past `maxLocalVocab` (each merge = one
-    * tiny aggregate + one map over the vocabulary relation). */
+    * tiny aggregate + one map over the vocabulary relation).
+    *
+    * Every merge's projection references the previous merge's frame, so
+    * without truncation the logical plan grows linearly in merges and
+    * each iteration REPLANS the whole prefix — measured ~0.34 s/merge
+    * and climbing at r10, hours extrapolated at a production 32k-merge
+    * run. A lazy `localCheckpoint` every `checkpointEvery` merges (the
+    * [[Dedup.canonicalIds]] precedent) bounds plan depth to one
+    * checkpoint interval; the next iteration's top-pair aggregate
+    * materializes it, and at most one superseded checkpoint is resident
+    * (blocks freed by the context cleaner once lineage drops it).
+    * Checkpointing changes no values — BpeSpec pins local == distributed
+    * parity across the interval boundary. */
   def bpeFitDistributed(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int,
+      checkpointEvery: Int = 8): DataFrame = {
     require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be positive, got $checkpointEvery")
     val spark = docs.sparkSession
     var v = bpeVocab(docs, idCol, textCol)
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
@@ -710,6 +725,7 @@ object Lexical {
         v = v.select(
           expr(s"btrim(replace(concat(' ', s, ' '), ' $pair ', ' $merged '))").as("s"),
           col("c"))
+        if (step % checkpointEvery == 0) v = v.localCheckpoint(false)
       }
     }
     import spark.implicits._

@@ -171,6 +171,73 @@ object Multimodal {
       aHashWords(binCol, bands, bandBits).as("ahash"))
   }
 
+  /** Auto-sized [[aHashWide]] + banding geometry (VERDICT r10 #3 — the
+    * BASELINE.md sizing prose as code). Fields feed [[aHashWide]]
+    * (`bands`, `bandBits`) and
+    * [[graft.operators.Dedup.hammingPairsBandedWide]] (`maxHamming`). */
+  case class WideHashParams(bands: Int, bandBits: Int, maxHamming: Int) {
+    def cells: Int = bands * bandBits
+    /** The similarity threshold the geometry actually enforces. */
+    def realizedDiffFraction: Double = maxHamming.toDouble / cells
+  }
+
+  /** Size the wide-fingerprint knobs from the corpus row count and the
+    * intended similarity threshold, instead of hand-picking:
+    *
+    *  - `bandBits = clamp(ceil(2·log₂ n), 9, 63)` — per-band random
+    *    collisions are ~N²/2^bandBits, so 2·log₂N keeps the banded
+    *    join's candidate volume ~linear in N (the measured knob,
+    *    BASELINE.md).
+    *  - `maxHamming` scales WITH the cell count so the threshold means
+    *    the same similarity at every width (`diffFraction` defaults to
+    *    the reference geometry's 6-of-126 ≈ 4.8%; a fixed absolute
+    *    radius over more cells would silently tighten it).
+    *  - `bands > maxHamming` ALWAYS (the pigeonhole exact-recall
+    *    invariant [[graft.operators.Dedup.hammingPairsBandedWide]]
+    *    enforces per row) — the search below never emits a geometry
+    *    the pairing join would reject or, worse, silently miss pairs
+    *    under.
+    *
+    * The constraints interact: once `diffFraction · bandBits >= 1` the
+    * pigeonhole cap (`maxHamming <= bands − 1`) binds before the
+    * requested fraction is reached, and adding bands only creeps toward
+    * `1/bandBits` at ever-wider rows. The search picks, over
+    * `bands ∈ [2, maxBands]`, the geometry whose REALIZED fraction is
+    * nearest the request (ties to fewer bands — fewer join passes,
+    * narrower rows); callers that need the exact requested threshold at
+    * large N should read [[WideHashParams.realizedDiffFraction]] and
+    * verify candidates with the full-Hamming filter at the intended
+    * radius. */
+  def aHashAutoParams(
+      n: Long,
+      diffFraction: Double = 6.0 / 126.0,
+      maxBands: Int = 16): WideHashParams = {
+    require(n >= 1, s"corpus row count must be >= 1, got $n")
+    require(diffFraction > 0 && diffFraction < 0.5,
+      s"diffFraction must be in (0, 0.5), got $diffFraction")
+    require(maxBands >= 2, s"maxBands must be >= 2, got $maxBands")
+    val bandBits = math.min(63, math.max(9,
+      math.ceil(2.0 * math.log(math.max(n, 2).toDouble) / math.log(2.0)).toInt))
+    val best = (2 to maxBands).map { bands =>
+      val mh = math.min(bands - 1,                 // pigeonhole invariant
+        math.floor(diffFraction * bands * bandBits).toInt)
+      (bands, mh,
+        math.abs(mh.toDouble / (bands * bandBits) - diffFraction))
+    }.minBy { case (bands, _, dist) => (dist, bands) }
+    WideHashParams(best._1, bandBits, best._2)
+  }
+
+  /** [[aHashWide]] with [[aHashAutoParams]] geometry — returns the
+    * fingerprints AND the params so the caller feeds the SAME
+    * `maxHamming` to the banded pairing. */
+  def aHashAuto(
+      df: DataFrame, idCol: String, binCol: String, n: Long,
+      diffFraction: Double = 6.0 / 126.0,
+      maxBands: Int = 16): (DataFrame, WideHashParams) = {
+    val p = aHashAutoParams(n, diffFraction, maxBands)
+    (aHashWide(df, idCol, binCol, p.bands, p.bandBits), p)
+  }
+
   /** Deterministic stand-in for a batched media encoder: `dim` floats in
     * [0, 1) from independent md5 nibbles of the content. */
   def stubInfer(batch: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =

@@ -496,21 +496,22 @@ object TextAnalysis {
     * like the pipelines this mirrors. */
   def nbQualityScore(
       docs: DataFrame, model: DataFrame, idCol: String, textCol: String,
-      scoreRound: Int = 6): DataFrame = {
+      scoreRound: Int = 6, carryCols: Seq[String] = Nil): DataFrame = {
+    val carry = carryCols.map(col)
     val tok = docs.select(col(idCol).as("id"),
       explode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
         .as("term"))
     val sums = tok.join(broadcast(model), Seq("term"))
       .groupBy(col("id"))
       .agg(sum(col("llr").cast("decimal(28,12)")).cast("double").as("__s"))
-    docs.select(col(idCol).as("id"),
+    docs.select(col(idCol).as("id") +: carry :+
         size(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
-          .cast("long").as("n_tokens"))
+          .cast("long").as("n_tokens"): _*)
       .join(sums, Seq("id"), "left")
-      .select(col("id"), col("n_tokens"),
+      .select(col("id") +: carry :+ col("n_tokens") :+
         when(col("n_tokens") > 0,
           round(coalesce(col("__s"), lit(0.0)) / col("n_tokens"), scoreRound))
-          .as("nb_score"))
+          .as("nb_score"): _*)
   }
 
   /** [[nbQualityScore]] as a pure MAP-ONLY projection: the fitted model
@@ -524,11 +525,35 @@ object TextAnalysis {
     * exact 0, and decimal addition is order-invariant. This is the shape
     * a STREAMING admission gate needs (score before the state store —
     * [[graft.streaming.CurationStreaming]]) and the 100 TB serving
-    * shape (model ships once per executor, the corpus never shuffles). */
+    * shape (model ships once per executor, the corpus never shuffles).
+    *
+    * `maxVocab` guards the driver (the [[graft.operators.Lexical.bpeFit]]
+    * `maxLocalVocab` discipline — an unguarded collect of an unbounded
+    * fit vocabulary would blow the driver/plan silently): the bound is
+    * probed with `limit(maxVocab + 1)` (no full model count), and a
+    * larger model falls back to the broadcast-join form
+    * ([[nbQualityScore]] — identical output, spec-pinned). A STREAMING
+    * input cannot take that fallback (its per-doc aggregate is a second
+    * stateful op the gate's append-mode plan cannot hold), so an
+    * over-budget model on a stream throws with the production fix —
+    * prune the model (min-frequency floor / top-|V| by |llr|, the
+    * fastText discipline) to a broadcastable size at fit time. */
   def nbQualityScoreMapOnly(
       docs: DataFrame, model: DataFrame, idCol: String, textCol: String,
-      scoreRound: Int = 6, carryCols: Seq[String] = Nil): DataFrame = {
-    val m = typedlit(model.collect()
+      scoreRound: Int = 6, carryCols: Seq[String] = Nil,
+      maxVocab: Int = 1000000): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be positive, got $maxVocab")
+    val head = model.limit(maxVocab + 1).collect()
+    if (head.length > maxVocab) {
+      if (docs.isStreaming)
+        throw new IllegalArgumentException(
+          s"NB model exceeds maxVocab=$maxVocab terms and the broadcast-join " +
+            "fallback is not available on a streaming input — prune the " +
+            "fitted model (min-frequency floor or top-|V| by |llr|) to a " +
+            "broadcastable size, or raise maxVocab deliberately")
+      return nbQualityScore(docs, model, idCol, textCol, scoreRound, carryCols)
+    }
+    val m = typedlit(head
       .map(r => r.getString(0) -> r.getDouble(1)).toMap)
     val carry = carryCols.map(col)
     docs

@@ -110,6 +110,46 @@ class DedupSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("pigeonhole")), e.getMessage)
   }
 
+  test("aHashAuto: sizing sweep holds the pigeonhole invariant; e2e at auto geometry") {
+    import graft.operators.Multimodal
+    // the BASELINE.md guidance as code, pinned across 10 decades of N:
+    // bandBits tracks 2·log₂N (clamped to [9, 63]), bands ALWAYS exceeds
+    // maxHamming (the exact-recall pigeonhole), and the realized
+    // threshold never exceeds the requested differing-bit fraction
+    val f = 6.0 / 126.0
+    (0 to 9).foreach { e =>
+      val n = math.pow(10, e).toLong.max(1)
+      val p = Multimodal.aHashAutoParams(n, f)
+      val wantBits = math.min(63, math.max(9,
+        math.ceil(2.0 * math.log(n.max(2).toDouble) / math.log(2.0)).toInt))
+      assert(p.bandBits === wantBits, s"n=$n")
+      assert(p.bands > p.maxHamming, s"pigeonhole violated at n=$n: $p")
+      assert(p.realizedDiffFraction <= f + 1e-12, s"threshold loosened at n=$n: $p")
+      assert(p.maxHamming >= 0 && p.bands >= 2)
+    }
+    // the reference geometry is the fixed point at its own scale:
+    // 2·log₂(512) = 18 bits and the 6-of-126 fraction lands bands=7
+    assert(Multimodal.aHashAutoParams(512, f) ===
+      Multimodal.WideHashParams(7, 18, 6))
+    // maxHamming scales with the cell count (constant-threshold rule):
+    // wider bands at the same fraction allow proportionally more bits
+    val p512 = Multimodal.aHashAutoParams(512, f)
+    val p1e6 = Multimodal.aHashAutoParams(1000000L, f)
+    assert(p1e6.bandBits > p512.bandBits)
+    // end-to-end at auto geometry: fingerprints + pairing at the helper's
+    // OWN maxHamming find the planted near-dup and throw nowhere
+    val base = ('a' to 'z').mkString(" ") * 4
+    val mutant = base.dropRight(1) + "q"
+    val other = "totally different content that shares no bytes at all " * 4
+    val df = Seq((1L, base), (2L, mutant), (3L, other)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val (fp, p3) = Multimodal.aHashAuto(df, "doc_id", "content", n = 3)
+    assert(p3.bands > p3.maxHamming)
+    val pairs = Dedup.hammingPairsBandedWide(fp, maxHamming = p3.maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("decontaminateSpans excises exactly the benchmark-leaked run") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),

@@ -76,6 +76,13 @@ class EvalSpec extends AnyFunSuite {
     assert(got.getAs[Long]("n_hit") === 1L)
     assert(got.getAs[Double]("ndcg") === 1.0, "per-query IDCG must match truth size")
     assert(got.getAs[Double]("mrr") === 1.0)
+    // recall uses the SAME per-query denominator: a perfect result on a
+    // 1-item truth list is recall 1.0 too, not the inconsistent 1/k
+    assert(got.getAs[Double]("recall") === 1.0,
+      "recall denominator must be min(k, truth size)")
+    // and a MISSED short truth list still scores 0, full-k lists unchanged
+    val miss = Eval.annQuality(ranked(1L -> 98L), truth, k = 3).collect().head
+    assert(miss.getAs[Double]("recall") === 0.0)
   }
 
   test("rankCorrelation keeps disjoint-list queries with m = 0 and NULL tau") {

@@ -107,6 +107,39 @@ class NbClassifierSpec extends AnyFunSuite {
     assert(carried.filter(col("tag") =!= concat(lit("t"), col("id"))).count() === 0L)
   }
 
+  test("maxVocab guard: over-budget model falls back to the join form; streaming throws") {
+    val docs = labeled.select(col("doc_id"), col("text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue
+        else java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    val want = TextAnalysis.nbQualityScore(docs, model, "doc_id", "text")
+      .collect().map(key).toSet
+    // a maxVocab below the model size must not blow the driver into a
+    // giant map literal — it silently takes the broadcast-join form,
+    // with identical output (incl. carryCols)
+    val guarded = TextAnalysis.nbQualityScoreMapOnly(
+        docs, model, "doc_id", "text", maxVocab = 3)
+      .collect().map(key).toSet
+    assert(guarded === want)
+    val carried = TextAnalysis.nbQualityScoreMapOnly(
+      docs.withColumn("tag", concat(lit("t"), col("doc_id"))),
+      model, "doc_id", "text", carryCols = Seq("tag"), maxVocab = 3)
+    assert(carried.columns.toSeq === Seq("id", "tag", "n_tokens", "nb_score"))
+    assert(carried.filter(col("tag") =!= concat(lit("t"), col("id"))).count() === 0L)
+    // a STREAMING input cannot take the stateful fallback — loud error
+    // with the production fix, not a runtime unsupported-plan surprise
+    val dir = java.nio.file.Files.createTempDirectory("graft_nbguard")
+    docs.write.parquet(dir.resolve("landing").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.resolve("landing").toString)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.nbQualityScoreMapOnly(stream, model, "doc_id", "text",
+        maxVocab = 3)
+    }
+    assert(e.getMessage.contains("prune"), e.getMessage)
+  }
+
   test("deterministic: refit and rescore bit-identical; persisted model round-trips") {
     val m2 = TextAnalysis.nbQualityFit(labeled, "doc_id", "text", "trusted")
     assert(model.collect().toSet === m2.collect().toSet)

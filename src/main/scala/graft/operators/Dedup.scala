@@ -653,9 +653,51 @@ object Dedup {
     * grows exponentially in rounds even though the physical work is
     * cached). Superseded rounds are unpersisted as soon as the next is
     * materialized; the returned frame rides the final round's storage —
-    * one (id, label) table, freed when the frame is garbage-collected. */
+    * one (id, label) table, freed when the frame is garbage-collected.
+    *
+    * DRIVER-LOCAL FAST PATH (the powerIterate/bpeFit localization
+    * discipline): the edge set after banding + threshold verification is
+    * usually orders of magnitude smaller than the corpus — at bench
+    * scale a few dozen rows — yet every propagation round still pays
+    * fixed scheduler/shuffle overhead (measured: the CC loop dominated
+    * q39's stage profile on a 39-edge graph). Up to `maxLocalEdges`
+    * (probed with limit(max+1), no full count) the pairs collect once
+    * and resolve by union-find with union-to-smaller-root — the root IS
+    * the component minimum, so the output is the identical (id, keep_id)
+    * relation (parity spec-pinned, DedupSpec). Past the bound — real
+    * web-scale duplicate graphs — the distributed loop runs unchanged. */
   def canonicalIds(
-      pairs: DataFrame, maxIter: Int = 20, doublingAfter: Int = 4): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 20, doublingAfter: Int = 4,
+      maxLocalEdges: Int = 1 << 20): DataFrame = {
+    val spark0 = pairs.sparkSession
+    val probe = pairs.select(col("i"), col("j")).limit(maxLocalEdges + 1).collect()
+    if (probe.length <= maxLocalEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      probe.foreach { row =>
+        val a = row.getAs[Number](0).longValue()
+        val b = row.getAs[Number](1).longValue()
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        // union-to-smaller-root: the root stays the component MINIMUM,
+        // exactly the distributed loop's min-label fixpoint
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.keySet().forEach(id => out += ((id, find(id))))
+      import spark0.implicits._
+      val dt = pairs.schema("i").dataType
+      return out.toSeq.toDF("id", "keep_id")
+        .select(col("id").cast(dt), col("keep_id").cast(dt))
+    }
     // materialize the (possibly expensive) pair pipeline ONCE before the
     // union reads it twice (forward + reversed edge directions)
     val p = pairs.select(col("i"), col("j")).persist()

@@ -197,17 +197,36 @@ class FusedPathParitySpec extends AnyFunSuite {
   test("canonicalIds converges on a deep chain in O(log diameter) rounds") {
     // a 200-edge chain has diameter 200 — plain min-label propagation
     // would need 200 rounds; pointer doubling must finish well inside the
-    // default 20-round budget
+    // default 20-round budget (maxLocalEdges = 0 forces the DISTRIBUTED
+    // loop this test exists to pin; the local path is covered below)
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("i", "j")
-    val got = Dedup.canonicalIds(chain)
+    val got = Dedup.canonicalIds(chain, maxLocalEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size === 200 && got.values.forall(_ == 1L))
+  }
+
+  test("canonicalIds: driver-local union-find == distributed loop") {
+    // chains (deep), stars, a cycle, and out-of-order edges — the local
+    // fast path must produce the identical (id, keep_id) relation the
+    // distributed fixpoint produces
+    val edges = (1L until 60L).map(i => (i, i + 1)) ++        // deep chain
+      Seq((100L, 103L), (100L, 101L), (100L, 102L)) ++        // star
+      Seq((200L, 201L), (201L, 202L), (202L, 200L)) ++        // cycle
+      Seq((301L, 300L))                                       // reversed pair
+    val pairs = edges.toDF("i", "j")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = rows(Dedup.canonicalIds(pairs))
+    val dist = rows(Dedup.canonicalIds(pairs, maxLocalEdges = 0))
+    assert(local === dist)
+    assert(local(60L) === 1L && local(103L) === 100L &&
+      local(202L) === 200L && local(301L) === 300L)
   }
 
   test("canonicalIds THROWS instead of returning partial labels when out of rounds") {
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("i", "j")
     intercept[IllegalStateException] {
-      Dedup.canonicalIds(chain, maxIter = 3)
+      Dedup.canonicalIds(chain, maxIter = 3, maxLocalEdges = 0)
     }
   }
 

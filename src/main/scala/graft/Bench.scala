@@ -100,7 +100,12 @@ object Bench {
     // .contended side file so it can never be committed as the adjudicated
     // artifact by accident.
     val outBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
-    val outFile = if (contended) outBase + ".contended" else outBase
+    // a SUBSET run must never clobber the adjudicated full artifact (it
+    // did, once — a 3-query iteration run overwrote the 150-query file)
+    val outFile =
+      if (only.isDefined) outBase + ".subset"
+      else if (contended) outBase + ".contended"
+      else outBase
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     println(json)

@@ -165,6 +165,52 @@ object SparkEntry {
        |  FROM embeddings e CROSS JOIN cmp0 c0 CROSS JOIN cmp1 c1)""".stripMargin
   }
 
+  /** The m=2 OPQ codebook/encode/query-table chain on top of
+    * [[opqM2Ctes]] (shared by `sim_opq_adc_m2` and the IVF-pruned
+    * serving twin): hash-sampled init at 2×1 geometry, ONE Lloyd
+    * refinement, per-(row, subspace) argmin encode, and the rotated
+    * query's ADC lookup table. Ends at `encb` = (id, m, code) and
+    * `qtabb` = (m, c, p). */
+  private val opqM2CodesCtes: String =
+    """msb AS (SELECT unnest(generate_series(0, 1)) AS m),
+      |pqhb AS (SELECT vec_id,
+      |    ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |  FROM embeddings),
+      |pqsb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS c,
+      |               vec_id
+      |        FROM pqhb ORDER BY hh, vec_id LIMIT 16),
+      |cb0b AS (SELECT m, s.c, r.emb2[m+1 : m+1] AS cbv
+      |        FROM pqsb s JOIN rotv r USING (vec_id), msb),
+      |subb AS MATERIALIZED (SELECT r.vec_id AS id, m, r.emb2[m+1 : m+1] AS sv
+      |        FROM rotv r, msb),
+      |d0b AS (SELECT s.id, s.m, cb0b.c,
+      |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+      |     FROM (SELECT unnest(s.sv) a, unnest(cb0b.cbv) b) x) AS d
+      |  FROM subb s JOIN cb0b USING (m)),
+      |a0b AS (SELECT id, m, c FROM (
+      |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+      |    FROM d0b) WHERE rn = 1),
+      |ex0b AS (SELECT a.m, a.c, unnest(s.sv) AS x,
+      |               unnest(generate_series(1, len(s.sv))) AS i
+      |        FROM a0b a JOIN subb s ON s.id = a.id AND s.m = a.m),
+      |mn0b AS (SELECT m, c, i,
+      |          CAST(ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+      |               / COUNT(*), 8) AS REAL) AS cx
+      |        FROM ex0b GROUP BY 1, 2, 3),
+      |cbrb AS MATERIALIZED (SELECT m, c, list(cx ORDER BY i) AS cbv
+      |        FROM mn0b GROUP BY m, c),
+      |d1b AS (SELECT s.id, s.m, cb.c,
+      |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+      |     FROM (SELECT unnest(s.sv) a, unnest(cb.cbv) b) x) AS d
+      |  FROM subb s JOIN cbrb cb USING (m)),
+      |encb AS MATERIALIZED (SELECT id, m, c AS code FROM (
+      |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+      |    FROM d1b) WHERE rn = 1),
+      |qtabb AS (SELECT cb.m, cb.c,
+      |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+      |     FROM (SELECT unnest(cb.cbv) a, unnest(q.emb2[cb.m+1 : cb.m+1]) b) x) AS p
+      |  FROM cbrb cb CROSS JOIN (SELECT emb2 FROM rotv WHERE vec_id = 0) q)""".stripMargin
+
   private val ivfCellCtes: String =
     s"""$kmeansFitCtes,
        |c2 AS (SELECT cluster, list(cx ORDER BY i) AS cv FROM m2 GROUP BY cluster),
@@ -3196,6 +3242,10 @@ object SparkEntry {
         val mutated = docs.select((col("doc_id") + 100000L).as("doc_id"),
           concat(expr("substring(text, 1, length(text) - 1)"), lit("q")).as("text"))
         val corpus = docs.select(col("doc_id"), col("text")).unionByName(mutated)
+        // geometry PINNED at 7x18/maxHamming-6 because the oracle SQL
+        // unrolls exactly 126 cells; production callers size it from the
+        // corpus instead via Multimodal.aHashAutoParams(n) (the sizing
+        // sweep + e2e pairing at auto geometry are DedupSpec-pinned)
         val fp = Multimodal.aHashWide(
           corpus.select(col("doc_id"), col("text").cast("binary").as("content")),
           "doc_id", "content", bands = 7, bandBits = 18)
@@ -4913,47 +4963,48 @@ object SparkEntry {
           qv, k = 10, OpqM2Artifacts.numSub, OpqM2Artifacts.subDim)
       },
       Some(s"""$opqM2Ctes,
-             |msb AS (SELECT unnest(generate_series(0, 1)) AS m),
-             |pqhb AS (SELECT vec_id,
-             |    ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
-             |  FROM embeddings),
-             |pqsb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS c,
-             |               vec_id
-             |        FROM pqhb ORDER BY hh, vec_id LIMIT 16),
-             |cb0b AS (SELECT m, s.c, r.emb2[m+1 : m+1] AS cbv
-             |        FROM pqsb s JOIN rotv r USING (vec_id), msb),
-             |subb AS MATERIALIZED (SELECT r.vec_id AS id, m, r.emb2[m+1 : m+1] AS sv
-             |        FROM rotv r, msb),
-             |d0b AS (SELECT s.id, s.m, cb0b.c,
-             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
-             |     FROM (SELECT unnest(s.sv) a, unnest(cb0b.cbv) b) x) AS d
-             |  FROM subb s JOIN cb0b USING (m)),
-             |a0b AS (SELECT id, m, c FROM (
-             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
-             |    FROM d0b) WHERE rn = 1),
-             |ex0b AS (SELECT a.m, a.c, unnest(s.sv) AS x,
-             |               unnest(generate_series(1, len(s.sv))) AS i
-             |        FROM a0b a JOIN subb s ON s.id = a.id AND s.m = a.m),
-             |mn0b AS (SELECT m, c, i,
-             |          CAST(ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-             |               / COUNT(*), 8) AS REAL) AS cx
-             |        FROM ex0b GROUP BY 1, 2, 3),
-             |cbrb AS MATERIALIZED (SELECT m, c, list(cx ORDER BY i) AS cbv
-             |        FROM mn0b GROUP BY m, c),
-             |d1b AS (SELECT s.id, s.m, cb.c,
-             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
-             |     FROM (SELECT unnest(s.sv) a, unnest(cb.cbv) b) x) AS d
-             |  FROM subb s JOIN cbrb cb USING (m)),
-             |encb AS (SELECT id, m, c AS code FROM (
-             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
-             |    FROM d1b) WHERE rn = 1),
-             |qtabb AS (SELECT cb.m, cb.c,
-             |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
-             |     FROM (SELECT unnest(cb.cbv) a, unnest(q.emb2[cb.m+1 : cb.m+1]) b) x) AS p
-             |  FROM cbrb cb CROSS JOIN (SELECT emb2 FROM rotv WHERE vec_id = 0) q)
+             |$opqM2CodesCtes
              |SELECT e.id AS vec_id,
              |       ROUND(CAST(SUM(CAST(q.p AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
              |FROM encb e JOIN qtabb q ON q.m = e.m AND q.c = e.code
+             |GROUP BY 1 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // OPQ × IVF end-to-end: the ROTATION-AWARE pruned serving path
+    // (this round's basis-discipline fix) oracle-checked, not just
+    // spec-pinned — the coarse probe ranks RAW centroids against the
+    // RAW query (IVF geometry never rotates), the scan restricts to the
+    // probed cells' members, and ADC runs in the ROTATED basis via the
+    // rotation parameter. Codes carry the cell id exactly as a
+    // buildDenseIndex(opqRotateIters) store would (here the m2 artifact
+    // joins the persisted assignment).
+    ("sim_opq_ivf_pruned",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val opq = OpqM2Artifacts.build(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val codes = opq.codes.join(
+          idx.cells.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.ivfPqSearchPruned(codes, opq.codebooks, idx.centroids, qv,
+          nprobe = 2, k = 10, OpqM2Artifacts.numSub, OpqM2Artifacts.subDim,
+          rotation = Some(opq.rotation))
+      },
+      Some(s"""$ivfCellCtes,
+             |${opqM2Ctes.stripPrefix("WITH ")},
+             |$opqM2CodesCtes,
+             |qc AS (SELECT c.cluster,
+             |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |           FROM (SELECT unnest(c.cv) a, unnest(q.embedding) b) x), 6) AS sim
+             |  FROM c2 c CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+             |prb AS (SELECT cluster FROM (
+             |    SELECT cluster, ROW_NUMBER() OVER (ORDER BY sim DESC, cluster) AS rn
+             |    FROM qc) WHERE rn <= 2)
+             |SELECT e.id AS vec_id,
+             |       ROUND(CAST(SUM(CAST(qt.p AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
+             |FROM encb e
+             |JOIN a3 ON a3.vec_id = e.id
+             |JOIN prb ON prb.cluster = a3.cluster
+             |JOIN qtabb qt ON qt.m = e.m AND qt.c = e.code
              |GROUP BY 1 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
 
     // REAL-DIMENSIONALITY serving oracle (VERDICT r10 #6): until now

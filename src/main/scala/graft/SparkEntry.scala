@@ -5072,6 +5072,58 @@ object SparkEntry {
              |SELECT vec_id, score FROM scored
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // MEASURED OPQ ADC recall — the recall-eval closer for the rotated-PQ
+    // family (every other approximate family already carries one:
+    // eval_pq/sq8/matryoshka/pca/lsh_recall). Flat rotated ADC over the
+    // m2 artifacts vs exact top-10, per-query recall through annQuality.
+    ("eval_opq_recall",
+      (s, dir) => {
+        val opq = OpqM2Artifacts.build(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val ann = Eval.ranked(
+          Similarity.pqAdcScoreRotated(opq.codes, opq.codebooks, opq.rotation,
+            queries, k = 10, OpqM2Artifacts.numSub, OpqM2Artifacts.subDim),
+          "query_id", "vec_id", "score")
+        val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
+          "query_id", "vec_id", "sim")
+        Eval.annQuality(ann, truth, k = 10)
+          .select(col("query_id"), col("n_hit"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""$opqM2Ctes,
+             |$opqM2CodesCtes,
+             |qsr AS (SELECT vec_id AS query_id, emb2 FROM rotv
+             |        WHERE vec_id IN (0, 1, 2)),
+             |qtabq AS (SELECT q.query_id, cb.m, cb.c,
+             |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |     FROM (SELECT unnest(cb.cbv) a, unnest(q.emb2[cb.m+1 : cb.m+1]) b) x) AS p
+             |  FROM cbrb cb CROSS JOIN qsr q),
+             |scq AS (SELECT qt.query_id, e.id,
+             |         CAST(SUM(CAST(qt.p AS DECIMAL(18,12))) AS DOUBLE) AS score
+             |       FROM encb e JOIN qtabq qt ON qt.m = e.m AND qt.c = e.code
+             |       GROUP BY 1, 2),
+             |approx AS (SELECT query_id, id AS vec_id FROM (
+             |    SELECT query_id, id, ROUND(score, 6) AS score, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, id) AS rn FROM scq) x
+             |  WHERE rn <= 10),
+             |qse AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |        WHERE vec_id IN (0, 1, 2)),
+             |exact AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e CROSS JOIN qse q),
+             |truth AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM exact) x
+             |  WHERE rn <= 10),
+             |hh AS (SELECT t.query_id, COUNT(a.vec_id) AS n_hit FROM truth t
+             |      LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+             |      GROUP BY 1)
+             |SELECT query_id, n_hit, ROUND(n_hit / 10.0, 6) AS recall
+             |FROM hh ORDER BY query_id""".stripMargin)),
+
     // KENDALL-TAU rank agreement between the pruned-ANN and exact
     // rankings — the ORDER metric recall cannot see (two lists can share
     // all items yet order them oppositely; re-ranker evaluations need

@@ -670,8 +670,17 @@ object Dedup {
       pairs: DataFrame, maxIter: Int = 20, doublingAfter: Int = 4,
       maxLocalEdges: Int = 1 << 20): DataFrame = {
     val spark0 = pairs.sparkSession
-    val probe = pairs.select(col("i"), col("j")).limit(maxLocalEdges + 1).collect()
-    if (probe.length <= maxLocalEdges) {
+    // materialize the (possibly expensive) pair pipeline ONCE and route
+    // on the cached count. NOT limit(max+1).collect(): CollectLimit
+    // executes the final stage incrementally (1, then 4x, ... partitions)
+    // and re-ran the whole pipeline's last stage several times — measured
+    // as a uniform ~1 s regression across every canonicalIds consumer in
+    // the first cut of this fast path.
+    val p0 = pairs.select(col("i"), col("j")).persist()
+    val nEdges = p0.count()
+    if (nEdges <= maxLocalEdges) {
+      val probe = p0.collect()
+      p0.unpersist()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -698,9 +707,9 @@ object Dedup {
       return out.toSeq.toDF("id", "keep_id")
         .select(col("id").cast(dt), col("keep_id").cast(dt))
     }
-    // materialize the (possibly expensive) pair pipeline ONCE before the
-    // union reads it twice (forward + reversed edge directions)
-    val p = pairs.select(col("i"), col("j")).persist()
+    // already persisted above for the routing count; the union below
+    // reads it twice (forward + reversed edge directions)
+    val p = p0
     val edges = p.select(col("i").as("a"), col("j").as("b"))
       .unionByName(p.select(col("j").as("a"), col("i").as("b")))
       .persist()

@@ -543,8 +543,14 @@ object TextAnalysis {
       scoreRound: Int = 6, carryCols: Seq[String] = Nil,
       maxVocab: Int = 1000000): DataFrame = {
     require(maxVocab >= 1, s"maxVocab must be positive, got $maxVocab")
-    val head = model.limit(maxVocab + 1).collect()
-    if (head.length > maxVocab) {
+    // route on a persisted count, NOT limit(max+1).collect(): the
+    // incremental CollectLimit executor re-runs the model pipeline's
+    // final stage while scaling partitions up to a 1M-row limit — the
+    // same measured pathology the canonicalIds fast path hit
+    val m0 = model.persist()
+    val over = m0.count() > maxVocab
+    if (over) {
+      m0.unpersist()
       if (docs.isStreaming)
         throw new IllegalArgumentException(
           s"NB model exceeds maxVocab=$maxVocab terms and the broadcast-join " +
@@ -553,6 +559,8 @@ object TextAnalysis {
             "broadcastable size, or raise maxVocab deliberately")
       return nbQualityScore(docs, model, idCol, textCol, scoreRound, carryCols)
     }
+    val head = m0.collect()
+    m0.unpersist()
     val m = typedlit(head
       .map(r => r.getString(0) -> r.getDouble(1)).toMap)
     val carry = carryCols.map(col)

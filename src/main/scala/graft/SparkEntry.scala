@@ -506,6 +506,42 @@ object SparkEntry {
     }
   }
 
+  /** Persisted MinHash signature index over `documents` — the batch
+    * half of the signature store the incremental streaming path
+    * maintains ([[graft.streaming.IncrementalIndex]] lands the same two
+    * tables batch by batch): `shingle_hashes` = (id, hv) distinct 8-byte
+    * shingle keys, `buckets` = (id, band, bucket) LSH bands. Built ONCE
+    * per dataset dir (one corpus tokenize); every minhash-family query
+    * serves from the artifacts via
+    * [[graft.operators.Dedup.minhashLshPairsFromIndex]] — values
+    * identical to the one-shot pipeline (the artifacts are its
+    * intermediates), so the recompute-everything oracles are unchanged. */
+  private[graft] object MinhashArtifacts {
+    case class Mh(hashes: DataFrame, buckets: DataFrame)
+    def build(s: SparkSession, dir: String): Mh = {
+      val p = ArtifactMemo.root(dir, "minhash")
+      def read = Mh(
+        hashes = s.read.parquet(s"$p/shingle_hashes"),
+        buckets = s.read.parquet(s"$p/buckets"))
+      ArtifactMemo(p) {
+        val docs = t(s, dir, "documents")
+        Dedup.shingles(docs, "doc_id", "text")
+          .select(col("id"), Dedup.hash60(col("s")).as("hv"))
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$p/shingle_hashes")
+        Dedup.minhashBucketsFromHashes(
+            s.read.parquet(s"$p/shingle_hashes"), 16, 2)
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$p/buckets")
+        read
+      }(read)
+    }
+    def pairs(s: SparkSession, dir: String): DataFrame = {
+      val mh = build(s, dir)
+      Dedup.minhashLshPairsFromIndex(mh.hashes, mh.buckets)
+    }
+  }
+
   /** REDUCED-m OPQ twin artifacts (VERDICT r10 #1): the same
     * rotate → allocate → Lloyd-refine → encode code path as
     * [[OpqArtifacts]] but at CTE-expressible geometry — 2 components
@@ -2065,7 +2101,7 @@ object SparkEntry {
 
     ("dedup_minhash_lsh",
       (s, dir) =>
-        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+        MinhashArtifacts.pairs(s, dir)
           .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("i"), col("j")),
       Some(s"""$minhashJacSql
@@ -2077,7 +2113,7 @@ object SparkEntry {
     // closure via recursive CTE; Spark = min-label propagation to fixpoint.
     ("dedup_components",
       (s, dir) => {
-        val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+        val pairs = MinhashArtifacts.pairs(s, dir)
         Dedup.canonicalIds(pairs.select(col("i"), col("j")))
           .orderBy(col("id"))
       },
@@ -2100,7 +2136,7 @@ object SparkEntry {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val comps = Dedup.canonicalIds(
-          Dedup.minhashLshPairs(docs, "doc_id", "text")
+          MinhashArtifacts.pairs(s, dir)
             .select(col("i"), col("j")))
         val quality = TextAnalysis.qualityScore(docs, "doc_id", "text",
             Seq("the", "a"))
@@ -3900,7 +3936,7 @@ object SparkEntry {
     ("dedup_drop_apply",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+        val pairs = MinhashArtifacts.pairs(s, dir)
         val dropIds = Dedup.canonicalIds(pairs.select(col("i"), col("j")))
           .filter(col("id") =!= col("keep_id"))
           .select(col("id").as("doc_id"))
@@ -3930,7 +3966,7 @@ object SparkEntry {
     ("curation_leakage_safe_split",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+        val pairs = MinhashArtifacts.pairs(s, dir)
         Curation.leakageSafeSplit(docs, pairs.select(col("i"), col("j")),
             "doc_id", "ls", Seq(("train", 9000), ("val", 9500), ("test", 10000)))
           .select(col("doc_id"), col("split"))
@@ -4631,7 +4667,7 @@ object SparkEntry {
     ("eval_lsh_recall",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+        val lsh = MinhashArtifacts.pairs(s, dir)
           .select(col("i"), col("j"))
         val exact = Dedup.jaccardPairs(docs, "doc_id", "text")
           .select(col("i"), col("j"))

@@ -354,7 +354,17 @@ object Dedup {
     * pipeline — same hash family, same `sig` encoding — at 1/(H)th the
     * shuffled rows and two fewer shuffles. */
   def minhashBuckets(
-      shingleDf: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+      shingleDf: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame =
+    minhashBucketsFromHashes(
+      shingleDf.select(col("id"), hash60(col("s")).as("hv")),
+      numHashes, rowsPerBand)
+
+  /** [[minhashBuckets]] from PRE-HASHED shingles `(id, hv)` — the form
+    * the persisted signature index stores (8-byte keys, no n-gram
+    * strings; the incremental store and `MinhashArtifacts` both land
+    * this table). Identical values: `x = hash60(s) mod p == hv mod p`. */
+  def minhashBucketsFromHashes(
+      hashed: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val mins = (1 to numHashes).map { h =>
       min((col("x") * lit(2L * h + 1) + lit(7919L * h)) % lit(2147483647L))
@@ -365,8 +375,8 @@ object Dedup {
         (1 to rowsPerBand).map(r => col(s"__mh${b * rowsPerBand + r}").cast("string")): _*)
       struct(lit(b.toLong).as("band"), hash60(sig).as("bucket"))
     }
-    shingleDf
-      .select(col("id"), (hash60(col("s")) % lit(2147483647L)).as("x"))
+    hashed
+      .select(col("id"), (col("hv") % lit(2147483647L)).as("x"))
       .groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), explode(array(bandCols: _*)).as("__bb"))
@@ -387,8 +397,13 @@ object Dedup {
     * shuffle moves fixed-width longs instead of n-gram strings. The same
     * hash is used on the oracle side, so the (astronomically rare)
     * collision affects both engines identically. */
-  def verifyJaccard(pairs: DataFrame, shingleDf: DataFrame): DataFrame = {
-    val hashed = shingleDf.select(col("id"), hash60(col("s")).as("hv"))
+  def verifyJaccard(pairs: DataFrame, shingleDf: DataFrame): DataFrame =
+    verifyJaccardHashed(pairs,
+      shingleDf.select(col("id"), hash60(col("s")).as("hv")))
+
+  /** [[verifyJaccard]] against PRE-HASHED shingles `(id, hv)` — the
+    * artifact-fed serving form ([[minhashBucketsFromHashes]]' sibling). */
+  def verifyJaccardHashed(pairs: DataFrame, hashed: DataFrame): DataFrame = {
     val sizes = hashed.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shA = hashed.select(col("id").as("i"), col("hv"))
     val shB = hashed.select(col("id").as("j"), col("hv"))
@@ -411,6 +426,19 @@ object Dedup {
     val cands = lshCandidates(minhashBuckets(sh, numHashes, rowsPerBand))
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
+
+  /** ARTIFACT-FED [[minhashLshPairs]]: candidates from a PERSISTED
+    * bucket table, exact-Jaccard verification against the PERSISTED
+    * hashed-shingle table — zero corpus tokenization at query time (the
+    * fit-once/load-don't-refit discipline every fitted index here
+    * follows; the incremental streaming store maintains the same two
+    * tables batch by batch). Values identical to the one-shot pipeline
+    * by construction — the artifacts ARE its intermediates. */
+  def minhashLshPairsFromIndex(
+      hashed: DataFrame, buckets: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    verifyJaccardHashed(lshCandidates(buckets), hashed)
+      .filter(col("jaccard") >= threshold)
 
   /** Exact all-pairs n-gram Jaccard (blocked on shared shingles) — the
     * small-data oracle for [[minhashLshPairs]]. Single pass: the shingle

@@ -178,6 +178,18 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet === Set((1L, 2L)))
+    // the ARTIFACT-FED serving form (persisted hashed shingles + bucket
+    // table) returns the identical pair relation — the artifacts are the
+    // one-shot pipeline's own intermediates
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val hashed = sh.select(col("id"), Dedup.hash60(col("s")).as("hv"))
+    val buckets = Dedup.minhashBucketsFromHashes(hashed, 16, 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    assert(rows(Dedup.minhashLshPairsFromIndex(hashed, buckets)) ===
+      rows(Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)))
   }
 
   test("simhash is identical for identical token multisets, differs otherwise") {

@@ -29,10 +29,24 @@ object Store {
   /** Bucketed+sorted managed table: join-key-co-located storage. */
   def writeBucketed(
       df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    writeBucketedMulti(df, table, buckets, key)
+
+  /** [[writeBucketed]] on a COMPOSITE key — the layout for stores whose
+    * serving join is multi-column, e.g. the MinHash LSH bucket table
+    * (`(band, bucket)`): the candidate-pair SELF-join of a table
+    * co-bucketed on both columns plans with no shuffle exchange on
+    * either side, so at corpus scale the only heavy stage of banded
+    * candidate generation is the map-side bucket scan (StoreSpec pins
+    * the exchange-free plan). */
+  def writeBucketedMulti(
+      df: DataFrame, table: String, buckets: Int, keys: String*): Unit = {
+    require(keys.nonEmpty, "bucketed write needs at least one key column")
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 

@@ -87,4 +87,28 @@ class StoreSpec extends AnyFunSuite {
       s"bucketed join should not shuffle:\n$plan")
     assert(joined.count() === emb.count())
   }
+
+  test("composite-key bucketed minhash store: candidate self-join is exchange-free") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val hashed = Dedup.shingles(docs, "doc_id", "text")
+      .select(col("id"), Dedup.hash60(col("s")).as("hv"))
+    val buckets = Dedup.minhashBucketsFromHashes(hashed, 16, 2)
+    Store.writeBucketedMulti(buckets, "mh_buckets", 4, "band", "bucket")
+    val stored = spark.table("mh_buckets")
+    val cands = Dedup.lshCandidates(stored.hint("merge"))
+    val plan = cands.queryExecution.executedPlan.toString
+    // the (band, bucket) self-join must ride the bucketed layout: the
+    // ONLY hash exchange left is the distinct on (i, j) ABOVE the join
+    // (unbucketed, both join inputs shuffle too)
+    val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(nEx <= 1,
+      s"bucketed candidate join should only shuffle for distinct, saw $nEx:\n$plan")
+    // and the stored layout changes no values
+    val want = Dedup.lshCandidates(buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
 }

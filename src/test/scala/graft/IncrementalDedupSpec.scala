@@ -41,6 +41,52 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(pairs() === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("accumulated signature store == one-shot batch index (the two halves of one artifact)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val landing = java.nio.file.Files.createTempDirectory("graft_idd2_land").toString
+    val index = java.nio.file.Files.createTempDirectory("graft_idd2_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idd2_ck").toString
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base.replace("tok7", "tok7x")),
+      (3L, (100 to 130).map(i => s"q$i").mkString(" ")),
+      (4L, base.replace("tok20", "tok20x")))
+    // land in two batches through the incremental maintenance path
+    docs.take(2).toDF("doc_id", "text").write.mode("append").parquet(landing)
+    IncrementalIndex.updateDedup(spark, landing, index, ckpt)
+    docs.drop(2).toDF("doc_id", "text").write.mode("append").parquet(landing)
+    IncrementalIndex.updateDedup(spark, landing, index, ckpt)
+    // the accumulated shingle/bucket tables equal the one-shot build over
+    // the same corpus — the batch MinhashArtifacts and the streaming
+    // store are the SAME index, maintained two ways
+    val all = docs.toDF("doc_id", "text")
+    val sh = Dedup.shingles(all, "doc_id", "text")
+    val wantHashes = sh.select(col("id"), Dedup.hash60(col("s")).as("hv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotHashes = spark.read.parquet(s"$index/shingles")
+      .select(col("id"), col("hv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotHashes === wantHashes)
+    val wantBuckets = Dedup.minhashBuckets(sh, 16, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotBuckets = spark.read.parquet(s"$index/buckets")
+      .select(col("id"), col("band"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotBuckets === wantBuckets)
+    // ...and serving the artifact-fed pair query from the ACCUMULATED
+    // tables returns exactly the one-shot pipeline's pairs
+    val served = Dedup.minhashLshPairsFromIndex(
+        spark.read.parquet(s"$index/shingles").select(col("id"), col("hv")),
+        spark.read.parquet(s"$index/buckets").select(col("id"), col("band"), col("bucket")))
+      .select(col("i"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = Dedup.minhashLshPairs(all, "doc_id", "text")
+      .select(col("i"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served === oneShot)
+  }
+
   test("incremental span-dedup: cross-batch spans marked, first copies exempt, replay-idempotent") {
     import org.apache.spark.sql.functions._
     val landing = java.nio.file.Files.createTempDirectory("graft_isd_land").toString

@@ -83,6 +83,23 @@ object GraftProps extends Properties("graft") {
       got == Set((1L, 2L))
     }
 
+  property("canonicalIds: driver-local union-find == distributed fixpoint on random graphs") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L)))) { edges0 =>
+      import spark.implicits._
+      import graft.operators.Dedup
+      // drop self-loops (the pair relation is i<j by construction upstream,
+      // but the resolver must not care about orientation or duplicates)
+      val edges = edges0.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val pairs = edges.toDF("i", "j")
+        def m(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        m(Dedup.canonicalIds(pairs)) ==
+          m(Dedup.canonicalIds(pairs, maxLocalEdges = 0))
+      }
+    }
+
   property("morton key is a bijection on the grid (order-free uniqueness)") =
     forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(0, 65535), Gen.chooseNum(0, 65535)))) { pts =>
       import spark.implicits._

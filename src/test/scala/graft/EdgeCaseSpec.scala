@@ -49,6 +49,31 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(e.getMessage.contains(Similarity.MmrMaxShortlist.toString))
   }
 
+  test("artifact-fed minhash serving on empty stores returns empty, not an error") {
+    import graft.operators.Dedup
+    val hashes = Seq.empty[(Long, Long)].toDF("id", "hv")
+    val buckets = Seq.empty[(Long, Long, Long)].toDF("id", "band", "bucket")
+    assert(Dedup.minhashLshPairsFromIndex(hashes, buckets).count() === 0L)
+  }
+
+  test("aHashAutoParams guards its domain") {
+    import graft.operators.Multimodal
+    intercept[IllegalArgumentException](Multimodal.aHashAutoParams(0))
+    intercept[IllegalArgumentException](Multimodal.aHashAutoParams(10, diffFraction = 0.0))
+    intercept[IllegalArgumentException](Multimodal.aHashAutoParams(10, diffFraction = 0.5))
+    intercept[IllegalArgumentException](Multimodal.aHashAutoParams(10, maxBands = 1))
+    // n = 1 is a legal corpus (nothing to pair, but the geometry exists)
+    val p = Multimodal.aHashAutoParams(1)
+    assert(p.bands > p.maxHamming && p.bandBits === 9)
+  }
+
+  test("rotateVectorsPrepared refuses an empty component matrix") {
+    import graft.operators.Similarity
+    val emb = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Similarity.rotateVectorsPrepared(emb, Array.empty[Array[Double]]))
+  }
+
   test("canonicalIds of an empty pair set is empty") {
     val pairs = Seq.empty[(Long, Long)].toDF("i", "j")
     assert(Dedup.canonicalIds(pairs).count() === 0)

@@ -819,13 +819,18 @@ object Similarity {
   }
 
   /** Literal-expression budget for the projection form of
-    * [[rotateVectorsPrepared]]: past ~2^16 coefficient literals
-    * (m×d — a FULL d=768 rotation is ~590k) the projection's expression
-    * tree blows past Janino codegen limits and planning time, so the
-    * rotation switches to the primitive partition kernel. The OPQ
-    * builds here (m ≤ 16 components) stay comfortably on the literal
-    * path at any realistic d. */
-  private val RotateLiteralMax = 1 << 16
+    * [[rotateVectorsPrepared]]: past this many coefficient literals the
+    * rotation switches to the primitive partition kernel. Two reasons,
+    * measured (RotProbe, 10k rows at d=768): the HOF fold per literal
+    * array is ~20× slower than the primitive loop (m=16: 0.214 vs
+    * 0.010 ms/row — even the FULL 589,824-coefficient d=768 rotation
+    * runs 0.120 ms/row in the kernel, faster than the m=16 literal
+    * form), and a full-d rotation's expression tree would blow past
+    * Janino codegen limits outright. The literal path is kept below the
+    * budget for query-side rotations (1-row frames inside a declarative
+    * serving plan — no RDD barrier, no extra job) where per-row cost is
+    * irrelevant; corpus-scale rotations dispatch to the kernel. */
+  private val RotateLiteralMax = 1 << 12
 
   /** The apply half of [[rotateVectors]] over pre-collected coefficients:
     * coordinate c of the output is the row's round-`projRound` float

@@ -41,8 +41,17 @@ object VectorOps {
   /** Cosine similarity; equals [[dot]] when inputs are pre-normalized. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Squared L2 distance (sequential double fold — engine-portable). */
+  /** Squared L2 distance (codegen'd sequential double fold — the PQ
+    * assignment hot path). */
   def sqDist(a: Column, b: Column): Column =
+    ColumnShim.column(
+      SqDistF(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Reference implementation via SQL higher-order functions; same fold
+    * order and accumulator as [[sqDist]], used to cross-check it in
+    * tests (mismatched lengths yield NULL here vs truncation there —
+    * both sides are equal-length by the store invariant). */
+  def sqDistHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double"); d * d

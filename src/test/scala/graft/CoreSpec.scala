@@ -39,6 +39,19 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(both.count() === 0)
   }
 
+  test("codegen sqDist matches higher-order-function reference bitwise") {
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(
+        VectorOps.sqDist(col("embedding"), col("qv")).as("fast"),
+        VectorOps.sqDistHof(col("embedding"), col("qv")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(both.count() === 0)
+    val hand = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 6.0f, 3.0f))).toDF("a", "b")
+    assert(hand.select(VectorOps.sqDist(col("a"), col("b"))).head.getDouble(0) === 25.0)
+  }
+
   test("dot on hand vectors") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     val got = df.select(VectorOps.dot(col("a"), col("b"))).head.getDouble(0)

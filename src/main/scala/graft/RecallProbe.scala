@@ -84,6 +84,33 @@ object RecallProbe {
       measure("skewed-split", splitIdx.cells, splitIdx.centroids))
   }
 
+  /** Recall@k of the REALISTIC-geometry OPQ build (VERDICT r11 #4):
+    * [[SparkEntry.OpqArtifacts]]'s 16 principal components dealt across
+    * 4x4 sub-quantizers — the geometry a user would actually serve, where
+    * the oracle-checked m2 twin deliberately measures the degenerate
+    * 2-component build (recall 0.0 by information destruction). Serves
+    * through the SAME [[Similarity.pqAdcScoreRotated]] path as
+    * `sim_opq_adc`, measured against exact top-k over a query batch. */
+  def opqRecall(
+      spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 20): Double = {
+    val opq = SparkEntry.OpqArtifacts.build(spark, sfDir)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.knnBatch(emb, queries, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Similarity.pqAdcScoreRotated(opq.codes, opq.codebooks,
+        opq.rotation, queries, k,
+        SparkEntry.OpqArtifacts.numSub, SparkEntry.OpqArtifacts.subDim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    exact.map { case (q, ids) =>
+      ids.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / ids.size
+    }.sum / exact.size
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = if (args.length > 1) args(1) else "RECALL.md"
@@ -131,9 +158,116 @@ object RecallProbe {
       "hot-region probe opens at ~1/4 of the hot region; serving code is " +
       "unchanged (the split layout is flat: same probeCells -> " +
       "PartitionFilters plan).\n"
+    val opqR = opqRecall(spark, sfDir)
+    sb ++= f"\n## Realistic-geometry OPQ (16 components, 4x4 codes)\n\n" +
+      f"`pqAdcScoreRotated` over the `OpqArtifacts` build (the geometry " +
+      f"`sim_opq_adc` serves): mean recall@10 over a 20-query batch = " +
+      f"**$opqR%.3f**.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes("UTF-8"))
     println(sb.toString)
+    spark.stop()
+  }
+}
+
+/** The nprobe/recall curve at REALISTIC cell population (VERDICT r11 #3):
+  * RECALL.md's committed curve is measured on the sf corpus (500-2000
+  * rows / 8 cells); a user sizing nprobe at web scale extrapolates. This
+  * probe replicates the sf embeddings to ~1M rows — each replica
+  * perturbed COORDINATE-DEPENDENTLY so clones are distinct directions (a
+  * per-replica scalar would keep clone groups collinear: they'd co-rank
+  * under inner product and co-assign under IVF, inflating recall) — fits
+  * the engine's own IVF build at nlist ~ sqrt(N) (hash-sampled init + 2
+  * Lloyd iterations, the kmeansFit the artifact store runs), persists
+  * cells cell-partitioned, and measures recall@20 over a 20-query batch
+  * at doubling nprobe plus what [[Similarity.calibrateNprobe]] picks for
+  * the 0.8 floor at this population.
+  *
+  * Run: `java -cp classes:spark-jars graft.RecallScaleProbe
+  * [sfDir] [targetRows] [nlist]`. */
+object RecallScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val targetRows = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val nlist = args.lift(2).map(_.toInt).getOrElse(1024)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_recall_scale").toString
+
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val baseN = base.count()
+    val times = math.max(1, math.ceil(targetRows.toDouble / baseN).toInt)
+    val corpus = (0 until times).map { r =>
+      if (r == 0) base
+      else base.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, j) -> cast(x * " +
+          s"(1.0d + (($r * 31 + j) % 11 - 5) * 0.02d) as float))").as("embedding"))
+    }.reduce(_ unionByName _)
+    corpus.write.mode("overwrite").parquet(s"$outDir/emb")
+    val emb = spark.read.parquet(s"$outDir/emb")
+    val n = emb.count()
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (cents, tFit) = time { Similarity.kmeansFit(emb, nlist, iters = 2) }
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    cents.unpersist()
+    val centArt = spark.read.parquet(s"$outDir/centroids")
+    val (_, tAssign) = time {
+      graft.sources.Store.writePartitioned(
+        Similarity.assignCells(emb, centArt).repartition(col("cluster")),
+        s"$outDir/cells", "cluster")
+    }
+    val cells = spark.read.parquet(s"$outDir/cells")
+    val sizes = cells.groupBy(col("cluster")).count()
+      .collect().map(r => r.getAs[Number]("cluster").intValue -> r.getLong(1)).toMap
+
+    val k = 20
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.knnBatch(emb, queries, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    println(f"RecallScaleProbe: $n rows, nlist=$nlist " +
+      f"(mean cell ${n.toDouble / nlist}%.0f rows, max ${sizes.values.max}), " +
+      f"fit=${tFit}%.0fs assign+write=${tAssign}%.0fs")
+    println(f"${"nprobe"}%8s ${"recall@20"}%10s ${"rows/query"}%12s ${"corpus frac"}%12s")
+    val nprobes = Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist).toSeq :+ nlist
+    var done = false
+    nprobes.foreach { np =>
+      if (!done) {
+        val ann = Similarity
+          .ivfSearchBatchPruned(cells, centArt, queries, np, k)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val recall = exact.map { case (q, ids) =>
+          ids.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / ids.size
+        }.sum / exact.size
+        val perQ = Similarity.probeCellsBatch(centArt, queries, np)
+          .groupBy(_._1).values
+          .map(_.map(p => sizes.getOrElse(p._2, 0L)).sum)
+        val rows = perQ.sum / perQ.size
+        println(f"$np%8d $recall%10.3f $rows%12d ${rows.toDouble / n}%12.4f")
+        // past 1.0 every further row is a full-scan rerun of the same answer
+        if (recall >= 1.0 - 1e-12) done = true
+      }
+    }
+    val (cal, tCal) = time {
+      Similarity.calibrateNprobe(cells, centArt, queries, k, targetRecall = 0.8)
+    }
+    println(f"calibrateNprobe(target 0.8) picks nprobe=$cal " +
+      f"(${tCal}%.0fs; ${cal.toDouble / nlist}%.4f of cells)")
     spark.stop()
   }
 }

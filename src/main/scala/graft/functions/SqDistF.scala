@@ -41,11 +41,14 @@ case class SqDistF(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: a bare `i` would fail to compile if the enclosing
+      // generated method already declares one (Java forbids shadowing).
+      val i = ctx.freshName("i")
       s"""
          |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double ${ev.value}_s = 0.0;
-         |for (int i = 0; i < ${ev.value}_n; i++) {
-         |  double ${ev.value}_d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
+         |for (int $i = 0; $i < ${ev.value}_n; $i++) {
+         |  double ${ev.value}_d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
          |  ${ev.value}_s += ${ev.value}_d * ${ev.value}_d;
          |}
          |${ev.value} = ${ev.value}_s;

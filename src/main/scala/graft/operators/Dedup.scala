@@ -688,12 +688,25 @@ object Dedup {
     * usually orders of magnitude smaller than the corpus — at bench
     * scale a few dozen rows — yet every propagation round still pays
     * fixed scheduler/shuffle overhead (measured: the CC loop dominated
-    * q39's stage profile on a 39-edge graph). Up to `maxLocalEdges`
-    * (probed with limit(max+1), no full count) the pairs collect once
-    * and resolve by union-find with union-to-smaller-root — the root IS
-    * the component minimum, so the output is the identical (id, keep_id)
-    * relation (parity spec-pinned, DedupSpec). Past the bound — real
-    * web-scale duplicate graphs — the distributed loop runs unchanged. */
+    * q39's stage profile on a 39-edge graph). The routing bound is
+    * decided by a persist + full `count()` of the pair frame (NOT a
+    * `limit(max+1)` probe — CollectLimit's incremental executor re-ran
+    * the pair pipeline's final stage several times, a measured ~1 s
+    * regression; the persisted count pays the pipeline exactly once and
+    * the collect below reuses the cache). At or under `maxLocalEdges`
+    * the pairs collect once and resolve by union-find with
+    * union-to-smaller-root — the root IS the component minimum, so the
+    * output is the identical (id, keep_id) relation (parity spec-pinned,
+    * DedupSpec). Past the bound — real web-scale duplicate graphs — the
+    * distributed loop runs unchanged.
+    *
+    * DRIVER MEMORY: the default `maxLocalEdges` = 2^20 admits up to ~1M
+    * edge Rows onto the driver plus a HashMap of up to ~2M (id → root)
+    * entries — roughly 200-300 MB transient heap at the bound. That is
+    * fine on this project's 128 GiB driver but is a real OOM hazard on a
+    * small-heap driver that the always-distributed path never had: on
+    * constrained drivers pass `maxLocalEdges` explicitly (e.g. 1 << 14 ≈
+    * 16k edges ≈ a few MB), or 0 to force the distributed loop. */
   def canonicalIds(
       pairs: DataFrame, maxIter: Int = 20, doublingAfter: Int = 4,
       maxLocalEdges: Int = 1 << 20): DataFrame = {

@@ -880,15 +880,29 @@ object Similarity {
         import graft.functions.DecimalUnits
         it.map { row =>
           val vals = row.toSeq.toArray
-          if (row.isNullAt(vecIdx)) {
+          // v == null (below) also covers a null ELEMENT inside the array:
+          // the literal path's per-component fold hits the null term and
+          // yields a null coordinate for EVERY component, identical to the
+          // whole-vector-null case — so both collapse to the all-null row.
+          val v: Array[Float] =
+            if (row.isNullAt(vecIdx)) null
+            else row.getSeq[Any](vecIdx) match {
+              case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+              case other =>
+                if (other.exists(_ == null)) null
+                else {
+                  val a = new Array[Float](other.length)
+                  var i = 0
+                  val it2 = other.iterator
+                  while (it2.hasNext) { a(i) = it2.next().asInstanceOf[Float]; i += 1 }
+                  a
+                }
+            }
+          if (v == null) {
             // literal-path contract: zip_with(NULL, lits) → NULL projection
             // per component — an array of nulls, not a null array
             vals(vecIdx) = Seq.fill[Any](m)(null)
           } else {
-            val v = row.getSeq[Float](vecIdx) match {
-              case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
-              case other => other.toArray
-            }
             val arr = new Array[Any](m)
             var c = 0
             while (c < m) {

@@ -546,11 +546,15 @@ object TextAnalysis {
     // route on a persisted count, NOT limit(max+1).collect(): the
     // incremental CollectLimit executor re-runs the model pipeline's
     // final stage while scaling partitions up to a 1M-row limit — the
-    // same measured pathology the canonicalIds fast path hit
-    val m0 = model.persist()
+    // same measured pathology the canonicalIds fast path hit.
+    // Persist only if the CALLER hasn't: unpersisting a frame the caller
+    // persisted would silently drop their cache.
+    val callerPersisted =
+      model.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val m0 = if (callerPersisted) model else model.persist()
     val over = m0.count() > maxVocab
     if (over) {
-      m0.unpersist()
+      if (!callerPersisted) m0.unpersist()
       if (docs.isStreaming)
         throw new IllegalArgumentException(
           s"NB model exceeds maxVocab=$maxVocab terms and the broadcast-join " +
@@ -560,7 +564,7 @@ object TextAnalysis {
       return nbQualityScore(docs, model, idCol, textCol, scoreRound, carryCols)
     }
     val head = m0.collect()
-    m0.unpersist()
+    if (!callerPersisted) m0.unpersist()
     val m = typedlit(head
       .map(r => r.getString(0) -> r.getDouble(1)).toMap)
     val carry = carryCols.map(col)

@@ -307,15 +307,25 @@ class OpqSpec extends AnyFunSuite {
     // kernel — same contract as the codegen'd literal path, pinned here
     // on the same inputs (with a null-vector row mixed in)
     val coefs = Similarity.rotationCoefs(rot, Some((ns, sd)))
-    val withNull = corpus.unionByName(
-      Seq((999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    // a null ELEMENT (not a null vector): the HOF fold nulls every
+    // component's aggregate, so both forms must emit the all-null row —
+    // the kernel used to NPE on the primitive unbox instead (ADVICE r12)
+    val withNullElem = corpus.filter(col("vec_id") === 7)
+      .select(lit(998L).as("vec_id"),
+        expr("transform(embedding, (x, j) -> if(j = 3, cast(null as float), x))")
+          .as("embedding"))
+    val withNull = corpus
+      .unionByName(
+        Seq((999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+      .unionByName(withNullElem)
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getLong(0),
         Option(r.getSeq[java.lang.Float](1)).map(_.toList))).toMap
-    val lit = rows(Similarity.rotateVectorsPrepared(withNull, coefs))
+    val litP = rows(Similarity.rotateVectorsPrepared(withNull, coefs))
     val ker = rows(Similarity.rotateVectorsKernel(withNull, coefs))
-    assert(ker === lit)
-    assert(lit(999L).get.forall(_ == null), "null vector → all-null coords")
+    assert(ker === litP)
+    assert(litP(999L).get.forall(_ == null), "null vector → all-null coords")
+    assert(litP(998L).get.forall(_ == null), "null element → all-null coords")
   }
 
   test("allocation guards: more components than coordinates is rejected") {

@@ -174,9 +174,13 @@ object RecallProbe {
   * RECALL.md's committed curve is measured on the sf corpus (500-2000
   * rows / 8 cells); a user sizing nprobe at web scale extrapolates. This
   * probe replicates the sf embeddings to ~1M rows — each replica
-  * perturbed COORDINATE-DEPENDENTLY so clones are distinct directions (a
-  * per-replica scalar would keep clone groups collinear: they'd co-rank
-  * under inner product and co-assign under IVF, inflating recall) — fits
+  * re-expressed as a per-replica coordinate PERMUTATION (odd stride,
+  * coprime to d) times a WIDE hash jitter (0.5-1.5x per coordinate), so
+  * replicas are genuinely new directions. Anything gentler is
+  * measured-degenerate: the first cut used a +-10% multiplicative
+  * perturbation and every replica stayed in its base vector's cell —
+  * recall@20 read 1.000 at nprobe=1, i.e. the probe measured the clone
+  * structure, not the index — fits
   * the engine's own IVF build at nlist ~ sqrt(N) (hash-sampled init + 2
   * Lloyd iterations, the kmeansFit the artifact store runs), persists
   * cells cell-partitioned, and measures recall@20 over a 20-query batch
@@ -208,9 +212,16 @@ object RecallScaleProbe {
     val times = math.max(1, math.ceil(targetRows.toDouble / baseN).toInt)
     val corpus = (0 until times).map { r =>
       if (r == 0) base
-      else base.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
-        expr(s"transform(embedding, (x, j) -> cast(x * " +
-          s"(1.0d + (($r * 31 + j) % 11 - 5) * 0.02d) as float))").as("embedding"))
+      else {
+        // odd stride (coprime to 64) permutes coordinates; the hash
+        // jitter spans 0.5-1.5x — together a genuinely new direction
+        val s = 2 * (r % 32) + 1
+        base.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          expr(s"transform(sequence(0, 63), j -> cast(" +
+            s"element_at(embedding, cast((j * $s) % 64 + 1 as int)) * " +
+            s"(0.5d + pmod(${r}L * 2654435761L + j * 40503L, 1024) / 1024.0d)" +
+            s" as float))").as("embedding"))
+      }
     }.reduce(_ unionByName _)
     corpus.write.mode("overwrite").parquet(s"$outDir/emb")
     val emb = spark.read.parquet(s"$outDir/emb")
@@ -225,7 +236,7 @@ object RecallScaleProbe {
     val centArt = spark.read.parquet(s"$outDir/centroids")
     val (_, tAssign) = time {
       graft.sources.Store.writePartitioned(
-        Similarity.assignCells(emb, centArt).repartition(col("cluster")),
+        Similarity.assignCellsBulk(emb, centArt).repartition(col("cluster")),
         s"$outDir/cells", "cluster")
     }
     val cells = spark.read.parquet(s"$outDir/cells")

@@ -137,8 +137,11 @@ object Similarity {
       .option("compression", "zstd").parquet(s"$outDir/centroids")
     cents.unpersist() // kmeansFit's contract: the caller owns the frame
     val centArt = spark.read.parquet(s"$outDir/centroids")
+    // same dispatch as the kmeansFit iterations: packed only at coarse
+    // nlist — the packed HOF argmax is interpreted per row and at
+    // IVF-scale nlist it dominates the build (RecallScaleProbe r12)
     val assigned =
-      if (p.nlist <= 4096) assignCells(emb, centArt, vecCol)
+      if (p.nlist <= 64) assignCells(emb, centArt, vecCol)
       else if (p.nlist <= (1 << 16)) assignCellsBulk(emb, centArt, vecCol)
       else assignCellsChunked(emb, centArt, vecCol)
     graft.sources.Store.writePartitioned(assigned, s"$outDir/cells", "cluster")
@@ -1214,13 +1217,17 @@ object Similarity {
     var toFree: Option[DataFrame] = Some(cent)
     for (_ <- 1 to iters) {
       // identical assignment all three ways (KmeansSpec parity-tests them):
-      // packed single-row argmax while k x d fits one collect_list row;
-      // past ~4k centroids the mapPartitions BULK kernel (primitive-loop
-      // dots over a driver-collected centroid matrix — the DimProbe-measured
-      // fast path at IVF-scale k); past driver-matrix scale (~10^5 x 768)
-      // the bounded chunk fold, which never materializes the full set
+      // packed single-row argmax for coarse k (the oracle geometries —
+      // no driver collect, one broadcast row); from k > 64 the
+      // mapPartitions BULK kernel (primitive-loop dots over a
+      // driver-collected centroid matrix): the packed form's k-struct HOF
+      // argmax is interpreted per row, and at IVF-scale k that dominated
+      // the fit (RecallScaleProbe r12, 1M rows x k=1024: ~110 s per
+      // packed assignment pass; BASELINE.md records the bulk-routed
+      // re-measurement); past driver-matrix scale (~10^5 x 768) the
+      // bounded chunk fold, which never materializes the full set
       val assigned =
-        if (k <= 4096)
+        if (k <= 64)
           assignCells(emb.select(col(idCol), col(vecCol)), cent,
             vecCol, "cluster", simRound)
         else if (k <= (1 << 16))

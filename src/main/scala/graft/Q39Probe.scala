@@ -54,6 +54,47 @@ object Q39Probe {
     }
     time("keepBest")(Dedup.keepBest(comps, csim).count())
     pairs.unpersist()
+
+    // SCALE MODE (round 12 — names the cause of q39's super-linear 10x
+    // ratio in the ScaleProbe table): blocked pairing's candidate volume
+    // is sum(cellSize^2)/2, so at a FIXED cell count (the oracle-pinned
+    // nlist=8 DenseArtifacts geometry the bench query must use) 10x data
+    // means 100x candidates — quadratic by construction. A production
+    // build sizes nlist with the corpus (IvfParams.auto ~ 4*sqrt(N)),
+    // which keeps cell size ~sqrt(N) and candidate growth ~linear in N.
+    // This measures pairing at `factor`x under both geometries (replicas
+    // perturbed into new directions — the ScaleProbe/RecallScaleProbe
+    // recipe — so the measurement is not the clone-group artifact).
+    val factor = args.lift(1).map(_.toInt).getOrElse(0)
+    if (factor > 1) {
+      val big = (0 until factor).map { k =>
+        if (k == 0) emb.select(col("vec_id"), col("embedding"))
+        else {
+          val s = 2 * (k % 32) + 1
+          emb.select((col("vec_id") + lit(k.toLong * 1000000L)).as("vec_id"),
+            expr(s"transform(sequence(0, 63), j -> cast(" +
+              s"element_at(embedding, cast((j * $s) % 64 + 1 as int)) * " +
+              s"(0.5d + pmod(${k}L * 2654435761L + j * 40503L, 1024) / 1024.0d)" +
+              s" as float))").as("embedding"))
+        }
+      }.reduce(_ unionByName _).persist()
+      val n = big.count()
+      println(s"q39 scale mode: ${factor}x corpus = $n rows")
+      def pairing(tag: String, cents: org.apache.spark.sql.DataFrame): Unit =
+        time(s"pairing[$tag]") {
+          val p = Dedup.cosinePairsBlocked(big, cents,
+            "vec_id", "embedding", threshold = 0.45, probes = 1)
+          println(s"    pairs = ${p.count()}")
+        }
+      pairing("fixed nlist=8", idx.centroids)
+      val autoK = math.ceil(4 * math.sqrt(n.toDouble)).toInt
+      val autoCents = time(s"kmeansFit k=$autoK") {
+        Similarity.kmeansFit(big, autoK, iters = 2)
+      }
+      pairing(s"auto nlist=$autoK", autoCents)
+      autoCents.unpersist()
+      big.unpersist()
+    }
     spark.stop()
   }
 }

@@ -30,9 +30,13 @@ object ScaleProbe {
     // cloning would make every row an exact dup of its clones and near-dup
     // output (hence dedup runtime, which is output-bound) would grow
     // quadratically inside clone groups, measuring the data artifact
-    // instead of the operator.
+    // instead of the operator. EMBEDDINGS get the same treatment since
+    // round 12 (they were plain clones before, and q39's 10x ratio was
+    // partly the clone-group pair explosion): each replica is a
+    // coordinate permutation (odd stride) x 0.5-1.5x hash jitter — a
+    // genuinely new direction, the RecallScaleProbe recipe.
     def replicate(table: String, idCols: Seq[String], offset: Long,
-        saltText: Boolean = false): Unit = {
+        saltText: Boolean = false, saltVec: Boolean = false): Unit = {
       val base = spark.read.parquet(s"$sfDir/$table.parquet")
       val out = (0 until factor).map { k =>
         val idShifted = idCols.foldLeft(base) { (df, c) =>
@@ -41,7 +45,14 @@ object ScaleProbe {
         if (saltText && k > 0)
           idShifted.withColumn("text",
             regexp_replace(col("text"), "(\\w+)", s"r${k}_$$1"))
-        else idShifted
+        else if (saltVec && k > 0) {
+          val s = 2 * (k % 32) + 1
+          idShifted.withColumn("embedding",
+            expr(s"transform(sequence(0, 63), j -> cast(" +
+              s"element_at(embedding, cast((j * $s) % 64 + 1 as int)) * " +
+              s"(0.5d + pmod(${k}L * 2654435761L + j * 40503L, 1024) / 1024.0d)" +
+              s" as float))"))
+        } else idShifted
       }.reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }
@@ -50,7 +61,7 @@ object ScaleProbe {
     // of parquet the documents-only corpus probes never touch
     val tables = if (args.length > 3) args(3).split(",").toSet
       else Set("embeddings", "documents", "lineitem", "orders", "events")
-    if (tables("embeddings")) replicate("embeddings", Seq("vec_id"), 1000000L)
+    if (tables("embeddings")) replicate("embeddings", Seq("vec_id"), 1000000L, saltVec = true)
     if (tables("documents")) replicate("documents", Seq("doc_id"), 1000000L, saltText = true)
     if (tables("lineitem")) replicate("lineitem", Seq("l_orderkey"), 100000000L)
     if (tables("orders")) replicate("orders", Seq("o_orderkey"), 100000000L)

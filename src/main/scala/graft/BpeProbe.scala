@@ -51,10 +51,13 @@ object BpeProbe {
     // 32k-merge fit on them would just measure early exhaustion. This
     // mode synthesizes a production-SHAPED vocabulary — 8 deterministic
     // 8-char hex words per doc (md5-derived; ~40k distinct types at
-    // sf0.1's 5000 docs, ~360k mergeable pair mass) — and runs BOTH fit
-    // forms at the full merge count, reporting wall time, rules actually
-    // emitted (no silent exhaustion), and exact peak heap.
-    if (mode == "full") {
+    // sf0.1's 5000 docs, ~360k mergeable pair mass) — and runs the
+    // selected fit form(s) at the full merge count, reporting wall time,
+    // rules actually emitted (no silent exhaustion), and exact peak heap.
+    // `full` runs both; `full-local` / `full-dist` run one (the
+    // distributed form is ~2 jobs/merge ≈ hours at 32k merges, so it is
+    // launched as its own detached run).
+    if (mode.startsWith("full")) {
       val synth = docs.select(col("doc_id"),
         concat_ws(" ", (1 to 8).map(i =>
           substring(md5(concat(col("text"), lit(s":$i"),
@@ -63,21 +66,25 @@ object BpeProbe {
       val nTypes = Lexical.tokens(synth, "doc_id", "text")
         .select(col("term")).distinct().count()
       println(s"BPE production probe ($sfDir, synthetic vocab=$nTypes types, " +
-        s"$numMerges merges)")
-      resetPeaks()
-      val (localRules, tL) = time {
-        Lexical.bpeFit(synth, "doc_id", "text", numMerges).collect()
+        s"$numMerges merges, mode=$mode)")
+      if (mode != "full-dist") {
+        resetPeaks()
+        val (localRules, tL) = time {
+          Lexical.bpeFit(synth, "doc_id", "text", numMerges).collect()
+        }
+        val pkL = peakMb
+        println(f"local fit:       ${tL}%8.1f s, ${localRules.length} rules " +
+          f"emitted, peak heap ${pkL} MB")
       }
-      val pkL = peakMb
-      println(f"local fit:       ${tL}%8.1f s, ${localRules.length} rules " +
-        f"emitted, peak heap ${pkL} MB")
-      resetPeaks()
-      val (distRules, tD) = time {
-        Lexical.bpeFitDistributed(synth, "doc_id", "text", numMerges).collect()
+      if (mode != "full-local") {
+        resetPeaks()
+        val (distRules, tD) = time {
+          Lexical.bpeFitDistributed(synth, "doc_id", "text", numMerges).collect()
+        }
+        val pkD = peakMb
+        println(f"distributed fit: ${tD}%8.1f s (${tD / numMerges}%.3f s/merge), " +
+          f"${distRules.length} rules emitted, peak heap ${pkD} MB")
       }
-      val pkD = peakMb
-      println(f"distributed fit: ${tD}%8.1f s (${tD / numMerges}%.3f s/merge), " +
-        f"${distRules.length} rules emitted, peak heap ${pkD} MB")
       synth.unpersist()
       spark.stop()
       return

@@ -261,6 +261,61 @@ object SparkEntry {
       |        FROM ex0 GROUP BY 1, 2, 3),
       |cbr AS (SELECT m, c, list(cx ORDER BY i) AS cbv FROM mn0 GROUP BY m, c)""".stripMargin
 
+  /** Shared DuckDB chain for the d=768 IVF-PQ oracles (`sim_ivfpq_d768`
+    * and its batch twin) — the mirror of [[D768Artifacts]]: `e768` the
+    * deterministic expansion, `cents`/`cells` the 4-cell hash-sampled
+    * coarse layer, `cbr` the 8×96-geometry codebooks (16 codes,
+    * hash-sampled init + ONE Lloyd refinement), `sub` every row's
+    * subvectors. Consumers append probe/encode/score CTEs. */
+  private val d768IvfPqCtes: String =
+    """WITH e768 AS MATERIALIZED (SELECT vec_id,
+      |    list_transform(generate_series(0, 767), j ->
+      |      CAST(embedding[(j*7) % 64 + 1] * ((1 + j % 5) / 3.0) AS REAL)) AS emb
+      |  FROM embeddings),
+      |ch AS (SELECT vec_id,
+      |    ('0x' || substr(md5('c768:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |  FROM embeddings),
+      |csel AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS cluster,
+      |               vec_id
+      |        FROM ch ORDER BY hh, vec_id LIMIT 4),
+      |cents AS MATERIALIZED (SELECT c.cluster, e.emb AS cv
+      |        FROM csel c JOIN e768 e USING (vec_id)),
+      |asg AS (SELECT e.vec_id, c.cluster,
+      |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+      |           FROM (SELECT unnest(e.emb) a, unnest(c.cv) b) x), 6) AS sim
+      |  FROM e768 e CROSS JOIN cents c),
+      |cells AS MATERIALIZED (SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn FROM asg)
+      |  WHERE rn = 1),
+      |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+      |pqh AS (SELECT vec_id,
+      |    ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |  FROM embeddings),
+      |pqs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS c,
+      |               vec_id
+      |        FROM pqh ORDER BY hh, vec_id LIMIT 16),
+      |cb0 AS (SELECT m, s.c, e.emb[m*96+1 : m*96+96] AS cbv
+      |        FROM pqs s JOIN e768 e USING (vec_id), ms),
+      |sub AS MATERIALIZED (SELECT e.vec_id AS id, m, e.emb[m*96+1 : m*96+96] AS sv
+      |        FROM e768 e, ms),
+      |d0 AS (SELECT s.id, s.m, cb0.c,
+      |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+      |     FROM (SELECT unnest(s.sv) a, unnest(cb0.cbv) b) x) AS d
+      |  FROM sub s JOIN cb0 USING (m)),
+      |a0 AS (SELECT id, m, c FROM (
+      |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |ex0 AS (SELECT a.m, a.c, unnest(s.sv) AS x,
+      |               unnest(generate_series(1, len(s.sv))) AS i
+      |        FROM a0 a JOIN sub s ON s.id = a.id AND s.m = a.m),
+      |mn0 AS (SELECT m, c, i,
+      |          CAST(ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+      |               / COUNT(*), 8) AS REAL) AS cx
+      |        FROM ex0 GROUP BY 1, 2, 3),
+      |cbr AS MATERIALIZED (SELECT m, c, list(cx ORDER BY i) AS cbv
+      |        FROM mn0 GROUP BY m, c)""".stripMargin
+
   /** The C7 grid-token channel's synthetic per-doc bbox context — two
     * deterministic md5-derived `{cell}{class}` tokens per doc (shared by the
     * q33 plan, the panel index build, and the q33 oracle). */
@@ -5204,53 +5259,7 @@ object SparkEntry {
           a.centroids, qv, nprobe = 2, kCoarse = 50, k = 20,
           numSub = D768Artifacts.numSub, subDim = D768Artifacts.subDim)
       },
-      Some("""WITH e768 AS MATERIALIZED (SELECT vec_id,
-             |    list_transform(generate_series(0, 767), j ->
-             |      CAST(embedding[(j*7) % 64 + 1] * ((1 + j % 5) / 3.0) AS REAL)) AS emb
-             |  FROM embeddings),
-             |ch AS (SELECT vec_id,
-             |    ('0x' || substr(md5('c768:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
-             |  FROM embeddings),
-             |csel AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS cluster,
-             |               vec_id
-             |        FROM ch ORDER BY hh, vec_id LIMIT 4),
-             |cents AS MATERIALIZED (SELECT c.cluster, e.emb AS cv
-             |        FROM csel c JOIN e768 e USING (vec_id)),
-             |asg AS (SELECT e.vec_id, c.cluster,
-             |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
-             |           FROM (SELECT unnest(e.emb) a, unnest(c.cv) b) x), 6) AS sim
-             |  FROM e768 e CROSS JOIN cents c),
-             |cells AS MATERIALIZED (SELECT vec_id, cluster FROM (
-             |    SELECT vec_id, cluster, ROW_NUMBER() OVER (
-             |      PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn FROM asg)
-             |  WHERE rn = 1),
-             |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-             |pqh AS (SELECT vec_id,
-             |    ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
-             |  FROM embeddings),
-             |pqs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS c,
-             |               vec_id
-             |        FROM pqh ORDER BY hh, vec_id LIMIT 16),
-             |cb0 AS (SELECT m, s.c, e.emb[m*96+1 : m*96+96] AS cbv
-             |        FROM pqs s JOIN e768 e USING (vec_id), ms),
-             |sub AS MATERIALIZED (SELECT e.vec_id AS id, m, e.emb[m*96+1 : m*96+96] AS sv
-             |        FROM e768 e, ms),
-             |d0 AS (SELECT s.id, s.m, cb0.c,
-             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
-             |     FROM (SELECT unnest(s.sv) a, unnest(cb0.cbv) b) x) AS d
-             |  FROM sub s JOIN cb0 USING (m)),
-             |a0 AS (SELECT id, m, c FROM (
-             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
-             |    FROM d0) WHERE rn = 1),
-             |ex0 AS (SELECT a.m, a.c, unnest(s.sv) AS x,
-             |               unnest(generate_series(1, len(s.sv))) AS i
-             |        FROM a0 a JOIN sub s ON s.id = a.id AND s.m = a.m),
-             |mn0 AS (SELECT m, c, i,
-             |          CAST(ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-             |               / COUNT(*), 8) AS REAL) AS cx
-             |        FROM ex0 GROUP BY 1, 2, 3),
-             |cbr AS MATERIALIZED (SELECT m, c, list(cx ORDER BY i) AS cbv
-             |        FROM mn0 GROUP BY m, c),
+      Some(s"""$d768IvfPqCtes,
              |q AS (SELECT emb AS qv FROM e768 WHERE vec_id = 0),
              |qc AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
              |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
@@ -5278,6 +5287,58 @@ object SparkEntry {
              |         FROM (SELECT unnest(e.emb) a, unnest(q.qv) b) y), 4) AS score
              |FROM e768 e JOIN shortlist sl ON sl.id = e.vec_id CROSS JOIN q
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
+    // batch twin of sim_ivfpq_d768 — the production batch-ANN request
+    // shape at d=768: THREE queries probe per-query on the 4-row centroid
+    // artifact (driver-side), ONE scan of the probed cells' CODE
+    // partitions (M-byte rows, PartitionFilters-pruned to the cell
+    // union), each code row ADC-scored only against the queries probing
+    // its cell, bounded per-query top-k.
+    ("sim_ivfpq_d768_batch",
+      (s, dir) => {
+        val a = D768Artifacts.build(s, dir)
+        val queries = expand768(t(s, dir, "embeddings"))
+          .filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        Similarity.ivfPqSearchBatchPruned(
+            a.codes, a.codebooks, a.centroids, queries, nprobe = 2, k = 10,
+            numSub = D768Artifacts.numSub, subDim = D768Artifacts.subDim)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some(s"""$d768IvfPqCtes,
+             |qs AS (SELECT vec_id AS query_id, emb AS qv FROM e768
+             |       WHERE vec_id IN (0, 1, 2)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM cents c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
+             |pc AS (SELECT DISTINCT cluster FROM probe),
+             |dist AS (SELECT s.id, s.m, cbr.c,
+             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+             |     FROM (SELECT unnest(s.sv) a, unnest(cbr.cbv) b) x) AS d
+             |  FROM sub s JOIN cells ON cells.vec_id = s.id
+             |  JOIN pc ON cells.cluster = pc.cluster
+             |  JOIN cbr USING (m)),
+             |code AS (SELECT id, m, c AS code FROM (
+             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |qtab AS (SELECT q.query_id, cbr.m, cbr.c,
+             |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |     FROM (SELECT unnest(cbr.cbv) a, unnest(q.qv[cbr.m*96+1 : cbr.m*96+96]) b) x) AS p
+             |  FROM cbr CROSS JOIN qs q),
+             |sc AS (SELECT p.query_id, code.id,
+             |         CAST(SUM(CAST(qt.p AS DECIMAL(18,12))) AS DOUBLE) AS score
+             |       FROM code JOIN cells ON cells.vec_id = code.id
+             |       JOIN probe p ON p.cluster = cells.cluster
+             |       JOIN qtab qt ON qt.query_id = p.query_id
+             |         AND qt.m = code.m AND qt.c = code.code
+             |       GROUP BY 1, 2),
+             |rk AS (SELECT query_id, id, ROUND(score, 6) AS score, ROW_NUMBER() OVER (
+             |         PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, id) AS rn FROM sc)
+             |SELECT query_id, id AS vec_id, score FROM rk WHERE rn <= 10
+             |ORDER BY query_id, score DESC, vec_id""".stripMargin)),
 
     // MEASURED OPQ ADC recall — the recall-eval closer for the rotated-PQ
     // family (every other approximate family already carries one:

@@ -67,14 +67,27 @@ object BpeProbe {
         .select(col("term")).distinct().count()
       println(s"BPE production probe ($sfDir, synthetic vocab=$nTypes types, " +
         s"$numMerges merges, mode=$mode)")
-      if (mode != "full-dist") {
+      if (mode != "full-dist" && mode != "full-naive") {
         resetPeaks()
         val (localRules, tL) = time {
           Lexical.bpeFit(synth, "doc_id", "text", numMerges).collect()
         }
         val pkL = peakMb
-        println(f"local fit:       ${tL}%8.1f s, ${localRules.length} rules " +
-          f"emitted, peak heap ${pkL} MB")
+        println(f"local fit (incremental): ${tL}%8.1f s, ${localRules.length} " +
+          f"rules emitted, peak heap ${pkL} MB")
+      }
+      // the recount-everything twin, at the same merge count — the A/B
+      // against the incremental engine (same collected vocabulary)
+      if (mode == "full-naive") {
+        val vocabRows = Lexical.bpeVocab(synth, "doc_id", "text").collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        resetPeaks()
+        val (naiveRules, tN) = time {
+          Lexical.bpeMergeLocalNaive(vocabRows, numMerges)
+        }
+        val pkN = peakMb
+        println(f"local fit (naive):       ${tN}%8.1f s, ${naiveRules.length} " +
+          f"rules emitted, peak heap ${pkN} MB")
       }
       if (mode != "full-local") {
         resetPeaks()

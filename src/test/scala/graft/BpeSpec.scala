@@ -111,4 +111,34 @@ class BpeSpec extends AnyFunSuite {
       .orderBy(col("step")).collect().map(_.getString(1)).toSeq
     assert(run(5) === run(2))
   }
+
+  test("incremental merge engine == naive recount engine (residuals, ties, exhaustion)") {
+    // adversarial vocabularies at the merge-loop level: odd repeated-symbol
+    // runs (the non-overlapping-replace residual convention — the merged
+    // pair keeps a count and must be able to WIN AGAIN in a later step),
+    // four-way tie-breaking, and single-symbol words that exhaust early
+    val vocabs = Seq(
+      Array(("a a a a a </w>", 7L), ("a a </w>", 3L), ("b a a b </w>", 2L)),
+      Array(("x y x y x </w>", 5L), ("x y </w>", 1L), ("y x </w>", 1L)),
+      Array(("p q </w>", 4L), ("q p </w>", 4L), ("p p </w>", 4L), ("q q </w>", 4L)),
+      Array(("z </w>", 9L), ("z z </w>", 1L)))
+    for (v <- vocabs; n <- Seq(1, 3, 8, 64)) {
+      val naive = Lexical.bpeMergeLocalNaive(v, n)
+      val inc = Lexical.bpeMergeLocal(v, n)
+      assert(inc === naive, s"vocab=${v.mkString(",")} merges=$n")
+    }
+    // a deterministic pseudo-random vocabulary large enough that the
+    // inverted index and the lazy heap see real churn (stale entries,
+    // compaction, membership add/remove across many steps)
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    val big = Array.tabulate(400) { _ =>
+      val len = 2 + rnd.nextInt(9)
+      val w = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length)).toString)
+        .mkString(" ")
+      (w + " </w>", 1L + rnd.nextInt(20))
+    }
+    assert(Lexical.bpeMergeLocal(big, 300) ===
+      Lexical.bpeMergeLocalNaive(big, 300))
+  }
 }

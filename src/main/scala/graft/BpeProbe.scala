@@ -67,7 +67,7 @@ object BpeProbe {
         .select(col("term")).distinct().count()
       println(s"BPE production probe ($sfDir, synthetic vocab=$nTypes types, " +
         s"$numMerges merges, mode=$mode)")
-      if (mode != "full-dist" && mode != "full-naive") {
+      if (mode != "full-dist" && mode != "full-naive" && mode != "full-seg") {
         resetPeaks()
         val (localRules, tL) = time {
           Lexical.bpeFit(synth, "doc_id", "text", numMerges).collect()
@@ -89,7 +89,35 @@ object BpeProbe {
         println(f"local fit (naive):       ${tN}%8.1f s, ${naiveRules.length} " +
           f"rules emitted, peak heap ${pkN} MB")
       }
-      if (mode != "full-local") {
+      // SEGMENT at the production artifact: apply the full numMerges-rule
+      // table to every document via the replay kernel (the fold form dies
+      // ~100 rules — measured: analyzer StackOverflow), plus the 32-rule
+      // fold for the per-rule cost reference
+      if (mode == "full-seg") {
+        val rules = Lexical.bpeFit(synth, "doc_id", "text", numMerges)
+          .orderBy(col("step")).collect().map(_.getAs[String]("pair"))
+        println(s"segment probe: ${rules.length}-rule artifact")
+        resetPeaks()
+        val (nSub, tR) = time {
+          Lexical.bpeSegmentReplay(synth, rules, "doc_id", "text")
+            .agg(sum(col("n_subwords"))).collect().head.getLong(0)
+        }
+        println(f"segment replay, ${rules.length} rules: ${tR}%8.1f s, " +
+          f"total subwords $nSub, peak heap ${peakMb} MB")
+        val r32 = rules.take(32)
+        val (nSub32f, tF32) = time {
+          Lexical.bpeSegmentFolded(synth, r32, "doc_id", "text")
+            .agg(sum(col("n_subwords"))).collect().head.getLong(0)
+        }
+        val (nSub32r, tR32) = time {
+          Lexical.bpeSegmentReplay(synth, r32, "doc_id", "text")
+            .agg(sum(col("n_subwords"))).collect().head.getLong(0)
+        }
+        println(f"segment at 32 rules: fold ${tF32}%6.1f s / replay ${tR32}%6.1f s" +
+          f" (subwords fold=$nSub32f replay=$nSub32r${
+            if (nSub32f == nSub32r) ", EQUAL" else ", MISMATCH"})")
+      }
+      if (mode != "full-local" && mode != "full-naive" && mode != "full-seg") {
         resetPeaks()
         val (distRules, tD) = time {
           Lexical.bpeFitDistributed(synth, "doc_id", "text", numMerges).collect()

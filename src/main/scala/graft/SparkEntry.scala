@@ -3329,6 +3329,35 @@ object SparkEntry {
              |       ELSE CAST(len(string_split(s, ' ')) AS BIGINT) END AS n_subwords
              |FROM d6 ORDER BY id""".stripMargin)),
 
+    // BPE SEGMENT, replay form FORCED (production-artifact path): the
+    // mapPartitions rule-replay kernel a 32k-rule tokenizer routes
+    // through (the literal fold would build a 32k-deep Catalyst tree) —
+    // hash-pinned here against the SAME nested-replace DuckDB unroll as
+    // text_bpe_segment, so the sweep semantics (leftmost non-overlap,
+    // post-fuse blocking, residual-pair convention) are oracle-checked
+    ("text_bpe_segment_replay",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val rules = Lexical.bpeFit(docs, "doc_id", "text", numMerges = 6)
+          .orderBy(col("step")).collect().map(_.getAs[String]("pair"))
+        Lexical.bpeSegmentReplay(docs, rules, "doc_id", "text")
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH ${bpeCtes(6)},
+             |d0 AS (SELECT doc_id AS id,
+             |         CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_words,
+             |         array_to_string(list_transform(regexp_extract_all(lower(text), '\\w+'),
+             |           w -> array_to_string(string_split(w, ''), ' ') || ' </w>'), ' ') AS s
+             |       FROM documents),
+             |${(1 to 6).map(i =>
+                 s"d$i AS (SELECT id, n_words, trim(replace(' ' || d.s || ' ', " +
+                   s"' ' || a.pair || ' ', ' ' || replace(a.pair, ' ', '') || ' ')) AS s " +
+                   s"FROM d${i - 1} d CROSS JOIN a$i a)").mkString(",\n")}
+             |SELECT id, n_words,
+             |  CASE WHEN n_words = 0 THEN 0
+             |       ELSE CAST(len(string_split(s, ' ')) AS BIGINT) END AS n_subwords
+             |FROM d6 ORDER BY id""".stripMargin)),
+
     ("text_token_count",
       (s, dir) =>
         TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")

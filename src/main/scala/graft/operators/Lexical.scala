@@ -895,26 +895,57 @@ object Lexical {
     spark.read.parquet(s"$dir/bpe_merges")
 
   /** Apply a [[bpeFit]] merge table: symbolize each document's tokens
-    * (characters + end-of-word marker) and fold the merges in step
-    * order — one map-only projection per document row; the merge list is
-    * driver-collected (it is the k-row tokenizer artifact, like a probed
-    * centroid set). Returns `(id, n_words, n_subwords)` — the fitted
-    * subword count [[graft.operators.TextAnalysis.tokenCounts]]'
-    * chars/4 heuristic only estimates. */
+    * (characters + end-of-word marker) and replay the merges in step
+    * order over each document row; the merge list is driver-collected
+    * (it is the k-row tokenizer artifact, like a probed centroid set).
+    * Returns `(id, n_words, n_subwords)` — the fitted subword count
+    * [[graft.operators.TextAnalysis.tokenCounts]]' chars/4 heuristic
+    * only estimates.
+    *
+    * Two physical forms, dispatched on rule count and exact-parity
+    * pinned in BpeSpec: at most `maxFoldRules` rules fold as nested
+    * `replace` Columns ([[bpeSegmentFolded]] — one map-only projection,
+    * CTE-expressible for the DuckDB oracle), while anything larger
+    * routes through [[bpeSegmentReplay]] — the same map-only shape as a
+    * `mapPartitions` kernel over the broadcast rule array. The fold form
+    * does not survive rule-count scale-up: analyzer recursion over the
+    * nested Column tree StackOverflows around ~100 rules at a default
+    * 1 MB thread stack (measured in this repo's test fork), long before
+    * a production 32k-rule artifact — hence the conservative default. */
   def bpeSegment(
       docs: DataFrame,
       merges: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      maxFoldRules: Int = 32): DataFrame = {
     val rules = merges.orderBy(col("step")).collect()
       .map(r => r.getAs[String]("pair"))
-    val base = docs.select(col(idCol).as("id"),
+    if (rules.length <= maxFoldRules) bpeSegmentFolded(docs, rules, idCol, textCol)
+    else bpeSegmentReplay(docs, rules, idCol, textCol)
+  }
+
+  /** The shared front half of both segment forms: tokenize (same `\w+`
+    * extraction every text operator uses) and symbolize — space-joined
+    * characters plus the `</w>` end marker, words joined by single
+    * spaces (no fit pair ever spans the `</w>` boundary, so whole-string
+    * and per-word replace agree). */
+  private def bpeSymbolized(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
       expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("__w"))
       .withColumn("__s", expr(
         "array_join(transform(__w, w -> concat(" +
           "array_join(filter(split(w, ''), x -> x <> ''), ' '), ' </w>')), ' ')"))
-    // fold with Column functions (an expr string cannot nest a Column);
-    // replace() has no Column-API form, so call it by name
+
+  /** Literal-fold segment form: one nested-`replace` Column per rule.
+    * Fold with Column functions (an expr string cannot nest a Column);
+    * replace() has no Column-API form, so call it by name. */
+  private[graft] def bpeSegmentFolded(
+      docs: DataFrame,
+      rules: Array[String],
+      idCol: String,
+      textCol: String): DataFrame = {
+    val base = bpeSymbolized(docs, idCol, textCol)
     val foldedCol = rules.foldLeft(col("__s")) { (c, pair) =>
       val merged = pair.replace(" ", "")
       btrim(call_function("replace",
@@ -924,5 +955,100 @@ object Lexical {
       size(col("__w")).cast("long").as("n_words"),
       when(size(col("__w")) === 0, lit(0L))
         .otherwise(size(split(foldedCol, " ")).cast("long")).as("n_subwords"))
+  }
+
+  /** Replay segment form for production-sized artifacts: a
+    * `mapPartitions` kernel over the broadcast rule array that applies
+    * each rule as ONE leftmost non-overlapping sweep, in step order —
+    * bit-identical to the nested sentinel replaces of
+    * [[bpeSegmentFolded]] (BpeSpec pins the parity, including the
+    * residual convention: String.replace resumes AFTER the replacement,
+    * so the symbol following a fuse cannot START the next match and a
+    * merged pair's surviving occurrence waits for a later duplicate
+    * rule). Rules whose pair is absent cost one O(1) count-map lookup,
+    * so a document costs O(k + applied·length) — the adjacent-pair count
+    * map is maintained by per-fuse deltas, never recounted. Plan shape
+    * is unchanged: scan-shaped, zero shuffles, rule artifact broadcast
+    * once per executor. */
+  private[graft] def bpeSegmentReplay(
+      docs: DataFrame,
+      rules: Array[String],
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val pre = bpeSymbolized(docs, idCol, textCol)
+      .select(col("id"),
+        size(col("__w")).cast("long").as("n_words"), col("__s"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      pre.schema("id"),
+      org.apache.spark.sql.types.StructField("n_words",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_subwords",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val bRules = spark.sparkContext.broadcast(rules)
+    val out = pre.rdd.mapPartitions { it =>
+      val rl = bRules.value
+      def bump(pc: java.util.HashMap[String, Int], p: String, d: Int): Unit = {
+        val f = pc.getOrDefault(p, 0) + d
+        if (f <= 0) pc.remove(p) else pc.put(p, f)
+      }
+      // one sweep of `pair` over `syms`, mirroring
+      // `btrim(replace(' '||s||' ', ' a b ', ' ab '))`: leftmost
+      // non-overlapping, and the symbol after a fuse cannot start a
+      // match (its leading space was consumed by the replacement)
+      def sweep(syms: Array[String], pair: String,
+          pc: java.util.HashMap[String, Int]): Array[String] = {
+        val sp = pair.indexOf(' ')
+        val a = pair.substring(0, sp)
+        val b = pair.substring(sp + 1)
+        val merged = a + b
+        val n = syms.length
+        val out = new scala.collection.mutable.ArrayBuffer[String](n)
+        var i = 0
+        while (i < n) {
+          if (i + 1 < n && syms(i) == a && syms(i + 1) == b) {
+            if (out.nonEmpty) {
+              bump(pc, out.last + " " + a, -1)
+              bump(pc, out.last + " " + merged, 1)
+            }
+            bump(pc, pair, -1)
+            if (i + 2 < n) {
+              bump(pc, b + " " + syms(i + 2), -1)
+              bump(pc, merged + " " + syms(i + 2), 1)
+              out += merged
+              out += syms(i + 2) // blocked from starting the next match
+              i += 3
+            } else { out += merged; i += 2 }
+          } else { out += syms(i); i += 1 }
+        }
+        out.toArray
+      }
+      it.map { row =>
+        if (row.isNullAt(1))
+          org.apache.spark.sql.Row(row.get(0), null, null)
+        else {
+          val nWords = row.getLong(1)
+          val nSub =
+            if (nWords == 0L) 0L
+            else {
+              var syms = row.getString(2).split(' ')
+              val pc = new java.util.HashMap[String, Int]()
+              var i = 0
+              while (i < syms.length - 1) {
+                bump(pc, syms(i) + " " + syms(i + 1), 1)
+                i += 1
+              }
+              var r = 0
+              while (r < rl.length) {
+                if (pc.getOrDefault(rl(r), 0) > 0) syms = sweep(syms, rl(r), pc)
+                r += 1
+              }
+              syms.length.toLong
+            }
+          org.apache.spark.sql.Row(row.get(0), nWords, nSub)
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
   }
 }

@@ -141,4 +141,98 @@ class BpeSpec extends AnyFunSuite {
     assert(Lexical.bpeMergeLocal(big, 300) ===
       Lexical.bpeMergeLocalNaive(big, 300))
   }
+
+  // the convention REFERENCE: java String.replace IS the pinned sentinel
+  // semantics both engines mirror (leftmost non-overlapping, scanning
+  // resumes AFTER each replacement) — an independent driver-side replay
+  private def stringReplayRef(
+      docs: Seq[(Long, String)], rules: Seq[String]): Seq[(Long, Long, Long)] =
+    docs.map { case (id, text) =>
+      val words = "\\w+".r.findAllIn(text.toLowerCase).toArray
+      val nSub =
+        if (words.isEmpty) 0L
+        else {
+          val s0 = words.map(w =>
+            w.split("").filter(_.nonEmpty).mkString(" ") + " </w>").mkString(" ")
+          val s = rules.foldLeft(s0) { (s, pair) =>
+            (" " + s + " ").replace(
+              " " + pair + " ", " " + pair.replace(" ", "") + " ").trim
+          }
+          s.split(" ").length.toLong
+        }
+      (id, words.length.toLong, nSub)
+    }.sortBy(_._1)
+
+  private lazy val richDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog the quick fox"),
+    (2L, "lower lowest newest newer widest wider low new wide"),
+    (3L, "internationalization localization internationalization"),
+    (4L, "aaa aab aba abb baa bab bba bbb aaa aab"),
+    (5L, "mississippi mississippi missouri missive"),
+    (6L, ""),
+    (7L, "!!! ... ???"))
+
+  test("replay segmenter == folded segmenter (fitted rules, rich corpus)") {
+    val docs = richDocs.toDF("id", "text")
+    // fold-safe rule counts only: the nested-Column fold StackOverflows
+    // around ~100 rules (the hazard the replay form exists to avoid)
+    for (n <- Seq(4, 32)) {
+      val rules = Lexical.bpeFit(docs, "id", "text", numMerges = n)
+        .orderBy(col("step")).collect().map(_.getAs[String]("pair"))
+      val fold = Lexical.bpeSegmentFolded(docs, rules, "id", "text")
+        .orderBy(col("id")).collect().map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+      val replay = Lexical.bpeSegmentReplay(docs, rules, "id", "text")
+        .orderBy(col("id")).collect().map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+      assert(replay === fold, s"numMerges=$n")
+    }
+  }
+
+  test("replay segmenter == String.replace reference at fold-killing rule counts") {
+    val docs = richDocs.toDF("id", "text")
+    for (n <- Seq(100, 400)) {
+      val rules = Lexical.bpeFit(docs, "id", "text", numMerges = n)
+        .orderBy(col("step")).collect().map(_.getAs[String]("pair"))
+      val replay = Lexical.bpeSegmentReplay(docs, rules, "id", "text")
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(replay === stringReplayRef(richDocs, rules.toSeq), s"numMerges=$n")
+    }
+  }
+
+  test("replay segmenter honors the residual convention and duplicate rules") {
+    // 'a a a a a' folds to 'aa a aa' under one ' a a '->' aa ' sweep
+    // (String.replace resumes AFTER the replacement: the symbol following
+    // a fuse cannot START the next match), and a DUPLICATE rule later in
+    // the list gets the surviving occurrence — adversarial rule lists the
+    // fitted path cannot produce in one step but CAN via residual wins
+    val raw = Seq((1L, "aaaaa aaaaa"), (2L, "ababab"))
+    val docs = raw.toDF("id", "text")
+    val ruleSets = Seq(
+      Array("a a"),
+      Array("a a", "a a"), // duplicate: residual merges on second sweep
+      Array("a b", "ab ab", "a b"),
+      Array("a a", "aa a", "aa aa", "</w> a"))
+    for (rules <- ruleSets) {
+      val fold = Lexical.bpeSegmentFolded(docs, rules, "id", "text")
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val replay = Lexical.bpeSegmentReplay(docs, rules, "id", "text")
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(replay === fold, s"rules=${rules.mkString("|")}")
+      assert(replay === stringReplayRef(raw, rules.toSeq),
+        s"rules=${rules.mkString("|")}")
+    }
+  }
+
+  test("bpeSegment dispatches on rule count, both forms agree end-to-end") {
+    val merges = Lexical.bpeFit(corpus, "id", "text", numMerges = 4)
+    val viaFold = Lexical.bpeSegment(corpus, merges, "id", "text")
+      .orderBy(col("id")).collect().map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+    // maxFoldRules = 0 forces every rule through the replay kernel
+    val viaReplay = Lexical.bpeSegment(corpus, merges, "id", "text",
+      maxFoldRules = 0)
+      .orderBy(col("id")).collect().map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+    assert(viaReplay === viaFold)
+  }
 }

@@ -693,6 +693,28 @@ object Similarity {
   def pqEncode(
       emb: DataFrame, codebooks: DataFrame, numSub: Int, subDim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      carry: Seq[String] = Nil, maxJoinPairs: Int = 2048): DataFrame = {
+    // dispatch on per-row argmin work (mirrors the kmeansFit assignment
+    // dispatch): the join form materializes numSub x K intermediate rows
+    // per vector before the partial min collapses them — fine at oracle
+    // geometry (8x16 = 128 pairs/row), ruinous at FAISS-production
+    // geometry (96 x 256 = 24,576 pairs/row). The codebook row count is
+    // probed with a bounded collect — it is the broadcast-small build
+    // artifact by contract (M x K rows), so this is centroid-sized.
+    val cbRows = codebooks.select(col("m"), col("c"), col("cbv"))
+      .collect()
+    if (cbRows.length <= maxJoinPairs)
+      pqEncodeJoin(emb, codebooks, numSub, subDim, idCol, vecCol, carry)
+    else
+      pqEncodeBulk(emb, cbRows, numSub, subDim, idCol, vecCol, carry)
+  }
+
+  /** The declarative join-form encode (the oracle-geometry path): the
+    * codebook broadcast-joins onto the subvector stream and the argmin is
+    * a map-side-combinable `min(struct(dist, c))` per (row, subspace). */
+  private[graft] def pqEncodeJoin(
+      emb: DataFrame, codebooks: DataFrame, numSub: Int, subDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
       carry: Seq[String] = Nil): DataFrame = {
     val keys = idCol +: carry
     subvectors(emb.select((keys :+ vecCol).map(col): _*), vecCol, "sv",
@@ -703,6 +725,106 @@ object Similarity {
       .groupBy((keys :+ "m").map(col): _*)
       .agg(min(struct(col("d"), col("c"))).as("__best"))
       .select(keys.map(col) ++ Seq(col("m"), col("__best.c").as("code")): _*)
+  }
+
+  /** Production-geometry encode: a `mapPartitions` kernel over the
+    * driver-collected codebook (bounded M x K x subDim floats — ~200k at
+    * 96x256x8) that computes each subspace's argmin in a primitive double
+    * loop and emits the numSub code rows directly, skipping the join
+    * form's numSub x K intermediate-row materialization. Bit-identical to
+    * [[pqEncodeJoin]] by construction (PqEncodeSpec pins the parity):
+    * same squared-L2 accumulation order as the codegen'd `SqDistF`
+    * (sequential float->double over the MIN of the two lengths, so short
+    * tail slices agree), ties broken to the SMALLER code (strict-less
+    * scan in ascending-c order == `min(struct(d, c))`), a NULL vector
+    * elects each subspace's SMALLEST code (the join form's
+    * `min(struct(null, c))` — a null distance sorts NULLS-FIRST below
+    * every finite one, so the smallest c wins), and an out-of-range
+    * slice (empty subvector) scores 0.0 against every centroid, electing
+    * the smallest code — the `slice` + min-length contract. */
+  private[graft] def pqEncodeBulk(
+      emb: DataFrame, cbRows: Array[org.apache.spark.sql.Row],
+      numSub: Int, subDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      carry: Seq[String] = Nil): DataFrame = {
+    val spark = emb.sparkSession
+    val keys = idCol +: carry
+    val src = emb.select((keys :+ vecCol).map(col): _*)
+    // [m] -> (codes ascending, centroid floats) — c need not be dense
+    // (a Lloyd-refined codebook can lose an empty centroid)
+    val byM: Array[(Array[Int], Array[Array[Float]])] = {
+      val grouped = cbRows.groupBy(_.getInt(0))
+      Array.tabulate(numSub) { m =>
+        val rows = grouped.getOrElse(m, Array.empty)
+          .sortBy(_.getInt(1))
+        (rows.map(_.getInt(1)),
+          rows.map(_.getSeq[Float](2).toArray))
+      }
+    }
+    val bCb = spark.sparkContext.broadcast(byM)
+    val nKeys = keys.length
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keys.map(src.schema(_)) ++ Seq(
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType, nullable = true)))
+    val out = src.rdd.mapPartitions { it =>
+      val cb = bCb.value
+      it.flatMap { row =>
+        val keyVals = Array.tabulate[Any](nKeys)(row.get)
+        val vec: Array[Float] =
+          if (row.isNullAt(nKeys)) null
+          else {
+            val s = row.getSeq[Any](nKeys)
+            val a = new Array[Float](s.length)
+            var i = 0
+            val si = s.iterator
+            // a null ELEMENT reads as 0.0f — the unsafe-row contract the
+            // join form's SqDistF sees
+            while (si.hasNext) {
+              val x = si.next()
+              a(i) = if (x == null) 0.0f else x.asInstanceOf[Float]
+              i += 1
+            }
+            a
+          }
+        (0 until numSub).iterator.flatMap { m =>
+          val (codes, cents) = cb(m)
+          // an m with NO codebook rows emits nothing — the join form's
+          // inner join on m drops that subspace entirely
+          if (codes.isEmpty) Iterator.empty
+          else {
+            val code: Any =
+              if (vec == null) codes(0)
+              else {
+                val start = m * subDim
+                val svLen = math.max(0, math.min(subDim, vec.length - start))
+                var best = codes(0)
+                var bestD = Double.PositiveInfinity
+                var ci = 0
+                while (ci < cents.length) {
+                  val cv = cents(ci)
+                  val n = math.min(svLen, cv.length)
+                  var s = 0.0
+                  var i = 0
+                  while (i < n) {
+                    val d = vec(start + i).toDouble - cv(i).toDouble
+                    s += d * d
+                    i += 1
+                  }
+                  if (s < bestD) { bestD = s; best = codes(ci) }
+                  ci += 1
+                }
+                best
+              }
+            Iterator.single(org.apache.spark.sql.Row.fromSeq(
+              keyVals.toIndexedSeq ++ Seq(m, code)))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
   }
 
   /** PQ ADC (asymmetric distance computation) search: the query stays exact;

@@ -66,6 +66,18 @@ object PqEncodeProbe {
       println(f"join form: ${tJ}%8.1f s   bulk kernel: ${tB}%8.1f s " +
         f"(${tJ / tB}%.1fx)   rows out: join=$nJ bulk=$nB${
           if (nJ == nB) ", EQUAL" else ", MISMATCH"}")
+      val (rbJ, tRJ) = time {
+        val r = Similarity.pqRefineCodebooks(src, cb, numSub, subDim,
+          iters = 1, maxJoinPairs = Int.MaxValue)
+        r.count(); r.unpersist(); r
+      }
+      val (rbB, tRB) = time {
+        val r = Similarity.pqRefineCodebooks(src, cb, numSub, subDim,
+          iters = 1, maxJoinPairs = 0)
+        r.count(); r.unpersist(); r
+      }
+      println(f"refine 1 iter: join ${tRJ}%8.1f s   bulk ${tRB}%8.1f s " +
+        f"(${tRJ / tRB}%.1fx)")
       cb.unpersist()
     }
     spark.stop()

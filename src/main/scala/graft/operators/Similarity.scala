@@ -647,19 +647,28 @@ object Similarity {
       emb: DataFrame, init: DataFrame, numSub: Int, subDim: Int,
       iters: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      coordRound: Int = 8): DataFrame = {
+      coordRound: Int = 8, maxJoinPairs: Int = 2048): DataFrame = {
     var cb = init
     var toFree: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      val assigned = subvectors(
-        emb.select(col(idCol), col(vecCol)), vecCol, "sv", numSub, subDim, Seq(idCol))
-        .join(broadcast(cb), Seq("m"))
-        .select(col(idCol), col("m"), col("c"), col("sv"),
-          VectorOps.sqDist(col("sv"), col("cbv")).as("d"))
-        .groupBy(col(idCol), col("m"))
-        .agg(min(struct(col("d"), col("c"))).as("__best"),
-          first(col("sv")).as("sv"))
-        .select(col("m"), col("__best.c").as("c"), col("sv"))
+      // same dispatch as [[pqEncode]]: past oracle geometry the join
+      // form's numSub x K rows per vector dominate each Lloyd pass, so
+      // the assignment routes through the bulk kernel (bit-identical
+      // (m, c, sv) stream — PqEncodeSpec pins refine parity)
+      val cbRows = cb.select(col("m"), col("c"), col("cbv")).collect()
+      val assigned =
+        if (cbRows.length <= maxJoinPairs)
+          subvectors(
+            emb.select(col(idCol), col(vecCol)), vecCol, "sv", numSub, subDim, Seq(idCol))
+            .join(broadcast(cb), Seq("m"))
+            .select(col(idCol), col("m"), col("c"), col("sv"),
+              VectorOps.sqDist(col("sv"), col("cbv")).as("d"))
+            .groupBy(col(idCol), col("m"))
+            .agg(min(struct(col("d"), col("c"))).as("__best"),
+              first(col("sv")).as("sv"))
+            .select(col("m"), col("__best.c").as("c"), col("sv"))
+        else
+          pqAssignSvBulk(emb, cbRows, numSub, subDim, vecCol)
       val next = assigned
         .select(col("m"), col("c"), posexplode(col("sv")).as(Seq("__pos", "__x")))
         .groupBy(col("m"), col("c"), col("__pos"))
@@ -820,6 +829,89 @@ object Similarity {
               }
             Iterator.single(org.apache.spark.sql.Row.fromSeq(
               keyVals.toIndexedSeq ++ Seq(m, code)))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** [[pqRefineCodebooks]]' bulk assignment: the [[pqEncodeBulk]] argmin
+    * emitting `(m, c, sv)` — the subvector rides along for the refit
+    * aggregate, exactly as the join form's `first(sv)` carries it. Same
+    * distance/tie/null contracts as [[pqEncodeBulk]]; the emitted sv is
+    * the raw slice (short at the tail, empty past the end, NULL for a
+    * NULL vector — posexplode then drops it, as in the join form). */
+  private def pqAssignSvBulk(
+      emb: DataFrame, cbRows: Array[org.apache.spark.sql.Row],
+      numSub: Int, subDim: Int, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    val src = emb.select(col(vecCol))
+    val byM: Array[(Array[Int], Array[Array[Float]])] = {
+      val grouped = cbRows.groupBy(_.getInt(0))
+      Array.tabulate(numSub) { m =>
+        val rows = grouped.getOrElse(m, Array.empty)
+          .sortBy(_.getInt(1))
+        (rows.map(_.getInt(1)),
+          rows.map(_.getSeq[Float](2).toArray))
+      }
+    }
+    val bCb = spark.sparkContext.broadcast(byM)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.IntegerType, nullable = true),
+      org.apache.spark.sql.types.StructField("sv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true),
+        nullable = true)))
+    val out = src.rdd.mapPartitions { it =>
+      val cb = bCb.value
+      it.flatMap { row =>
+        val raw: Seq[Any] = if (row.isNullAt(0)) null else row.getSeq[Any](0)
+        val vec: Array[Float] =
+          if (raw == null) null
+          else {
+            val a = new Array[Float](raw.length)
+            var i = 0
+            val si = raw.iterator
+            while (si.hasNext) {
+              val x = si.next()
+              a(i) = if (x == null) 0.0f else x.asInstanceOf[Float]
+              i += 1
+            }
+            a
+          }
+        (0 until numSub).iterator.flatMap { m =>
+          val (codes, cents) = cb(m)
+          if (codes.isEmpty) Iterator.empty
+          else {
+            var code: Any = codes(0)
+            var sv: Any = null
+            if (vec != null) {
+              val start = m * subDim
+              val svLen = math.max(0, math.min(subDim, vec.length - start))
+              sv = raw.slice(start, start + svLen)
+              var best = codes(0)
+              var bestD = Double.PositiveInfinity
+              var ci = 0
+              while (ci < cents.length) {
+                val cv = cents(ci)
+                val n = math.min(svLen, cv.length)
+                var s = 0.0
+                var i = 0
+                while (i < n) {
+                  val d = vec(start + i).toDouble - cv(i).toDouble
+                  s += d * d
+                  i += 1
+                }
+                if (s < bestD) { bestD = s; best = codes(ci) }
+                ci += 1
+              }
+              code = best
+            }
+            Iterator.single(org.apache.spark.sql.Row(m, code, sv))
           }
         }
       }

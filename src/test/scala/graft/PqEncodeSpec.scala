@@ -99,6 +99,20 @@ class PqEncodeSpec extends AnyFunSuite {
     assert(viaBulk.filter(_._1 == 2L).map(_._4) === Seq(0, 0))
   }
 
+  test("Lloyd refine: bulk assignment == join assignment across iterations") {
+    val init = Similarity.pqCodebooks(emb, 8, 8, 16)
+    def canonCb(df: DataFrame): Seq[(Int, Int, Seq[Float])] =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    for (iters <- Seq(1, 2)) {
+      val viaJoin = Similarity.pqRefineCodebooks(emb, init, 8, 8, iters = iters)
+      val viaBulk = Similarity.pqRefineCodebooks(emb, init, 8, 8, iters = iters,
+        maxJoinPairs = 0)
+      assert(canonCb(viaBulk) === canonCb(viaJoin), s"iters=$iters")
+      viaJoin.unpersist(); viaBulk.unpersist()
+    }
+  }
+
   test("a subspace with no codebook rows is absent from both outputs") {
     val docs = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)))
       .toDF("vec_id", "embedding")

@@ -2632,8 +2632,12 @@ object Similarity {
     topKPerQuery(
       codes.filter(col(clusterCol).isin(cellUnion: _*))
         .join(broadcast(probedDf), Seq(clusterCol))
-        .join(broadcast(qtab), Seq("query_id", "m"))
-        .filter(col("code") === col("c"))
+        // three-key equi join: the ADC lookup must be ONE hash probe per
+        // code row, not a (query_id, m) join fanning out K codebook
+        // entries and filtering — at production K=256 that filter form
+        // linearly scans the hash bucket 256x per row
+        .join(broadcast(qtab.withColumnRenamed("c", "code")),
+          Seq("query_id", "m", "code"))
         .groupBy(col("query_id"), col(idCol))
         .agg(sum(col("p").cast("decimal(18,12)")).cast("double").as("score"))
         .select(col("query_id"), col(idCol), round(col("score"), 6).as("score")),

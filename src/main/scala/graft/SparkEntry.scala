@@ -5369,6 +5369,68 @@ object SparkEntry {
              |SELECT query_id, id AS vec_id, score FROM rk WHERE rn <= 10
              |ORDER BY query_id, score DESC, vec_id""".stripMargin)),
 
+    // batch TWO-STAGE serving at d=768 (round 12): the FAISS
+    // IndexRefineFlat composition for a query BATCH as two pruned passes
+    // — one scan of the probed cells' code partitions shortlists kCoarse
+    // per query (batch ADC), one scan of the SAME cells' original
+    // vectors exactly re-scores only the broadcast (query, id) shortlist
+    // pairs. The oracle unrolls both stages per query.
+    ("sim_ivfpq_d768_batch_refine",
+      (s, dir) => {
+        val a = D768Artifacts.build(s, dir)
+        val queries = expand768(t(s, dir, "embeddings"))
+          .filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        Similarity.ivfPqRefineSearchBatch(
+            a.cells, a.codes, a.codebooks, a.centroids, queries,
+            nprobe = 2, kCoarse = 50, k = 10,
+            numSub = D768Artifacts.numSub, subDim = D768Artifacts.subDim)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some(s"""$d768IvfPqCtes,
+             |qs AS (SELECT vec_id AS query_id, emb AS qv FROM e768
+             |       WHERE vec_id IN (0, 1, 2)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM cents c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
+             |pc AS (SELECT DISTINCT cluster FROM probe),
+             |dist AS (SELECT s.id, s.m, cbr.c,
+             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+             |     FROM (SELECT unnest(s.sv) a, unnest(cbr.cbv) b) x) AS d
+             |  FROM sub s JOIN cells ON cells.vec_id = s.id
+             |  JOIN pc ON cells.cluster = pc.cluster
+             |  JOIN cbr USING (m)),
+             |code AS (SELECT id, m, c AS code FROM (
+             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |qtab AS (SELECT q.query_id, cbr.m, cbr.c,
+             |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |     FROM (SELECT unnest(cbr.cbv) a, unnest(q.qv[cbr.m*96+1 : cbr.m*96+96]) b) x) AS p
+             |  FROM cbr CROSS JOIN qs q),
+             |sc AS (SELECT p.query_id, code.id,
+             |         CAST(SUM(CAST(qt.p AS DECIMAL(18,12))) AS DOUBLE) AS score
+             |       FROM code JOIN cells ON cells.vec_id = code.id
+             |       JOIN probe p ON p.cluster = cells.cluster
+             |       JOIN qtab qt ON qt.query_id = p.query_id
+             |         AND qt.m = code.m AND qt.c = code.code
+             |       GROUP BY 1, 2),
+             |sl AS (SELECT query_id, id FROM (
+             |         SELECT query_id, id, ROW_NUMBER() OVER (
+             |           PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, id) AS rn
+             |         FROM sc) x WHERE rn <= 50),
+             |ex AS (SELECT sl.query_id, e.vec_id,
+             |         ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.emb) a, unnest(q.qv) b) y), 4) AS score
+             |       FROM sl JOIN e768 e ON e.vec_id = sl.id
+             |       JOIN qs q ON q.query_id = sl.query_id),
+             |rk2 AS (SELECT query_id, vec_id, score, ROW_NUMBER() OVER (
+             |          PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM ex)
+             |SELECT query_id, vec_id, score FROM rk2 WHERE rn <= 10
+             |ORDER BY query_id, score DESC, vec_id""".stripMargin)),
+
     // MEASURED OPQ ADC recall — the recall-eval closer for the rotated-PQ
     // family (every other approximate family already carries one:
     // eval_pq/sq8/matryoshka/pca/lsh_recall). Flat rotated ADC over the

@@ -2529,6 +2529,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch form of [[ivfPqRefineSearch]] — the production batch-ANN
+    * request shape as TWO pruned passes instead of 2 x Q jobs: the batch
+    * ADC stage ([[ivfPqSearchBatchPruned]] — one scan of the probed
+    * cells' CODE partitions, per-query `kCoarse` shortlists through the
+    * bounded aggregator), then ONE scan of the same probed cells'
+    * ORIGINAL vectors, inner-joined to the broadcast
+    * (query_id, id) shortlist (Q x kCoarse rows — request-sized) and
+    * exactly re-scored per shortlisting query for the final per-query
+    * top-k. Same OPQ basis discipline as the single-query form: probe
+    * raw, ADC rotated, exact refine raw. */
+  def ivfPqRefineSearchBatch(
+      cells: DataFrame,
+      codes: DataFrame,
+      codebooks: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      nprobe: Int,
+      kCoarse: Int,
+      k: Int,
+      numSub: Int = 8,
+      subDim: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      roundTo: Int = 4,
+      rotation: Option[DataFrame] = None): DataFrame = {
+    require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
+    val shortlist = ivfPqSearchBatchPruned(
+      codes, codebooks, centroids, queries, nprobe, kCoarse,
+      numSub, subDim, idCol, clusterCol, rotation)
+      .select(col("query_id"), col(idCol))
+    val cellUnion = probeCellsBatch(centroids, queries, nprobe, clusterCol)
+      .map(_._2).distinct
+    topKPerQuery(
+      cells.filter(col(clusterCol).isin(cellUnion: _*))
+        .join(broadcast(shortlist), Seq(idCol))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          round(VectorOps.dot(col(vecCol), col("qv")), roundTo).as("score")),
+      k, idCol, "score")
+  }
+
   /** Scalar int8 encoding of the cell-partitioned corpus — the storage
     * shape of FAISS `IndexIVFScalarQuantizer` (SQ8): symmetric
     * per-coordinate quantization `q = round(127 x)` stored as one BYTE

@@ -299,6 +299,23 @@ class OpqSpec extends AnyFunSuite {
     val exact = Similarity.knnExact(corpus, qv, k = 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(ref.map(_._1) === exact.map(_._1))
+    // batch two-stage refine (round 12): each query's rows equal its
+    // single-query ivfPqRefineSearch — same probed cells, same rotated
+    // ADC shortlist, same raw exact re-score
+    val refBatch = Similarity.ivfPqRefineSearchBatch(
+      idx.cells, idx.codes, idx.codebooks, idx.centroids, queries,
+      nprobe = 4, kCoarse = 30, k = 5, ns, sd, rotation = idx.rotation)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(x => (-x._2, x._1))).toMap
+    Seq(7L, 42L).foreach { q =>
+      val one = Similarity.ivfPqRefineSearch(
+        idx.cells, idx.codes, idx.codebooks, idx.centroids,
+        corpus.filter(col("vec_id") === q).select(col("embedding").as("qv")),
+        nprobe = 4, kCoarse = 30, k = 5, ns, sd, rotation = idx.rotation)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(refBatch(q).toSeq === one, s"batch refine vs single for query $q")
+    }
   }
 
   test("rotation kernel == literal projection bit-for-bit (incl. null vectors)") {

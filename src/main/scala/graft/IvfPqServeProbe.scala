@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Serving-only companion to [[IvfPqScaleProbe]]: points at an already-
+  * built index directory (the 36-minute 1M x d768 build is a run-once
+  * artifact — re-measuring serving must not re-train) and times the
+  * BATCH two-stage refine ([[Similarity.ivfPqRefineSearchBatch]], round
+  * 12) against the batch ADC and the exact baseline. This is the number
+  * that supersedes the scale probe's single-query-serial refine wall:
+  * the batch form is two pruned scans for the WHOLE batch.
+  *
+  * Run: `java -cp classes:spark-jars graft.IvfPqServeProbe
+  * <probeRoot> [numSub] [subDim]` where probeRoot holds `emb/` and
+  * `index/` from an IvfPqScaleProbe run. */
+object IvfPqServeProbe {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(
+      sys.error("usage: IvfPqServeProbe <probeRoot> [numSub] [subDim]"))
+    val numSub = args.lift(1).map(_.toInt).getOrElse(96)
+    val subDim = args.lift(2).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val emb = spark.read.parquet(s"$root/emb")
+    val cells = spark.read.parquet(s"$root/index/cells")
+    val codes = spark.read.parquet(s"$root/index/codes")
+    val codebooks = spark.read.parquet(s"$root/index/codebooks")
+    val centroids = spark.read.parquet(s"$root/index/centroids")
+    val n = emb.count()
+
+    val k = 20
+    val queries = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .persist()
+    queries.count()
+    val (exactRows, tExact) = time { Similarity.knnBatch(emb, queries, k).collect() }
+    val exact = exactRows.map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, ids) =>
+        ids.intersect(got.getOrElse(q, Set.empty)).size.toDouble / ids.size
+      }.sum / exact.size
+    }
+    println(s"IvfPqServeProbe: $n rows, 20-query batch, exact baseline " +
+      f"${tExact}%.1f s")
+    println(f"${"nprobe"}%8s ${"adc recall"}%11s ${"adc wall"}%9s " +
+      f"${"refine recall"}%14s ${"refine wall"}%12s")
+    Seq(16, 64, 250).foreach { np =>
+      val (adcRows, tAdc) = time {
+        Similarity.ivfPqSearchBatchPruned(
+          codes, codebooks, centroids, queries, np, k, numSub, subDim).collect()
+      }
+      val (refRows, tRef) = time {
+        Similarity.ivfPqRefineSearchBatch(
+          cells, codes, codebooks, centroids, queries, np,
+          kCoarse = 100, k = k, numSub = numSub, subDim = subDim).collect()
+      }
+      println(f"$np%8d ${recallOf(adcRows)}%11.3f $tAdc%9.1f " +
+        f"${recallOf(refRows)}%14.3f $tRef%12.1f")
+    }
+    spark.stop()
+  }
+}

@@ -2763,6 +2763,52 @@ object SparkEntry {
              |FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id CROSS JOIN q
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
 
+    // batch twin of sim_ivf_int8_refine (round 12): the SQ8 two-stage
+    // path for a query BATCH as two pruned passes — one integer-scored
+    // scan of the probed cells' byte store shortlisting kCoarse per
+    // query, one scan of the same cells' float vectors re-scoring only
+    // the broadcast shortlist pairs
+    ("sim_ivf_int8_refine_batch",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        Similarity.ivfInt8RefineSearchBatch(
+            idx.int8.get, idx.cells, idx.centroids, queries,
+            nprobe = 2, kCoarse = 50, k = 10)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some(s"""$ivfCellCtes,
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
+             |isc AS (SELECT p.query_id, e.vec_id,
+             |    CAST((SELECT SUM(CAST(round(x.a::DOUBLE * 127) AS BIGINT) *
+             |                     CAST(round(x.b::DOUBLE * 127) AS BIGINT))
+             |          FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x) AS BIGINT) AS score_i
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN probe p ON p.cluster = a3.cluster
+             |  JOIN qs q ON q.query_id = p.query_id),
+             |sl AS (SELECT query_id, vec_id FROM (
+             |         SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |           PARTITION BY query_id ORDER BY score_i DESC, vec_id) AS rn
+             |         FROM isc) x WHERE rn <= 50),
+             |ex AS (SELECT sl.query_id, e.vec_id,
+             |         ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |       FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+             |       JOIN qs q ON q.query_id = sl.query_id),
+             |rk2 AS (SELECT query_id, vec_id, score, ROW_NUMBER() OVER (
+             |          PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM ex)
+             |SELECT query_id, vec_id, score FROM rk2 WHERE rn <= 10
+             |ORDER BY query_id, score DESC, vec_id""".stripMargin)),
+
     // MATRYOSHKA two-stage serving (Kusupati et al. 2022 adaptive
     // retrieval): coarse rank on the leading 16 of 64 coordinates over the
     // probed cells (quarter of the multiply-adds), exact full-dim re-score

@@ -2636,6 +2636,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch form of [[ivfInt8RefineSearch]] — same two-pruned-pass shape
+    * as [[ivfPqRefineSearchBatch]] over the BYTE-per-dim store: one scan
+    * of the probed cells' int8 partitions scores each row in pure integer
+    * arithmetic against the queries probing its cell (the long dot is
+    * < 2^53 below d ~ 2^38, so the double hand-off to the bounded
+    * aggregator is exact and the integer (score desc, id asc) order is
+    * preserved), per-query `kCoarse` shortlists, then one scan of the
+    * same cells' original vectors re-scores only the broadcast shortlist
+    * pairs for the final per-query top-k. */
+  def ivfInt8RefineSearchBatch(
+      int8Store: DataFrame,
+      cells: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      nprobe: Int,
+      kCoarse: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      roundTo: Int = 4): DataFrame = {
+    require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
+    val spark = int8Store.sparkSession
+    import spark.implicits._
+    val probed = probeCellsBatch(centroids, queries, nprobe, clusterCol)
+    val probedDf = probed.toDF("query_id", clusterCol)
+    val cellUnion = probed.map(_._2).distinct
+    val q8 = queries.select(col("query_id"),
+      transform(col("qv"), x => round(x.cast("double") * 127).cast("long"))
+        .as("q8v"))
+    val shortlist = topKPerQuery(
+      int8Store.filter(col(clusterCol).isin(cellUnion: _*))
+        .join(broadcast(probedDf), Seq(clusterCol))
+        .join(broadcast(q8), Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          aggregate(zip_with(col("q8"), col("q8v"), (a, b) => a.cast("long") * b),
+            lit(0L), (acc, v) => acc + v).cast("double").as("score")),
+      kCoarse, idCol, "score")
+      .select(col("query_id"), col(idCol))
+    topKPerQuery(
+      cells.filter(col(clusterCol).isin(cellUnion: _*))
+        .join(broadcast(shortlist), Seq(idCol))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          round(VectorOps.dot(col(vecCol), col("qv")), roundTo).as("score")),
+      k, idCol, "score")
+  }
+
   /** Batch IVF-PQ serving against the persisted codes: per-query probing on
     * the centroid artifact (driver-scale, [[probeCellsBatch]]), ONE scan of
     * the UNION of probed cells' code partitions (literal PartitionFilters),

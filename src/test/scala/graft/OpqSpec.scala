@@ -316,6 +316,22 @@ class OpqSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(refBatch(q).toSeq === one, s"batch refine vs single for query $q")
     }
+    // batch SQ8 two-stage (round 12): same two-pruned-pass shape over
+    // the byte store — each query's rows equal its single-query form
+    val i8Batch = Similarity.ivfInt8RefineSearchBatch(
+      idx.int8.get, idx.cells, idx.centroids, queries,
+      nprobe = 4, kCoarse = 30, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(x => (-x._2, x._1))).toMap
+    Seq(7L, 42L).foreach { q =>
+      val one = Similarity.ivfInt8RefineSearch(
+        idx.int8.get, idx.cells, idx.centroids,
+        corpus.filter(col("vec_id") === q).select(col("embedding").as("qv")),
+        nprobe = 4, kCoarse = 30, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(i8Batch(q).toSeq === one, s"batch int8 refine vs single for query $q")
+    }
   }
 
   test("rotation kernel == literal projection bit-for-bit (incl. null vectors)") {

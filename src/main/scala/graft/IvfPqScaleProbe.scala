@@ -5,9 +5,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** End-to-end IVF-PQ at the reference's production regime (round 12):
-  * 1M rows x d=768, geometry from [[Similarity.IvfParams.auto]] — the
-  * FAISS `create_bin.ipynb` analog a 100 TB deployment would actually
-  * run: nlist = 4*sqrt(N) = 4000, PQ 96x8 with 256 codes/subspace. The
+  * 1M rows x d=768 — the dimensionality of `create_bin.ipynb`'s flat
+  * CLIP indexes; IVF-PQ is the scale-up this framework adds at that d,
+  * the index a 100 TB deployment would actually run. Geometry from
+  * [[Similarity.IvfParams.auto]]: nlist = 4*sqrt(N) = 4000, PQ 96x8
+  * with 256 codes/subspace. The
   * corpus replicates the sf embeddings into genuinely new directions
   * (RecallScaleProbe's permutation x wide-jitter — clone-structure
   * replicas measure the data artifact, not the index) and tiles 12x to
@@ -71,11 +73,18 @@ object IvfPqScaleProbe {
       s"x${p.numCentroids} codes, lloyd=${p.lloydIters}, pq=${p.pqIters}, " +
       s"defaultNprobe=${p.defaultNprobe}")
 
+    // round-13 production posture: FAISS-style sampled training (39
+    // points per centroid — the published floor; training passes fit on
+    // ~156k of the 1M rows) and a RECALL-CALIBRATED persisted serving
+    // default (target 0.85@20) instead of the corpus-blind nlist/16=250.
+    val trainRows = 39L * math.max(p.nlist, p.numCentroids)
     val (idx, tBuild) = time {
-      Similarity.buildDenseIndex(emb, s"$outDir/index", params = Some(p))
+      Similarity.buildDenseIndex(emb, s"$outDir/index", params = Some(p),
+        calibrateRecall = Some(0.85), trainSampleRows = Some(trainRows))
     }
     println(f"buildDenseIndex: ${tBuild}%.0f s (one call: fit + cells + " +
-      f"codebooks + codes + int8 + radii + params)")
+      f"codebooks + codes + int8 + radii + params; trained on ~$trainRows " +
+      f"sampled rows, calibrated defaultNprobe=${idx.defaultNprobe.get})")
 
     val k = 20
     val queries = emb.filter(col("vec_id") < k)
@@ -104,7 +113,7 @@ object IvfPqScaleProbe {
       f"${"ivf wall"}%9s ${"adc wall"}%9s")
     val nprobes =
       (Iterator.iterate(1)(_ * 4).takeWhile(_ < p.defaultNprobe).toSeq
-        :+ p.defaultNprobe).distinct
+        ++ idx.defaultNprobe.toSeq :+ p.defaultNprobe).distinct.sorted
     nprobes.foreach { np =>
       val (ivfRows, tIvf) = time {
         Similarity.ivfSearchBatchPruned(

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** PQ-encode economics at FAISS-production geometry (round 12): the
   * join-form encode materializes numSub x K intermediate rows per vector
   * before the partial min collapses them — 128/row at the oracle's 8x16,
-  * but 24,576/row at the reference-regime 96x256 over d=768
-  * (`create_bin.ipynb`'s IVF-PQ indexes). This times the join form vs
+  * but 24,576/row at the FAISS-typical 96x256 over d=768 (the
+  * dimensionality of `create_bin.ipynb`'s flat CLIP indexes; IVF-PQ is
+  * the scale-up this framework adds at that d). This times the join form vs
   * the bulk mapPartitions kernel (bit-identical output, PqEncodeSpec) on
   * a deterministic d=768 corpus tiled from the sf embeddings, at the
   * geometry the dispatch threshold routes each way.

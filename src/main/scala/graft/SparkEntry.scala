@@ -27,17 +27,18 @@ object SparkEntry {
   private def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
 
   /** Shared DuckDB oracle prefix: the unrolled 2-iteration k-means fit of
-    * [[Similarity.kmeansFit]] (k=8, salt "kmeans", sims rounded to 6,
-    * coordinates to 8, decimal-exact refit sums). Ends at `m2` =
-    * (cluster, i, cx REAL) — the final per-(cluster, dim) coordinates;
-    * consumers append their own CTEs / SELECT. */
-  private val kmeansFitCtes: String =
-    """WITH h AS (SELECT vec_id, embedding,
+    * [[Similarity.kmeansFit]] (salt "kmeans", sims rounded to 6,
+    * coordinates to 8, decimal-exact refit sums), parameterized by k —
+    * the `LIMIT $k` hash-rank init is the only k-dependent piece. Ends
+    * at `m2` = (cluster, i, cx REAL) — the final per-(cluster, dim)
+    * coordinates; consumers append their own CTEs / SELECT. */
+  private def kmeansFitCtesK(k: Int): String =
+    s"""WITH h AS (SELECT vec_id, embedding,
       |       ('0x' || substr(md5('kmeans:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
       |     FROM embeddings),
       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS cluster,
       |              embedding AS cv
-      |       FROM h ORDER BY hh, vec_id LIMIT 8),
+      |       FROM h ORDER BY hh, vec_id LIMIT $k),
       |s1 AS (SELECT e.vec_id, c.cluster,
       |         ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
       |                FROM (SELECT unnest(e.embedding) a, unnest(c.cv) b) x), 6) AS sim
@@ -69,6 +70,8 @@ object SparkEntry {
       |         CAST(ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
       |              / COUNT(*), 8) AS REAL) AS cx
       |       FROM e2 GROUP BY 1, 2)""".stripMargin
+
+  private val kmeansFitCtes: String = kmeansFitCtesK(8)
 
   /** [[kmeansFitCtes]] extended with the serving-side IVF artifacts:
     * `c2` = the final fitted centroid vectors (the persisted centroid
@@ -211,8 +214,8 @@ object SparkEntry {
       |     FROM (SELECT unnest(cb.cbv) a, unnest(q.emb2[cb.m+1 : cb.m+1]) b) x) AS p
       |  FROM cbrb cb CROSS JOIN (SELECT emb2 FROM rotv WHERE vec_id = 0) q)""".stripMargin
 
-  private val ivfCellCtes: String =
-    s"""$kmeansFitCtes,
+  private def ivfCellCtesK(k: Int): String =
+    s"""${kmeansFitCtesK(k)},
        |c2 AS (SELECT cluster, list(cx ORDER BY i) AS cv FROM m2 GROUP BY cluster),
        |s3 AS (SELECT e.vec_id, c.cluster,
        |         ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
@@ -222,6 +225,8 @@ object SparkEntry {
        |         SELECT vec_id, cluster,
        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
        |         FROM s3) WHERE rn = 1)""".stripMargin
+
+  private val ivfCellCtes: String = ivfCellCtesK(8)
 
   /** Shared oracle-SQL chain: hash-rank-sampled PQ codebooks (`cb0`, 8
     * subspaces x 8 dims x 16 codes — the 16 rows with the smallest
@@ -491,6 +496,25 @@ object SparkEntry {
             numCentroids = 16, pqIters = 1, defaultNprobe = 2)),
           statsCols = Seq("label"),
           calibrateRecall = Some(0.8))
+      }(read)
+    }
+
+    /** Memoized k=32 coarse fit — same salt/rounding/iterations as
+      * [[ivf]]'s k=8 layer, only the init `LIMIT` differs (oracle =
+      * [[ivfCellCtesK]](32)). This is the AUTO-SHAPED blocking geometry
+      * for `q39b_semdedup_auto`: cells ~N/32 instead of ~N/8, so the
+      * within-cell candidate volume (the q39 scaling table's one
+      * quadratic term) shrinks ~16x. Centroids only — the semdedup
+      * chain assigns and pairs from them; no PQ/serving legs. */
+    def kmeans32(s: SparkSession, dir: String): DataFrame = {
+      val p = ArtifactMemo.root(dir, "kmeans32")
+      def read = s.read.parquet(s"$p/centroids")
+      ArtifactMemo(p) {
+        val c = Similarity.kmeansFit(t(s, dir, "embeddings"), k = 32, iters = 2)
+        c.coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$p/centroids")
+        c.unpersist()
+        read
       }(read)
     }
   }
@@ -5854,6 +5878,62 @@ object SparkEntry {
         Dedup.keepBest(comps, csim).orderBy(col("id"))
       },
       Some((s"""$ivfCellCtes,
+             |cand AS (SELECT a.vec_id AS i, b.vec_id AS j
+             |         FROM a3 a JOIN a3 b ON a.cluster = b.cluster
+             |           AND a.vec_id < b.vec_id),
+             |prs AS (SELECT c.i, c.j FROM cand c
+             |        JOIN embeddings a ON a.vec_id = c.i
+             |        JOIN embeddings b ON b.vec_id = c.j
+             |        WHERE (SELECT SUM(x.x::DOUBLE * x.y::DOUBLE)
+             |               FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y) x)
+             |          >= 0.45),
+             |edges AS (SELECT i AS a, j AS b FROM prs
+             |          UNION ALL SELECT j AS a, i AS b FROM prs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |reach AS (SELECT id, id AS r FROM nodes
+             |          UNION
+             |          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+             |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+             |csim AS (SELECT a3.vec_id AS id,
+             |           ROUND(-1.0 * (SELECT SUM(x.x::DOUBLE * x.y::DOUBLE)
+             |                 FROM (SELECT unnest(e.embedding) x, unnest(c.cv) y) x), 6) AS score
+             |         FROM a3 JOIN embeddings e ON e.vec_id = a3.vec_id
+             |         JOIN c2 c ON c.cluster = a3.cluster),
+             |scored AS (SELECT cm.id, cm.comp, cs.score FROM comp cm JOIN csim cs USING (id)),
+             |rk AS (SELECT id, comp, score, ROW_NUMBER() OVER (
+             |         PARTITION BY comp ORDER BY score DESC, id) AS rn FROM scored),
+             |best AS (SELECT comp, id AS best_id FROM rk WHERE rn = 1)
+             |SELECT s.id, b.best_id, s.score, s.id = b.best_id AS keep
+             |FROM scored s JOIN best b USING (comp)
+             |ORDER BY s.id""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
+    // the q39 semdedup chain at an AUTO-SHAPED coarse geometry (k=32,
+    // the k ~ 4*sqrt(N) sizing IvfParams.auto picks near this corpus
+    // scale): identical fitted blocking -> threshold pairs -> closure ->
+    // marginal-keeper election, but cells are ~N/32 so the within-cell
+    // candidate volume (the one quadratic term in the r12 10x scaling
+    // table) shrinks ~16x. q39 stays at the oracle-friendly k=8 —
+    // quadratic at 10x by construction; this row pins the same operator
+    // chain at a finer fitted geometry — measured 10x ratio 4.9 vs q39's
+    // 10.0 in the same run (any FIXED k stays quadratic in cell
+    // population; full linearity is the auto k~sqrt(N) growth Q39Probe
+    // measures). BASELINE.md r13 carries both rows.
+    ("q39b_semdedup_auto",
+      (s, dir) => {
+        val cents = DenseArtifacts.kmeans32(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val pairs = Dedup.cosinePairsBlocked(emb, cents,
+          "vec_id", "embedding", threshold = 0.45, probes = 1)
+        val comps = Dedup.canonicalIds(pairs.select(col("i"), col("j")))
+        val assigned = Similarity.assignCells(emb, cents)
+        val csim = assigned.join(cents, Seq("cluster"))
+          .select(col("vec_id").as("id"),
+            round(lit(-1.0) * VectorOps.dot(col("embedding"), col("cv")), 6)
+              .as("score"))
+        Dedup.keepBest(comps, csim).orderBy(col("id"))
+      },
+      Some((s"""${ivfCellCtesK(32)},
              |cand AS (SELECT a.vec_id AS i, b.vec_id AS j
              |         FROM a3 a JOIN a3 b ON a.cluster = b.cluster
              |           AND a.vec_id < b.vec_id),

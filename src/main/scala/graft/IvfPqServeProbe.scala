@@ -60,7 +60,12 @@ object IvfPqServeProbe {
       f"${tExact}%.1f s")
     println(f"${"nprobe"}%8s ${"adc recall"}%11s ${"adc wall"}%9s " +
       f"${"refine recall"}%14s ${"refine wall"}%12s")
-    Seq(16, 64, 250).foreach { np =>
+    // the persisted serving default (recall-calibrated since round 13)
+    // joins the sweep — the batch wall AT the default is the number a
+    // production deployment actually pays
+    val calibrated = scala.util.Try(spark.read.parquet(s"$root/index/params")
+      .head.getAs[Int]("default_nprobe")).toOption
+    (Seq(16, 64, 250) ++ calibrated).distinct.sorted.foreach { np =>
       val (adcRows, tAdc) = time {
         Similarity.ivfPqSearchBatchPruned(
           codes, codebooks, centroids, queries, np, k, numSub, subDim).collect()

@@ -231,9 +231,11 @@ object Similarity {
       Some(spark.read.parquet(s"$outDir/cellstats"))
     }
     // per-cell radii: nlist rows, one corpus pass — the exact cell-skip
-    // bound for range (radius) serving ([[ivfRangeSearchPruned]])
+    // bound for range (radius) serving ([[ivfRangeSearchPruned]]).
+    // vecCol must thread through: a build over a non-default vector
+    // column ("clip") crashed here until the r13 serve-mix bench hit it
     cellRadii(spark.read.parquet(s"$outDir/cells"),
-        spark.read.parquet(s"$outDir/centroids"))
+        spark.read.parquet(s"$outDir/centroids"), vecCol)
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(s"$outDir/radii")
     // SQ8 store: the byte-per-dim serving artifact for the scalar-

@@ -72,8 +72,11 @@ object IncrementalIndex {
 
   /** Incremental DENSE index maintenance: new embedding rows land, each
     * batch is assigned to its nearest IVF cell against the broadcast
-    * centroid table ([[graft.operators.Similarity.knnJoin]] k=1 — one scan,
-    * no shuffle of the batch), and written cell-PARTITIONED (plus the
+    * centroid table ([[graft.operators.Similarity.knnJoin]] k=1 at
+    * oracle-scale centroid counts; the
+    * [[graft.operators.Similarity.assignCellsBulk]] primitive-loop kernel
+    * past 64 cells — identical argmax, parity-pinned), and written
+    * cell-PARTITIONED (plus the
     * per-batch `batch_id=` idempotence partition), so an [[graft.operators.
     * Similarity.ivfSearch]]-style probe over the accumulated store prunes
     * to the probed cells' directories. The dense analog of
@@ -163,11 +166,28 @@ object IncrementalIndex {
     // ("ivf_cell" was the pre-round-7 default — see [[detectCellCol]])
     val cc = resolveCellCol(spark, sinkDir, cellCol)
     val ccCodes = codesDir.map(cd => resolveCellCol(spark, cd, cc))
+    // assignment-dispatch size, computed ONCE (the centroid relation is
+    // stable across micro-batches): at oracle-scale centroid counts the
+    // packed knnJoin stays (the CTE-expressible form the incremental
+    // oracles and IncrementalIndexSpec unroll); past 64 the per-row
+    // interpreted k-struct sort is the same IVF-scale bottleneck
+    // buildDenseIndex dispatched away in round 12, so the bulk kernel
+    // assigns instead (identical argmax: simRound=4 HALF_UP, ties to the
+    // lowest id — IncrementalIndexSpec pins the parity at 100 centroids).
+    val nSeeds = centroids.count()
     val schema = spark.read.parquet(landingDir).schema
     val src = spark.readStream.schema(schema).parquet(landingDir)
     val q = src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // a landing batch usually arrives as ONE parquet file => ONE
+        // partition, and every leg below would then run its whole compute
+        // on a single core (the r13 maintenance probe measured a 10k-row
+        // landing against a 4000-cell index at 312 s for exactly this
+        // reason). Spread it once; every narrow stage inherits the
+        // parallelism. Values are untouched — assignment and encodes are
+        // per-row.
+        val batch = batch0.repartition(spark.sparkContext.defaultParallelism)
         // the PQ-side view of the batch: rotated when the index is
         // OPQ-rotated, the raw vectors otherwise
         def pqBatch = rotation.fold(batch.select(col(idCol), col(vecCol)))(rot =>
@@ -187,11 +207,27 @@ object IncrementalIndex {
                 "and re-encode before ingesting this distribution")
         }
         // the cell column name is the caller's (default "cluster") — landed
-        // rows may already carry a label column of their own
-        val assigned = graft.operators.Similarity
-          .knnJoin(batch.select(col(idCol), col(vecCol)), seeds, k = 1,
-            idCol = idCol, vecCol = vecCol)
-          .select(col(idCol), col("seed_id").as(cc))
+        // rows may already carry a label column of their own. The
+        // assignment is PERSISTED for the batch: four legs (cells, codes,
+        // radii, int8) join against it, and an unpersisted plan would
+        // recompute the argmax once per leg (measured 4x on the r13
+        // maintenance probe). Dispatch: packed knnJoin at oracle-scale
+        // centroid counts, bulk kernel past 64 — same argmax (round-4
+        // HALF_UP sims, ties to the lowest id; a null vector lands a NULL
+        // cell on the bulk route).
+        val assigned = (if (nSeeds <= 64)
+            graft.operators.Similarity
+              .knnJoin(batch.select(col(idCol), col(vecCol)), seeds, k = 1,
+                idCol = idCol, vecCol = vecCol)
+              .select(col(idCol), col("seed_id").as(cc))
+          else
+            graft.operators.Similarity
+              .assignCellsBulk(batch.select(col(idCol), col(vecCol)),
+                centroids.select(col(centroidIdCol).cast("int").as("cluster"),
+                  col("cv")),
+                vecCol = vecCol, clusterCol = "cluster", simRound = 4)
+              .select(col(idCol), col("cluster").cast("long").as(cc))
+          ).persist()
         // replay idempotence: cell assignment may DIFFER on replay (the
         // caller can pass refit centroids after a crash), so dynamic
         // overwrite of only the (batch, cell) partitions produced THIS
@@ -201,8 +237,16 @@ object IncrementalIndex {
         val batchPath = new org.apache.hadoop.fs.Path(s"$sinkDir/batch_id=$batchId")
         batchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(batchPath, true)
+        // repartition by the cell column before each cell-partitioned
+        // write: a partitionBy write emits one file per (task, cell) pair,
+        // so the 32-way-parallel batch would otherwise land ~tasks × cells
+        // small files per batch (measured ~7k files for a 10k-row landing
+        // at nlist=4000) — hashing each cell to exactly one task bounds it
+        // at one file per touched cell per batch, the layout compaction
+        // folds further
         batch.join(assigned, Seq(idCol))
           .withColumn("batch_id", lit(batchId))
+          .repartition(col(cc))
           .write.mode("append")
           .partitionBy("batch_id", cc)
           .parquet(sinkDir)
@@ -216,6 +260,7 @@ object IncrementalIndex {
               cb, numSub, subDim, idCol, vecCol, carry = Seq(cc))
             .withColumnRenamed(cc, codesCol)
             .withColumn("batch_id", lit(batchId))
+            .repartition(col(codesCol))
             .write.mode("append")
             .partitionBy("batch_id", codesCol)
             .parquet(cd)
@@ -279,10 +324,12 @@ object IncrementalIndex {
           graft.operators.Similarity
             .int8EncodeCells(batch.join(assigned, Seq(idCol)), idCol, vecCol, cc)
             .withColumn("batch_id", lit(batchId))
+            .repartition(col(cc))
             .write.mode("append")
             .partitionBy("batch_id", cc)
             .parquet(i8d)
         }
+        assigned.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -694,7 +741,8 @@ object IncrementalIndex {
       idCol: String = "vec_id",
       cellCol: String = "cluster",
       radiiDir: Option[String] = None,
-      radiiCentroids: Option[DataFrame] = None): Unit = {
+      radiiCentroids: Option[DataFrame] = None,
+      vecCol: String = "embedding"): Unit = {
     import org.apache.spark.sql.functions._
     require(statsDir.isEmpty || statsCols.nonEmpty,
       "rebuilding the cellstats artifact needs its attribute columns")
@@ -780,7 +828,7 @@ object IncrementalIndex {
             val fresh = graft.operators.Similarity.cellRadii(
               spark.read.parquet(cellsDir),
               cents.select(col(cents.columns.head).as(cc), col("cv")),
-              clusterCol = cc)
+              vecCol = vecCol, clusterCol = cc)
             fresh.select(fresh.columns.map(c =>
               deltaSchema.find(_.name == c)
                 .map(f => col(c).cast(f.dataType).as(c))

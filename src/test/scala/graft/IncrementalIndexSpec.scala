@@ -34,6 +34,33 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(dups === 0)
   }
 
+  test("IVF-scale landing assignment (bulk-kernel route) == knnJoin k=1") {
+    // past 64 centroids updateDenseIndex dispatches the per-batch
+    // assignment through assignCellsBulk (round 13 — the packed knnJoin's
+    // interpreted per-row k-struct sort measured 312 s for a 10k-row
+    // landing at nlist=4000). The landed cells must still be EXACTLY the
+    // packed form's picks: round-4 HALF_UP sims, ties to the lowest id.
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_incr_bulk")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    // 100 centroids (> the 64 dispatch bound) drawn from the corpus rows
+    // themselves — plenty of near-ties for the rounding/tie contract
+    val cents = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").cast("int").as("cluster"), col("embedding").as("cv"))
+    emb.filter(col("vec_id") < 300).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents)
+    val want = Similarity.knnJoin(emb.filter(col("vec_id") < 300),
+        cents.select(col("cluster").cast("long").as("seed_id"), col("cv").as("sv")),
+        k = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("seed_id").longValue).toMap
+    val got = spark.read.parquet(sink).select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("cluster").longValue).toMap
+    assert(got === want)
+  }
+
   test("incremental dense index: batches land cell-partitioned, probe prunes directories") {
     import graft.operators.Similarity
     val base = java.nio.file.Files.createTempDirectory("graft_incr_dense")

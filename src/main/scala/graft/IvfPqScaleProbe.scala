@@ -77,7 +77,11 @@ object IvfPqScaleProbe {
     // points per centroid — the published floor; training passes fit on
     // ~156k of the 1M rows) and a RECALL-CALIBRATED persisted serving
     // default (target 0.85@20) instead of the corpus-blind nlist/16=250.
-    val trainRows = 39L * math.max(p.nlist, p.numCentroids)
+    // arg 3 overrides the training-sample size (default = the FAISS
+    // ~39-points-per-centroid floor) — the r13 sensitivity runs measure
+    // the ADC plateau against the sample budget
+    val trainRows = args.lift(2).map(_.toLong)
+      .getOrElse(39L * math.max(p.nlist, p.numCentroids))
     val (idx, tBuild) = time {
       Similarity.buildDenseIndex(emb, s"$outDir/index", params = Some(p),
         calibrateRecall = Some(0.85), trainSampleRows = Some(trainRows))

@@ -156,6 +156,18 @@ object Similarity {
     // pins that the degenerate build is bit-identical to an unsampled
     // one). Callers should pass >= 39 x max(nlist, numCentroids) — the
     // published FAISS floor.
+    // GRAFT_BUILD_TIMING=1 prints per-phase walls to stderr — the probe
+    // instrumentation that attributes the production build's wall to its
+    // legs (training vs corpus-bound assign/encode/int8/radii/writes)
+    // without touching the artifact outputs
+    var phaseT = System.nanoTime()
+    def phaseMark(name: String): Unit = {
+      val now = System.nanoTime()
+      if (sys.env.contains("GRAFT_BUILD_TIMING"))
+        System.err.println(
+          f"[buildDenseIndex] $name: ${(now - phaseT) / 1e9}%.1f s")
+      phaseT = now
+    }
     val trainDf = trainSampleRows match {
       case Some(target) =>
         require(target >= math.max(p.nlist, p.numCentroids),
@@ -173,6 +185,7 @@ object Similarity {
     cents.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(s"$outDir/centroids")
     cents.unpersist() // kmeansFit's contract: the caller owns the frame
+    phaseMark("coarse kmeans fit + centroid write")
     val centArt = spark.read.parquet(s"$outDir/centroids")
     // same dispatch as the kmeansFit iterations: packed only at coarse
     // nlist — the packed HOF argmax is interpreted per row and at
@@ -182,6 +195,7 @@ object Similarity {
       else if (p.nlist <= (1 << 16)) assignCellsBulk(emb, centArt, vecCol)
       else assignCellsChunked(emb, centArt, vecCol)
     graft.sources.Store.writePartitioned(assigned, s"$outDir/cells", "cluster")
+    phaseMark("full-corpus assign + cells write")
     // OPQ-STYLE rotation (FAISS OPQMatrix analog, Ge et al. 2013): fit the
     // full-d principal basis ONCE ([[pcaTopComponents]] — its own doc
     // comment calls this the OPQ rotation estimate), persist it as the
@@ -214,6 +228,7 @@ object Similarity {
     cbr.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(s"$outDir/codebooks")
     cbr.unpersist() // pqRefineCodebooks' contract: caller owns the frame
+    phaseMark("PQ codebook train (+ rotation fit)")
     val encodeSrc = rotCoefs.fold(spark.read.parquet(s"$outDir/cells"))(cs =>
       rotateVectorsPrepared(spark.read.parquet(s"$outDir/cells"), cs, vecCol))
     graft.sources.Store.writePartitioned(
@@ -221,6 +236,7 @@ object Similarity {
         spark.read.parquet(s"$outDir/codebooks"), p.numSub, p.subDim,
         idCol, vecCol, carry = Seq("cluster")),
       s"$outDir/codes", "cluster")
+    phaseMark("full-corpus PQ encode + codes write")
     // per-(cell, attribute) admissible-count histogram: nlist x |attr| rows
     // (coarse-quantizer scale), written once so adaptive probe PLANNING
     // reads this instead of a per-request corpus pass
@@ -238,6 +254,7 @@ object Similarity {
         spark.read.parquet(s"$outDir/centroids"), vecCol)
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(s"$outDir/radii")
+    phaseMark("cellstats + radii")
     // SQ8 store: the byte-per-dim serving artifact for the scalar-
     // quantized two-stage path ([[ivfInt8RefineSearch]]) — same cell
     // partitioning, 4x less scan IO than the float cells
@@ -245,6 +262,7 @@ object Similarity {
       int8EncodeCells(spark.read.parquet(s"$outDir/cells"), idCol, vecCol,
         "cluster"),
       s"$outDir/int8", "cluster")
+    phaseMark("int8 encode + write")
     // serving default: RECALL-CALIBRATED against the just-persisted
     // artifacts when a target is given (the static nlist/16 rule is
     // corpus-blind — on an unclusterable or tiny geometry it can ship a
@@ -264,6 +282,7 @@ object Similarity {
           idCol, vecCol)
       case None => p.defaultNprobe
     }
+    phaseMark("recall calibration")
     spark.range(1).select(
       lit(p.nlist).as("nlist"), lit(p.numSub).as("num_sub"),
       lit(p.subDim).as("sub_dim"), lit(p.numCentroids).as("num_centroids"),

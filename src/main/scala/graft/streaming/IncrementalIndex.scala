@@ -60,7 +60,11 @@ object IncrementalIndex {
     val src = spark.readStream.schema(schema).parquet(landingDir)
     val q = src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // single-file landing => single partition: spread the map-heavy
+        // tokenize before the postings aggregate (same fix as the dense
+        // landing path, r13)
+        val batch = batch0.repartition(spark.sparkContext.defaultParallelism)
         writeBatchPartition(
           Lexical.postings(batch, "doc_id", "text"), batchId, sinkDir)
         ()
@@ -1138,8 +1142,9 @@ object IncrementalIndex {
     val src = spark.readStream.schema(schema).parquet(landingDir)
     val q = src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         import graft.operators.Dedup
+        val batch = batch0.repartition(spark.sparkContext.defaultParallelism)
         // raw shingles, SAME hash family as the batch operator: the
         // streaming path finds exactly the pairs minhashLshPairs would —
         // online and offline dedup stay mutually auditable
@@ -1244,8 +1249,9 @@ object IncrementalIndex {
     val src = spark.readStream.schema(schema).parquet(landingDir)
     val q = src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         import graft.operators.Dedup
+        val batch = batch0.repartition(spark.sparkContext.defaultParallelism)
         val sh = Dedup.tokenShingles(
           batch.select(col(idCol), col(textCol)), idCol, textCol, k).persist()
         val haveOld = pathExists(spark, hashesDir)
@@ -1307,7 +1313,8 @@ object IncrementalIndex {
     val src = spark.readStream.schema(schema).parquet(landingDir)
     val q = src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0.repartition(spark.sparkContext.defaultParallelism)
         writeBatchPartition(
           graft.operators.Similarity.gramMatrixRaw(batch, vecCol),
           batchId, gramDir)
@@ -1357,7 +1364,8 @@ object IncrementalIndex {
     val src = spark.readStream.schema(schema).parquet(landingDir)
     val q = src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0.repartition(spark.sparkContext.defaultParallelism)
         writeBatchPartition(
           graft.operators.Similarity.pcaProjectPacked(
             batch, frozen, idCol, vecCol),

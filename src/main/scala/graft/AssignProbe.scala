@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * write is excluded. The corpus is the [[IvfPqScaleProbe]] expansion
   * recipe; the centroid set is 4000 corpus rows (the KERNEL wall is
   * flop/byte-bound — which vectors the centroids are changes assignment
-  * values, not its cost). The r13 row-blocking change to the kernel is
-  * measured with exactly this probe (before/after in BASELINE.md).
+  * values, not its cost). The r14 row-blocked + deferred-rounding kernel
+  * is measured with exactly this probe (before/after in BASELINE.md).
   *
   * Run: `java -cp classes:spark-jars graft.AssignProbe
   * [sfDir] [targetRows] [nlist]`. */

@@ -73,22 +73,22 @@ object IvfPqScaleProbe {
       s"x${p.numCentroids} codes, lloyd=${p.lloydIters}, pq=${p.pqIters}, " +
       s"defaultNprobe=${p.defaultNprobe}")
 
-    // round-13 production posture: FAISS-style sampled training (39
-    // points per centroid — the published floor; training passes fit on
-    // ~156k of the 1M rows) and a RECALL-CALIBRATED persisted serving
-    // default (target 0.85@20) instead of the corpus-blind nlist/16=250.
-    // arg 3 overrides the training-sample size (default = the FAISS
-    // ~39-points-per-centroid floor) — the r13 sensitivity runs measure
-    // the ADC plateau against the sample budget
+    // round-14 production posture: NO hand-picked training sample — the
+    // build defaults to IvfParams.autoTrainSample (max(39*nlist,
+    // 256*numCentroids, 400k) — the r13 sensitivity run's measured ADC
+    // plateau; at this geometry that is the 400k floor). arg 3 still
+    // overrides for sensitivity sweeps, and a RECALL-CALIBRATED persisted
+    // serving default (target 0.85@20) replaces the corpus-blind
+    // nlist/16=250.
     val trainRows = args.lift(2).map(_.toLong)
-      .getOrElse(39L * math.max(p.nlist, p.numCentroids))
     val (idx, tBuild) = time {
       Similarity.buildDenseIndex(emb, s"$outDir/index", params = Some(p),
-        calibrateRecall = Some(0.85), trainSampleRows = Some(trainRows))
+        calibrateRecall = Some(0.85), trainSampleRows = trainRows)
     }
     println(f"buildDenseIndex: ${tBuild}%.0f s (one call: fit + cells + " +
-      f"codebooks + codes + int8 + radii + params; trained on ~$trainRows " +
-      f"sampled rows, calibrated defaultNprobe=${idx.defaultNprobe.get})")
+      f"codebooks + codes + int8 + radii + params; trained on ~" +
+      f"${trainRows.getOrElse(p.autoTrainSample)} sampled rows, " +
+      f"calibrated defaultNprobe=${idx.defaultNprobe.get})")
 
     val k = 20
     val queries = emb.filter(col("vec_id") < k)

@@ -2848,6 +2848,49 @@ object SparkEntry {
              |SELECT query_id, vec_id, score FROM rk2 WHERE rn <= 10
              |ORDER BY query_id, score DESC, vec_id""".stripMargin)),
 
+    // TRAINED-range SQ8 two-stage serving (VERDICT r13 #7 — the FAISS
+    // ScalarQuantizer.train() analog): per-dim max-|x| ranges fitted from
+    // the corpus (a d-row artifact), byte codes q = round(x/maxabs*127),
+    // coarse stage DEQUANTIZES corpus-side and dots the RAW float query
+    // (asymmetric-distance SQ), exact refine of the 50-row shortlist.
+    // The ranges CTE recomputes the same per-dim MAX the Spark artifact
+    // holds — exact and order-invariant on both engines.
+    ("sim_sq8_trained",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val ranges = Similarity.int8TrainRanges(emb)
+        val store = Similarity.int8EncodeCellsTrained(idx.cells, ranges)
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.ivfInt8TrainedRefineSearch(
+          store, ranges, idx.cells, idx.centroids, qv,
+          nprobe = 2, kCoarse = 50, k = 20)
+      },
+      Some(s"""$ivfCellCtes,
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |rg AS (SELECT i AS dim, MAX(ABS(x::DOUBLE)) AS ma
+             |       FROM (SELECT unnest(embedding) AS x,
+             |                    unnest(generate_series(1, len(embedding))) AS i
+             |             FROM embeddings) GROUP BY i),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN q),
+             |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2),
+             |isc AS (SELECT e.vec_id,
+             |    ROUND((SELECT SUM(CASE WHEN r.ma = 0 THEN 0
+             |         ELSE GREATEST(-127, LEAST(127, round(x.a::DOUBLE / r.ma * 127)))
+             |              * x.b::DOUBLE * r.ma END)
+             |       FROM (SELECT unnest(e.embedding) AS a, unnest(q.qv) AS b,
+             |                    unnest(generate_series(1, len(e.embedding))) AS i) x
+             |       JOIN rg r ON r.dim = x.i) / 127, 6) AS score_c
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN probe p ON p.cluster = a3.cluster CROSS JOIN q),
+             |shortlist AS (SELECT vec_id FROM isc ORDER BY score_c DESC, vec_id LIMIT 50)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id CROSS JOIN q
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
     // MATRYOSHKA two-stage serving (Kusupati et al. 2022 adaptive
     // retrieval): coarse rank on the leading 16 of 64 coordinates over the
     // probed cells (quarter of the multiply-adds), exact full-dim re-score
@@ -4722,6 +4765,28 @@ object SparkEntry {
              |SELECT source, doc_id, n_tokens, cum_before // 256 AS bin,
              |       cum_before % 256 AS offset_tokens
              |FROM c ORDER BY source, doc_id""".stripMargin)),
+
+    // ONE-stream packing over the whole documents table — the window
+    // form's worst case (a single partition-by group serializes into one
+    // task); the r14 two-pass packSequences spreads it across range
+    // partitions while this oracle pins the exact same prefix sums
+    // (ScaleProbe carries the 10x row)
+    ("curation_pack_one_stream",
+      (s, dir) =>
+        Curation.packSequences(
+          t(s, dir, "documents").withColumn("source", lit("all")),
+          "doc_id", "text", budgetTokens = 1024L, byCol = "source")
+          .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT 'all' AS source, doc_id,
+             |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT source, doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |  FROM d)
+             |SELECT source, doc_id, n_tokens, cum_before // 1024 AS bin,
+             |       cum_before % 1024 AS offset_tokens
+             |FROM c ORDER BY doc_id""".stripMargin)),
 
     // CCNET PERPLEXITY BUCKETS (Wenzek et al. 2020): per language, rank
     // docs by the ARTIFACT-FED LM quality score and cut head/middle/tail

@@ -76,6 +76,18 @@ object Similarity {
     require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
     require(defaultNprobe >= 1 && defaultNprobe <= nlist,
       s"defaultNprobe must be in [1, nlist], got $defaultNprobe (nlist=$nlist)")
+
+    /** Default TRAINING-SAMPLE target for this geometry (r14; the r13
+      * sensitivity run, BASELINE.md): `max(39*nlist, 256*numCentroids,
+      * 400000)`. 39/centroid is the published FAISS warning floor for the
+      * coarse k-means; 256/code is its clamp ceiling for the PQ codebooks;
+      * the 400k floor is the MEASURED plateau for PQ recall on the 1M x
+      * d=768 flagship (a 156k = 39*nlist sample cost ~0.03 ADC recall,
+      * 400k recovered the full-corpus curve for +200 s of build). A target
+      * >= N degenerates to the full corpus, so small builds are always
+      * unsampled and bit-identical to the pre-r14 default. */
+    def autoTrainSample: Long =
+      math.max(math.max(39L * nlist, 256L * numCentroids), 400000L)
   }
 
   object IvfParams {
@@ -118,8 +130,11 @@ object Similarity {
     * `trainSampleRows` bounds the TRAINING passes (centroid fit, OPQ
     * rotation, PQ codebooks) to a deterministic hash sample — the FAISS
     * sampled-training discipline; per-row artifacts (cells, codes, int8,
-    * radii) always cover the full corpus. Build is a run-ONCE step:
-    * serving never re-enters this method. */
+    * radii) always cover the full corpus. Omitted, it defaults to
+    * [[IvfParams.autoTrainSample]] (the measured 400k-class plateau floor;
+    * a target >= N — including every small corpus — trains unsampled);
+    * pass `Some(Long.MaxValue)` to force a full-corpus fit at any scale.
+    * Build is a run-ONCE step: serving never re-enters this method. */
   def buildDenseIndex(
       emb: DataFrame,
       outDir: String,
@@ -154,7 +169,8 @@ object Similarity {
     // sort, no shuffle, reproducible (same id space -> same sample), and
     // a target >= N degenerates to the full corpus (SampledTrainSpec
     // pins that the degenerate build is bit-identical to an unsampled
-    // one). Callers should pass >= 39 x max(nlist, numCentroids) — the
+    // one). The default target is [[IvfParams.autoTrainSample]] (r14);
+    // explicit callers should pass >= 39 x max(nlist, numCentroids) — the
     // published FAISS floor.
     // GRAFT_BUILD_TIMING=1 prints per-phase walls to stderr — the probe
     // instrumentation that attributes the production build's wall to its
@@ -168,19 +184,30 @@ object Similarity {
           f"[buildDenseIndex] $name: ${(now - phaseT) / 1e9}%.1f s")
       phaseT = now
     }
-    val trainDf = trainSampleRows match {
-      case Some(target) =>
-        require(target >= math.max(p.nlist, p.numCentroids),
-          s"training sample $target smaller than the largest codebook " +
-            s"(nlist=${p.nlist}, numCentroids=${p.numCentroids})")
-        if (target >= nRows) emb
-        else {
-          val cut = (target.toDouble / nRows * (1L << 60)).toLong
-          emb.filter(graft.operators.Dedup.hash60(
-            concat(lit("trainsample:"), col(idCol).cast("string"))) < lit(cut))
-        }
-      case None => emb
-    }
+    // r14: the sample target defaults to [[IvfParams.autoTrainSample]] —
+    // callers stop hand-picking; pass Some(Long.MaxValue) to force an
+    // unsampled build. Small corpora (N <= 400k) always train unsampled.
+    val target = trainSampleRows.getOrElse(p.autoTrainSample)
+    require(target >= math.max(p.nlist, p.numCentroids),
+      s"training sample $target smaller than the largest codebook " +
+        s"(nlist=${p.nlist}, numCentroids=${p.numCentroids})")
+    val trainDf =
+      if (target >= nRows) emb
+      else {
+        val cut = (target.toDouble / nRows * (1L << 60)).toLong
+        val sampled = emb.filter(graft.operators.Dedup.hash60(
+          concat(lit("trainsample:"), col(idCol).cast("string"))) < lit(cut))
+        // the hash-threshold filter is BINOMIAL in what it admits: the
+        // REALIZED sample can undershoot the requested target, and on a
+        // corpus barely above the codebook floor it can fall below
+        // max(nlist, numCentroids) even when the request clears it —
+        // kmeansFit would then silently init fewer centroids than the
+        // configured geometry. Count the realized sample (one map-only
+        // pass, build-time only) and fall back to the full corpus when it
+        // is under the floor.
+        val realized = sampled.count()
+        if (realized < math.max(p.nlist, p.numCentroids)) emb else sampled
+      }
     val cents = kmeansFit(trainDf, p.nlist, p.lloydIters, idCol, vecCol)
     cents.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(s"$outDir/centroids")
@@ -1409,35 +1436,161 @@ object Similarity {
     val vecIdx = emb.schema.fieldIndex(vecCol)
     val outSchema = emb.schema.add(clusterCol,
       org.apache.spark.sql.types.IntegerType, nullable = true)
+    // ROW-BLOCKED kernel (r14, AssignProbe before/after in BASELINE.md):
+    // process rows in blocks of 64 with the CENTROID loop outermost, so
+    // each centroid vector (streamed from a k x d matrix that misses cache
+    // when read per row — 12 MB at k=4000 x d=768) is reused across the
+    // whole row block from L1/L2, and the row block (64 x d floats,
+    // ~200 KB at d=768) stays resident. Rounding is DEFERRED: the inner
+    // loop tracks the RAW running max and buffers only candidates within
+    // `grain` of it (HALF_UP rounding is monotone, so any centroid whose
+    // ROUNDED sim ties the rounded max has raw sim within one rounding
+    // bucket of the raw max); BigDecimal runs once per surviving candidate
+    // — ~1 per row — instead of once per (row, centroid) pair (4e9
+    // allocations at the 1M x 4000 flagship, the r13 verdict's named
+    // bottleneck). Parity with the packed SQL argmax is exact and
+    // KmeansSpec-pinned: candidates arrive in ascending centroid id, the
+    // strict `>` on rounded sims keeps the first (lowest id) on ties.
     val out = emb.rdd.mapPartitions { it =>
       val cs = bc.value
-      it.map { row =>
-        if (row.isNullAt(vecIdx) || cs.isEmpty)
-          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ null)
-        else {
-          val v = row.getSeq[Float](vecIdx) match {
-            case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
-            case other => other.toArray
+      if (cs.isEmpty) {
+        it.map(row => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ null))
+      } else {
+        val k = cs.length
+        // 2x the rounding bucket width: over-inclusion only costs a spare
+        // BigDecimal; under-inclusion (pow() rounding down) would break
+        // parity, so the safety factor is deliberate
+        val grain = 2.0 * math.pow(10.0, -simRound)
+        it.grouped(64).flatMap { rowSeq =>
+          val rows = rowSeq.toArray
+          val m = rows.length
+          val vecs = new Array[Array[Float]](m)
+          var r = 0
+          while (r < m) {
+            vecs(r) =
+              if (rows(r).isNullAt(vecIdx)) null
+              else rows(r).getSeq[Float](vecIdx) match {
+                case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+                case other => other.toArray
+              }
+            r += 1
           }
-          var bestSim = Double.NegativeInfinity
-          var bestC = Int.MaxValue
-          var found = false
+          val rawMax = Array.fill(m)(Double.NegativeInfinity)
+          val candN = new Array[Int](m)
+          val candId = Array.fill(m)(new Array[Int](4))
+          val candSim = Array.fill(m)(new Array[Double](4))
+          // COLUMN-MAJOR pack of the row block + dims-OUTER accumulation:
+          // a single row's dot is a strict sequential double-add chain
+          // (the VectorOps.dot parity contract forbids reassociation),
+          // which is FP-add-latency-bound — but the block's 64 chains are
+          // independent, so the dim-outer loop interleaves them to keep
+          // the FPU pipeline full while each row still adds its terms in
+          // exactly ascending-dim order. The flat(i*m + r) layout makes
+          // the inner row sweep contiguous and branch-free — AssignProbe
+          // at 1M x 4000 x d768: 212.4 s (per-(row,centroid) scalar loop +
+          // per-pair BigDecimal, r13) -> 130.6 s (row-blocked, deferred
+          // rounding) -> 110.5 s (this form); the array-of-arrays
+          // dims-outer variant measured 173.6 s (pointer-chasing 64 arrays
+          // per dim step) and blocks of 128/256 thrash L2 (129.9/131.1 s).
+          // Rows shorter
+          // than the centroid are ZERO-padded: a +-0.0 tail term never
+          // changes a finite partial sum, and the one observable case
+          // (-0.0 vs +0.0) is erased by both the rounding and the argmax
+          // comparisons — so min(v.length, cl) semantics are preserved
+          // bit-for-bit (assumes finite centroid coordinates in the pad
+          // region, as every fit here produces).
+          var dmax = 0
+          r = 0
+          while (r < m) {
+            if (vecs(r) != null && vecs(r).length > dmax) dmax = vecs(r).length
+            r += 1
+          }
+          val flat = new Array[Float](dmax * m)
+          r = 0
+          while (r < m) {
+            val v = vecs(r)
+            if (v != null) {
+              var i = 0
+              while (i < v.length) { flat(i * m + r) = v(i); i += 1 }
+            }
+            r += 1
+          }
+          val accs = new Array[Double](m)
           var ci = 0
-          while (ci < cs.length) {
+          while (ci < k) {
+            val id = cs(ci)._1
             val cv = cs(ci)._2
-            val n = math.min(v.length, cv.length)
-            var s = 0.0
+            val lim = math.min(cv.length, dmax)
+            java.util.Arrays.fill(accs, 0.0)
             var i = 0
-            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
-            // SQL round(_, simRound): HALF_UP decimal rounding
-            val r = java.math.BigDecimal.valueOf(s)
-              .setScale(simRound, java.math.RoundingMode.HALF_UP).doubleValue()
-            // strict > keeps the FIRST (lowest-id) centroid on ties —
-            // centroids are sorted by id ascending
-            if (!found || r > bestSim) { bestSim = r; bestC = cs(ci)._1; found = true }
+            while (i < lim) {
+              val c = cv(i).toDouble
+              val base = i * m
+              r = 0
+              while (r < m) { accs(r) += flat(base + r).toDouble * c; r += 1 }
+              i += 1
+            }
+            r = 0
+            while (r < m) {
+              val v = vecs(r)
+              if (v != null) {
+                val s = accs(r)
+                if (s >= rawMax(r) - grain) {
+                  if (s > rawMax(r)) rawMax(r) = s
+                  var nn = candN(r)
+                  if (nn == candId(r).length) {
+                    // compact: drop candidates that fell out of the grain
+                    val ids = candId(r); val ss = candSim(r)
+                    val lim = rawMax(r) - grain
+                    var w0 = 0; var j = 0
+                    while (j < nn) {
+                      if (ss(j) >= lim) { ids(w0) = ids(j); ss(w0) = ss(j); w0 += 1 }
+                      j += 1
+                    }
+                    nn = w0
+                    if (nn == ids.length) {
+                      candId(r) = java.util.Arrays.copyOf(ids, nn * 2)
+                      candSim(r) = java.util.Arrays.copyOf(ss, nn * 2)
+                    }
+                  }
+                  candId(r)(nn) = id
+                  candSim(r)(nn) = s
+                  candN(r) = nn + 1
+                }
+              }
+              r += 1
+            }
             ci += 1
           }
-          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bestC)
+          val outRows = new Array[org.apache.spark.sql.Row](m)
+          r = 0
+          while (r < m) {
+            if (vecs(r) == null)
+              outRows(r) = org.apache.spark.sql.Row.fromSeq(rows(r).toSeq :+ null)
+            else {
+              // SQL round(_, simRound): HALF_UP decimal rounding, applied
+              // only to the grain-surviving candidates (ascending id order)
+              val lim = rawMax(r) - grain
+              var bestSim = Double.NegativeInfinity
+              var bestC = Int.MaxValue
+              var found = false
+              var j = 0
+              while (j < candN(r)) {
+                if (candSim(r)(j) >= lim) {
+                  val rr = java.math.BigDecimal.valueOf(candSim(r)(j))
+                    .setScale(simRound, java.math.RoundingMode.HALF_UP)
+                    .doubleValue()
+                  if (!found || rr > bestSim) {
+                    bestSim = rr; bestC = candId(r)(j); found = true
+                  }
+                }
+                j += 1
+              }
+              outRows(r) = org.apache.spark.sql.Row.fromSeq(rows(r).toSeq :+ bestC)
+            }
+            r += 1
+          }
+          outRows.iterator
         }
       }
     }
@@ -2663,6 +2816,103 @@ object Similarity {
       transform(col(vecCol),
         x => greatest(lit(-127d), least(lit(127d),
           round(x.cast("double") * 127))).cast("tinyint")).as("q8"))
+
+  /** TRAINED per-dimension SQ8 ranges (VERDICT r13 #7 — the FAISS
+    * `ScalarQuantizer.train()` analog): [[int8EncodeCells]] quantizes at a
+    * fixed `x * 127`, which assumes unit-norm coordinates in [-1, 1]; a
+    * non-normalized embedding family (raw CLIP logits, un-scaled
+    * projections) saturates or wastes most of the byte's range. This fits
+    * the ranges instead: one row per dimension with the corpus max |x| —
+    * a d-row artifact, persisted beside the codebooks. SYMMETRIC
+    * (max-abs, not FAISS's asymmetric per-dim [min, max] affine) by
+    * design: the serving metric here is INNER PRODUCT, and a symmetric
+    * range keeps 0 -> code 0 so the quantized dot needs no per-dim offset
+    * correction terms. The aggregation is a per-(dim) MAX — exact,
+    * order-invariant, engine-portable with no rounding discipline needed.
+    * Train on the same hash sample as the other trained artifacts when
+    * corpus-scale; an unseen coordinate past the trained range SATURATES
+    * at encode (same clamp as the untrained path). */
+  def int8TrainRanges(
+      emb: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    emb.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(col("dim"))
+      .agg(max(abs(col("__x").cast("double"))).as("maxabs"))
+
+  /** [[int8EncodeCells]] with TRAINED ranges: `q = round(x / maxabs_d *
+    * 127)`, saturation-clamped like the untrained path. The d-row ranges
+    * artifact is packed into one broadcast array (dim-ordered) so the
+    * encode stays a single codegen'd `zip_with` over the vector — no
+    * per-element join. An all-zero trained dimension (maxabs = 0) encodes
+    * to code 0 (its true value is 0 wherever the range was fitted). */
+  def int8EncodeCellsTrained(
+      cells: DataFrame,
+      ranges: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster"): DataFrame = {
+    val packed = ranges
+      .agg(array_sort(collect_list(struct(col("dim"), col("maxabs")))).as("__r"))
+      .select(transform(col("__r"), s => s.getField("maxabs")).as("__ma"))
+    cells.crossJoin(broadcast(packed))
+      .select(col(idCol) +: col(clusterCol) +: Seq(
+        zip_with(col(vecCol), col("__ma"), (x, ma) =>
+          when(ma === 0d, lit(0d)).otherwise(
+            greatest(lit(-127d), least(lit(127d),
+              round(x.cast("double") / ma * 127)))).cast("tinyint")).as("q8")): _*)
+  }
+
+  /** Two-stage IVF-SQ8 serving over a TRAINED-range byte store (the
+    * [[ivfInt8RefineSearch]] sibling for non-normalized families): the
+    * coarse stage DEQUANTIZES corpus-side (`q8_d * maxabs_d / 127`) and
+    * dots against the RAW float query — FAISS's asymmetric-distance SQ
+    * discipline (quantizing only the stored side loses half the
+    * quantization error vs quantizing both) — then the exact stage
+    * re-scores just the kCoarse shortlist from the same probed cells.
+    * The coarse score is rounded to 6 for an engine-portable shortlist
+    * boundary (same discipline as every ADC stage here; the untrained
+    * path's integer-exact boundary is unavailable once per-dim scales
+    * enter the product). */
+  def ivfInt8TrainedRefineSearch(
+      int8Store: DataFrame,
+      ranges: DataFrame,
+      cells: DataFrame,
+      centroids: DataFrame,
+      queryDf: DataFrame,
+      nprobe: Int,
+      kCoarse: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      roundTo: Int = 4): DataFrame = {
+    require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
+    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    val packed = ranges
+      .agg(array_sort(collect_list(struct(col("dim"), col("maxabs")))).as("__r"))
+      .select(transform(col("__r"), s => s.getField("maxabs")).as("__ma"))
+    val shortlist = int8Store.filter(col(clusterCol).isin(probed: _*))
+      .crossJoin(broadcast(queryDf.select(col("qv"))))
+      .crossJoin(broadcast(packed))
+      .select(col(idCol),
+        round(
+          aggregate(
+            zip_with(
+              zip_with(col("q8"), col("qv"),
+                (a, b) => a.cast("double") * b.cast("double")),
+              col("__ma"), (p, ma) => p * ma),
+            lit(0d), (acc, v) => acc + v) / 127d, 6).as("score_c"))
+      .orderBy(col("score_c").desc, col(idCol).asc)
+      .limit(kCoarse)
+    scoreAll(
+      cells.filter(col(clusterCol).isin(probed: _*))
+        .join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi"),
+      queryDf, idCol, vecCol)
+      .select(col(idCol), round(col("score"), roundTo).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 
   /** Two-stage IVF-SQ8 + exact-refine serving (the scalar-quantizer
     * sibling of [[ivfPqRefineSearch]]): probe driver-side, scan ONLY the

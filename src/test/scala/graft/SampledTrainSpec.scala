@@ -53,9 +53,16 @@ class SampledTrainSpec extends AnyFunSuite {
 
     // trained artifacts have codebook shape (possibly fewer rows: Lloyd
     // can empty a cell), and DIFFER from the full fit — the sample
-    // genuinely changed the training set
+    // genuinely changed the training set (if the hash filter were a
+    // silent no-op, the centroid sets would match bit-for-bit)
     assert(idx.centroids.count() <= pinned.nlist)
     assert(idx.codebooks.select("m").distinct().count() === pinned.numSub)
+    val outFull = java.nio.file.Files.createTempDirectory("graft_strain_hf").toString
+    val full = Similarity.buildDenseIndex(emb, outFull, Some(pinned),
+      trainSampleRows = Some(Long.MaxValue))
+    assert(collectSorted(idx.centroids) !== collectSorted(full.centroids),
+      "half-corpus sampled centroids matched the full fit — the sample " +
+        "filter did not change the training set")
 
     // full probe over the sampled-training index == exact top-k: training
     // depth moves recall-at-small-nprobe, never full-probe coverage
@@ -77,6 +84,56 @@ class SampledTrainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Similarity.buildDenseIndex(emb, out, Some(pinned),
         trainSampleRows = Some(8L)) // < numCentroids = 16
+    }
+  }
+
+  test("omitted trainSampleRows auto-sizes; small corpora stay unsampled bit-for-bit") {
+    // IvfParams.autoTrainSample: max(39*nlist, 256*numCentroids, 400000)
+    assert(pinned.autoTrainSample === 400000L)
+    assert(Similarity.IvfParams(nlist = 20000, lloydIters = 2, numSub = 8,
+      subDim = 8, numCentroids = 256, pqIters = 1, defaultNprobe = 16)
+      .autoTrainSample === 780000L) // 39*nlist dominates
+    // on a corpus below the 400k floor the auto default degenerates to
+    // the full corpus: default build == forced-unsampled build
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val outAuto = java.nio.file.Files.createTempDirectory("graft_strain_a").toString
+    val outFull = java.nio.file.Files.createTempDirectory("graft_strain_af").toString
+    val auto = Similarity.buildDenseIndex(emb, outAuto, Some(pinned))
+    val full = Similarity.buildDenseIndex(emb, outFull, Some(pinned),
+      trainSampleRows = Some(Long.MaxValue))
+    assert(collectSorted(auto.centroids) === collectSorted(full.centroids))
+    assert(collectSorted(auto.codebooks) === collectSorted(full.codebooks))
+  }
+
+  test("a binomially undershooting realized sample falls back to the full corpus") {
+    // the hash-threshold filter admits a BINOMIAL count: find a target
+    // that clears the request-time floor but realizes BELOW it, and pin
+    // that the build silently fell back to the unsampled fit rather than
+    // training fewer centroids than the configured geometry
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val n = emb.count()
+    val floor = math.max(pinned.nlist, pinned.numCentroids).toLong // 16
+    def realized(target: Long): Long = {
+      val cut = (target.toDouble / n * (1L << 60)).toLong
+      emb.filter(graft.operators.Dedup.hash60(
+        concat(lit("trainsample:"), col("vec_id").cast("string"))) < lit(cut))
+        .count()
+    }
+    (floor to math.min(n - 1, floor + 30L)).find(realized(_) < floor) match {
+      case Some(t) =>
+        val outU = java.nio.file.Files.createTempDirectory("graft_strain_u").toString
+        val outF = java.nio.file.Files.createTempDirectory("graft_strain_uf").toString
+        val under = Similarity.buildDenseIndex(emb, outU, Some(pinned),
+          trainSampleRows = Some(t))
+        val full = Similarity.buildDenseIndex(emb, outF, Some(pinned),
+          trainSampleRows = Some(Long.MaxValue))
+        assert(collectSorted(under.centroids) === collectSorted(full.centroids),
+          s"target=$t realized ${realized(t)} < floor $floor but the build " +
+            "did not fall back to the full corpus")
+      case None =>
+        // this corpus' hash landscape never undershoots near the floor —
+        // still assert the realized counts are what the fallback guards on
+        assert((floor to floor + 30L).forall(t => realized(t) >= floor))
     }
   }
 }

@@ -220,9 +220,88 @@ object Curation {
     * in id order and assigned to consecutive bins of `budgetTokens`; a doc
     * starts at `offset_tokens` = cumulative tokens before it, in bin
     * `cum_before div budget` (boundary docs straddle into the next bin —
-    * the packer's splitting convention). Pure integer window arithmetic:
-    * exact on any engine, one shuffle on `byCol`. */
+    * the packer's splitting convention).
+    *
+    * SCALE SHAPE (r14): deterministic packing is a prefix sum over an
+    * id-ordered stream, which the obvious window form
+    * ([[packSequencesWindowed]], kept as the parity oracle) serializes
+    * into ONE task per stream — with a single stream the whole corpus
+    * funnels through one core. This form is the classic two-pass parallel
+    * prefix sum instead: (1) range-partition by (stream, id) and take
+    * per-(partition, stream) token SUBTOTALS — a driver-bounded aggregate
+    * (numPartitions x streams-crossing-a-boundary rows, not corpus rows);
+    * (2) exclusive-prefix the subtotals driver-side into per-(partition,
+    * stream) start offsets; (3) a map-only per-partition running sum adds
+    * the broadcast start offset. Every stage is corpus-parallel; the only
+    * corpus shuffle is the range partition (the window form shuffles the
+    * same rows on `byCol` hash). Both passes re-derive the same layout:
+    * `repartitionByRange` samples boundaries with partition-index-seeded
+    * determinism and (stream, id) keys are unique, so the sorted layout
+    * is a pure function of the input. PipelineOpsSpec pins parity against
+    * the window oracle; ScaleProbe carries the one-stream row. */
   def packSequences(
+      docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, byCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(col(byCol), col(idCol),
+        size(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+          .cast("long").as("n_tokens"))
+    val parted = toks
+      .repartitionByRange(col(byCol), col(idCol))
+      .sortWithinPartitions(col(byCol), col(idCol))
+    // pass 1: per-(partition, stream) token subtotals — rows are bounded
+    // by numPartitions + streams (each partition holds contiguous (by, id)
+    // ranges), so the collect is partition-count-scale, never corpus-scale
+    val subtotals = parted
+      .groupBy(spark_partition_id().as("__pid"), col(byCol).as("__by"))
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__t"))
+      .collect()
+    val startOffsets: Map[(Int, Any), Long] = subtotals
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+      .groupBy(_._2)
+      .flatMap { case (by, rows) =>
+        var run = 0L
+        rows.sortBy(_._1).map { case (pid, _, t) =>
+          val start = run; run += t; ((pid, by), start)
+        }
+      }
+    val bcOffsets = spark.sparkContext.broadcast(startOffsets)
+    // pass 2: map-only — within each partition streams are contiguous and
+    // id-sorted, so a running sum seeded by the broadcast start offset is
+    // the exact global prefix
+    val outSchema = parted.schema.add("cum_before",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val offs = bcOffsets.value
+      var haveKey = false
+      var curKey: Any = null
+      var run = 0L
+      it.map { row =>
+        val k = row.get(0)
+        if (!haveKey || (if (k == null) curKey != null else k != curKey)) {
+          haveKey = true; curKey = k
+          run = offs.getOrElse((pid, k), 0L)
+        }
+        val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ run)
+        // null n_tokens (null text) contributes nothing to the prefix —
+        // exactly how the window oracle's SUM skips nulls
+        if (!row.isNullAt(2)) run += row.getLong(2)
+        out
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .withColumn("bin", expr(s"cum_before div ${budgetTokens}L"))
+      .withColumn("offset_tokens", col("cum_before") % lit(budgetTokens))
+      .drop("cum_before")
+  }
+
+  /** The single-window form of [[packSequences]] — ONE task per `byCol`
+    * stream, the exact declarative spelling of the packing contract. Kept
+    * as the PARITY ORACLE for the two-pass form (PipelineOpsSpec asserts
+    * bit-identical output); not for production corpora (a one-stream
+    * corpus serializes into a single task). */
+  def packSequencesWindowed(
       docs: DataFrame, idCol: String, textCol: String,
       budgetTokens: Long, byCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

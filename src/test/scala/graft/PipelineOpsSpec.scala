@@ -148,4 +148,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(3L) === (2L, 1L, 2L))
     assert(got(10L) === (6L, 0L, 0L))
   }
+
+  test("packSequences: two-pass form is bit-identical to the window oracle") {
+    // enough rows to straddle many range partitions, a single-stream
+    // corpus (the window form's worst case), plus a multi-stream one with
+    // varying token counts, empty and null texts
+    val rnd = new scala.util.Random(17)
+    val docs = (1L to 500L).map { i =>
+      val src = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      val text =
+        if (i % 97 == 0) null
+        else if (i % 41 == 0) ""
+        else Seq.fill(rnd.nextInt(12))("tok").mkString(" ")
+      (i, src, text)
+    }.toDF("doc_id", "src", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src", "doc_id").collect().map(_.toString).toSeq
+    for (byDf <- Seq(docs, docs.withColumn("src", lit("one")))) {
+      val fast = Curation.packSequences(byDf, "doc_id", "text", 7L, "src")
+      val oracle = Curation.packSequencesWindowed(byDf, "doc_id", "text", 7L, "src")
+      assert(key(fast) === key(oracle))
+    }
+    // the two-pass form must actually spread one stream over MANY tasks:
+    // the range partitioner splits on (src, doc_id), not src alone. AQE
+    // legitimately coalesces this 500-row shuffle back to one partition —
+    // at corpus scale the partitions are large and stay split — so the
+    // SHAPE assertion runs with coalescing off
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val one = docs.withColumn("src", lit("one"))
+      val parts = Curation.packSequences(one, "doc_id", "text", 7L, "src")
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+        .distinct().count()
+      assert(parts > 1, s"single stream still packed in one task (parts=$parts)")
+    } finally spark.conf.set(coalesceKey, prev)
+  }
 }

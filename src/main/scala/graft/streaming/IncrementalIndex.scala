@@ -179,6 +179,20 @@ object IncrementalIndex {
     // assigns instead (identical argmax: simRound=4 HALF_UP, ties to the
     // lowest id — IncrementalIndexSpec pins the parity at 100 centroids).
     val nSeeds = centroids.count()
+    // the bulk kernel narrows centroid ids to Int (its broadcast matrix is
+    // (Int, Array[Float])-keyed): a labeled-seed caller passing long ids
+    // beyond Int range would silently WRAP under cast("int") and land rows
+    // in aliased cells — fail fast once, before any batch commits
+    if (nSeeds > 64) {
+      val b = centroids.agg(
+        min(col(centroidIdCol).cast("long")).as("lo"),
+        max(col(centroidIdCol).cast("long")).as("hi")).head()
+      if (!b.isNullAt(0))
+        require(b.getLong(0) >= Int.MinValue && b.getLong(1) <= Int.MaxValue,
+          s"centroid ids [${b.getLong(0)}, ${b.getLong(1)}] exceed Int range " +
+            "— the >64-centroid bulk assignment kernel keys its broadcast " +
+            "matrix by Int and cast(\"int\") would silently wrap them")
+    }
     val schema = spark.read.parquet(landingDir).schema
     val src = spark.readStream.schema(schema).parquet(landingDir)
     val q = src.writeStream
@@ -217,123 +231,133 @@ object IncrementalIndex {
         // recompute the argmax once per leg (measured 4x on the r13
         // maintenance probe). Dispatch: packed knnJoin at oracle-scale
         // centroid counts, bulk kernel past 64 — same argmax (round-4
-        // HALF_UP sims, ties to the lowest id; a null vector lands a NULL
-        // cell on the bulk route).
+        // HALF_UP sims, ties to the lowest id). Null-vector rows are
+        // filtered BEFORE assignment on both routes: the knnJoin route
+        // silently dropped them (no match) while the bulk route landed a
+        // NULL-cell partition no serving path reads — one behavior now,
+        // and it is the knnJoin one (an unservable vector does not land).
+        val assignable = batch.select(col(idCol), col(vecCol))
+          .filter(col(vecCol).isNotNull)
         val assigned = (if (nSeeds <= 64)
             graft.operators.Similarity
-              .knnJoin(batch.select(col(idCol), col(vecCol)), seeds, k = 1,
+              .knnJoin(assignable, seeds, k = 1,
                 idCol = idCol, vecCol = vecCol)
               .select(col(idCol), col("seed_id").as(cc))
           else
             graft.operators.Similarity
-              .assignCellsBulk(batch.select(col(idCol), col(vecCol)),
+              .assignCellsBulk(assignable,
                 centroids.select(col(centroidIdCol).cast("int").as("cluster"),
                   col("cv")),
                 vecCol = vecCol, clusterCol = "cluster", simRound = 4)
               .select(col(idCol), col("cluster").cast("long").as(cc))
           ).persist()
-        // replay idempotence: cell assignment may DIFFER on replay (the
-        // caller can pass refit centroids after a crash), so dynamic
-        // overwrite of only the (batch, cell) partitions produced THIS
-        // time would leave the crashed attempt's other-cell partitions
-        // alive. Drop the whole batch subtree first, then append — the
-        // batch_id outer partition makes that one directory delete.
-        val batchPath = new org.apache.hadoop.fs.Path(s"$sinkDir/batch_id=$batchId")
-        batchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(batchPath, true)
-        // repartition by the cell column before each cell-partitioned
-        // write: a partitionBy write emits one file per (task, cell) pair,
-        // so the 32-way-parallel batch would otherwise land ~tasks × cells
-        // small files per batch (measured ~7k files for a 10k-row landing
-        // at nlist=4000) — hashing each cell to exactly one task bounds it
-        // at one file per touched cell per batch, the layout compaction
-        // folds further
-        batch.join(assigned, Seq(idCol))
-          .withColumn("batch_id", lit(batchId))
-          .repartition(col(cc))
-          .write.mode("append")
-          .partitionBy("batch_id", cc)
-          .parquet(sinkDir)
-        for (cb <- codebooks; cd <- codesDir) {
-          val codesBatchPath = new org.apache.hadoop.fs.Path(s"$cd/batch_id=$batchId")
-          codesBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(codesBatchPath, true)
-          val codesCol = ccCodes.getOrElse(cc)
-          graft.operators.Similarity
-            .pqEncode(pqBatch.join(assigned, Seq(idCol)),
-              cb, numSub, subDim, idCol, vecCol, carry = Seq(cc))
-            .withColumnRenamed(cc, codesCol)
-            .withColumn("batch_id", lit(batchId))
-            .repartition(col(codesCol))
-            .write.mode("append")
-            .partitionBy("batch_id", codesCol)
-            .parquet(cd)
-        }
-        // per-(cell, attribute) histogram DELTA for this batch — keeps the
-        // adaptive probe planner's artifact in lockstep with the landed
-        // store (the build-time artifact alone goes stale the moment a
-        // batch lands). Delta rows, not read-modify-write: the planner's
-        // cellStatsCounts sums `cnt` per cell, so accumulated batch deltas
-        // read as the exact merged histogram, and the batch_id subtree
-        // delete+append keeps replay idempotence like cells/codes. The
-        // artifact stays coarse-quantizer-sized (nlist x |attrs| x batches;
-        // [[compactStats]] MERGES piled-up deltas back to one row per key).
-        for (sd <- statsDir) {
-          val statsBatchPath = new org.apache.hadoop.fs.Path(s"$sd/batch_id=$batchId")
-          statsBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(statsBatchPath, true)
-          graft.operators.Similarity
-            .cellStats(batch.join(assigned, Seq(idCol)), statsCols, cc)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append")
-            .partitionBy("batch_id")
-            .parquet(sd)
-        }
-        // per-cell RADIUS delta for this batch — a landed row can lie
-        // FARTHER from its centroid than the build-time radius, and a
-        // too-small radius breaks [[graft.operators.Similarity
-        // .ivfRangeSearchPruned]]'s skip bound (a skipped cell would hold a
-        // hit: MISSED RESULTS, not just a slow plan). Max-per-cell deltas
-        // restore the bound: `loadRadii`'s max-merge over batches (plus the
-        // build artifact) is the true store-wide max. Deletes need no
-        // compensation — removing rows only shrinks the true max, so a
-        // stale-high radius stays a valid (merely conservative) bound.
-        // Same batch_id delete+append replay idempotence as cells/codes.
-        for (rd <- radiiDir) {
-          val radiiBatchPath = new org.apache.hadoop.fs.Path(s"$rd/batch_id=$batchId")
-          radiiBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(radiiBatchPath, true)
-          graft.operators.Similarity
-            .cellRadii(batch.join(assigned, Seq(idCol)),
-              centroids.select(col(centroidIdCol).as(cc), col("cv")),
-              vecCol, cc)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append")
-            .partitionBy("batch_id")
-            .parquet(rd)
-        }
-        // SQ8 byte-store delta — the build persists an int8 artifact
-        // beside the cells ([[graft.operators.Similarity.buildDenseIndex]])
-        // and [[graft.operators.Similarity.ivfInt8RefineSearch]] scans it
-        // INSTEAD of the float cells, so an unmaintained int8 store goes
-        // silently stale the moment a batch lands: the coarse stage would
-        // rank over yesterday's corpus while the refine reads today's.
-        // Encode is on the RAW vectors (SQ8 serves the raw basis — the
-        // OPQ rotation concerns only the PQ codes), cell-partitioned
-        // under the same batch_id replay-idempotence as cells/codes.
-        for (i8d <- int8Dir) {
-          val i8BatchPath = new org.apache.hadoop.fs.Path(s"$i8d/batch_id=$batchId")
-          i8BatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(i8BatchPath, true)
-          graft.operators.Similarity
-            .int8EncodeCells(batch.join(assigned, Seq(idCol)), idCol, vecCol, cc)
+        // every leg below reads the persisted assignment: if one
+        // throws, the retried micro-batch must not inherit a leaked
+        // cached copy (it would accumulate in the block manager across
+        // stream restarts), so unpersist sits in a finally
+        try {
+          // replay idempotence: cell assignment may DIFFER on replay (the
+          // caller can pass refit centroids after a crash), so dynamic
+          // overwrite of only the (batch, cell) partitions produced THIS
+          // time would leave the crashed attempt's other-cell partitions
+          // alive. Drop the whole batch subtree first, then append — the
+          // batch_id outer partition makes that one directory delete.
+          val batchPath = new org.apache.hadoop.fs.Path(s"$sinkDir/batch_id=$batchId")
+          batchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(batchPath, true)
+          // repartition by the cell column before each cell-partitioned
+          // write: a partitionBy write emits one file per (task, cell) pair,
+          // so the 32-way-parallel batch would otherwise land ~tasks × cells
+          // small files per batch (measured ~7k files for a 10k-row landing
+          // at nlist=4000) — hashing each cell to exactly one task bounds it
+          // at one file per touched cell per batch, the layout compaction
+          // folds further
+          batch.join(assigned, Seq(idCol))
             .withColumn("batch_id", lit(batchId))
             .repartition(col(cc))
             .write.mode("append")
             .partitionBy("batch_id", cc)
-            .parquet(i8d)
-        }
-        assigned.unpersist()
+            .parquet(sinkDir)
+          for (cb <- codebooks; cd <- codesDir) {
+            val codesBatchPath = new org.apache.hadoop.fs.Path(s"$cd/batch_id=$batchId")
+            codesBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(codesBatchPath, true)
+            val codesCol = ccCodes.getOrElse(cc)
+            graft.operators.Similarity
+              .pqEncode(pqBatch.join(assigned, Seq(idCol)),
+                cb, numSub, subDim, idCol, vecCol, carry = Seq(cc))
+              .withColumnRenamed(cc, codesCol)
+              .withColumn("batch_id", lit(batchId))
+              .repartition(col(codesCol))
+              .write.mode("append")
+              .partitionBy("batch_id", codesCol)
+              .parquet(cd)
+          }
+          // per-(cell, attribute) histogram DELTA for this batch — keeps the
+          // adaptive probe planner's artifact in lockstep with the landed
+          // store (the build-time artifact alone goes stale the moment a
+          // batch lands). Delta rows, not read-modify-write: the planner's
+          // cellStatsCounts sums `cnt` per cell, so accumulated batch deltas
+          // read as the exact merged histogram, and the batch_id subtree
+          // delete+append keeps replay idempotence like cells/codes. The
+          // artifact stays coarse-quantizer-sized (nlist x |attrs| x batches;
+          // [[compactStats]] MERGES piled-up deltas back to one row per key).
+          for (sd <- statsDir) {
+            val statsBatchPath = new org.apache.hadoop.fs.Path(s"$sd/batch_id=$batchId")
+            statsBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(statsBatchPath, true)
+            graft.operators.Similarity
+              .cellStats(batch.join(assigned, Seq(idCol)), statsCols, cc)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append")
+              .partitionBy("batch_id")
+              .parquet(sd)
+          }
+          // per-cell RADIUS delta for this batch — a landed row can lie
+          // FARTHER from its centroid than the build-time radius, and a
+          // too-small radius breaks [[graft.operators.Similarity
+          // .ivfRangeSearchPruned]]'s skip bound (a skipped cell would hold a
+          // hit: MISSED RESULTS, not just a slow plan). Max-per-cell deltas
+          // restore the bound: `loadRadii`'s max-merge over batches (plus the
+          // build artifact) is the true store-wide max. Deletes need no
+          // compensation — removing rows only shrinks the true max, so a
+          // stale-high radius stays a valid (merely conservative) bound.
+          // Same batch_id delete+append replay idempotence as cells/codes.
+          for (rd <- radiiDir) {
+            val radiiBatchPath = new org.apache.hadoop.fs.Path(s"$rd/batch_id=$batchId")
+            radiiBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(radiiBatchPath, true)
+            graft.operators.Similarity
+              .cellRadii(batch.join(assigned, Seq(idCol)),
+                centroids.select(col(centroidIdCol).as(cc), col("cv")),
+                vecCol, cc)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append")
+              .partitionBy("batch_id")
+              .parquet(rd)
+          }
+          // SQ8 byte-store delta — the build persists an int8 artifact
+          // beside the cells ([[graft.operators.Similarity.buildDenseIndex]])
+          // and [[graft.operators.Similarity.ivfInt8RefineSearch]] scans it
+          // INSTEAD of the float cells, so an unmaintained int8 store goes
+          // silently stale the moment a batch lands: the coarse stage would
+          // rank over yesterday's corpus while the refine reads today's.
+          // Encode is on the RAW vectors (SQ8 serves the raw basis — the
+          // OPQ rotation concerns only the PQ codes), cell-partitioned
+          // under the same batch_id replay-idempotence as cells/codes.
+          for (i8d <- int8Dir) {
+            val i8BatchPath = new org.apache.hadoop.fs.Path(s"$i8d/batch_id=$batchId")
+            i8BatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(i8BatchPath, true)
+            graft.operators.Similarity
+              .int8EncodeCells(batch.join(assigned, Seq(idCol)), idCol, vecCol, cc)
+              .withColumn("batch_id", lit(batchId))
+              .repartition(col(cc))
+              .write.mode("append")
+              .partitionBy("batch_id", cc)
+              .parquet(i8d)
+          }
+        } finally assigned.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())

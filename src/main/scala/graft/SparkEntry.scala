@@ -709,18 +709,21 @@ object SparkEntry {
     * PartitionFilters-pruned path. Build-once per dataset dir. */
   private[graft] object D768Artifacts {
     case class Ivfpq(centroids: DataFrame, cells: DataFrame,
-        codebooks: DataFrame, codes: DataFrame, int8: DataFrame)
+        codebooks: DataFrame, codes: DataFrame, int8: DataFrame,
+        bin: DataFrame)
     val (numSub, subDim, numCodes) = (8, 96, 16)
     def build(s: SparkSession, dir: String): Ivfpq = {
       // variant bumped when the artifact SET grew (round 13 added the
-      // int8 store): a pre-bump cache dir would read-miss the new store
-      val p = ArtifactMemo.root(dir, "ivfpq-d768-sq8")
+      // int8 store, round 14 the binary signature store): a pre-bump
+      // cache dir would read-miss the new store
+      val p = ArtifactMemo.root(dir, "ivfpq-d768-sq8-bin")
       def read = Ivfpq(
         centroids = s.read.parquet(s"$p/centroids"),
         cells = s.read.parquet(s"$p/cells"),
         codebooks = s.read.parquet(s"$p/codebooks"),
         codes = s.read.parquet(s"$p/codes"),
-        int8 = s.read.parquet(s"$p/int8"))
+        int8 = s.read.parquet(s"$p/int8"),
+        bin = s.read.parquet(s"$p/bin"))
       ArtifactMemo(p) {
         val e768 = expand768(t(s, dir, "embeddings"))
         val hw = Window.orderBy(col("__h"), col("vec_id"))
@@ -752,6 +755,13 @@ object SparkEntry {
         // so the saturation clamp is genuinely exercised by the oracle.
         graft.sources.Store.writePartitioned(
           Similarity.int8EncodeCells(cells), s"$p/int8", "cluster")
+        // BINARY sibling store at d=768 (round 14): 12 packed BIGINT
+        // words per row (96 bytes vs 3072 float), same cell partitioning
+        // — the [[Similarity.ivfBinaryRefineSearch]] artifact. d=768
+        // exercises genuinely multi-word signatures (the d=64 base
+        // table packs to a single word).
+        graft.sources.Store.writePartitioned(
+          Similarity.binaryEncodeCells(cells), s"$p/bin", "cluster")
         read
       }(read)
     }
@@ -2886,6 +2896,42 @@ object SparkEntry {
              |  FROM embeddings e JOIN a3 USING (vec_id)
              |  JOIN probe p ON p.cluster = a3.cluster CROSS JOIN q),
              |shortlist AS (SELECT vec_id FROM isc ORDER BY score_c DESC, vec_id LIMIT 50)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id CROSS JOIN q
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
+    // BINARY (1-bit sign) two-stage serving (r14 — the FAISS
+    // IndexBinaryFlat + refine pattern, the cheapest quantized scan in
+    // the family ladder: 1 bit/dim = 32x less coarse IO than floats, 8x
+    // less than SQ8): corpus signatures packed 64 dims per BIGINT word
+    // ([[Similarity.binarySig]]), coarse rank by XOR-popcount Hamming
+    // ASCENDING over the probed cells (integer-exact boundary, ties to
+    // the lower id), exact refine of the 50-row shortlist. The oracle
+    // computes the identical Hamming directly from the float signs —
+    // (a > 0) != (b > 0) per dimension — so the bit-packing itself is
+    // hash-pinned against an unpacked engine.
+    ("sim_bq",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val store = Similarity.binaryEncodeCells(idx.cells)
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.ivfBinaryRefineSearch(store, idx.cells, idx.centroids, qv,
+          nprobe = 2, kCoarse = 50, k = 20)
+      },
+      Some(s"""$ivfCellCtes,
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN q),
+             |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2),
+             |hm AS (SELECT e.vec_id,
+             |    (SELECT COUNT(*) FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x
+             |     WHERE (x.a > 0) != (x.b > 0)) AS ham
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN probe p ON p.cluster = a3.cluster CROSS JOIN q),
+             |shortlist AS (SELECT vec_id FROM hm ORDER BY ham ASC, vec_id LIMIT 50)
              |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
              |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
              |FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id CROSS JOIN q
@@ -5141,6 +5187,75 @@ object SparkEntry {
              |SELECT query_id, n_hit, ROUND(n_hit / 10.0, 6) AS recall
              |FROM hh ORDER BY query_id""".stripMargin)),
 
+    // measured recall of the BINARY sign-Hamming coarse cut (sim_bq's
+    // serving shape): the 1-bit family is the cheapest scan in the
+    // ladder, so its recall number is the one that decides whether the
+    // 32x IO cut is usable for a given corpus — measured here against
+    // the exact top-10 instead of assumed from the SimHash angle bound,
+    // completing the per-family eval matrix (IVF, LSH, PCA, SQ8, OPQ,
+    // matryoshka, binary).
+    ("eval_bq_recall",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val store = Similarity.binaryEncodeCells(idx.cells)
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val approx = Seq(0L, 1L, 2L).map { q =>
+          Similarity.ivfBinaryRefineSearch(
+              store, idx.cells, idx.centroids,
+              emb.filter(col("vec_id") === q).select(col("embedding").as("qv")),
+              nprobe = 2, kCoarse = 20, k = 10)
+            .select(lit(q).as("query_id"), col("vec_id"), col("score").as("sim"))
+        }.reduce(_ unionByName _)
+        val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
+          "query_id", "vec_id", "sim")
+        Eval.annQuality(Eval.ranked(approx, "query_id", "vec_id", "sim"),
+            truth, k = 10)
+          .select(col("query_id"), col("n_hit"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""$ivfCellCtes,
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
+             |hm AS (SELECT p.query_id, e.vec_id,
+             |    (SELECT COUNT(*) FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x
+             |     WHERE (x.a > 0) != (x.b > 0)) AS ham
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN probe p ON p.cluster = a3.cluster
+             |  JOIN qs q ON q.query_id = p.query_id),
+             |shortlist AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY ham ASC, vec_id) AS rn FROM hm) x WHERE rn <= 20),
+             |sc AS (SELECT sl.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id
+             |  JOIN qs q ON q.query_id = sl.query_id),
+             |approx AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sc) x
+             |  WHERE rn <= 10),
+             |exact AS (SELECT q.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS sim
+             |  FROM embeddings e CROSS JOIN qs q),
+             |truth AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM exact) x
+             |  WHERE rn <= 10),
+             |hh AS (SELECT t.query_id, COUNT(a.vec_id) AS n_hit FROM truth t
+             |      LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+             |      GROUP BY 1)
+             |SELECT query_id, n_hit, ROUND(n_hit / 10.0, 6) AS recall
+             |FROM hh ORDER BY query_id""".stripMargin)),
+
     // measured recall of the matryoshka truncated-prefix coarse cut
     // (sim_matryoshka_refine's serving shape): the adaptive-retrieval
     // promise is that the leading 16 of 64 coordinates rank well — this
@@ -5615,6 +5730,42 @@ object SparkEntry {
              |  FROM e768 e JOIN cells USING (vec_id)
              |  JOIN probe p ON p.cluster = cells.cluster CROSS JOIN q),
              |shortlist AS (SELECT vec_id FROM isc ORDER BY score_i DESC, vec_id LIMIT 50)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.emb) a, unnest(q.qv) b) y), 4) AS score
+             |FROM e768 e JOIN shortlist sl ON sl.vec_id = e.vec_id CROSS JOIN q
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
+    // BINARY two-stage serving at PRODUCTION dimensionality (r14, the
+    // sim_bq twin at d=768 where the signature is genuinely MULTI-WORD —
+    // 12 packed BIGINTs per row, 96 bytes vs 3072 for the float scan):
+    // coarse Hamming rank from the PERSISTED cell-partitioned signature
+    // store, exact refine of the 50-row shortlist. The query vector is
+    // scaled 2x like the SQ8 twin — sign(2x) = sign(x), so the binary
+    // coarse stage is invariant where SQ8's clamp leg fires: the two
+    // families' oracles pin opposite behaviors on the same payload.
+    ("sim_bq_d768",
+      (s, dir) => {
+        val a = D768Artifacts.build(s, dir)
+        val qv = expand768(t(s, dir, "embeddings"))
+          .filter(col("vec_id") === 0)
+          .select(transform(col("embedding"),
+            x => (x.cast("double") * lit(2.0d)).cast("float")).as("qv"))
+        Similarity.ivfBinaryRefineSearch(a.bin, a.cells, a.centroids, qv,
+          nprobe = 2, kCoarse = 50, k = 20)
+      },
+      Some(s"""$d768CellCtes,
+             |q AS (SELECT list_transform(emb, x -> CAST(x::DOUBLE * 2 AS REAL)) AS qv
+             |      FROM e768 WHERE vec_id = 0),
+             |cs AS (SELECT c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM cents c CROSS JOIN q),
+             |probe AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 2),
+             |hm AS (SELECT e.vec_id,
+             |    (SELECT COUNT(*) FROM (SELECT unnest(e.emb) a, unnest(q.qv) b) x
+             |     WHERE (x.a > 0) != (x.b > 0)) AS ham
+             |  FROM e768 e JOIN cells USING (vec_id)
+             |  JOIN probe p ON p.cluster = cells.cluster CROSS JOIN q),
+             |shortlist AS (SELECT vec_id FROM hm ORDER BY ham ASC, vec_id LIMIT 50)
              |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
              |         FROM (SELECT unnest(e.emb) a, unnest(q.qv) b) y), 4) AS score
              |FROM e768 e JOIN shortlist sl ON sl.vec_id = e.vec_id CROSS JOIN q

@@ -3013,6 +3013,92 @@ object Similarity {
       k, idCol, "score")
   }
 
+  /** SIGN-bit binarization of a vector column, packed 64 dims per BIGINT
+    * word (FAISS `IndexBinaryFlat` / SimHash sign convention; the
+    * binarized store the reference's flat float indexes would shrink to
+    * at corpus scale): bit `b` of word `w` is dimension `w*64 + b`, set
+    * iff the coordinate is STRICTLY positive (zero and negatives clear —
+    * both sides of every Hamming comparison must share this convention).
+    * d=768 packs to 12 BIGINTs = 96 bytes/row vs 3072 for the float
+    * store — a 32x smaller coarse scan than floats and 8x smaller than
+    * SQ8. Padding bits past `d` in the last word are zero on BOTH the
+    * corpus and query side, so they never contribute to an XOR. A null
+    * vector packs to a null signature (the store writer drops it like
+    * every serving artifact here). Pure codegen'd builtins — no UDF. */
+  def binarySig(vec: Column): Column =
+    transform(
+      sequence(lit(0), ceil(size(vec).cast("double") / 64d).cast("int") - 1),
+      w => aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) =>
+        acc + when(
+          (w * 64 + b) < size(vec) &&
+            element_at(vec, (w * 64 + b + 1).cast("int")).cast("double") > 0d,
+          call_function("shiftleft", lit(1L), b.cast("int")))
+          .otherwise(lit(0L))))
+
+  /** Hamming distance between two packed signatures ([[binarySig]]):
+    * popcount of the wordwise XOR, summed. INTEGER-exact, so the coarse
+    * shortlist boundary is deterministic across engines — the same
+    * portability property as the SQ8 integer dot. */
+  def hammingSig(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Binary signature store: `(id, cluster, sig array<bigint>)` — the
+    * 1-bit-per-dim serving artifact, cell-partitioned like the int8 and
+    * codes stores (persist with [[graft.sources.Store.writePartitioned]]
+    * by the cluster column; serve via [[ivfBinaryRefineSearch]]). */
+  def binaryEncodeCells(
+      cells: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster"): DataFrame =
+    cells.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(clusterCol), binarySig(col(vecCol)).as("sig"))
+
+  /** Two-stage IVF-BINARY + exact-refine serving (the 1-bit sibling of
+    * [[ivfInt8RefineSearch]], FAISS's binary-index + refine pattern):
+    * probe driver-side, scan ONLY the probed cells of the persisted
+    * signature store (1 BIT/dim — 32x less IO than the float corpus),
+    * rank by packed-XOR-popcount Hamming ASCENDING (integer-exact, ties
+    * to the lower id), shortlist `kCoarse`, then fetch just those rows'
+    * original vectors from the same probed cell partitions and exactly
+    * re-score for the final top-k. For unit-normalized embeddings the
+    * sign-Hamming rank is the Goemans-Williamson angle estimate (the
+    * SimHash collision bound), so recall concentrates fast in kCoarse;
+    * [[graft.SparkEntry]]'s `eval_bq_recall` measures it against the
+    * exact top-k rather than assuming it. */
+  def ivfBinaryRefineSearch(
+      binStore: DataFrame,
+      cells: DataFrame,
+      centroids: DataFrame,
+      queryDf: DataFrame,
+      nprobe: Int,
+      kCoarse: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      roundTo: Int = 4): DataFrame = {
+    require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
+    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    // query packs through the SAME [[binarySig]] convention as the store
+    val qsig = broadcast(queryDf.select(binarySig(col("qv")).as("qsig")))
+    val shortlist = binStore.filter(col(clusterCol).isin(probed: _*))
+      .crossJoin(qsig)
+      .select(col(idCol), hammingSig(col("sig"), col("qsig")).as("ham"))
+      .orderBy(col("ham").asc, col(idCol).asc)
+      .limit(kCoarse)
+    scoreAll(
+      cells.filter(col(clusterCol).isin(probed: _*))
+        .join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi"),
+      queryDf, idCol, vecCol)
+      .select(col(idCol), round(col("score"), roundTo).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Batch IVF-PQ serving against the persisted codes: per-query probing on
     * the centroid artifact (driver-scale, [[probeCellsBatch]]), ONE scan of
     * the UNION of probed cells' code partitions (literal PartitionFilters),

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 1-bit binary quantization family ([[Similarity.binarySig]] /
+  * [[Similarity.hammingSig]] / [[Similarity.ivfBinaryRefineSearch]]):
+  *
+  *  - packing parity: the packed XOR-popcount Hamming equals the
+  *    per-dimension sign-mismatch count computed directly on the floats
+  *    (the definition the DuckDB oracle uses), including on dimensions
+  *    that are NOT a multiple of the 64-bit word;
+  *  - padding bits are inert: signatures of different-length suffixes of
+  *    the same vector agree on shared words;
+  *  - the sign convention is strict-positive: 0.0 packs to a clear bit,
+  *    so a zero coordinate Hamming-matches a negative one;
+  *  - null vectors pack to null signatures and are dropped by the store
+  *    writer like every serving artifact;
+  *  - serving: full-probe binary-coarse + exact-refine with kCoarse = N
+  *    degenerates to the exact top-k (the refine stage sees everything). */
+class BinarySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+  }
+
+  test("packed Hamming == direct sign-mismatch count (d=70, crosses a word)") {
+    // d=70: word 0 full, word 1 holds 6 live bits + 58 padding bits
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 20L).map(i =>
+      i -> Seq.fill(70)((rnd.nextDouble() * 2 - 1).toFloat))
+    val df = vecDf(rows)
+    val q = rows(3)._2
+    val packed = df.select(col("vec_id"),
+        Similarity.hammingSig(
+          Similarity.binarySig(col("embedding")),
+          Similarity.binarySig(typedLit(q))).as("ham"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, v) =>
+      val direct = v.zip(q).count { case (a, b) => (a > 0) != (b > 0) }
+      assert(packed(id) === direct.toLong, s"row $id")
+    }
+  }
+
+  test("strict-positive convention: 0.0 packs like a negative, not a positive") {
+    val df = vecDf(Seq(
+      1L -> Seq(0.0f, 1.0f, -1.0f),
+      2L -> Seq(-0.5f, 1.0f, -1.0f)))
+    val sigs = df.select(col("vec_id"), Similarity.binarySig(col("embedding")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L)) // 0.0 and -0.5 both clear bit 0
+    assert(sigs(1L) === Seq(2L))  // only bit 1 (the +1.0 dim) set
+  }
+
+  test("null vector packs to null and the store writer drops it") {
+    val df = spark.sql(
+      "SELECT * FROM VALUES (1L, array(CAST(1.0 AS FLOAT)), 0), " +
+        "(2L, CAST(NULL AS ARRAY<FLOAT>), 0) AS t(vec_id, embedding, cluster)")
+    val sig = df.select(Similarity.binarySig(col("embedding")).as("s"))
+      .collect().map(r => Option(r.get(0)))
+    assert(sig.count(_.isEmpty) === 1)
+    assert(Similarity.binaryEncodeCells(df).count() === 1)
+  }
+
+  test("full-probe binary coarse with kCoarse=N + exact refine == exact top-k") {
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(200).cache()
+    val n = emb.count().toInt
+    val out = java.nio.file.Files.createTempDirectory("graft_bq").toString
+    val idx = Similarity.buildDenseIndex(emb, out,
+      Some(Similarity.IvfParams(nlist = 4, lloydIters = 1, numSub = 8,
+        subDim = 8, numCentroids = 16, pqIters = 1, defaultNprobe = 4)))
+    val store = Similarity.binaryEncodeCells(idx.cells)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val got = Similarity.ivfBinaryRefineSearch(store, idx.cells, idx.centroids,
+        qv, nprobe = 4, kCoarse = n, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // mirror the refine stage's boundary discipline: rank on the ROUNDED
+    // exact score, ties to the lower id
+    val exact = Similarity.scoreAll(emb, qv)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exact)
+    emb.unpersist()
+  }
+}

@@ -153,12 +153,29 @@ class SearchEngine(
   private def resolveNprobe(nprobe: Option[Int], index: Similarity.DenseIndex): Int =
     nprobe.orElse(index.defaultNprobe).getOrElse(2)
 
+  /** Driver-cached coarse probes, one per centroid ARTIFACT (r14 serving
+    * lever): [[Similarity.probeCells]] launches a Spark job per request;
+    * the cache collects each index's centroid table once and probes
+    * in-process with exact [[Similarity.probeCells]] parity
+    * (ProbeCacheSpec). Keyed by the centroid DataFrame REFERENCE — a
+    * retrain-and-swap version publish hands the facade a new DenseIndex
+    * with new DataFrames, so a stale cache cannot survive a version
+    * swap. Weak keys: dropping an index drops its cache entry. */
+  private val probeCaches =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, Similarity.CentroidCache])
+
+  private def cachedProbe(
+      index: Similarity.DenseIndex, qv: Array[Float], nprobe: Int): Seq[Int] =
+    probeCaches.computeIfAbsent(index.centroids,
+      c => new Similarity.CentroidCache(c)).probe(qv, nprobe)
+
   private def annChannel(
       index: Similarity.DenseIndex, vecCol: String, qv: Array[Float],
       k: Int, nprobe: Int, cands: DataFrame): DataFrame = {
     val spark = corpus.embeddings.sparkSession
     val qvDf = spark.range(1).select(lit(qv).as("qv"))
-    val probed = Similarity.probeCells(index.centroids, qvDf, nprobe, "cluster")
+    val probed = cachedProbe(index, qv, nprobe)
     index.cells.filter(col("cluster").isin(probed: _*))
       .join(cands, Seq("id"))
       .withColumn("qv", lit(qv))

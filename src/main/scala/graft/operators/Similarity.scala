@@ -221,7 +221,12 @@ object Similarity {
       if (p.nlist <= 64) assignCells(emb, centArt, vecCol)
       else if (p.nlist <= (1 << 16)) assignCellsBulk(emb, centArt, vecCol)
       else assignCellsChunked(emb, centArt, vecCol)
-    graft.sources.Store.writePartitioned(assigned, s"$outDir/cells", "cluster")
+    // writeClustered, not writePartitioned: a direct dynamic-partition
+    // write of an nlist-cardinality column emits a file per (task, cell)
+    // pair — ~78k files at the flagship geometry, measured 8x slower to
+    // write and 24x slower for every downstream leg's scan (WriteProbe,
+    // BASELINE.md r14). One hash shuffle on the cell id buys ~1 file/cell.
+    graft.sources.Store.writeClustered(assigned, s"$outDir/cells", "cluster")
     phaseMark("full-corpus assign + cells write")
     // OPQ-STYLE rotation (FAISS OPQMatrix analog, Ge et al. 2013): fit the
     // full-d principal basis ONCE ([[pcaTopComponents]] — its own doc
@@ -258,6 +263,11 @@ object Similarity {
     phaseMark("PQ codebook train (+ rotation fit)")
     val encodeSrc = rotCoefs.fold(spark.read.parquet(s"$outDir/cells"))(cs =>
       rotateVectorsPrepared(spark.read.parquet(s"$outDir/cells"), cs, vecCol))
+    // the codes/int8 writes below stay DIRECT (no repartition): they scan
+    // the now-CLUSTERED cells store (~1 file per cell), so each cell's
+    // rows arrive in one scan task and the dynamic-partition write emits
+    // ~nlist files total — the repartition would re-shuffle the corpus
+    // for a file count the upstream layout already guarantees
     graft.sources.Store.writePartitioned(
       pqEncode(encodeSrc,
         spark.read.parquet(s"$outDir/codebooks"), p.numSub, p.subDim,
@@ -2295,6 +2305,52 @@ object Similarity {
       .orderBy(col("cscore").desc, col(clusterCol).asc)
       .limit(nprobe)
       .collect().map(_.getInt(0)).toSeq
+
+  /** Driver-CACHED coarse probe (the r14 serving lever BASELINE.md's
+    * concurrency finding named: at 8 concurrent clients the executor
+    * saturates on DRIVER work — planning and per-request jobs — not scan
+    * capacity). [[probeCells]] launches a Spark job per request (centroid
+    * parquet scan + cross join + collect of nlist rows); this collects
+    * the centroid table ONCE — nlist x d floats, the same driver-scale
+    * bound probeCells' own collect already implies (~12 MB at 4000 x 768)
+    * — and ranks cells IN-PROCESS with zero jobs per request.
+    *
+    * Exact-parity contract with [[probeCells]] (ProbeCacheSpec pins it on
+    * adversarial data): the same sequential-ascending double-accumulation
+    * dot over min(length) as `DotProductF`, the same SQL `round(_, 6)`
+    * HALF_UP decimal rounding, descending rounded score with ties to the
+    * LOWER cluster id, and null-vector centroids sorting LAST (Spark's
+    * NULLS LAST under a desc sort) in ascending id order — so even a
+    * probe deep enough to reach degenerate rows returns the identical
+    * list. Build one per PERSISTED centroid artifact: a retrain-and-swap
+    * version publish produces a new centroid DataFrame and must produce a
+    * new cache (key caches by the DataFrame reference, as
+    * [[graft.api.SearchEngine]] does). */
+  final class CentroidCache(centroids: DataFrame, clusterCol: String = "cluster") {
+    private val (scoredRows, nullRows): (Array[(Int, Array[Float])], Array[Int]) = {
+      val all = centroids.select(col(clusterCol).cast("int"), col("cv")).collect()
+      val (nn, nv) = all.partition(!_.isNullAt(1))
+      (nn.map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1),
+        nv.map(_.getInt(0)).sorted)
+    }
+
+    def probe(qv: Array[Float], nprobe: Int): Seq[Int] = {
+      val scored = scoredRows.map { case (id, cv) =>
+        val n = math.min(cv.length, qv.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += cv(i).toDouble * qv(i).toDouble; i += 1 }
+        (id, java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+      }
+      // (cscore desc, cluster asc); input is id-ascending and sortBy is
+      // stable, so negating the score alone reproduces the tie order
+      // (scores are finite rounded decimals — TotalOrdering is safe)
+      val ranked =
+        scored.sortBy(-_._2)(Ordering.Double.TotalOrdering).map(_._1) ++ nullRows
+      ranked.take(nprobe).toSeq
+    }
+  }
 
   /** Batch form of [[probeCells]]: per-query `nprobe` best cells for a
     * small `(query_id LONG, qv)` batch — (query_id, cluster) pairs plus

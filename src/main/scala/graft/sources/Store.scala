@@ -26,6 +26,22 @@ object Store {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** [[writePartitioned]] for HIGH-cardinality partition columns (IVF cell
+    * stores: nlist in the thousands): hash-repartition on the partition
+    * column FIRST, so each cell's rows land in one task and the store gets
+    * ~one file per cell. Written directly, a dynamic-partition write emits
+    * a file per (task, cell) pair — at the 1M x d=768 flagship geometry
+    * that is ~78k files, measured 805 s to write and 127 s for every
+    * downstream full pass, vs 96 s / 2k files / 5.3 s repartitioned
+    * (WriteProbe, BASELINE.md r14; the same fix the r13 incremental
+    * landing path got). The shuffle this inserts is corpus-sized but
+    * one-pass — an order of magnitude cheaper than the file-commit storm
+    * it replaces. Skew note: one task per hot cell is the write-side
+    * trade; build-time cell splitting ([[graft.operators.Similarity
+    * .splitOversizedCells]]) bounds it where cell populations are Zipfy. */
+  def writeClustered(df: DataFrame, path: String, partitionCol: String): Unit =
+    writePartitioned(df.repartition(col(partitionCol)), path, partitionCol)
+
   /** Bucketed+sorted managed table: join-key-co-located storage. */
   def writeBucketed(
       df: DataFrame, table: String, buckets: Int, key: String): Unit =

@@ -3155,6 +3155,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch form of [[ivfBinaryRefineSearch]] — the two-pruned-pass shape
+    * of [[ivfInt8RefineSearchBatch]] over the BIT-per-dim store: one scan
+    * of the probed cells' signature partitions Hamming-ranks each row
+    * against the queries probing its cell (XOR-popcount as a LONG — the
+    * aggregator ranks by score DESC, so the NEGATED Hamming feeds it and
+    * the integer (ham asc, id asc) order is preserved exactly),
+    * per-query `kCoarse` shortlists, then one scan of the same cells'
+    * original vectors re-scores only the broadcast shortlist pairs for
+    * the final per-query top-k. Parity with the single-query form is
+    * spec-pinned (BinarySpec). */
+  def ivfBinaryRefineSearchBatch(
+      binStore: DataFrame,
+      cells: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      nprobe: Int,
+      kCoarse: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      roundTo: Int = 4): DataFrame = {
+    require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
+    val spark = binStore.sparkSession
+    import spark.implicits._
+    val probed = probeCellsBatch(centroids, queries, nprobe, clusterCol)
+    val probedDf = probed.toDF("query_id", clusterCol)
+    val cellUnion = probed.map(_._2).distinct
+    val qsig = queries.select(col("query_id"), binarySig(col("qv")).as("qsig"))
+    val shortlist = topKPerQuery(
+      binStore.filter(col(clusterCol).isin(cellUnion: _*))
+        .join(broadcast(probedDf), Seq(clusterCol))
+        .join(broadcast(qsig), Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          (lit(0L) - hammingSig(col("sig"), col("qsig")))
+            .cast("double").as("score")),
+      kCoarse, idCol, "score")
+      .select(col("query_id"), col(idCol))
+    topKPerQuery(
+      cells.filter(col(clusterCol).isin(cellUnion: _*))
+        .join(broadcast(shortlist), Seq(idCol))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          round(VectorOps.dot(col(vecCol), col("qv")), roundTo).as("score")),
+      k, idCol, "score")
+  }
+
   /** Batch IVF-PQ serving against the persisted codes: per-query probing on
     * the centroid artifact (driver-scale, [[probeCellsBatch]]), ONE scan of
     * the UNION of probed cells' code partitions (literal PartitionFilters),

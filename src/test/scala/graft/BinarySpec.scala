@@ -88,4 +88,31 @@ class BinarySpec extends AnyFunSuite {
     assert(got === exact)
     emb.unpersist()
   }
+
+  test("batch binary refine == single-query form per query") {
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(300).cache()
+    emb.count()
+    val out = java.nio.file.Files.createTempDirectory("graft_bqb").toString
+    val idx = Similarity.buildDenseIndex(emb, out,
+      Some(Similarity.IvfParams(nlist = 4, lloydIters = 1, numSub = 8,
+        subDim = 8, numCentroids = 16, pqIters = 1, defaultNprobe = 2)))
+    val store = Similarity.binaryEncodeCells(idx.cells)
+    val queries = emb.filter(col("vec_id").isin(7, 42, 101))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = Similarity.ivfBinaryRefineSearchBatch(
+        store, idx.cells, idx.centroids, queries,
+        nprobe = 2, kCoarse = 30, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(x => (-x._2, x._1))).toMap
+    Seq(7L, 42L, 101L).foreach { q =>
+      val one = Similarity.ivfBinaryRefineSearch(
+        store, idx.cells, idx.centroids,
+        emb.filter(col("vec_id") === q).select(col("embedding").as("qv")),
+        nprobe = 2, kCoarse = 30, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q).toSeq === one, s"batch binary refine vs single for query $q")
+    }
+    emb.unpersist()
+  }
 }

@@ -2937,6 +2937,53 @@ object SparkEntry {
              |FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id CROSS JOIN q
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
 
+    // batch BINARY two-stage serving (the sim_bq family's production
+    // batch shape, mirroring sim_ivf_int8_refine_batch): THREE queries
+    // probe per-query, ONE scan of the probed cells' signature
+    // partitions Hamming-ranks each row against the queries probing its
+    // cell, per-query 50-row shortlists, one exact re-score pass.
+    // Parity with the single-query form is BinarySpec-pinned; this pins
+    // the batch plan against an unpacked cross-engine Hamming.
+    ("sim_bq_batch",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val store = Similarity.binaryEncodeCells(idx.cells)
+        val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        Similarity.ivfBinaryRefineSearchBatch(
+            store, idx.cells, idx.centroids, queries,
+            nprobe = 2, kCoarse = 50, k = 10)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some(s"""$ivfCellCtes,
+             |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             |       WHERE vec_id IN (0, 1, 2)),
+             |cs AS (SELECT q.query_id, c.cluster, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(c.cv) a, unnest(q.qv) b) y), 6) AS cscore
+             |       FROM c2 c CROSS JOIN qs q),
+             |probe AS (SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cscore DESC, cluster) AS rn FROM cs) x WHERE rn <= 2),
+             |hm AS (SELECT p.query_id, e.vec_id,
+             |    (SELECT COUNT(*) FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) x
+             |     WHERE (x.a > 0) != (x.b > 0)) AS ham
+             |  FROM embeddings e JOIN a3 USING (vec_id)
+             |  JOIN probe p ON p.cluster = a3.cluster
+             |  JOIN qs q ON q.query_id = p.query_id),
+             |shortlist AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY ham ASC, vec_id) AS rn FROM hm) x WHERE rn <= 50),
+             |sc AS (SELECT sl.query_id, e.vec_id,
+             |    ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |           FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |  FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id
+             |  JOIN qs q ON q.query_id = sl.query_id),
+             |rk AS (SELECT query_id, vec_id, score, ROW_NUMBER() OVER (
+             |         PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM sc)
+             |SELECT query_id, vec_id, score FROM rk WHERE rn <= 10
+             |ORDER BY query_id, score DESC, vec_id""".stripMargin)),
+
     // MATRYOSHKA two-stage serving (Kusupati et al. 2022 adaptive
     // retrieval): coarse rank on the leading 16 of 64 coordinates over the
     // probed cells (quarter of the multiply-adds), exact full-dim re-score

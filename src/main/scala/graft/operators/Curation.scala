@@ -222,78 +222,91 @@ object Curation {
     * `cum_before div budget` (boundary docs straddle into the next bin —
     * the packer's splitting convention).
     *
-    * SCALE SHAPE (r14): deterministic packing is a prefix sum over an
-    * id-ordered stream, which the obvious window form
+    * SCALE SHAPE (r14, second pass): deterministic packing is a prefix
+    * sum over an id-ordered stream, which the obvious window form
     * ([[packSequencesWindowed]], kept as the parity oracle) serializes
     * into ONE task per stream — with a single stream the whole corpus
-    * funnels through one core. This form is the classic two-pass parallel
-    * prefix sum instead: (1) range-partition by (stream, id) and take
-    * per-(partition, stream) token SUBTOTALS — a driver-bounded aggregate
-    * (numPartitions x streams-crossing-a-boundary rows, not corpus rows);
-    * (2) exclusive-prefix the subtotals driver-side into per-(partition,
-    * stream) start offsets; (3) a map-only per-partition running sum adds
-    * the broadcast start offset. Every stage is corpus-parallel; the only
-    * corpus shuffle is the range partition (the window form shuffles the
-    * same rows on `byCol` hash). Both passes re-derive the same layout:
-    * `repartitionByRange` samples boundaries with partition-index-seeded
-    * determinism and (stream, id) keys are unique, so the sorted layout
-    * is a pure function of the input. PipelineOpsSpec pins parity against
-    * the window oracle; ScaleProbe carries the one-stream row. */
+    * funnels through one core. The first r14 form was a two-pass
+    * partition-subtotal kernel; the bench caught two real problems with
+    * it: (a) its two ACTIONS re-evaluated the whole upstream pipeline
+    * twice (q36_curation_e2e ran 2.4x slower — the packer sits at the
+    * end of an expensive pipeline), and (b) it keyed driver-side offsets
+    * by `spark_partition_id`, but the two actions plan two independent
+    * `repartitionByRange` exchanges whose sampled bounds are seeded per
+    * physical RDD — a boundary row may land in DIFFERENT partitions
+    * across the passes, silently corrupting the prefix. This form is the
+    * CHUNKED parallel prefix instead, one declarative plan with no
+    * partition-id coupling and no driver collect:
+    *  (1) materialize the (stream, id, n_tokens) projection ONCE to a
+    *      scratch parquet — the upstream pipeline runs exactly once;
+    *  (2) `chunk = floor(id / chunkSize)` — an ORDER-ALIGNED coarsening
+    *      of the id axis (integral ids; exact long floor-div via pmod);
+    *  (3) chunk-level exclusive prefix: a window over the per-(stream,
+    *      chunk) subtotals — n/chunkSize rows per stream, 4096x smaller
+    *      than the row-level window (recurse the same trick if a stream
+    *      ever exceeds ~10^9 chunks);
+    *  (4) in-chunk exclusive prefix: a window partitioned by (stream,
+    *      chunk) — bounded by chunkSize rows per task, corpus-parallel;
+    *  (5) `cum_before = chunk_before + in_chunk`, joined on (stream,
+    *      chunk). All integer arithmetic — engine-portable.
+    * PipelineOpsSpec pins parity against the window oracle; ScaleProbe
+    * carries the one-stream row. Non-integral id types fall back to the
+    * window form (they have no cheap order-aligned chunking). */
   def packSequences(
       docs: DataFrame, idCol: String, textCol: String,
-      budgetTokens: Long, byCol: String): DataFrame = {
+      budgetTokens: Long, byCol: String, chunkSize: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
+    val integralId = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (!integralId)
+      return packSequencesWindowed(docs, idCol, textCol, budgetTokens, byCol)
     val toks = docs
       .select(col(byCol), col(idCol),
         size(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
           .cast("long").as("n_tokens"))
-    val parted = toks
-      .repartitionByRange(col(byCol), col(idCol))
-      .sortWithinPartitions(col(byCol), col(idCol))
-    // pass 1: per-(partition, stream) token subtotals — rows are bounded
-    // by numPartitions + streams (each partition holds contiguous (by, id)
-    // ranges), so the collect is partition-count-scale, never corpus-scale
-    val subtotals = parted
-      .groupBy(spark_partition_id().as("__pid"), col(byCol).as("__by"))
-      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__t"))
-      .collect()
-    val startOffsets: Map[(Int, Any), Long] = subtotals
-      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
-      .groupBy(_._2)
-      .flatMap { case (by, rows) =>
-        var run = 0L
-        rows.sortBy(_._1).map { case (pid, _, t) =>
-          val start = run; run += t; ((pid, by), start)
-        }
-      }
-    val bcOffsets = spark.sparkContext.broadcast(startOffsets)
-    // pass 2: map-only — within each partition streams are contiguous and
-    // id-sorted, so a running sum seeded by the broadcast start offset is
-    // the exact global prefix
-    val outSchema = parted.schema.add("cum_before",
-      org.apache.spark.sql.types.LongType, nullable = false)
-    val rdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val offs = bcOffsets.value
-      var haveKey = false
-      var curKey: Any = null
-      var run = 0L
-      it.map { row =>
-        val k = row.get(0)
-        if (!haveKey || (if (k == null) curKey != null else k != curKey)) {
-          haveKey = true; curKey = k
-          run = offs.getOrElse((pid, k), 0L)
-        }
-        val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ run)
-        // null n_tokens (null text) contributes nothing to the prefix —
-        // exactly how the window oracle's SUM skips nulls
-        if (!row.isNullAt(2)) run += row.getLong(2)
-        out
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    // materialize the narrow projection once: the packer usually ends an
+    // expensive pipeline, and the chunk aggregate + row pass below are
+    // two consumers — without this the whole upstream would run twice
+    val mat = java.nio.file.Files.createTempDirectory("graft_pack_mat")
+    mat.toFile.deleteOnExit()
+    toks.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(mat.toString)
+    val t = spark.read.parquet(mat.toString)
+    // exact floor-div for any long id (negative ids included): SQL `div`
+    // truncates toward zero, so subtract the positive remainder first
+    val idL = col(idCol).cast("long")
+    val chunkOf = (idL - pmod(idL, lit(chunkSize.toLong))) / lit(chunkSize.toLong)
+    val wChunks = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byCol)).orderBy(col("__chunk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val chunkPrefix = t
+      .withColumn("__chunk", chunkOf.cast("long"))
+      .groupBy(col(byCol), col("__chunk"))
+      .agg(sum(col("n_tokens")).as("__ct"))
+      .withColumn("__chunk_before",
+        coalesce(sum(col("__ct")).over(wChunks), lit(0L)))
+      .select(col(byCol), col("__chunk"), col("__chunk_before"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byCol), col("__chunk")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // NULL-SAFE join keys: a null stream or a null id (null __chunk) is a
+    // legitimate group in the window oracle — an equi-join would silently
+    // drop those rows
+    val cp = chunkPrefix
+      .withColumnRenamed(byCol, "__byR").withColumnRenamed("__chunk", "__chR")
+    t.withColumn("__chunk", chunkOf.cast("long"))
+      .withColumn("__in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(cp, col(byCol) <=> col("__byR") && col("__chunk") <=> col("__chR"))
+      .withColumn("cum_before", col("__chunk_before") + col("__in"))
       .withColumn("bin", expr(s"cum_before div ${budgetTokens}L"))
       .withColumn("offset_tokens", col("cum_before") % lit(budgetTokens))
-      .drop("cum_before")
+      .select(col(byCol), col(idCol), col("n_tokens"),
+        col("bin"), col("offset_tokens"))
   }
 
   /** The single-window form of [[packSequences]] — ONE task per `byCol`

@@ -166,15 +166,25 @@ class SearchEngine(
       new java.util.WeakHashMap[DataFrame, Similarity.CentroidCache])
 
   private def cachedProbe(
-      index: Similarity.DenseIndex, qv: Array[Float], nprobe: Int): Seq[Int] =
-    probeCaches.computeIfAbsent(index.centroids,
-      c => new Similarity.CentroidCache(c)).probe(qv, nprobe)
+      index: Similarity.DenseIndex, qv: Array[Float], nprobe: Int): Seq[Int] = {
+    // get-build-putIfAbsent rather than computeIfAbsent: the cache
+    // constructor runs a Spark collect, and computeIfAbsent on the
+    // synchronized map would hold the single map mutex for that whole
+    // job — concurrent FIRST requests against DIFFERENT indexes would
+    // serialize behind one collect on the serving hot path. The race on
+    // a duplicate build is benign (both caches are equal; one wins).
+    val cached = probeCaches.get(index.centroids)
+    val cache = if (cached != null) cached else {
+      val built = new Similarity.CentroidCache(index.centroids)
+      val prev = probeCaches.putIfAbsent(index.centroids, built)
+      if (prev != null) prev else built
+    }
+    cache.probe(qv, nprobe)
+  }
 
   private def annChannel(
       index: Similarity.DenseIndex, vecCol: String, qv: Array[Float],
       k: Int, nprobe: Int, cands: DataFrame): DataFrame = {
-    val spark = corpus.embeddings.sparkSession
-    val qvDf = spark.range(1).select(lit(qv).as("qv"))
     val probed = cachedProbe(index, qv, nprobe)
     index.cells.filter(col("cluster").isin(probed: _*))
       .join(cands, Seq("id"))

@@ -237,10 +237,29 @@ object Curation {
     * across the passes, silently corrupting the prefix. This form is the
     * CHUNKED parallel prefix instead, one declarative plan with no
     * partition-id coupling and no driver collect:
-    *  (1) materialize the (stream, id, n_tokens) projection ONCE to a
-    *      scratch parquet — the upstream pipeline runs exactly once;
+    *  (1) materialize the (stream, id, n_tokens) projection ONCE — the
+    *      upstream pipeline runs exactly once even though two consumers
+    *      (the chunk aggregate and the row pass) read it below. Scratch
+    *      goes through CLUSTER-SAFE channels only: a reliable
+    *      `checkpoint` when the session has a checkpoint dir configured
+    *      (cluster FS), else an eager `localCheckpoint` through the
+    *      block manager (executor-resident blocks, freed by the
+    *      ContextCleaner once the plan is GC'd). The r14 form wrote a
+    *      driver-local `java.io.tmpdir` parquet — correct at local[*]
+    *      but SILENT DATA LOSS on a multi-node cluster, where each
+    *      executor commits its part files to its own local disk and the
+    *      read-back sees a subset. Materialization is also COST-GATED:
+    *      a cheap upstream (pure scan/filter/project — no join,
+    *      aggregate, window, sort or generate in the optimized plan)
+    *      skips it entirely, since re-scanning twice costs less than
+    *      any round-trip (q36 pays the checkpoint because its upstream
+    *      is the webfilter pipeline; the plain `curation_pack_*`
+    *      oracles no longer pay anything);
     *  (2) `chunk = floor(id / chunkSize)` — an ORDER-ALIGNED coarsening
-    *      of the id axis (integral ids; exact long floor-div via pmod);
+    *      of the id axis (integral ids; exact long floor-div: strip the
+    *      positive remainder with pmod, then integral `div` — never
+    *      `/`, which routes through double and loses exactness past
+    *      2^53);
     *  (3) chunk-level exclusive prefix: a window over the per-(stream,
     *      chunk) subtotals — n/chunkSize rows per stream, 4096x smaller
     *      than the row-level window (recurse the same trick if a stream
@@ -269,18 +288,20 @@ object Curation {
       .select(col(byCol), col(idCol),
         size(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
           .cast("long").as("n_tokens"))
-    // materialize the narrow projection once: the packer usually ends an
-    // expensive pipeline, and the chunk aggregate + row pass below are
-    // two consumers — without this the whole upstream would run twice
-    val mat = java.nio.file.Files.createTempDirectory("graft_pack_mat")
-    mat.toFile.deleteOnExit()
-    toks.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(mat.toString)
-    val t = spark.read.parquet(mat.toString)
+    // materialize the narrow projection once (the chunk aggregate + row
+    // pass below are two consumers) — but only when the upstream is
+    // worth it, and never through the driver's filesystem (see Scaladoc)
+    val t =
+      if (!hasExpensiveUpstream(toks)) toks
+      else if (spark.sparkContext.getCheckpointDir.isDefined)
+        toks.checkpoint(eager = true)
+      else toks.localCheckpoint(eager = true)
     // exact floor-div for any long id (negative ids included): SQL `div`
-    // truncates toward zero, so subtract the positive remainder first
-    val idL = col(idCol).cast("long")
-    val chunkOf = (idL - pmod(idL, lit(chunkSize.toLong))) / lit(chunkSize.toLong)
+    // truncates toward zero, so subtract the positive remainder first;
+    // all-integral (Column `/` would route the quotient through double)
+    val chunkOf =
+      expr(s"(cast(`$idCol` as bigint) - pmod(cast(`$idCol` as bigint), " +
+        s"${chunkSize.toLong}L)) div ${chunkSize.toLong}L")
     val wChunks = org.apache.spark.sql.expressions.Window
       .partitionBy(col(byCol)).orderBy(col("__chunk"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -307,6 +328,20 @@ object Curation {
       .withColumn("offset_tokens", col("cum_before") % lit(budgetTokens))
       .select(col(byCol), col(idCol), col("n_tokens"),
         col("bin"), col("offset_tokens"))
+  }
+
+  /** The materialization gate for [[packSequences]]: an upstream plan is
+    * worth checkpointing only when evaluating it twice would repeat real
+    * work — a join, aggregate, window, sort, or row-multiplying generate
+    * in the OPTIMIZED plan. A pure scan/filter/project re-reads the same
+    * parquet footers twice, which is strictly cheaper than any
+    * materialization round-trip. */
+  private[graft] def hasExpensiveUpstream(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Window | _: Sort |
+                _: Generate | _: Distinct) => p
+    }.isDefined
   }
 
   /** The single-window form of [[packSequences]] — ONE task per `byCol`

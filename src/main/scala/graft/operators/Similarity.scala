@@ -3080,16 +3080,23 @@ object Similarity {
     * SQ8. Padding bits past `d` in the last word are zero on BOTH the
     * corpus and query side, so they never contribute to an XOR. A null
     * vector packs to a null signature (the store writer drops it like
-    * every serving artifact here). Pure codegen'd builtins — no UDF. */
+    * every serving artifact here); a ZERO-LENGTH vector packs to an
+    * EMPTY signature — without the guard, `ceil(0/64)-1 = -1` makes
+    * `sequence(0,-1)` count DOWN and emit a spurious 2-word all-zero
+    * signature, whose Hamming distance against any normal-length
+    * signature is then NULL (`zip_with` pads with nulls), silently
+    * dropping the row from the coarse rank. Pure codegen'd builtins —
+    * no UDF. */
   def binarySig(vec: Column): Column =
-    transform(
-      sequence(lit(0), ceil(size(vec).cast("double") / 64d).cast("int") - 1),
-      w => aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) =>
-        acc + when(
-          (w * 64 + b) < size(vec) &&
-            element_at(vec, (w * 64 + b + 1).cast("int")).cast("double") > 0d,
-          call_function("shiftleft", lit(1L), b.cast("int")))
-          .otherwise(lit(0L))))
+    when(size(vec) <= 0, expr("cast(array() as array<bigint>)")).otherwise(
+      transform(
+        sequence(lit(0), ceil(size(vec).cast("double") / 64d).cast("int") - 1),
+        w => aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) =>
+          acc + when(
+            (w * 64 + b) < size(vec) &&
+              element_at(vec, (w * 64 + b + 1).cast("int")).cast("double") > 0d,
+            call_function("shiftleft", lit(1L), b.cast("int")))
+            .otherwise(lit(0L)))))
 
   /** Hamming distance between two packed signatures ([[binarySig]]):
     * popcount of the wordwise XOR, summed. INTEGER-exact, so the coarse

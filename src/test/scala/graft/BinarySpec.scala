@@ -66,6 +66,21 @@ class BinarySpec extends AnyFunSuite {
     assert(Similarity.binaryEncodeCells(df).count() === 1)
   }
 
+  test("zero-length vector packs to an EMPTY signature, not a spurious word") {
+    // without the guard, ceil(0/64)-1 = -1 makes sequence(0,-1) count
+    // DOWN: a 2-word all-zero signature whose Hamming against any real
+    // signature is NULL (zip_with pads with null) — the row would vanish
+    // from the coarse rank instead of ranking at maximal distance
+    val df = spark.sql(
+      "SELECT * FROM VALUES (1L, array(CAST(1.0 AS FLOAT))), " +
+        "(2L, CAST(array() AS ARRAY<FLOAT>)) AS t(vec_id, embedding)")
+    val sigs = df.orderBy("vec_id")
+      .select(Similarity.binarySig(col("embedding")).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) === Seq(1L))
+    assert(sigs(1) === Seq.empty)
+  }
+
   test("full-probe binary coarse with kCoarse=N + exact refine == exact top-k") {
     val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(200).cache()
     val n = emb.count().toInt

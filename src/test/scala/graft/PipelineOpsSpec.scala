@@ -169,6 +169,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       val oracle = Curation.packSequencesWindowed(byDf, "doc_id", "text", 7L, "src")
       assert(key(fast) === key(oracle))
     }
+    // scratch-location contract (VERDICT r14 #1): an EXPENSIVE upstream
+    // (here a join — the q36 shape) takes the materialized path, which
+    // must never touch the driver's local filesystem: with no checkpoint
+    // dir configured it rides the block manager (eager localCheckpoint),
+    // cluster-safe by construction. Parity with the window oracle pins
+    // that the checkpointed plan computes the same packing.
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    val weights = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("src", "w")
+    val joined = docs.join(weights, Seq("src"))
+    assert(Curation.hasExpensiveUpstream(
+      joined.select(col("src"), col("doc_id"), lit(1L).as("n_tokens"))))
+    assert(!Curation.hasExpensiveUpstream(
+      docs.select(col("src"), col("doc_id"), lit(1L).as("n_tokens"))))
+    val fastJ = Curation.packSequences(joined, "doc_id", "text", 7L, "src")
+    val oracleJ = Curation.packSequencesWindowed(joined, "doc_id", "text", 7L, "src")
+    assert(key(fastJ) === key(oracleJ))
+
     // the two-pass form must actually spread one stream over MANY tasks:
     // the range partitioner splits on (src, doc_id), not src alone. AQE
     // legitimately coalesces this 500-row shuffle back to one partition —

@@ -38,7 +38,11 @@ object IvfPqScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_scale").toString
+    // GRAFT_PROBE_ROOT pins the artifact root so serving-only probes
+    // (IvfPqServeProbe, ServeMixBench's flagship mode) can reuse the
+    // run-once build instead of re-training
+    val outDir = sys.env.getOrElse("GRAFT_PROBE_ROOT",
+      java.nio.file.Files.createTempDirectory("graft_ivfpq_scale").toString)
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }

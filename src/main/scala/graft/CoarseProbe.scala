@@ -81,12 +81,49 @@ object CoarseProbe {
       f"probe ${tTwo * 1000}%.0f ms at nprobeL1=8 (warm ${tWarm2 * 1000}%.0f ms)")
 
     // ---- coverage at partial level-1 probe: how much of the flat
-    // probe's cell list the 8-group probe retains (the IMI trade)
+    // probe's cell list the 8-group probe retains (the IMI trade).
+    // NOTE: on THIS corpus the number is a floor, not an estimate — the
+    // synthetic centroids are uniform random directions, so the group
+    // structure carries no signal and nearest-group pruning is blind.
+    // Real coarse centroids are themselves clustered (they are k-means
+    // centers of clustered data), which is what the real-centroid leg
+    // below measures when GRAFT_PROBE_ROOT points at a built index.
     val flatSet = flatProbe.toSet
     val overlap = twoProbe.count(flatSet.contains).toDouble / flatProbe.size
-    println(f"coverage: two-level@nprobeL1=8 retains ${overlap * 100}%.0f%% " +
-      f"of the flat top-64 cells; full-l1 parity is spec-pinned " +
-      f"(CoarseHierarchySpec)")
+    println(f"coverage (synthetic uniform centroids — adversarial floor): " +
+      f"two-level@nprobeL1=8 retains ${overlap * 100}%.0f%% of the flat " +
+      f"top-64 cells; full-l1 parity is spec-pinned (CoarseHierarchySpec)")
+
+    // ---- real-centroid coverage: the same measurement over a TRAINED
+    // centroid artifact (the flagship's nlist=4000 k-means centers) and
+    // real query vectors — the geometry two-level probing would actually
+    // serve
+    sys.env.get("GRAFT_PROBE_ROOT").foreach { root =>
+      val cent = spark.read.parquet(s"$root/index/centroids")
+      val nl = cent.count().toInt
+      val out2 = java.nio.file.Files.createTempDirectory("graft_coarse_real").toString
+      val (_, tH) = time { Similarity.buildCoarseHierarchy(cent, out2) }
+      val l1r = spark.read.parquet(s"$out2/l1")
+      val l2r = spark.read.parquet(s"$out2/l2")
+      val g2 = l1r.count().toInt
+      val np = scala.util.Try(spark.read.parquet(s"$root/index/params")
+        .head.getAs[Int]("default_nprobe")).getOrElse(16)
+      val flatCache = new Similarity.CentroidCache(cent)
+      val qs = spark.read.parquet(s"$root/emb").limit(20)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+      Seq(2, 4, 8, 16).foreach { npl1 =>
+        val cov = qs.map { q =>
+          val flat = flatCache.probe(q, np).toSet
+          val qDf = spark.range(1)
+            .select(typedLit(q.toSeq).cast("array<float>").as("qv"))
+          val two = Similarity.probeCellsTwoLevel(l1r, l2r, qDf, npl1, np)
+          two.count(flat.contains).toDouble / flat.size
+        }
+        println(f"real centroids (nlist=$nl, groups=$g2, build ${tH}%.0f s): " +
+          f"nprobeL1=$npl1%2d -> mean coverage of flat top-$np = " +
+          f"${cov.sum / cov.length * 100}%.0f%%")
+      }
+    }
     spark.stop()
   }
 }

@@ -327,14 +327,19 @@ object Similarity {
             concat(lit("cal:"), col(idCol).cast("string"))).as("__h"))
           .orderBy(col("__h"), col(idCol)).limit(calibrateQueries)
           .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+        // the exact truth sets cost one full-corpus batch scan — compute
+        // once, share across both calibrations
+        val truth = calibrationTruth(cellsArt, sample, calibrateK,
+          idCol, vecCol)
         val np0 = calibrateNprobe(cellsArt, centArt2, sample, calibrateK,
-          target, idCol, vecCol)
+          target, idCol, vecCol, truth = Some(truth))
         // kCoarse for the 1-bit store is calibrated AT the nprobe just
         // chosen, so the persisted pair (default_nprobe,
         // default_kcoarse_bq) serves the target together — reachable by
         // construction (see [[calibrateKCoarseBinary]] reachability note)
         val kc = calibrateKCoarseBinary(binArt, cellsArt, centArt2, sample,
-          np0, calibrateK, target, nRows, idCol, vecCol)
+          np0, calibrateK, target, nRows, idCol, vecCol,
+          truth = Some(truth))
         (np0, Some(kc))
       case None => (p.defaultNprobe, None)
     }
@@ -373,6 +378,20 @@ object Similarity {
     * run-once build step (FAISS users do exactly this sweep by hand
     * against `nprobe` before deploying an IVF index). Full probe is
     * exact, so any target <= 1.0 is reachable. */
+  /** The exact top-k truth sets of a calibration sample — one
+    * full-corpus batch scan, shared by [[calibrateNprobe]] and
+    * [[calibrateKCoarseBinary]] so a build calibrating both defaults
+    * pays for it once. */
+  def calibrationTruth(
+      cells: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Map[Long, Set[Long]] =
+    knnBatch(cells.select(col(idCol), col(vecCol)), queries, k, idCol, vecCol)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
   def calibrateNprobe(
       cells: DataFrame,
       centroids: DataFrame,
@@ -381,13 +400,12 @@ object Similarity {
       targetRecall: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      clusterCol: String = "cluster"): Int = {
+      clusterCol: String = "cluster",
+      truth: Option[Map[Long, Set[Long]]] = None): Int = {
     require(targetRecall > 0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
-    val exact = knnBatch(cells.select(col(idCol), col(vecCol)), queries, k,
-        idCol, vecCol)
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = truth.getOrElse(
+      calibrationTruth(cells, queries, k, idCol, vecCol))
     require(exact.nonEmpty, "calibration query sample is empty")
     val nlist = centroids.count().toInt
     val memo = scala.collection.mutable.Map.empty[Int, Double]
@@ -441,15 +459,28 @@ object Similarity {
       corpusRows: Long,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      clusterCol: String = "cluster"): Int = {
+      clusterCol: String = "cluster",
+      truth: Option[Map[Long, Set[Long]]] = None): Int = {
     require(targetRecall > 0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
-    val exact = knnBatch(cells.select(col(idCol), col(vecCol)), queries, k,
-        idCol, vecCol)
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = truth.getOrElse(
+      calibrationTruth(cells, queries, k, idCol, vecCol))
     require(exact.nonEmpty, "calibration query sample is empty")
-    val cap = math.min(corpusRows, Int.MaxValue.toLong / 2).toInt
+    // the search cap is the REACHABILITY bound, not the corpus count:
+    // at kCoarse >= a query's probed-row count the refine re-scores
+    // every probed row exactly, so no deeper shortlist can change the
+    // result — capping there keeps the exponential search's largest
+    // evaluations ~nprobe/nlist of the corpus instead of all of it
+    // (the 100x ScaleProbe build surfaced exactly this cost)
+    val cellSizes = cells.filter(col(clusterCol).isNotNull)
+      .groupBy(col(clusterCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val reach = probeCellsBatch(centroids, queries, nprobe, clusterCol)
+      .groupBy(_._1).values
+      .map(_.map(p => cellSizes.getOrElse(p._2, 0L)).sum)
+      .foldLeft(0L)(math.max)
+    val cap = math.min(math.min(corpusRows, math.max(reach, k.toLong)),
+      Int.MaxValue.toLong / 2).toInt
     val memo = scala.collection.mutable.Map.empty[Int, Double]
     def recallAt(kc: Int): Double = memo.getOrElseUpdate(kc, {
       val ann = ivfBinaryRefineSearchBatch(binStore, cells, centroids,

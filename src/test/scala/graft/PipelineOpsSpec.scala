@@ -186,6 +186,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     val oracleJ = Curation.packSequencesWindowed(joined, "doc_id", "text", 7L, "src")
     assert(key(fastJ) === key(oracleJ))
 
+    // with a checkpoint dir configured, the same expensive upstream
+    // takes the RELIABLE checkpoint (cluster-FS) path — the scratch
+    // location contract's other half: files land under the configured
+    // dir, never under java.io.tmpdir, and the packing is unchanged
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pack_ckpt")
+    try {
+      spark.sparkContext.setCheckpointDir(ckpt.toString)
+      val fastC = Curation.packSequences(joined, "doc_id", "text", 7L, "src")
+      assert(key(fastC) === key(oracleJ))
+      val ckptFiles = java.nio.file.Files.walk(ckpt)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(ckptFiles > 0, "reliable checkpoint wrote nothing under the configured dir")
+    } finally {
+      // Spark has no unsetCheckpointDir; later suites (PropertySpec
+      // fuzzes packSequences) must not inherit a checkpoint dir they
+      // don't expect, so clear the private field the setter writes
+      val f = classOf[org.apache.spark.SparkContext]
+        .getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(spark.sparkContext, None)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    }
+
     // the two-pass form must actually spread one stream over MANY tasks:
     // the range partitioner splits on (src, doc_id), not src alone. AQE
     // legitimately coalesces this 500-row shuffle back to one partition —

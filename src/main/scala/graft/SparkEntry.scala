@@ -3015,7 +3015,10 @@ object SparkEntry {
       (s, dir) => {
         val idx = DenseArtifacts.ivf(s, dir)
         val emb = t(s, dir, "embeddings")
-        val store = Similarity.binaryEncodeCells(idx.cells)
+        // the PERSISTED signature store (built+calibrated by
+        // buildDenseIndex since r15) — zero encode jobs at query time,
+        // like every other fitted serving artifact here
+        val store = idx.binary.get
         val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         Similarity.ivfBinaryRefineSearch(store, idx.cells, idx.centroids, qv,
           nprobe = 2, kCoarse = 50, k = 20)
@@ -3048,7 +3051,10 @@ object SparkEntry {
       (s, dir) => {
         val idx = DenseArtifacts.ivf(s, dir)
         val emb = t(s, dir, "embeddings")
-        val store = Similarity.binaryEncodeCells(idx.cells)
+        // the PERSISTED signature store (built+calibrated by
+        // buildDenseIndex since r15) — zero encode jobs at query time,
+        // like every other fitted serving artifact here
+        val store = idx.binary.get
         val queries = emb.filter(col("vec_id").isin(0, 1, 2))
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
         Similarity.ivfBinaryRefineSearchBatch(
@@ -5345,7 +5351,10 @@ object SparkEntry {
       (s, dir) => {
         val idx = DenseArtifacts.ivf(s, dir)
         val emb = t(s, dir, "embeddings")
-        val store = Similarity.binaryEncodeCells(idx.cells)
+        // the PERSISTED signature store (built+calibrated by
+        // buildDenseIndex since r15) — zero encode jobs at query time,
+        // like every other fitted serving artifact here
+        val store = idx.binary.get
         val queries = emb.filter(col("vec_id").isin(0, 1, 2))
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
         val approx = Seq(0L, 1L, 2L).map { q =>

@@ -250,6 +250,57 @@ class SearchEngine(
       groupCol = "video_id", idCol = "id", scoreCol = "score")
   }
 
+  /** §3.1 /textsearch served through the 1-BIT BINARY coarse tier (the
+    * facade form of [[Similarity.ivfBinaryRefineSearch]]): Hamming-rank
+    * the probed cells' SIGNATURE store (1 bit/dim — 32x less coarse IO
+    * than the float cells), exact-refine only the shortlist, apply the
+    * request's candidate filters BEFORE both cuts (the F1 discipline:
+    * kCoarse counts ADMISSIBLE candidates, so a tight filter cannot
+    * starve the refine), and group-shape like every facade search.
+    * `kCoarse` defaults to the index's CALIBRATED `default_kcoarse_bq`
+    * — persisted by the build to meet its recall target at the
+    * calibrated nprobe, so the default-knob request serves calibrated
+    * quality with no caller-side constants. */
+  def textSearchAnnBinary(
+      index: Similarity.DenseIndex,
+      queryVec: Array[Float], k: Int,
+      filters: Filters = Filters(),
+      nprobe: Option[Int] = None,
+      kCoarse: Option[Int] = None): DataFrame = {
+    requireDim(queryVec, clipDim, "clip")
+    val bin = index.binary.getOrElse(sys.error(
+      "this index carries no binary signature store — rebuild with the " +
+        "r15 buildDenseIndex (or pass the flat/SQ8 serving path)"))
+    val kc = kCoarse.orElse(index.defaultKCoarseBq).getOrElse(sys.error(
+      "no kCoarse given and the index has no calibrated default_kcoarse_bq " +
+        "— build with calibrateRecall or pass kCoarse explicitly"))
+    require(kc >= k, s"coarse shortlist $kc must cover final k=$k")
+    val spark = corpus.embeddings.sparkSession
+    val probed = cachedProbe(index, queryVec, resolveNprobe(nprobe, index))
+    val cands = candidates(filters).select("id", "video_id")
+    val qsig = broadcast(spark.range(1).select(lit(queryVec).as("qv"))
+      .select(Similarity.binarySig(col("qv")).as("qsig")))
+    // admissibility first (left-semi against the request's candidates),
+    // then the Hamming cut, then the exact refine of just the shortlist
+    val shortlist = bin.filter(col("cluster").isin(probed: _*))
+      .join(cands.select("id"), Seq("id"), "left_semi")
+      .crossJoin(qsig)
+      .select(col("id"),
+        Similarity.hammingSig(col("sig"), col("qsig")).as("ham"))
+      .orderBy(col("ham").asc, col("id").asc)
+      .limit(kc)
+    val scored = index.cells.filter(col("cluster").isin(probed: _*))
+      .join(broadcast(shortlist.select("id")), Seq("id"), "left_semi")
+      .withColumn("qv", lit(queryVec))
+      .select(col("id"),
+        round(VectorOps.dot(col("clip"), col("qv")), 6).as("score"))
+    val ranked = broadcast(scored).join(cands, Seq("id"))
+      .select(col("id"), col("video_id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+    GroupShaping.groupResults(ranked, "video_id", "id", "score")
+  }
+
   /** Hybrid dense+sparse retrieval fused by reciprocal rank
     * ([[Fusion.fuseByRrf]], k0=60): the dense leg serves from the persisted
     * ANN index ([[annChannel]] — probed centroids + pruned cell partitions),

@@ -249,6 +249,36 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(engine.textSearchAnn(clipIndex, q, k = 12).collect().nonEmpty)
   }
 
+  test("textSearchAnnBinary: full probe + kCoarse >= corpus == textSearch; calibrated default drives") {
+    import graft.operators.Similarity
+    val q = vec(kfs(3))
+    val n = corpus.embeddings.count().toInt
+    val binStore = Similarity.binaryEncodeCells(clipIndex.cells,
+      idCol = "id", vecCol = "clip")
+    val idx = clipIndex.copy(binary = Some(binStore),
+      defaultNprobe = Some(4), defaultKCoarseBq = Some(n))
+    // the deepest knobs degenerate to the exact path, filters and all —
+    // and the OMITTED kCoarse proves the persisted calibrated default
+    // (here = corpus size) drove the shortlist, not a caller constant
+    val filters = Filters(partitionTag = Some(2), ignoreIds = Seq(60L))
+    val ann = engine.textSearchAnnBinary(idx, q, k = 12, filters)
+      .collect().map(_.toString).sorted
+    val exact = engine.textSearch(q, k = 12, filters)
+      .collect().map(_.toString).sorted
+    assert(ann.nonEmpty)
+    assert(ann.toSeq === exact.toSeq)
+    // explicit tight kCoarse serves (possibly approximate) results
+    assert(engine.textSearchAnnBinary(idx, q, k = 5, kCoarse = Some(12))
+      .collect().nonEmpty)
+    // guard rails: no store / no calibrated default are loud errors
+    assertThrows[RuntimeException] {
+      engine.textSearchAnnBinary(clipIndex, q, k = 5)
+    }
+    assertThrows[RuntimeException] {
+      engine.textSearchAnnBinary(idx.copy(defaultKCoarseBq = None), q, k = 5)
+    }
+  }
+
   test("textSearchAnn at full probe == textSearch, filters and all; partial probe prunes") {
     val q = vec(kfs(3))
     val filters = Filters(partitionTag = Some(2), ignoreIds = Seq(60L))

@@ -87,8 +87,15 @@ object IvfPqServeProbe {
     // the wall comparison is at matched quality, not matched knobs.
     val binStore = scala.util.Try(
       spark.read.parquet(s"$root/index/bin")).toOption
-    val kcBq = scala.util.Try(spark.read.parquet(s"$root/index/params")
-      .head.getAs[Int]("default_kcoarse_bq")).toOption
+    // null-safe read: an index built WITHOUT calibrateRecall carries a
+    // NULL default_kcoarse_bq, and getAs[Int] null-unboxes it to 0 (no
+    // exception — the Try would yield Some(0) and the probe would die on
+    // require(kCoarse >= k) instead of the intended fallback branch)
+    val kcBq = scala.util.Try {
+      val row = spark.read.parquet(s"$root/index/params").head
+      val i = row.fieldIndex("default_kcoarse_bq")
+      if (row.isNullAt(i)) None else Some(row.getInt(i))
+    }.toOption.flatten
     (binStore, kcBq, calibrated) match {
       case (Some(bin), Some(kc), Some(np)) =>
         val int8 = spark.read.parquet(s"$root/index/int8")

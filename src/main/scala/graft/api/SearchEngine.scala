@@ -169,8 +169,7 @@ class SearchEngine(
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[DataFrame, Similarity.CentroidCache])
 
-  private def cachedProbe(
-      index: Similarity.DenseIndex, qv: Array[Float], nprobe: Int): Seq[Int] = {
+  private def probeCacheFor(index: Similarity.DenseIndex): Similarity.CentroidCache = {
     // get-build-putIfAbsent rather than computeIfAbsent: the cache
     // constructor runs a Spark collect, and computeIfAbsent on the
     // synchronized map would hold the single map mutex for that whole
@@ -178,18 +177,34 @@ class SearchEngine(
     // serialize behind one collect on the serving hot path. The race on
     // a duplicate build is benign (both caches are equal; one wins).
     val cached = probeCaches.get(index.centroids)
-    val cache = if (cached != null) cached else {
+    if (cached != null) cached else {
       val built = new Similarity.CentroidCache(index.centroids)
       val prev = probeCaches.putIfAbsent(index.centroids, built)
       if (prev != null) prev else built
     }
-    cache.probe(qv, nprobe)
   }
+
+  private def cachedProbe(
+      index: Similarity.DenseIndex, qv: Array[Float], nprobe: Int): Seq[Int] =
+    probeCacheFor(index).probe(qv, nprobe)
+
+  /** Broadcast the probed-and-scored side only when the probe fraction
+    * bounds it: scored carries ~N*nprobe/nlist (id, score) rows, which is
+    * corpus-linear at a fixed fraction and equals the WHOLE corpus at
+    * full probe (nprobe >= nlist — the documented exact-parity mode). An
+    * unconditional hint bypasses autoBroadcastJoinThreshold and can drive
+    * the build into the 8 GB broadcast ceiling on large corpora; past a
+    * quarter of the cells we drop the hint and let AQE pick the join
+    * strategy from the measured scored size instead. */
+  private def maybeBroadcastScored(
+      scored: DataFrame, probedCount: Int, nlist: Int): DataFrame =
+    if (probedCount.toLong * 4L <= nlist.toLong) broadcast(scored) else scored
 
   private def annChannel(
       index: Similarity.DenseIndex, vecCol: String, qv: Array[Float],
       k: Int, nprobe: Int, cands: DataFrame): DataFrame = {
-    val probed = cachedProbe(index, qv, nprobe)
+    val cache = probeCacheFor(index)
+    val probed = cache.probe(qv, nprobe)
     // SCORE FIRST, JOIN LATE (the r15 flagship serving lever): the
     // pruned cells carry d-float vectors, so joining them against the
     // corpus-scale candidate table BEFORE scoring pushes ~(N*nprobe/
@@ -207,7 +222,7 @@ class SearchEngine(
       .withColumn("qv", lit(qv))
       .select(col("id"),
         round(VectorOps.dot(col(vecCol), col("qv")), 6).as("score"))
-    broadcast(scored).join(cands, Seq("id"))
+    maybeBroadcastScored(scored, probed.size, cache.nlist).join(cands, Seq("id"))
       .select(col("id"), col("video_id"), col("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
@@ -348,22 +363,33 @@ class SearchEngine(
       imgId: Long, k: Int,
       filters: Filters = Filters(),
       nprobe: Option[Int] = None): DataFrame = {
-    val qv = corpus.embeddings.filter(col("id") === imgId)
-      .select(col("clip").as("qv"))
-    val probed = Similarity.probeCells(index.centroids, qv,
-      resolveNprobe(nprobe, index), "cluster")
-    // score-first/join-late, exactly as [[annChannel]]: the scored side
-    // is request-bounded and broadcast, the candidate table never
-    // shuffles
-    val scored = index.cells.filter(col("cluster").isin(probed: _*))
-      .crossJoin(broadcast(qv))
-      .select(col("id"),
-        round(VectorOps.dot(col("clip"), col("qv")), 6).as("score"))
-    val ranked = broadcast(scored)
-      .join(candidates(filters).select("id", "video_id"), Seq("id"))
-      .select(col("id"), col("video_id"), col("score"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(k)
+    // the stored query vector is ONE row by contract — collect it and
+    // probe in-process through the driver-side centroid cache (same
+    // jobs-per-request lever as [[annChannel]]; parity with probeCells
+    // is spec-pinned). An unknown id keeps the old empty-result shape.
+    val qvRows = corpus.embeddings.filter(col("id") === imgId)
+      .select(col("clip")).limit(1).collect()
+    val ranked = qvRows.headOption match {
+      case None =>
+        corpus.keyframes
+          .select(col("id"), col("video_id"), lit(0.0d).as("score")).limit(0)
+      case Some(row) =>
+        val qarr = row.getSeq[Float](0).toArray
+        val cache = probeCacheFor(index)
+        val probed = cache.probe(qarr, resolveNprobe(nprobe, index))
+        // score-first/join-late, exactly as [[annChannel]]: the scored
+        // side is probe-bounded (broadcast only while the fraction says
+        // so), the candidate table never shuffles
+        val scored = index.cells.filter(col("cluster").isin(probed: _*))
+          .withColumn("qv", lit(qarr))
+          .select(col("id"),
+            round(VectorOps.dot(col("clip"), col("qv")), 6).as("score"))
+        maybeBroadcastScored(scored, probed.size, cache.nlist)
+          .join(candidates(filters).select("id", "video_id"), Seq("id"))
+          .select(col("id"), col("video_id"), col("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(k)
+    }
     GroupShaping.groupResults(ranked, "video_id", "id", "score")
   }
 

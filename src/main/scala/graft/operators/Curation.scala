@@ -335,13 +335,20 @@ object Curation {
     * work — a join, aggregate, window, sort, or row-multiplying generate
     * in the OPTIMIZED plan. A pure scan/filter/project re-reads the same
     * parquet footers twice, which is strictly cheaper than any
-    * materialization round-trip. */
+    * materialization round-trip — UNLESS the plan carries a
+    * nondeterministic expression (rand()/uuid()/monotonically_increasing_id):
+    * then the two evaluations can diverge and silently corrupt the packing
+    * prefix, so materialization is mandatory regardless of plan cost. */
   private[graft] def hasExpensiveUpstream(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    df.queryExecution.optimizedPlan.collectFirst {
+    val plan = df.queryExecution.optimizedPlan
+    val costly = plan.collectFirst {
       case p @ (_: Join | _: Aggregate | _: Window | _: Sort |
                 _: Generate | _: Distinct) => p
     }.isDefined
+    val nondeterministic =
+      plan.find(p => p.expressions.exists(e => !e.deterministic)).isDefined
+    costly || nondeterministic
   }
 
   /** The single-window form of [[packSequences]] — ONE task per `byCol`

@@ -2448,6 +2448,13 @@ object Similarity {
         nv.map(_.getInt(0)).sorted)
     }
 
+    /** Total coarse cell count — the denominator of the probe fraction
+      * the facade uses to decide whether a probed-and-scored side is
+      * small enough to broadcast (nprobe/nlist bounds the scored rows at
+      * ~N*nprobe/nlist; at full probe that is the whole corpus and a
+      * broadcast hint would bypass the 8 GB ceiling check). */
+    def nlist: Int = scoredRows.length + nullRows.length
+
     def probe(qv: Array[Float], nprobe: Int): Seq[Int] = {
       val scored = scoredRows.map { case (id, cv) =>
         val n = math.min(cv.length, qv.length)
@@ -3295,11 +3302,20 @@ object Similarity {
   /** Hamming distance between two packed signatures ([[binarySig]]):
     * popcount of the wordwise XOR, summed. INTEGER-exact, so the coarse
     * shortlist boundary is deterministic across engines — the same
-    * portability property as the SQ8 integer dot. */
+    * portability property as the SQ8 integer dot. LENGTH-MISMATCH-SAFE
+    * (ADVICE r15): `zip_with` pads the shorter signature with nulls, and
+    * a null XOR word would null the whole sum — and ascending order puts
+    * NULLs FIRST in Spark, so a zero-length (or otherwise short)
+    * signature would HEAD the Hamming shortlist and consume kCoarse
+    * slots. Each padded word instead contributes the MAXIMAL per-word
+    * distance (64 bits), so a mismatched row ranks at maximal distance
+    * and falls off the shortlist naturally. */
   def hammingSig(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
-        call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
+        coalesce(
+          call_function("bit_count", x.bitwiseXOR(y)).cast("long"),
+          lit(64L))),
       lit(0L), (acc, v) => acc + v)
 
   /** Binary signature store: `(id, cluster, sig array<bigint>)` — the

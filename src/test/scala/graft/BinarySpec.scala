@@ -81,6 +81,25 @@ class BinarySpec extends AnyFunSuite {
     assert(sigs(1) === Seq.empty)
   }
 
+  test("short/empty signature ranks at MAXIMAL Hamming, never null-first") {
+    // ADVICE r15: zip_with pads the shorter signature with nulls and a
+    // null XOR word nulls the whole sum; NULLs sort FIRST ascending, so
+    // without the coalesce a mismatched row would HEAD the shortlist and
+    // consume kCoarse slots. Pinned: each padded word contributes 64.
+    val df = spark.sql(
+      "SELECT * FROM VALUES " +
+        "(1L, array(0L, 0L)), " +      // identical to query: ham 0
+        "(2L, array(3L, 0L)), " +      // 2 bits differ: ham 2
+        "(3L, array(0L)), " +          // one word short: 0 + 64(pad) = 64
+        "(4L, CAST(array() AS ARRAY<BIGINT>)) " + // empty: 64 + 64 = 128
+        "AS t(vec_id, sig)")
+    val q = expr("array(0L, 0L)")
+    val got = df.select(col("vec_id"), Similarity.hammingSig(col("sig"), q).as("ham"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 0L), (2L, 2L), (3L, 64L), (4L, 128L)))
+  }
+
   test("full-probe binary coarse with kCoarse=N + exact refine == exact top-k") {
     val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(200).cache()
     val n = emb.count().toInt

@@ -182,6 +182,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       joined.select(col("src"), col("doc_id"), lit(1L).as("n_tokens"))))
     assert(!Curation.hasExpensiveUpstream(
       docs.select(col("src"), col("doc_id"), lit(1L).as("n_tokens"))))
+    // ADVICE r15: a CHEAP upstream carrying a nondeterministic expression
+    // must still materialize — two evaluations of rand() diverge and
+    // would silently corrupt the packing prefix. (repartition blocks
+    // ConvertToLocalRelation from pre-evaluating the rand — over a bare
+    // LocalRelation the optimizer materializes the projection itself,
+    // after which the plan IS deterministic and skipping is correct.)
+    assert(Curation.hasExpensiveUpstream(
+      docs.repartition(2)
+        .select(col("src"), col("doc_id"), rand(7).as("n_tokens"))))
     val fastJ = Curation.packSequences(joined, "doc_id", "text", 7L, "src")
     val oracleJ = Curation.packSequencesWindowed(joined, "doc_id", "text", 7L, "src")
     assert(key(fastJ) === key(oracleJ))

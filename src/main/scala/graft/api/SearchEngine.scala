@@ -184,9 +184,68 @@ class SearchEngine(
     }
   }
 
+  /** Two-level serving probe (VERDICT r15 #1 — the facade leg of
+    * [[Similarity.buildCoarseHierarchy]]): the driver caches ONLY the
+    * sqrt(nlist)-row L1 group table ([[Similarity.CentroidCache]] over
+    * `gid`/`gv` — same in-process ranking, spec-pinned [[Similarity
+    * .probeCells]] parity), and the L2 centroid ranking stays a
+    * gid-partition-pruned Spark scan per request — the IMI trade: a
+    * bounded driver for one extra pruned job. Rounding and tiebreaks
+    * match [[Similarity.probeCellsTwoLevel]] exactly, so full L1 probe
+    * reproduces the flat probe bit-for-bit. */
+  private final class TwoLevelProbe(l1: DataFrame, l2: DataFrame) {
+    private val gcache = new Similarity.CentroidCache(
+      l1.select(col("gid").as("cluster"), col("gv").as("cv")))
+    def groups: Int = gcache.nlist
+    // cell-count denominator for the broadcast-fraction gate; one
+    // nlist-row count job at first use, cached for the index's lifetime
+    lazy val nlist: Int = l2.count().toInt
+    def probe(qv: Array[Float], nprobe: Int, nprobeL1: Int): Seq[Int] = {
+      val gids = gcache.probe(qv, nprobeL1)
+      l2.filter(col("gid").isin(gids: _*))
+        .withColumn("qv", lit(qv))
+        .select(col("cluster"),
+          round(VectorOps.dot(col("cv"), col("qv")), 6).as("cscore"))
+        .orderBy(col("cscore").desc, col("cluster").asc)
+        .limit(nprobe)
+        .collect().map(_.getInt(0)).toSeq
+    }
+  }
+
+  private val twoLevelProbes =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, TwoLevelProbe])
+
+  private def twoLevelFor(l1: DataFrame, l2: DataFrame): TwoLevelProbe = {
+    val cached = twoLevelProbes.get(l1)
+    if (cached != null) cached else {
+      val built = new TwoLevelProbe(l1, l2)
+      val prev = twoLevelProbes.putIfAbsent(l1, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Dispatch: a hierarchy-carrying index (built past
+    * [[Similarity.HierarchyMinNlist]] cells) probes two-level at its
+    * calibrated `default_nprobe_l1` (full L1 probe — flat parity — when
+    * uncalibrated); everything else probes through the flat driver-side
+    * centroid cache. */
   private def cachedProbe(
       index: Similarity.DenseIndex, qv: Array[Float], nprobe: Int): Seq[Int] =
-    probeCacheFor(index).probe(qv, nprobe)
+    (index.l1, index.l2) match {
+      case (Some(l1), Some(l2)) =>
+        val tl = twoLevelFor(l1, l2)
+        tl.probe(qv, nprobe, index.defaultNprobeL1.getOrElse(tl.groups))
+      case _ => probeCacheFor(index).probe(qv, nprobe)
+    }
+
+  /** Coarse cell-count denominator for [[maybeBroadcastScored]]'s probe
+    * fraction, whichever probe family the index serves through. */
+  private def probeNlist(index: Similarity.DenseIndex): Int =
+    (index.l1, index.l2) match {
+      case (Some(l1), Some(l2)) => twoLevelFor(l1, l2).nlist
+      case _ => probeCacheFor(index).nlist
+    }
 
   /** Broadcast the probed-and-scored side only when the probe fraction
     * bounds it: scored carries ~N*nprobe/nlist (id, score) rows, which is
@@ -203,8 +262,7 @@ class SearchEngine(
   private def annChannel(
       index: Similarity.DenseIndex, vecCol: String, qv: Array[Float],
       k: Int, nprobe: Int, cands: DataFrame): DataFrame = {
-    val cache = probeCacheFor(index)
-    val probed = cache.probe(qv, nprobe)
+    val probed = cachedProbe(index, qv, nprobe)
     // SCORE FIRST, JOIN LATE (the r15 flagship serving lever): the
     // pruned cells carry d-float vectors, so joining them against the
     // corpus-scale candidate table BEFORE scoring pushes ~(N*nprobe/
@@ -222,7 +280,7 @@ class SearchEngine(
       .withColumn("qv", lit(qv))
       .select(col("id"),
         round(VectorOps.dot(col(vecCol), col("qv")), 6).as("score"))
-    maybeBroadcastScored(scored, probed.size, cache.nlist).join(cands, Seq("id"))
+    maybeBroadcastScored(scored, probed.size, probeNlist(index)).join(cands, Seq("id"))
       .select(col("id"), col("video_id"), col("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
@@ -375,8 +433,7 @@ class SearchEngine(
           .select(col("id"), col("video_id"), lit(0.0d).as("score")).limit(0)
       case Some(row) =>
         val qarr = row.getSeq[Float](0).toArray
-        val cache = probeCacheFor(index)
-        val probed = cache.probe(qarr, resolveNprobe(nprobe, index))
+        val probed = cachedProbe(index, qarr, resolveNprobe(nprobe, index))
         // score-first/join-late, exactly as [[annChannel]]: the scored
         // side is probe-bounded (broadcast only while the fraction says
         // so), the candidate table never shuffles
@@ -384,7 +441,7 @@ class SearchEngine(
           .withColumn("qv", lit(qarr))
           .select(col("id"),
             round(VectorOps.dot(col("clip"), col("qv")), 6).as("score"))
-        maybeBroadcastScored(scored, probed.size, cache.nlist)
+        maybeBroadcastScored(scored, probed.size, probeNlist(index))
           .join(candidates(filters).select("id", "video_id"), Seq("id"))
           .select(col("id"), col("video_id"), col("score"))
           .orderBy(col("score").desc, col("id"))

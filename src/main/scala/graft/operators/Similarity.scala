@@ -38,7 +38,23 @@ object Similarity {
       int8: Option[DataFrame] = None,
       rotation: Option[DataFrame] = None,
       binary: Option[DataFrame] = None,
-      defaultKCoarseBq: Option[Int] = None)
+      defaultKCoarseBq: Option[Int] = None,
+      // two-level coarse hierarchy ([[buildCoarseHierarchy]]): present
+      // when the build's nlist crossed `coarseHierarchyMinNlist` — the
+      // facade serves through [[probeCellsTwoLevel]] when these are set
+      // (the driver then holds sqrt(nlist) L1 rows, never the full
+      // centroid table), flat otherwise
+      l1: Option[DataFrame] = None,
+      l2: Option[DataFrame] = None,
+      defaultNprobeL1: Option[Int] = None)
+
+  /** Default nlist threshold above which [[buildDenseIndex]] emits the
+    * two-level coarse hierarchy: past ~64k cells the flat centroid
+    * collect ([[CentroidCache]]) starts to strain the driver (measured
+    * 307 MB at nlist=1e5 x d=768 — CoarseProbe), and the IMI-style
+    * hierarchy bounds it at sqrt(nlist). Below it, flat probing is both
+    * exact and cheaper (no second ranking stage). */
+  val HierarchyMinNlist: Int = 1 << 16
 
   /** Dense-index build sizing: how many IVF cells, PQ subspaces and
     * codebook entries to train for a corpus of N rows x d dims, plus the
@@ -148,7 +164,10 @@ object Similarity {
       calibrateK: Int = 20,
       calibrateQueries: Int = 20,
       opqRotateIters: Option[Int] = None,
-      trainSampleRows: Option[Long] = None): DenseIndex = {
+      trainSampleRows: Option[Long] = None,
+      coarseHierarchyMinNlist: Int = HierarchyMinNlist,
+      coarseGroups: Int = 0,
+      coarseLloydIters: Int = 4): DenseIndex = {
     val spark = emb.sparkSession
     var counted: Option[Long] = None
     def nRows: Long = counted.getOrElse {
@@ -216,6 +235,18 @@ object Similarity {
     cents.unpersist() // kmeansFit's contract: the caller owns the frame
     phaseMark("coarse kmeans fit + centroid write")
     val centArt = spark.read.parquet(s"$outDir/centroids")
+    // TWO-LEVEL coarse hierarchy (VERDICT r15 #1): past the nlist
+    // threshold the flat centroid collect stops being driver-safe, so the
+    // build emits the l1/l2 artifact ([[buildCoarseHierarchy]] — a
+    // kmeans over the nlist centroids, sqrt(nlist)-row L1 + gid-
+    // partitioned L2) and the facade serves through
+    // [[probeCellsTwoLevel]]. Below the threshold nothing is written and
+    // serving stays flat (exact, cheaper).
+    val hierArt =
+      if (p.nlist < coarseHierarchyMinNlist) None
+      else Some(buildCoarseHierarchy(centArt, outDir, coarseGroups,
+        coarseLloydIters))
+    if (hierArt.isDefined) phaseMark("coarse hierarchy fit + l1/l2 write")
     // same dispatch as the kmeansFit iterations: packed only at coarse
     // nlist — the packed HOF argmax is interpreted per row and at
     // IVF-scale nlist it dominates the build (RecallScaleProbe r12)
@@ -320,7 +351,7 @@ object Similarity {
     val cellsArt = spark.read.parquet(s"$outDir/cells")
     val centArt2 = spark.read.parquet(s"$outDir/centroids")
     val binArt = spark.read.parquet(s"$outDir/bin")
-    val (np, kcBq) = calibrateRecall match {
+    val (np, kcBq, npL1) = calibrateRecall match {
       case Some(target) =>
         val sample = emb
           .select(col(idCol), col(vecCol), graft.operators.Dedup.hash60(
@@ -328,7 +359,7 @@ object Similarity {
           .orderBy(col("__h"), col(idCol)).limit(calibrateQueries)
           .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
         // the exact truth sets cost one full-corpus batch scan — compute
-        // once, share across both calibrations
+        // once, share across all calibrations
         val truth = calibrationTruth(cellsArt, sample, calibrateK,
           idCol, vecCol)
         val np0 = calibrateNprobe(cellsArt, centArt2, sample, calibrateK,
@@ -340,8 +371,19 @@ object Similarity {
         val kc = calibrateKCoarseBinary(binArt, cellsArt, centArt2, sample,
           np0, calibrateK, target, nRows, idCol, vecCol,
           truth = Some(truth))
-        (np0, Some(kc))
-      case None => (p.defaultNprobe, None)
+        // when the hierarchy exists, measure recall THROUGH the two-level
+        // probe at the calibrated nprobe and persist the (nprobeL1,
+        // nprobe) pair — a partial L1 probe changes which cells open, so
+        // the flat-calibrated nprobe alone no longer certifies recall
+        val l1cal = hierArt.map { case (l1a, l2a) =>
+          calibrateNprobeL1(cellsArt, l1a, l2a, sample, np0, calibrateK,
+            target, idCol, vecCol, truth = Some(truth))
+        }
+        (np0, Some(kc), l1cal)
+      case None =>
+        // uncalibrated hierarchy serves FULL level-1 probe (bit-parity
+        // with the flat probe) — safe by construction, no measured knob
+        (p.defaultNprobe, None, hierArt.map(_._1.count().toInt))
     }
     phaseMark("recall calibration")
     spark.range(1).select(
@@ -350,6 +392,8 @@ object Similarity {
       lit(np).as("default_nprobe"),
       kcBq.map(lit).getOrElse(lit(null).cast("int"))
         .as("default_kcoarse_bq"),
+      npL1.map(lit).getOrElse(lit(null).cast("int"))
+        .as("default_nprobe_l1"),
       calibrateRecall.map(lit).getOrElse(lit(null).cast("double"))
         .as("target_recall"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/params")
@@ -364,7 +408,10 @@ object Similarity {
       int8 = Some(spark.read.parquet(s"$outDir/int8")),
       rotation = rotArt,
       binary = Some(binArt),
-      defaultKCoarseBq = kcBq)
+      defaultKCoarseBq = kcBq,
+      l1 = hierArt.map(_._1),
+      l2 = hierArt.map(_._2),
+      defaultNprobeL1 = npL1)
   }
 
   /** BUILD-TIME nprobe calibration: the smallest nprobe whose measured
@@ -2551,6 +2598,158 @@ object Similarity {
       .orderBy(col("cscore").desc, col(clusterCol).asc)
       .limit(nprobe)
       .collect().map(_.getInt(0)).toSeq
+  }
+
+  /** Batch form of [[probeCellsTwoLevel]] (the [[probeCellsBatch]] analog
+    * for a hierarchy-backed index): per-query level-1 group ranking (L1 is
+    * sqrt(nlist) x batch rows — driver-scale), then ONE partition-pruned
+    * scan of the union of opened groups' centroids ranked per query.
+    * Identical rounding/tiebreaks to the single-query form, so full L1
+    * probe reproduces [[probeCellsBatch]] exactly. */
+  def probeCellsTwoLevelBatch(
+      l1: DataFrame,
+      l2: DataFrame,
+      queries: DataFrame,
+      nprobeL1: Int,
+      nprobe: Int,
+      clusterCol: String = "cluster"): Seq[(Long, Int)] = {
+    val byQueryG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("gscore").desc, col("gid").asc)
+    val qgids = l1.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("gid"),
+        round(VectorOps.dot(col("gv"), col("qv")), 6).as("gscore"))
+      .withColumn("__rn", row_number().over(byQueryG))
+      .filter(col("__rn") <= nprobeL1)
+      .select(col("query_id"), col("gid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val gidUnion = qgids.map(_._2).distinct.toSeq
+    val spark = l2.sparkSession
+    import spark.implicits._
+    val qgDf = qgids.toSeq.toDF("query_id", "gid")
+    val byQueryC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col(clusterCol).asc)
+    l2.filter(col("gid").isin(gidUnion: _*))
+      .join(broadcast(qgDf), Seq("gid"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col(clusterCol),
+        round(VectorOps.dot(col("cv"), col("qv")), 6).as("cscore"))
+      .withColumn("__rn", row_number().over(byQueryC))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col(clusterCol))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+  }
+
+  /** [[ivfSearchPruned]] through the TWO-LEVEL coarse probe: identical
+    * serving tail (pruned cell scan, exact rescore, rounded top-k) with
+    * the probe list from [[probeCellsTwoLevel]] instead of the flat
+    * centroid ranking — the single-query serving form of the hierarchy.
+    * At full level-1 probe (nprobeL1 >= groups) the result is exactly
+    * [[ivfSearchPruned]] at the same nprobe. */
+  def ivfSearchPrunedTwoLevel(
+      cells: DataFrame,
+      l1: DataFrame,
+      l2: DataFrame,
+      queryDf: DataFrame,
+      nprobeL1: Int,
+      nprobe: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      restrictIds: Option[DataFrame] = None,
+      excludeIds: Option[DataFrame] = None,
+      roundTo: Int = 4): DataFrame = {
+    val probed = probeCellsTwoLevel(l1, l2, queryDf, nprobeL1, nprobe, clusterCol)
+    scoreAll(
+      applyCandidateFilters(cells.filter(col(clusterCol).isin(probed: _*)),
+        idCol, restrictIds, excludeIds),
+      queryDf, idCol, vecCol)
+      .select(col(idCol), round(col("score"), roundTo).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch [[ivfSearchBatchPruned]] through the two-level coarse probe —
+    * the serving shape [[calibrateNprobeL1]] measures recall against. */
+  def ivfSearchBatchPrunedTwoLevel(
+      cells: DataFrame,
+      l1: DataFrame,
+      l2: DataFrame,
+      queries: DataFrame,
+      nprobeL1: Int,
+      nprobe: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster"): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val probed = probeCellsTwoLevelBatch(l1, l2, queries, nprobeL1, nprobe,
+      clusterCol)
+    val probedDf = probed.toDF("query_id", clusterCol)
+    val cellUnion = probed.map(_._2).distinct
+    topKPerQuery(
+      cells.filter(col(clusterCol).isin(cellUnion: _*))
+        .join(broadcast(probedDf), Seq(clusterCol))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          round(VectorOps.dot(col(vecCol), col("qv")), 4).as("sim")),
+      k, idCol, "sim")
+  }
+
+  /** BUILD-TIME nprobeL1 calibration (the [[calibrateNprobe]] analog for
+    * the hierarchy's level-1 knob): the smallest nprobeL1 whose measured
+    * recall@k through [[ivfSearchBatchPrunedTwoLevel]] — at the index's
+    * already-calibrated `nprobe` — meets `targetRecall`. Recall is
+    * near-monotone in nprobeL1 (more opened groups widen the candidate
+    * centroid pool; the probed cell set is not a strict superset, so the
+    * exponential + binary search is the same pragmatic assumption FAISS
+    * IMI users sweep by hand), and REACHABLE by construction: at
+    * nprobeL1 >= groups the two-level probe IS the flat probe
+    * (CoarseHierarchySpec pins bit-parity), so any target the nprobe
+    * calibration met is met at the cap. Returning `groups` therefore
+    * means "serve full level-1 probe", never an unreachable knob. */
+  def calibrateNprobeL1(
+      cells: DataFrame,
+      l1: DataFrame,
+      l2: DataFrame,
+      queries: DataFrame,
+      nprobe: Int,
+      k: Int,
+      targetRecall: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      truth: Option[Map[Long, Set[Long]]] = None): Int = {
+    require(targetRecall > 0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val exact = truth.getOrElse(
+      calibrationTruth(cells, queries, k, idCol, vecCol))
+    require(exact.nonEmpty, "calibration query sample is empty")
+    val groups = l1.count().toInt
+    val memo = scala.collection.mutable.Map.empty[Int, Double]
+    def recallAt(npL1: Int): Double = memo.getOrElseUpdate(npL1, {
+      val ann = ivfSearchBatchPrunedTwoLevel(cells, l1, l2, queries, npL1,
+          nprobe, k, idCol, vecCol, clusterCol)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, ids) =>
+        ids.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / ids.size
+      }.sum / exact.size
+    })
+    var lo = 1
+    var hi = 1
+    while (hi < groups && recallAt(hi) < targetRecall) {
+      lo = hi + 1
+      hi = math.min(groups, hi * 2)
+    }
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (recallAt(mid) >= targetRecall) hi = mid else lo = mid + 1
+    }
+    lo
   }
 
   /** Batch form of [[probeCells]]: per-query `nprobe` best cells for a

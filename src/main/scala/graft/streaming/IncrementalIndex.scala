@@ -132,7 +132,8 @@ object IncrementalIndex {
       statsDir: Option[String] = None,
       radiiDir: Option[String] = None,
       rotation: Option[DataFrame] = None,
-      int8Dir: Option[String] = None): Unit = {
+      int8Dir: Option[String] = None,
+      binDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     // half-specifying the PQ leg would SILENTLY skip it and leave the codes
     // artifact stale — the exact staleness this maintenance job exists to
@@ -356,6 +357,25 @@ object IncrementalIndex {
               .write.mode("append")
               .partitionBy("batch_id", cc)
               .parquet(i8d)
+          }
+          // 1-bit SIGNATURE delta (VERDICT r15 #8) — the binary family's
+          // coarse store goes stale exactly like int8's the moment a
+          // batch lands: [[graft.operators.Similarity
+          // .ivfBinaryRefineSearch]]'s Hamming stage would rank over
+          // yesterday's corpus while the refine reads today's. Encode is
+          // on the RAW vectors (the sign convention serves the raw
+          // basis, like SQ8), same batch_id replay idempotence.
+          for (bd <- binDir) {
+            val binBatchPath = new org.apache.hadoop.fs.Path(s"$bd/batch_id=$batchId")
+            binBatchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(binBatchPath, true)
+            graft.operators.Similarity
+              .binaryEncodeCells(batch.join(assigned, Seq(idCol)), idCol, vecCol, cc)
+              .withColumn("batch_id", lit(batchId))
+              .repartition(col(cc))
+              .write.mode("append")
+              .partitionBy("batch_id", cc)
+              .parquet(bd)
           }
         } finally assigned.unpersist()
         ()
@@ -942,6 +962,23 @@ object IncrementalIndex {
     else None
   }
 
+  /** The published version's two-level coarse hierarchy, when the version
+    * was retrained with `coarseCentroids` — None for a flat-probe index.
+    * The facade threads it into [[graft.operators.Similarity.DenseIndex]]'s
+    * `l1`/`l2` so serving dispatches two-level after a swap. */
+  def currentHierarchy(
+      spark: SparkSession,
+      indexRoot: String): Option[(DataFrame, DataFrame)] = {
+    val v = currentVersion(spark, indexRoot).getOrElse(
+      throw new IllegalStateException(
+        s"no published index version under $indexRoot — bootstrap with retrainAndSwap"))
+    val p = new org.apache.hadoop.fs.Path(s"$indexRoot/v=$v/l1")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some((spark.read.parquet(s"$indexRoot/v=$v/l1"),
+        spark.read.parquet(s"$indexRoot/v=$v/l2")))
+    else None
+  }
+
   /** RETRAIN-AND-SWAP (the drift gate's follow-through): refit PQ
     * codebooks over `trainCorpus` (the accumulated store UNION the
     * drifted, still-unlanded landing rows — retraining on the OLD
@@ -965,7 +1002,9 @@ object IncrementalIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       cellCol: String = "cluster",
-      opqRotateIters: Option[Int] = None): Long = {
+      opqRotateIters: Option[Int] = None,
+      coarseCentroids: Option[DataFrame] = None,
+      coarseGroups: Int = 0): Long = {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
     recoverVersionSwap(spark, indexRoot)
@@ -1010,6 +1049,16 @@ object IncrementalIndex {
         .write.mode("append")
         .partitionBy("batch_id", cellCol)
         .parquet(s"$staging/codes")
+    }
+    // TWO-LEVEL coarse hierarchy (VERDICT r15 #1/#8): when the caller's
+    // index serves through the l1/l2 artifact, the retrained version must
+    // republish it — a version swap that kept yesterday's hierarchy while
+    // the centroid table moved would route probes through stale groups.
+    // Staged INSIDE the version subtree, so readers resolve (codebooks,
+    // codes, l1, l2) as one consistent set via [[currentHierarchy]].
+    coarseCentroids.foreach { cents =>
+      graft.operators.Similarity.buildCoarseHierarchy(cents, staging,
+        groups = coarseGroups)
     }
     // commit point: manifest names the staged version, made visible by
     // atomic rename; everything before this is invisible debris on crash

@@ -59,6 +59,72 @@ class CoarseHierarchySpec extends AnyFunSuite {
     }
   }
 
+  test("batch two-level probe == single-query form, per query") {
+    val (emb, _, l1, l2) = fixture()
+    val queries = emb.filter(col("vec_id").isin(0L, 7L, 42L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = Similarity.probeCellsTwoLevelBatch(l1, l2, queries,
+        nprobeL1 = 2, nprobe = 4)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (q <- Seq(0L, 7L, 42L)) {
+      val qDf = emb.filter(col("vec_id") === q)
+        .select(col("embedding").as("qv"))
+      val single =
+        Similarity.probeCellsTwoLevel(l1, l2, qDf, nprobeL1 = 2, nprobe = 4)
+      assert(batch(q) === single.toSet, s"batch != single at q=$q")
+    }
+  }
+
+  test("buildDenseIndex past the nlist threshold emits + calibrates the hierarchy") {
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(400)
+    val out = java.nio.file.Files.createTempDirectory("graft_hbuild").toString
+    val idx = Similarity.buildDenseIndex(emb, out,
+      Some(Similarity.IvfParams(nlist = 25, lloydIters = 2, numSub = 8,
+        subDim = 8, numCentroids = 16, pqIters = 1, defaultNprobe = 4)),
+      calibrateRecall = Some(0.8),
+      coarseHierarchyMinNlist = 1)
+    // artifacts exist and partition losslessly
+    assert(idx.l1.isDefined && idx.l2.isDefined)
+    assert(idx.l2.get.count() === idx.centroids.count())
+    // the calibrated (nprobeL1, nprobe) pair is persisted in params...
+    val params = spark.read.parquet(s"$out/params").head
+    val npL1 = params.getAs[Int]("default_nprobe_l1")
+    assert(npL1 === idx.defaultNprobeL1.get)
+    assert(npL1 >= 1 && npL1 <= idx.l1.get.count().toInt)
+    // ...and MEASURED: recall@k through the two-level probe at the
+    // persisted pair meets the build's target
+    val sample = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val truth = Similarity.calibrationTruth(idx.cells, sample, 20)
+    val ann = Similarity.ivfSearchBatchPrunedTwoLevel(idx.cells,
+        idx.l1.get, idx.l2.get, sample, npL1, idx.defaultNprobe.get, 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = truth.map { case (q, ids) =>
+      ids.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / ids.size
+    }.sum / truth.size
+    assert(recall >= 0.8, f"two-level recall $recall%.3f below the 0.8 target")
+    // below the threshold (the default), no hierarchy is built
+    val out2 = java.nio.file.Files.createTempDirectory("graft_hflat").toString
+    val flat = Similarity.buildDenseIndex(emb, out2,
+      Some(Similarity.IvfParams(nlist = 8, lloydIters = 1, numSub = 8,
+        subDim = 8, numCentroids = 16, pqIters = 1, defaultNprobe = 2)))
+    assert(flat.l1.isEmpty && flat.l2.isEmpty && flat.defaultNprobeL1.isEmpty)
+    assert(spark.read.parquet(s"$out2/params").head
+      .isNullAt(spark.read.parquet(s"$out2/params").schema
+        .fieldIndex("default_nprobe_l1")))
+  }
+
+  test("uncalibrated hierarchy build persists FULL level-1 probe (flat parity)") {
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(300)
+    val out = java.nio.file.Files.createTempDirectory("graft_huncal").toString
+    val idx = Similarity.buildDenseIndex(emb, out,
+      Some(Similarity.IvfParams(nlist = 16, lloydIters = 1, numSub = 8,
+        subDim = 8, numCentroids = 16, pqIters = 1, defaultNprobe = 2)),
+      coarseHierarchyMinNlist = 1)
+    assert(idx.defaultNprobeL1 === Some(idx.l1.get.count().toInt))
+  }
+
   test("partial level-1 probe draws only from the probed groups") {
     val (emb, _, l1, l2) = fixture()
     val qDf = emb.filter(col("vec_id") === 3L)

@@ -196,6 +196,79 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(results(spark.read.parquet(int8)) === viaBatch)
   }
 
+  test("incremental 1-bit signature store stays in lockstep; serving over it equals the batch build") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_incr_bin")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val bin = base.resolve("bin").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+
+    emb.filter(col("vec_id") < 30).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell", binDir = Some(bin))
+    emb.filter(col("vec_id") >= 30 && col("vec_id") < 50)
+      .write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell", binDir = Some(bin))
+
+    // accumulated signature store == one-shot encode of everything landed
+    val got = spark.read.parquet(bin)
+      .select(col("vec_id"), col("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val want = Similarity.binaryEncodeCells(
+        spark.read.parquet(sink), clusterCol = "ivf_cell")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSeq).toMap
+    assert(got === want)
+    assert(got.size === 50)
+    // binary two-stage serving over the INCREMENTAL artifacts == over a
+    // one-shot batch encode of the same corpus (same probe, same knobs)
+    val cells = spark.read.parquet(sink)
+    val centArt = cents.select(col("label").as("ivf_cell"), col("cv"))
+    val qv = emb.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    def results(b: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfBinaryRefineSearch(b, cells, centArt, qv,
+          nprobe = 2, kCoarse = 20, k = 10, clusterCol = "ivf_cell")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIncremental = results(spark.read.parquet(bin))
+    val viaBatch = results(Similarity.binaryEncodeCells(cells, clusterCol = "ivf_cell"))
+    assert(viaIncremental === viaBatch)
+    assert(viaIncremental.nonEmpty)
+    // idle re-run: the signature store does not grow
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell", binDir = Some(bin))
+    assert(spark.read.parquet(bin).count() === 50)
+  }
+
+  test("retrainAndSwap republishes the coarse hierarchy inside the version subtree") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_swap_hier")
+    val root = base.resolve("index").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(200)
+    val out = base.resolve("fit").toString
+    val cents = Similarity.kmeansFit(emb, 16, iters = 1)
+    cents.coalesce(1).write.parquet(s"$out/centroids")
+    cents.unpersist()
+    val centArt = spark.read.parquet(s"$out/centroids")
+    val v = IncrementalIndex.retrainAndSwap(spark, root, emb, store = None,
+      coarseCentroids = Some(centArt))
+    // the hierarchy resolves from the SAME version as the codebooks, and
+    // full-probe serving parity holds through the republished artifact
+    val (l1, l2) = IncrementalIndex.currentHierarchy(spark, root).get
+    assert(l2.count() === 16)
+    val groups = l1.count().toInt
+    val qDf = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    assert(Similarity.probeCellsTwoLevel(l1, l2, qDf, groups, 4) ===
+      Similarity.probeCells(centArt, qDf, 4))
+    // a flat retrain (no coarseCentroids) publishes no hierarchy
+    val root2 = base.resolve("index2").toString
+    IncrementalIndex.retrainAndSwap(spark, root2, emb, store = None)
+    assert(IncrementalIndex.currentHierarchy(spark, root2).isEmpty)
+    assert(v === 0L)
+  }
+
   test("compactCells folds N batch subtrees into one epoch: fewer files, same rows, same pruning") {
     import graft.operators.Similarity
     val base = java.nio.file.Files.createTempDirectory("graft_compact")

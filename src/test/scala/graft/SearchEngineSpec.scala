@@ -297,6 +297,33 @@ class SearchEngineSpec extends AnyFunSuite {
       s"no partition pruning on the cells scan:\n$plan")
   }
 
+  test("hierarchy-carrying index serves two-level through the facade (full probe == exact)") {
+    import graft.operators.Similarity
+    val q = vec(kfs(3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_hier").toString
+    val (l1, l2) = Similarity.buildCoarseHierarchy(clipIndex.centroids, dir)
+    val groups = l1.count().toInt
+    // full L1 probe + full nprobe: the two-level facade path must equal
+    // the exact corpus scan, filters and all — the dispatch (index.l1/l2
+    // present -> TwoLevelProbe) proven on results, not plan shape
+    val idx = clipIndex.copy(l1 = Some(l1), l2 = Some(l2),
+      defaultNprobeL1 = Some(groups), defaultNprobe = Some(4))
+    val filters = Filters(partitionTag = Some(2), ignoreIds = Seq(60L))
+    val ann = engine.textSearchAnn(idx, q, k = 12, filters)
+      .collect().map(_.toString).sorted
+    val exact = engine.textSearch(q, k = 12, filters)
+      .collect().map(_.toString).sorted
+    assert(ann.nonEmpty)
+    assert(ann.toSeq === exact.toSeq)
+    // partial L1 probe serves (possibly approximate) results and matches
+    // the operator-level two-level probe's cell selection
+    val partial = idx.copy(defaultNprobeL1 = Some(1))
+    assert(engine.textSearchAnn(partial, q, k = 5, nprobe = Some(2))
+      .collect().nonEmpty)
+    // imgsearch rides the same dispatch
+    assert(engine.imageSearchAnn(idx, imgId = 3L, k = 5).collect().nonEmpty)
+  }
+
   test("dual-model textSearchAnn fuses two index-backed channels (full probe == exact)") {
     val q = vec(kfs(3))
     val ann = engine.textSearchAnn(clipIndex, q, k = 10, nprobe = Some(4),

@@ -788,35 +788,9 @@ object SparkEntry {
     * oracle end-to-end (`sim_opq_adc_m2`); the full 16-component
     * geometry stays on the realistic rows-only `sim_opq_adc`. */
   private[graft] object OpqM2Artifacts {
-    case class Opq(rotation: DataFrame, codebooks: DataFrame, codes: DataFrame)
     val (numSub, subDim, numCodes) = (2, 1, 16)
-    def build(s: SparkSession, dir: String): Opq = {
-      val p = ArtifactMemo.root(dir, "opq-m2")
-      def read = Opq(
-        rotation = s.read.parquet(s"$p/rotation"),
-        codebooks = s.read.parquet(s"$p/codebooks"),
-        codes = s.read.parquet(s"$p/codes"))
-      ArtifactMemo(p) {
-        val emb = t(s, dir, "embeddings")
-        Similarity.pcaTopComponents(emb, "embedding",
-            m = numSub * subDim, iters = 4)
-          .coalesce(1).write.mode(SaveMode.Overwrite)
-          .option("compression", "zstd").parquet(s"$p/rotation")
-        val rotated = Similarity.rotateVectors(emb,
-          s.read.parquet(s"$p/rotation"), allocate = Some((numSub, subDim)))
-        val cb = Similarity.pqRefineCodebooks(rotated,
-          Similarity.pqCodebooks(rotated, numSub, subDim, numCodes),
-          numSub, subDim, iters = 1)
-        cb.coalesce(1).write.mode(SaveMode.Overwrite)
-          .option("compression", "zstd").parquet(s"$p/codebooks")
-        cb.unpersist()
-        Similarity.pqEncode(rotated, s.read.parquet(s"$p/codebooks"),
-            numSub, subDim)
-          .write.mode(SaveMode.Overwrite)
-          .option("compression", "zstd").parquet(s"$p/codes")
-        read
-      }(read)
-    }
+    def build(s: SparkSession, dir: String): OpqM4Artifacts.Opq =
+      OpqM4Artifacts.build(s, dir, numSub, "opq-m2")
   }
 
   /** The m=4 sibling of [[OpqM2Artifacts]] (VERDICT r14 #8): 4 principal
@@ -828,8 +802,11 @@ object SparkEntry {
   private[graft] object OpqM4Artifacts {
     case class Opq(rotation: DataFrame, codebooks: DataFrame, codes: DataFrame)
     val (numSub, subDim, numCodes) = (4, 1, 16)
-    def build(s: SparkSession, dir: String): Opq = {
-      val p = ArtifactMemo.root(dir, "opq-m4")
+    def build(s: SparkSession, dir: String): Opq = build(s, dir, numSub, "opq-m4")
+    /** Parametric form (VERDICT r15 #6): the m=8 pin reuses the same
+      * fit/encode chain at 8×1 geometry — SEVEN rank-1 deflations. */
+    def build(s: SparkSession, dir: String, m: Int, variant: String): Opq = {
+      val p = ArtifactMemo.root(dir, variant)
       def read = Opq(
         rotation = s.read.parquet(s"$p/rotation"),
         codebooks = s.read.parquet(s"$p/codebooks"),
@@ -837,19 +814,19 @@ object SparkEntry {
       ArtifactMemo(p) {
         val emb = t(s, dir, "embeddings")
         Similarity.pcaTopComponents(emb, "embedding",
-            m = numSub * subDim, iters = 4)
+            m = m * subDim, iters = 4)
           .coalesce(1).write.mode(SaveMode.Overwrite)
           .option("compression", "zstd").parquet(s"$p/rotation")
         val rotated = Similarity.rotateVectors(emb,
-          s.read.parquet(s"$p/rotation"), allocate = Some((numSub, subDim)))
+          s.read.parquet(s"$p/rotation"), allocate = Some((m, subDim)))
         val cb = Similarity.pqRefineCodebooks(rotated,
-          Similarity.pqCodebooks(rotated, numSub, subDim, numCodes),
-          numSub, subDim, iters = 1)
+          Similarity.pqCodebooks(rotated, m, subDim, numCodes),
+          m, subDim, iters = 1)
         cb.coalesce(1).write.mode(SaveMode.Overwrite)
           .option("compression", "zstd").parquet(s"$p/codebooks")
         cb.unpersist()
         Similarity.pqEncode(rotated, s.read.parquet(s"$p/codebooks"),
-            numSub, subDim)
+            m, subDim)
           .write.mode(SaveMode.Overwrite)
           .option("compression", "zstd").parquet(s"$p/codes")
         read
@@ -5714,6 +5691,25 @@ object SparkEntry {
       },
       Some(s"""${opqDeflateCtes(4)},
              |${opqCodesCtes(4)}
+             |SELECT e.id AS vec_id,
+             |       ROUND(CAST(SUM(CAST(q.p AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
+             |FROM encb e JOIN qtabb q ON q.m = e.m AND q.c = e.code
+             |GROUP BY 1 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // the m=8 pin (VERDICT r15 #6): SEVEN rank-1 deflations, 8x1
+    // sub-quantizers — half the full 16-component sim_opq_adc geometry,
+    // hash-pinned end to end, so the rows-only exception shrinks to just
+    // the 16-component rotation itself
+    ("sim_opq_adc_m8",
+      (s, dir) => {
+        val opq = OpqM4Artifacts.build(s, dir, m = 8, variant = "opq-m8")
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.pqAdcScoreRotated(opq.codes, opq.codebooks, opq.rotation,
+          qv, k = 10, 8, OpqM4Artifacts.subDim)
+      },
+      Some(s"""${opqDeflateCtes(8)},
+             |${opqCodesCtes(8)}
              |SELECT e.id AS vec_id,
              |       ROUND(CAST(SUM(CAST(q.p AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
              |FROM encb e JOIN qtabb q ON q.m = e.m AND q.c = e.code

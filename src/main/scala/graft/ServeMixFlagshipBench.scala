@@ -52,14 +52,30 @@ object ServeMixFlagshipBench {
     // SearchEngine column contract (id / clip / clipv2)
     val emb = spark.read.parquet(s"$root/emb")
     val n = emb.count()
-    val kf = emb.select(col("vec_id").as("id"), lit("kf").as("collection"),
-      concat(lit("V"), (col("vec_id") / 20).cast("long")).as("video_id"),
-      ((col("vec_id") % 20) / 2).cast("int").as("shot_id"),
-      (col("vec_id") % 4).cast("int").as("partition_tag"))
+    // corpus views are MATERIALIZED once beside the store (r16: the r15
+    // "flagship 4-thread tail" was temporal requests re-running the
+    // 1M-row shots aggregation per request — a bench-fixture cost; in
+    // production Corpus.shots is a table, so persist it like one)
+    val corpusDir = s"$root/corpus"
+    locally {
+      val done = new org.apache.hadoop.fs.Path(s"$corpusDir/_graft_built")
+      val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(done)) {
+        val kf0 = emb.select(col("vec_id").as("id"), lit("kf").as("collection"),
+          concat(lit("V"), (col("vec_id") / 20).cast("long")).as("video_id"),
+          ((col("vec_id") % 20) / 2).cast("int").as("shot_id"),
+          (col("vec_id") % 4).cast("int").as("partition_tag"))
+        kf0.write.mode("overwrite").parquet(s"$corpusDir/kf")
+        kf0.groupBy(col("video_id"), col("shot_id"))
+          .agg(sort_array(collect_list(col("id"))).as("keyframe_ids"))
+          .write.mode("overwrite").parquet(s"$corpusDir/shots")
+        fs.create(done, true).close()
+      }
+    }
+    val kf = spark.read.parquet(s"$corpusDir/kf")
+    val shots = spark.read.parquet(s"$corpusDir/shots")
     val emb2 = emb.select(col("vec_id").as("id"), col("embedding").as("clip"),
       reverse(col("embedding")).as("clipv2"))
-    val shots = kf.groupBy(col("video_id"), col("shot_id"))
-      .agg(sort_array(collect_list(col("id"))).as("keyframe_ids"))
     val engine = new SearchEngine(Corpus(kf, emb2, shots))
 
     // the store was built with idCol=vec_id / vecCol=embedding; the
@@ -76,6 +92,34 @@ object ServeMixFlagshipBench {
       codes = spark.read.parquet(s"$root/index/codes"),
       defaultNprobe = Some(params.getAs[Int]("default_nprobe")),
       radii = Some(spark.read.parquet(s"$root/index/radii")))
+
+    // ---- panel channel at FLAGSHIP size (VERDICT r15 #4): a synthetic
+    // 1M-doc tag corpus (vocabulary of 1000 terms, 3 deterministic terms
+    // per keyframe) through the SAME bucketed fitted-index build the sf
+    // mix serves — so the term-pruned artifact read path (no corpus
+    // tokenize at request time) is measured under concurrency at the
+    // geometry where the postings volume matters. Build-once beside the
+    // index artifacts; serving-only runs reuse it.
+    val panelDir = s"$root/panel"
+    val panelIdx = {
+      val done = new org.apache.hadoop.fs.Path(s"$panelDir/_graft_built")
+      val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(done)) {
+        val tagDocs = emb.select(col("vec_id").as("doc_id"),
+          concat_ws(" ",
+            concat(lit("t"), pmod(col("vec_id"), lit(1000))),
+            concat(lit("t"), pmod(col("vec_id") * 7 + 3, lit(1000))),
+            concat(lit("t"), pmod(col("vec_id") * 13 + 5, lit(1000))))
+            .as("text"))
+        val (_, tP) = time {
+          graft.operators.Lexical.writeMultiIndex(spark,
+            Seq(("tag", tagDocs, "doc_id", "text")), panelDir)
+        }
+        System.err.println(f"[flagship] panel index build: ${tP}%.1f s")
+        fs.create(done, true).close()
+        graft.operators.Lexical.readMultiIndex(spark, panelDir)
+      } else graft.operators.Lexical.readMultiIndex(spark, panelDir)
+    }
 
     // request payloads: the base replica's ids (0..baseN) exist verbatim
     // in the flagship corpus, so id-keyed requests draw from that range;
@@ -100,8 +144,12 @@ object ServeMixFlagshipBench {
         case 3 => ("textsearch",
           () => engine.textSearchAnn(idx, qv, k = 50,
             Filters(ignoreIds = Seq((i.toLong * 11) % baseN))))
-        case 4 | 5 | 9 => ("imgsearch",
+        case 4 | 9 => ("imgsearch",
           () => engine.imageSearchAnn(idx, (i.toLong * 17) % baseN, k = 50))
+        case 5 => ("panel",
+          () => engine.panelIndexed(panelIdx,
+            Map("tag" -> Seq(s"t${(i * 37) % 1000}", s"t${(i * 41 + 9) % 1000}")),
+            k = 50))
         case 6 | 7 => ("feedback",
           () => engine.feedback(prevHits(i),
             posIds = Seq((i.toLong * 7) % baseN),
@@ -123,10 +171,15 @@ object ServeMixFlagshipBench {
       }
     }
 
-    // ---- concurrent replays, one FAIR pool per client thread
-    val concRows = Seq(4, 8).map { conc =>
+    // ---- concurrent replays, one FAIR pool per client thread.
+    // Concurrency 4 runs TWICE (VERDICT r15 #3: the 17.8 s conc-4 max —
+    // first-fill vs steady-state is decided by the repeat), and every leg
+    // records per-request (endpoint, latency) so an outlier is NAMED in
+    // the artifact instead of guessed at.
+    val concRows = Seq(("4", 4), ("4b", 4), ("8", 8)).map { case (tag, conc) =>
       val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
       val lat = new Array[Double](100)
+      val eps = new Array[String](100)
       val t0 = System.nanoTime()
       val futures = (0 until 100).map { i =>
         pool.submit(new Runnable {
@@ -138,6 +191,7 @@ object ServeMixFlagshipBench {
             val rows = thunk().collect()
             require(rows.nonEmpty, s"$ep returned 0 rows — serving broke")
             lat(i) = (System.nanoTime() - s0) / 1e9
+            eps(i) = ep
           }
         })
       }
@@ -145,9 +199,12 @@ object ServeMixFlagshipBench {
       pool.shutdown()
       val wall = (System.nanoTime() - t0) / 1e9
       val sorted = lat.sorted
-      f""""$conc":{"wall_sec":$wall%.3f,"req_per_sec":${100.0 / wall}%.2f,""" +
+      val slowest = lat.zipWithIndex.sortBy(-_._1).take(3)
+        .map { case (l, i) => f"""{"i":$i,"ep":"${eps(i)}","sec":$l%.3f}""" }
+        .mkString("[", ",", "]")
+      f""""$tag":{"wall_sec":$wall%.3f,"req_per_sec":${100.0 / wall}%.2f,""" +
         f""""p50_sec":${sorted(49)}%.3f,"p95_sec":${sorted(94)}%.3f,""" +
-        f""""max_sec":${sorted(99)}%.3f}"""
+        f""""max_sec":${sorted(99)}%.3f,"slowest":$slowest}"""
     }.mkString(",")
 
     val perEp = walls.toSeq.sortBy(_._1)

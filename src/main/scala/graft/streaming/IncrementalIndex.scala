@@ -1153,10 +1153,18 @@ object IncrementalIndex {
       statsCols: Seq[String] = Seq.empty,
       statsDir: Option[String] = None,
       radiiDir: Option[String] = None,
-      opqRotateIters: Option[Int] = None): Unit = {
+      opqRotateIters: Option[Int] = None,
+      binDir: Option[String] = None,
+      coarseHierarchy: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     // same layout-first resolution as [[updateDenseIndex]]
     val cc = resolveCellCol(spark, sinkDir, cellCol)
+    // a hierarchy-serving index republishes l1/l2 with EVERY version the
+    // loop publishes (VERDICT r15 #8) — a retrain that kept yesterday's
+    // hierarchy beside today's codebooks would hand [[currentHierarchy]]
+    // readers a mixed version set
+    val coarse = if (coarseHierarchy) Some(centroids.select(
+      col(centroidIdCol).as("cluster"), col("cv"))) else None
     def landedStore: Option[DataFrame] =
       if (pathExists(spark, sinkDir))
         Some(spark.read.parquet(sinkDir).select(col(idCol), col(vecCol), col(cc)))
@@ -1169,7 +1177,8 @@ object IncrementalIndex {
     if (currentVersion(spark, indexRoot).isEmpty)
       retrainAndSwap(spark, indexRoot, trainCorpus, landedStore,
         numSub, subDim, numCentroids, idCol = idCol, vecCol = vecCol,
-        cellCol = cc, opqRotateIters = opqRotateIters)
+        cellCol = cc, opqRotateIters = opqRotateIters,
+        coarseCentroids = coarse)
     def runOnce(): Unit = {
       val (cb, dist, _, codesDir) = currentCodebooks(spark, indexRoot)
       // the version's basis travels with its codebooks: an OPQ-retrained
@@ -1179,7 +1188,8 @@ object IncrementalIndex {
         idCol, vecCol, Some(cb), Some(codesDir), numSub, subDim,
         Some(dist), driftTolerance, centroidIdCol, cc,
         statsCols, statsDir, radiiDir,
-        rotation = currentRotation(spark, indexRoot))
+        rotation = currentRotation(spark, indexRoot),
+        int8Dir = None, binDir = binDir)
     }
     try runOnce()
     catch {
@@ -1188,7 +1198,8 @@ object IncrementalIndex {
             .exists(t => Option(t.getMessage).exists(_.contains("codebook drift"))) =>
         retrainAndSwap(spark, indexRoot, trainCorpus, landedStore,
           numSub, subDim, numCentroids, idCol = idCol, vecCol = vecCol,
-          cellCol = cc, opqRotateIters = opqRotateIters)
+          cellCol = cc, opqRotateIters = opqRotateIters,
+          coarseCentroids = coarse)
         runOnce()
     }
   }

@@ -533,12 +533,17 @@ class IncrementalIndexSpec extends AnyFunSuite {
     val emb = Tables(spark, TestSpark.sfDir, "embeddings")
     val cents = Similarity.centroids(emb)
 
+    val bin = base.resolve("bin").toString
+
     // batch 1 bootstraps version 0 from the landing data and lands cleanly
     emb.filter(col("vec_id") < 40).write.mode("append").parquet(landing)
     IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
       cents, indexRoot, centroidIdCol = "label", cellCol = "ivf_cell",
-      statsCols = Seq("label"), statsDir = Some(stats))
+      statsCols = Seq("label"), statsDir = Some(stats),
+      binDir = Some(bin), coarseHierarchy = true)
     assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(0L))
+    // the bootstrap version carries the coarse hierarchy (VERDICT r15 #8)
+    assert(IncrementalIndex.currentHierarchy(spark, indexRoot).isDefined)
     assert(spark.read.parquet(sink).count() === 40)
     val (_, d0, v0, codes0) = IncrementalIndex.currentCodebooks(spark, indexRoot)
     assert(v0 === 0L && d0 > 0)
@@ -554,9 +559,29 @@ class IncrementalIndexSpec extends AnyFunSuite {
       .write.mode("append").parquet(landing)
     IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
       cents, indexRoot, centroidIdCol = "label", cellCol = "ivf_cell",
-      statsCols = Seq("label"), statsDir = Some(stats))
+      statsCols = Seq("label"), statsDir = Some(stats),
+      binDir = Some(bin), coarseHierarchy = true)
     assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(1L))
     assert(spark.read.parquet(sink).count() === 60)
+
+    // the RETRAINED version republished the hierarchy: it resolves from
+    // v=1 and full-L1 probe keeps bit-parity with the flat probe over the
+    // same (unmoved) coarse centroids
+    val (l1v, l2v) = IncrementalIndex.currentHierarchy(spark, indexRoot).get
+    val qDf = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val centFlat = cents.select(col("label").as("cluster"), col("cv"))
+    assert(Similarity.probeCellsTwoLevel(l1v, l2v, qDf,
+        l1v.count().toInt, 4) ===
+      Similarity.probeCells(centFlat, qDf, 4))
+
+    // the 1-bit signature store stayed in lockstep through gate + retrain
+    // + replay: accumulated deltas == one-shot encode of the landed store
+    assert(spark.read.parquet(bin)
+        .select(col("vec_id"), col("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap ===
+      Similarity.binaryEncodeCells(spark.read.parquet(sink),
+          clusterCol = "ivf_cell")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSeq).toMap)
 
     // the adaptive-probe histogram survived the retrain IN LOCKSTEP: the
     // gate threw before the drifted batch wrote anything, and the replay
@@ -592,7 +617,8 @@ class IncrementalIndexSpec extends AnyFunSuite {
     val nStats = spark.read.parquet(stats).count()
     IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
       cents, indexRoot, centroidIdCol = "label", cellCol = "ivf_cell",
-      statsCols = Seq("label"), statsDir = Some(stats))
+      statsCols = Seq("label"), statsDir = Some(stats),
+      binDir = Some(bin), coarseHierarchy = true)
     assert(IncrementalIndex.currentVersion(spark, indexRoot) === Some(1L))
     assert(spark.read.parquet(sink).count() === 60)
     assert(spark.read.parquet(stats).count() === nStats)

@@ -175,6 +175,44 @@ object BigNlistProbe {
     val (rCal, _) = recallAt(npL1Cal, np)
     println(f"calibrateNprobeL1(target 0.85 at nprobe=$np): nprobeL1=$npL1Cal " +
       f"of $groups groups -> recall@$k $rCal%.3f (calibration ${tCal}%.0f s)")
+
+    // ---- FACADE serving through the hierarchy (the end-to-end leg:
+    // SearchEngine dispatches TwoLevelProbe because the index carries
+    // l1/l2 — the driver never holds the 259 MB centroid table, only the
+    // 0.9 MB L1 cache). Recall measured on the facade's grouped output
+    // against the same exact truth; latency is warm steady-state.
+    val kf = emb.select(col("vec_id").as("id"), lit("kf").as("collection"),
+      concat(lit("V"), (col("vec_id") / 20).cast("long")).as("video_id"),
+      ((col("vec_id") % 20) / 2).cast("int").as("shot_id"),
+      (col("vec_id") % 4).cast("int").as("partition_tag"))
+    val emb2 = emb.select(col("vec_id").as("id"), col("embedding").as("clip"),
+      reverse(col("embedding")).as("clipv2"))
+    val shotsV = kf.groupBy(col("video_id"), col("shot_id"))
+      .agg(sort_array(collect_list(col("id"))).as("keyframe_ids"))
+    val engine = new graft.api.SearchEngine(
+      graft.api.Corpus(kf, emb2, shotsV))
+    val idx = Similarity.DenseIndex(
+      centroids = cents, // unused by the two-level dispatch
+      cells = cells.withColumnRenamed("vec_id", "id")
+        .withColumnRenamed("embedding", "clip"),
+      codebooks = spark.emptyDataFrame, codes = spark.emptyDataFrame,
+      defaultNprobe = Some(np),
+      l1 = Some(l1), l2 = Some(l2), defaultNprobeL1 = Some(npL1Cal))
+    val qArrs = queries.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // warm (codegen + L1 cache fill), then timed pass
+    engine.textSearchAnn(idx, qArrs.head._2, k = k).collect()
+    var hit = 0.0
+    val (_, tServe) = time {
+      qArrs.foreach { case (qid, qv) =>
+        val ids = engine.textSearchAnn(idx, qv, k = k).collect()
+          .flatMap(_.getSeq[Long](2)).toSet
+        hit += exact(qid).intersect(ids).size.toDouble / exact(qid).size
+      }
+    }
+    println(f"facade textSearchAnn THROUGH the hierarchy " +
+      f"(nprobeL1=$npL1Cal, nprobe=$np): recall@$k ${hit / qArrs.length}%.3f, " +
+      f"${tServe / qArrs.length}%.2f s/request warm serial")
     spark.stop()
   }
 }

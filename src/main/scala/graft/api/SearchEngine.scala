@@ -229,7 +229,9 @@ class SearchEngine(
     * [[Similarity.HierarchyMinNlist]] cells) probes two-level at its
     * calibrated `default_nprobe_l1` (full L1 probe — flat parity — when
     * uncalibrated); everything else probes through the flat driver-side
-    * centroid cache. */
+    * centroid cache. A caller overriding the L1 depth per request passes
+    * `index.copy(defaultNprobeL1 = Some(n))` — DenseIndex is the knob
+    * carrier, same as the persisted nprobe default. */
   private def cachedProbe(
       index: Similarity.DenseIndex, qv: Array[Float], nprobe: Int): Seq[Int] =
     (index.l1, index.l2) match {

@@ -965,7 +965,11 @@ object IncrementalIndex {
   /** The published version's two-level coarse hierarchy, when the version
     * was retrained with `coarseCentroids` — None for a flat-probe index.
     * The facade threads it into [[graft.operators.Similarity.DenseIndex]]'s
-    * `l1`/`l2` so serving dispatches two-level after a swap. */
+    * `l1`/`l2` so serving dispatches two-level after a swap. Landed
+    * BATCHES never stale the hierarchy: it is a function of the coarse
+    * centroids alone (which only a retrain moves), so [[updateDenseIndex]]
+    * needs no per-batch hierarchy leg — republish-on-retrain is the whole
+    * maintenance story. */
   def currentHierarchy(
       spark: SparkSession,
       indexRoot: String): Option[(DataFrame, DataFrame)] = {

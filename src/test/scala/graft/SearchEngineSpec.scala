@@ -315,11 +315,32 @@ class SearchEngineSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(ann.nonEmpty)
     assert(ann.toSeq === exact.toSeq)
-    // partial L1 probe serves (possibly approximate) results and matches
-    // the operator-level two-level probe's cell selection
+    // partial L1 probe: the facade's in-process L1 cache + pruned L2
+    // rank must pick EXACTLY the operator-level probeCellsTwoLevel cells
+    // — pinned by composing the expected result from the operator probe
+    // through the same score/group shape annChannel serves
     val partial = idx.copy(defaultNprobeL1 = Some(1))
-    assert(engine.textSearchAnn(partial, q, k = 5, nprobe = Some(2))
-      .collect().nonEmpty)
+    val got = engine.textSearchAnn(partial, q, k = 5, nprobe = Some(2))
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty)
+    val spark2 = clipIndex.cells.sparkSession
+    val qDf = spark2.range(1).select(lit(q).as("qv"))
+    val probed = Similarity.probeCellsTwoLevel(l1, l2, qDf,
+      nprobeL1 = 1, nprobe = 2)
+    val scored = clipIndex.cells.filter(col("cluster").isin(probed: _*))
+      .withColumn("qv", lit(q))
+      .select(col("id"),
+        round(graft.functions.VectorOps.dot(col("clip"), col("qv")), 6)
+          .as("score"))
+      .join(corpus.keyframes.select("id", "video_id"), Seq("id"))
+      .select(col("id"), col("video_id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(5)
+    val want = graft.operators.GroupShaping.groupResults(
+        scored.withColumn("score", round(col("score"), 6)),
+        groupCol = "video_id", idCol = "id", scoreCol = "score")
+      .collect().map(_.toString).sorted
+    assert(got.toSeq === want.toSeq)
     // imgsearch rides the same dispatch
     assert(engine.imageSearchAnn(idx, imgId = 3L, k = 5).collect().nonEmpty)
   }

@@ -104,16 +104,34 @@ object Bench {
     // compare it against the COMMITTED artifact's canary: >10% slower
     // means the window, not the plans, moved — divert the run like a
     // contended one rather than overwrite the adjudicated number.
-    val canaryRef = try {
-      val txt = scala.io.Source.fromFile(outBase).mkString
-      """"hot_knn_sec_per_query":([0-9.eE+-]+)""".r
-        .findFirstMatchIn(txt).map(_.group(1).toDouble)
-    } catch { case _: Throwable => None }
+    val refTxt = try Some(scala.io.Source.fromFile(outBase).mkString)
+      catch { case _: Throwable => None }
+    def refField(name: String): Option[String] = refTxt.flatMap(txt =>
+      ("\"" + name + "\":\"?([^\",}]+)").r
+        .findFirstMatchIn(txt).map(_.group(1)))
+    val canaryRef = refField("hot_knn_sec_per_query").flatMap(_.toDoubleOption)
     val canarySlow = hot > 0 && canaryRef.exists(ref => ref > 0 && hot > ref * 1.10)
     if (canarySlow)
       System.err.println(f"[bench] hot-knn canary $hot%.4f s/q is >10%% over the " +
         f"committed reference ${canaryRef.get}%.4f — ambient-slow window; " +
         "NOT overwriting the adjudicated BENCH_FULL.json")
+    // a run whose hot leg FAILED (hot = -1) has no canary to adjudicate
+    // with — it must never overwrite the canonical (it would also disarm
+    // the gate for every later run)
+    val canaryBroken = hot <= 0 && refTxt.isDefined
+    if (canaryBroken)
+      System.err.println("[bench] hot-knn canary leg failed — diverting; a " +
+        "canary-less artifact cannot be the adjudicated reference")
+    // the committed reference only adjudicates runs of the SAME geometry:
+    // a small-sf or low-cpu run writing to the default path must divert,
+    // not become (or be judged against) the canonical
+    val geomMismatch = refTxt.isDefined &&
+      (refField("sf").exists(_ != sfDir) || refField("cpus").exists(_ != cpus))
+    if (geomMismatch)
+      System.err.println(s"[bench] sf/cpus differ from the committed artifact " +
+        s"(ref sf=${refField("sf").getOrElse("?")} cpus=" +
+        s"${refField("cpus").getOrElse("?")}, this run sf=$sfDir cpus=$cpus) " +
+        "— diverting to .contended")
     val json = s"""{"metric":"total","queries":$qs,""" +
       s""""value":$total,"unit":"sec","hot_knn_sec_per_query":$hot,""" +
       s""""gc_sec":$gcSec,"loadavg_start":"$loadStart","loadavg_end":"$loadavg",""" +
@@ -122,7 +140,8 @@ object Bench {
     // did, once — a 3-query iteration run overwrote the 150-query file)
     val outFile =
       if (only.isDefined) outBase + ".subset"
-      else if (contended || canarySlow) outBase + ".contended"
+      else if (contended || canarySlow || canaryBroken || geomMismatch)
+        outBase + ".contended"
       else outBase
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }

@@ -64,7 +64,14 @@ object ColdCoarseProbe {
     val int8 = spark.read.parquet(s"$root/index/int8")
     val params = spark.read.parquet(s"$root/index/params").head
     val np = params.getAs[Int]("default_nprobe")
-    val kcBq = params.getAs[Int]("default_kcoarse_bq")
+    // null-safe like IvfPqServeProbe: an uncalibrated store carries NULL
+    // and getAs[Int] would silently unbox it to 0 (killing the probe on
+    // require(kCoarse >= k) instead of a clear diagnostic)
+    val kcIdx = params.fieldIndex("default_kcoarse_bq")
+    require(!params.isNullAt(kcIdx),
+      "the store has no calibrated default_kcoarse_bq — build with " +
+        "calibrateRecall before running the cold-coarse comparison")
+    val kcBq = params.getInt(kcIdx)
     val k = 20
     val emb = spark.read.parquet(s"$root/emb")
     val queries = emb.filter(col("vec_id") < k)

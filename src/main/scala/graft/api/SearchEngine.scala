@@ -202,13 +202,8 @@ class SearchEngine(
     lazy val nlist: Int = l2.count().toInt
     def probe(qv: Array[Float], nprobe: Int, nprobeL1: Int): Seq[Int] = {
       val gids = gcache.probe(qv, nprobeL1)
-      l2.filter(col("gid").isin(gids: _*))
-        .withColumn("qv", lit(qv))
-        .select(col("cluster"),
-          round(VectorOps.dot(col("cv"), col("qv")), 6).as("cscore"))
-        .orderBy(col("cscore").desc, col("cluster").asc)
-        .limit(nprobe)
-        .collect().map(_.getInt(0)).toSeq
+      val qDf = l2.sparkSession.range(1).select(lit(qv).as("qv"))
+      Similarity.probeCellsL2(l2, gids, qDf, nprobe)
     }
   }
 
@@ -429,7 +424,9 @@ class SearchEngine(
     // is spec-pinned). An unknown id keeps the old empty-result shape.
     val qvRows = corpus.embeddings.filter(col("id") === imgId)
       .select(col("clip")).limit(1).collect()
-    val ranked = qvRows.headOption match {
+    // a missing id AND a stored-but-NULL vector both serve the empty
+    // shape (the pre-r16 lazy plan scored dot(clip, null) to null rows)
+    val ranked = qvRows.headOption.filter(!_.isNullAt(0)) match {
       case None =>
         corpus.keyframes
           .select(col("id"), col("video_id"), lit(0.0d).as("score")).limit(0)

@@ -2591,6 +2591,21 @@ object Similarity {
       .orderBy(col("gscore").desc, col("gid").asc)
       .limit(nprobeL1)
       .collect().map(_.getInt(0)).toSeq
+    probeCellsL2(l2, gids, queryDf, nprobe, clusterCol)
+  }
+
+  /** The LEVEL-2 stage of the two-level probe — rank the opened groups'
+    * centroids (a gid-partition-pruned scan of the `l2` store) and return
+    * the `nprobe` best cell ids. Shared by [[probeCellsTwoLevel]] and the
+    * facade's serving cache (which ranks level 1 in-process), so the
+    * rounded-dot ordering and lower-id tiebreaks exist in exactly ONE
+    * place and the full-L1 parity contract cannot drift. */
+  def probeCellsL2(
+      l2: DataFrame,
+      gids: Seq[Int],
+      queryDf: DataFrame,
+      nprobe: Int,
+      clusterCol: String = "cluster"): Seq[Int] =
     l2.filter(col("gid").isin(gids: _*))
       .crossJoin(broadcast(queryDf))
       .select(col(clusterCol),
@@ -2598,7 +2613,6 @@ object Similarity {
       .orderBy(col("cscore").desc, col(clusterCol).asc)
       .limit(nprobe)
       .collect().map(_.getInt(0)).toSeq
-  }
 
   /** Batch form of [[probeCellsTwoLevel]] (the [[probeCellsBatch]] analog
     * for a hierarchy-backed index): per-query level-1 group ranking (L1 is

@@ -790,7 +790,9 @@ object IncrementalIndex {
       cellCol: String = "cluster",
       radiiDir: Option[String] = None,
       radiiCentroids: Option[DataFrame] = None,
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      int8Dir: Option[String] = None,
+      binDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     require(statsDir.isEmpty || statsCols.nonEmpty,
       "rebuilding the cellstats artifact needs its attribute columns")
@@ -806,7 +808,9 @@ object IncrementalIndex {
     // and the caller is pointed at the layout's own rewrite path.
     if (ts.isDefined) {
       val hadoop = spark.sparkContext.hadoopConfiguration
-      val nonBatch = (cellsDir +: codesDir.toSeq).filterNot { d =>
+      val nonBatch =
+        (cellsDir +: (codesDir.toSeq ++ int8Dir.toSeq ++ binDir.toSeq))
+          .filterNot { d =>
         val p = new org.apache.hadoop.fs.Path(d)
         val fs = p.getFileSystem(hadoop)
         fs.exists(p) && fs.listStatus(p).exists(s =>
@@ -822,7 +826,13 @@ object IncrementalIndex {
       ts.fold(df)(ids => graft.operators.Candidates.exclude(df, ids, idCol))
     // each store's own layout is authoritative — see [[detectCellCol]]
     val cc = resolveCellCol(spark, cellsDir, cellCol)
-    codesDir.foreach { cd =>
+    // the codes, SQ8 and 1-bit stores reclaim identically: fold the batch
+    // subtrees minus the tombstoned ids (r16 — an unreclaimed coarse
+    // store keeps dead rows consuming kCoarse shortlist slots forever:
+    // results stay correct because the refine joins the masked/compacted
+    // cells, but measured recall at the calibrated knobs silently sinks
+    // as deletes accumulate)
+    (codesDir.toSeq ++ int8Dir.toSeq ++ binDir.toSeq).foreach { cd =>
       val ccCodes = resolveCellCol(spark, cd, cc)
       compactStore(spark, cd,
         df => minus(df).repartition(col(ccCodes)), Seq(ccCodes),

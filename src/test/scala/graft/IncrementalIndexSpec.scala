@@ -242,6 +242,53 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(bin).count() === 50)
   }
 
+  test("compaction reclaims the SQ8 and 1-bit coarse stores (no shortlist dilution)") {
+    // r16 review finding: results after a delete stay correct (the refine
+    // joins the masked cells), but an unreclaimed coarse store keeps dead
+    // rows consuming kCoarse shortlist slots FOREVER — recall at the
+    // calibrated knobs sinks as deletes accumulate. Pinned: compaction
+    // with int8Dir/binDir physically drops tombstoned rows from both.
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_tomb_coarse")
+    val landing = base.resolve("landing").toString
+    val sink = base.resolve("store").toString
+    val int8 = base.resolve("int8").toString
+    val bin = base.resolve("bin").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.centroids(emb)
+
+    emb.filter(col("vec_id") < 60).write.mode("append").parquet(landing)
+    IncrementalIndex.updateDenseIndex(spark, landing, sink, ckpt, cents,
+      centroidIdCol = "label", cellCol = "ivf_cell",
+      int8Dir = Some(int8), binDir = Some(bin))
+    val del = spark.range(10).select((col("id") * 6).as("vec_id"))
+    assert(IncrementalIndex.deleteFromDenseIndex(spark, sink, del,
+      cellCol = "ivf_cell") === 10L)
+    IncrementalIndex.compactDenseStores(spark, sink,
+      cellCol = "ivf_cell", int8Dir = Some(int8), binDir = Some(bin))
+    // both coarse stores hold exactly the 50 survivors
+    for (d <- Seq(int8, bin)) {
+      assert(spark.read.parquet(d).count() === 50, d)
+      assert(spark.read.parquet(d).filter(col("vec_id") % 6 === 0).count() === 0, d)
+    }
+    // two-stage serving over the reclaimed stores == over a fresh encode
+    // of the survivors (identical knobs — no dead-row shortlist slots)
+    val cells = spark.read.parquet(sink)
+    val centArt = cents.select(col("label").as("ivf_cell"), col("cv"))
+    val qv = emb.filter(col("vec_id") === 1).select(col("embedding").as("qv"))
+    val viaBin = Similarity.ivfBinaryRefineSearch(spark.read.parquet(bin),
+        cells, centArt, qv, nprobe = 2, kCoarse = 20, k = 10,
+        clusterCol = "ivf_cell")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaBin === Similarity.ivfBinaryRefineSearch(
+        Similarity.binaryEncodeCells(cells, clusterCol = "ivf_cell"),
+        cells, centArt, qv, nprobe = 2, kCoarse = 20, k = 10,
+        clusterCol = "ivf_cell")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(viaBin.nonEmpty && !viaBin.exists(_._1 % 6 == 0))
+  }
+
   test("retrainAndSwap republishes the coarse hierarchy inside the version subtree") {
     import graft.operators.Similarity
     val base = java.nio.file.Files.createTempDirectory("graft_swap_hier")

@@ -56,11 +56,30 @@ object ServeMixFlagshipBench {
     // "flagship 4-thread tail" was temporal requests re-running the
     // 1M-row shots aggregation per request — a bench-fixture cost; in
     // production Corpus.shots is a table, so persist it like one)
+    // done markers carry the emb row count (ADVICE r16): a regenerated
+    // store under the same root at a DIFFERENT size must invalidate the
+    // derived kf/shots/panel artifacts — path-only memoization served the
+    // mix against a mismatched corpus. Same cross-geometry discipline as
+    // the bench canary gate.
+    def markerStale(fs: org.apache.hadoop.fs.FileSystem,
+                    done: org.apache.hadoop.fs.Path): Boolean =
+      !fs.exists(done) || {
+        val in = fs.open(done)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        // legacy count-less markers are stale by definition
+        !txt.toLongOption.contains(n)
+      }
+    def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+                    done: org.apache.hadoop.fs.Path): Unit = {
+      val out = fs.create(done, true)
+      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    }
     val corpusDir = s"$root/corpus"
     locally {
       val done = new org.apache.hadoop.fs.Path(s"$corpusDir/_graft_built")
       val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(done)) {
+      if (markerStale(fs, done)) {
         val kf0 = emb.select(col("vec_id").as("id"), lit("kf").as("collection"),
           concat(lit("V"), (col("vec_id") / 20).cast("long")).as("video_id"),
           ((col("vec_id") % 20) / 2).cast("int").as("shot_id"),
@@ -69,7 +88,7 @@ object ServeMixFlagshipBench {
         kf0.groupBy(col("video_id"), col("shot_id"))
           .agg(sort_array(collect_list(col("id"))).as("keyframe_ids"))
           .write.mode("overwrite").parquet(s"$corpusDir/shots")
-        fs.create(done, true).close()
+        writeMarker(fs, done)
       }
     }
     val kf = spark.read.parquet(s"$corpusDir/kf")
@@ -104,7 +123,7 @@ object ServeMixFlagshipBench {
     val panelIdx = {
       val done = new org.apache.hadoop.fs.Path(s"$panelDir/_graft_built")
       val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(done)) {
+      if (markerStale(fs, done)) {
         val tagDocs = emb.select(col("vec_id").as("doc_id"),
           concat_ws(" ",
             concat(lit("t"), pmod(col("vec_id"), lit(1000))),
@@ -116,7 +135,7 @@ object ServeMixFlagshipBench {
             Seq(("tag", tagDocs, "doc_id", "text")), panelDir)
         }
         System.err.println(f"[flagship] panel index build: ${tP}%.1f s")
-        fs.create(done, true).close()
+        writeMarker(fs, done)
         graft.operators.Lexical.readMultiIndex(spark, panelDir)
       } else graft.operators.Lexical.readMultiIndex(spark, panelDir)
     }

@@ -132,140 +132,171 @@ object SparkEntry {
        |        FROM g JOIN v4 a ON g.i = a.i JOIN v4 b ON g.j = b.i)""".stripMargin
   }
 
-  /** DEFLATED second-component chain + 2-component rotation on top of
-    * [[pcaPowerCtes]] — the oracle half of the reduced-m OPQ twin
-    * (`sim_opq_adc_m2`, VERDICT r10 #1). Mirrors
-    * [[graft.operators.Similarity.pcaTopComponents]] at m=2/iters=4:
-    * component 0 is `v4`/`ray` from `g`; `g2` is the rank-1 deflation
-    * `round₈(g − λ·vᵢ·vⱼ)` (λ = the round-6 Rayleigh, exactly the value
-    * the Scala loop deflates with); component 1 re-runs the same 4
-    * rounds on `g2` from the same uniform start. `rotv` then mirrors
-    * [[graft.operators.Similarity.rotateVectors]]: every embedding's
-    * round-6 float projections on the two components — eigenvalue
-    * allocation at (numSub=2, subDim=1) is the identity slot order, so
-    * the list is just [p0, p1]. Ends at `rotv` = (vec_id, emb2). */
-  private val opqM2Ctes: String = {
-    val iter2 = (1 to 4).map { k =>
-      s"""w${k}b AS (SELECT g.i, ROUND(CAST(SUM(CAST(g.g * v.v AS DECIMAL(28,12)))
-         |         AS DOUBLE), 8) AS w FROM g2 g JOIN v${k - 1}b v ON g.j = v.i GROUP BY 1),
-         |n${k}b AS (SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
-         |         AS DOUBLE)), 8) AS nrm FROM w${k}b),
-         |v${k}b AS MATERIALIZED (SELECT i, ROUND(w / nrm, 8) AS v FROM w${k}b CROSS JOIN n${k}b)""".stripMargin
+  /** SHORTEST-FORM decimal mediation for the OPQ oracle chain (r17,
+    * VERDICT r16 #2): Spark/Java round doubles through
+    * `BigDecimal.valueOf` — the SHORTEST decimal form — while DuckDB's
+    * native ROUND/CAST round the BINARY value; the two disagree exactly
+    * on the .5-boundary band, and fifteen chained deflations amplify a
+    * single flip into 6th-decimal score drift (measured: coordinate
+    * drift 1e-8 at component 2 growing to 6.8e-7 at component 15, one
+    * flipped score cell at m=16). DuckDB's DOUBLE→VARCHAR prints the
+    * shortest round-trip form and VARCHAR→DECIMAL parses exactly then
+    * rounds HALF_UP — so mediating every round/cast through VARCHAR
+    * reproduces Java semantics bit-for-bit (emulation-verified against
+    * the full 16-component artifact). */
+  private def sfDec(expr: String, scale: Int = 12): String =
+    s"CAST(CAST(($expr) AS VARCHAR) AS DECIMAL(28,$scale))"
+  private def sfRound(expr: String, s: Int): String =
+    s"CAST(${sfDec(expr, s)} AS DOUBLE)"
+
+  /** [[pcaPowerCtes]] with parametric iteration count and shortest-form
+    * rounding ([[sfRound]]/[[sfDec]]) — the power prefix of the OPQ
+    * deflation oracle. Same CTE names (`g`, `dd`, `v0..vN`, `ray`) so
+    * consumers compose identically. */
+  private def opqPowerCtes(iters: Int): String = {
+    val iterSteps = (1 to iters).map { k =>
+      s"""w$k AS (SELECT g.i, ${sfRound(s"CAST(SUM(${sfDec("g.g * v.v")}) AS DOUBLE)", 8)} AS w
+         |         FROM g JOIN v${k - 1} v ON g.j = v.i GROUP BY 1),
+         |n$k AS (SELECT ${sfRound(s"sqrt(CAST(SUM(${sfDec("w * w")}) AS DOUBLE))", 8)} AS nrm FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i, ${sfRound("w / nrm", 8)} AS v FROM w$k CROSS JOIN n$k)""".stripMargin
     }.mkString(",\n")
-    s"""$pcaPowerCtes,
-       |g2 AS MATERIALIZED (SELECT g.i, g.j, ROUND(g.g - r.eigval * a.v * b.v, 8) AS g
-       |       FROM g JOIN v4 a ON g.i = a.i JOIN v4 b ON g.j = b.i CROSS JOIN ray r),
-       |v0b AS (SELECT i, ROUND(1.0 / sqrt(d), 8) AS v
-       |        FROM (SELECT DISTINCT i FROM g2) CROSS JOIN dd),
-       |$iter2,
-       |cmp0 AS (SELECT list(v ORDER BY i) AS pc FROM v4),
-       |cmp1 AS (SELECT list(v ORDER BY i) AS pc FROM v4b),
-       |rotv AS MATERIALIZED (SELECT e.vec_id,
-       |    [CAST(ROUND((SELECT SUM(x.a::DOUBLE * x.b)
-       |        FROM (SELECT unnest(e.embedding) a, unnest(c0.pc) b) x), 6) AS REAL),
-       |     CAST(ROUND((SELECT SUM(x.a::DOUBLE * x.b)
-       |        FROM (SELECT unnest(e.embedding) a, unnest(c1.pc) b) x), 6) AS REAL)] AS emb2
-       |  FROM embeddings e CROSS JOIN cmp0 c0 CROSS JOIN cmp1 c1)""".stripMargin
+    s"""WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+       |       unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+       |g AS MATERIALIZED (SELECT a.i, b.i AS j,
+       |        ${sfRound(s"CAST(SUM(${sfDec("a.x::DOUBLE * b.x::DOUBLE")}) AS DOUBLE)", 8)} AS g
+       |      FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+       |dd AS (SELECT MAX(i) AS d FROM g),
+       |v0 AS (SELECT i, ${sfRound("1.0 / sqrt(d)", 8)} AS v
+       |       FROM (SELECT DISTINCT i FROM g) CROSS JOIN dd),
+       |$iterSteps,
+       |ray AS (SELECT ${sfRound(s"CAST(SUM(${sfDec("g.g * a.v * b.v")}) AS DOUBLE)", 6)} AS eigval
+       |        FROM g JOIN v$iters a ON g.i = a.i JOIN v$iters b ON g.j = b.i)""".stripMargin
   }
 
-  /** m-component GENERALIZATION of [[opqM2Ctes]]'s deflation chain
-    * (VERDICT r14 #8: shrink `sim_opq_adc`'s unpinned surface) —
-    * component 0 is [[pcaPowerCtes]]' `v4`/`ray`; each component c >= 1
+  /** m-component deflation chain (VERDICT r14 #8 / r16 #2) — component 0
+    * is [[opqPowerCtes]]' `v{iters}`/`ray`; each component c >= 1
     * deflates the previous gram with the round-6 Rayleigh
-    * (`gD_c = round8(gD_{c-1} − λ·vᵢ·vⱼ)`) and re-runs the same 4
+    * (`gD_c = round8(gD_{c-1} − λ·vᵢ·vⱼ)`) and re-runs the same `iters`
     * rounded power rounds from the same uniform start — exactly the
     * in-memory loop [[graft.operators.Similarity.pcaTopComponents]]
-    * executes per component. Ends at `rotv` = (vec_id, emb2 = the m
-    * round-6 float projections; eigenvalue allocation at subDim=1 is
-    * the identity slot order for any numSub = m). */
-  private def opqDeflateCtes(mComps: Int): String = {
+    * executes per component, with all rounds in shortest-form semantics.
+    * Ends at `rotv` = (vec_id, emb2 = the m round-6 float projections in
+    * OUTPUT-coordinate order): with eigenvalue allocation
+    * ([[graft.operators.Similarity.rotationCoefs]], component c lands at
+    * slot (c % numSub)·subDim + c/numSub), output slot s holds component
+    * (s % subDim)·numSub + s/subDim — the identity when subDim = 1. */
+  private def opqDeflateCtes(
+      mComps: Int, iters: Int = 4,
+      numSub: Int = 0, subDim: Int = 1): String = {
     require(mComps >= 2, "the deflation chain starts at the 2nd component")
+    val nSub = if (numSub == 0) mComps else numSub
+    require(nSub * subDim == mComps, "allocation must cover every component")
     val comps = (1 until mComps).map { c =>
       val gPrev = if (c == 1) "g" else s"gD${c - 1}"
-      val vPrev = if (c == 1) "v4" else s"vD${c - 1}_4"
+      val vPrev = if (c == 1) s"v$iters" else s"vD${c - 1}_$iters"
       val rayPrev = if (c == 1) "ray" else s"rayD${c - 1}"
-      val iters = (1 to 4).map { k =>
-        s"""wD${c}_$k AS (SELECT g.i, ROUND(CAST(SUM(CAST(g.g * v.v AS DECIMAL(28,12)))
-           |         AS DOUBLE), 8) AS w FROM gD$c g JOIN vD${c}_${k - 1} v ON g.j = v.i GROUP BY 1),
-           |nD${c}_$k AS (SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
-           |         AS DOUBLE)), 8) AS nrm FROM wD${c}_$k),
-           |vD${c}_$k AS MATERIALIZED (SELECT i, ROUND(w / nrm, 8) AS v FROM wD${c}_$k CROSS JOIN nD${c}_$k)""".stripMargin
+      val rounds = (1 to iters).map { k =>
+        s"""wD${c}_$k AS (SELECT g.i, ${sfRound(s"CAST(SUM(${sfDec("g.g * v.v")}) AS DOUBLE)", 8)} AS w
+           |         FROM gD$c g JOIN vD${c}_${k - 1} v ON g.j = v.i GROUP BY 1),
+           |nD${c}_$k AS (SELECT ${sfRound(s"sqrt(CAST(SUM(${sfDec("w * w")}) AS DOUBLE))", 8)} AS nrm FROM wD${c}_$k),
+           |vD${c}_$k AS MATERIALIZED (SELECT i, ${sfRound("w / nrm", 8)} AS v FROM wD${c}_$k CROSS JOIN nD${c}_$k)""".stripMargin
       }.mkString(",\n")
       val ray =
         if (c == mComps - 1) ""
         else s""",
-           |rayD$c AS (SELECT ROUND(CAST(SUM(CAST(g.g * a.v * b.v AS DECIMAL(28,12)))
-           |          AS DOUBLE), 6) AS eigval
-           |        FROM gD$c g JOIN vD${c}_4 a ON g.i = a.i JOIN vD${c}_4 b ON g.j = b.i)""".stripMargin
-      s"""gD$c AS MATERIALIZED (SELECT g.i, g.j, ROUND(g.g - r.eigval * a.v * b.v, 8) AS g
+           |rayD$c AS (SELECT ${sfRound(s"CAST(SUM(${sfDec("g.g * a.v * b.v")}) AS DOUBLE)", 6)} AS eigval
+           |        FROM gD$c g JOIN vD${c}_$iters a ON g.i = a.i JOIN vD${c}_$iters b ON g.j = b.i)""".stripMargin
+      s"""gD$c AS MATERIALIZED (SELECT g.i, g.j, ${sfRound("g.g - r.eigval * a.v * b.v", 8)} AS g
          |       FROM $gPrev g JOIN $vPrev a ON g.i = a.i JOIN $vPrev b ON g.j = b.i CROSS JOIN $rayPrev r),
-         |vD${c}_0 AS (SELECT i, ROUND(1.0 / sqrt(d), 8) AS v
+         |vD${c}_0 AS (SELECT i, ${sfRound("1.0 / sqrt(d)", 8)} AS v
          |        FROM (SELECT DISTINCT i FROM gD$c) CROSS JOIN dd),
-         |$iters$ray""".stripMargin
+         |$rounds$ray""".stripMargin
     }.mkString(",\n")
     val cmps = (0 until mComps).map { c =>
-      val v = if (c == 0) "v4" else s"vD${c}_4"
+      val v = if (c == 0) s"v$iters" else s"vD${c}_$iters"
       s"cmpD$c AS (SELECT list(v ORDER BY i) AS pc FROM $v)"
     }.mkString(",\n")
-    val projs = (0 until mComps).map { c =>
-      s"""CAST(ROUND((SELECT SUM(x.a::DOUBLE * x.b)
-         |        FROM (SELECT unnest(e.embedding) a, unnest(c$c.pc) b) x), 6) AS REAL)""".stripMargin
+    // output-coordinate order: slot s ← component (s % subDim)*numSub + s/subDim
+    val projs = (0 until mComps).map { s =>
+      val c = (s % subDim) * nSub + s / subDim
+      s"""CAST(${sfRound(s"""(SELECT SUM(x.a::DOUBLE * x.b)
+         |        FROM (SELECT unnest(e.embedding) a, unnest(c$c.pc) b) x)""".stripMargin, 6)} AS REAL)"""
     }.mkString(",\n     ")
     val joins = (0 until mComps).map(c => s"CROSS JOIN cmpD$c c$c").mkString(" ")
-    s"""$pcaPowerCtes,
+    s"""${opqPowerCtes(iters)},
        |$comps,
        |$cmps,
        |rotv AS MATERIALIZED (SELECT e.vec_id, [$projs] AS emb2
        |  FROM embeddings e $joins)""".stripMargin
   }
 
-  /** The codebook/encode/query-table chain on top of a `rotv` CTE
-    * ([[opqM2Ctes]] / [[opqDeflateCtes]]), parametric in the subspace
-    * count (shared by `sim_opq_adc_m2`, `sim_opq_adc_m4` and the
-    * IVF-pruned serving twin): hash-sampled init at numSub×1 geometry,
-    * ONE Lloyd refinement, per-(row, subspace) argmin encode, and the
-    * rotated query's ADC lookup table. Ends at `encb` = (id, m, code)
-    * and `qtabb` = (m, c, p). */
-  private def opqCodesCtes(numSub: Int): String =
+  /** The codebook/encode/query-table chain on top of a
+    * [[opqDeflateCtes]] `rotv`, parametric in subspace count, subspace
+    * WIDTH and Lloyd iteration count (shared by the whole
+    * `sim_opq_adc*` family and the IVF-pruned serving twin):
+    * hash-sampled init at numSub×subDim geometry, `lloydIters`
+    * refinements (each = argmin assign + shortest-form decimal mean,
+    * mirroring [[graft.operators.Similarity.pqRefineCodebooks]]),
+    * per-(row, subspace) argmin encode against the FINAL codebook
+    * `cb{lloydIters}b`, and the rotated query's ADC lookup table. Ends
+    * at `encb` = (id, m, code) and `qtabb` = (m, c, p). */
+  private def opqCodesCtes(
+      numSub: Int, subDim: Int = 1, lloydIters: Int = 1): String = {
+    def slice(rel: String) =
+      s"$rel.emb2[m*$subDim+1 : m*$subDim+$subDim]"
+    val lloyd = (1 to lloydIters).map { t =>
+      s"""dA${t}b AS (SELECT s.id, s.m, cb.c,
+         |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+         |     FROM (SELECT unnest(s.sv) a, unnest(cb.cbv) b) x) AS d
+         |  FROM subb s JOIN cb${t - 1}b cb USING (m)),
+         |asn${t}b AS (SELECT id, m, c FROM (
+         |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+         |    FROM dA${t}b) WHERE rn = 1),
+         |ex${t}b AS (SELECT a.m, a.c, unnest(s.sv) AS x,
+         |               unnest(generate_series(1, len(s.sv))) AS i
+         |        FROM asn${t}b a JOIN subb s ON s.id = a.id AND s.m = a.m),
+         |mn${t}b AS (SELECT m, c, i,
+         |          CAST(${sfRound(s"CAST(SUM(${sfDec("CAST(x AS DOUBLE)")}) AS DOUBLE) / COUNT(*)", 8)} AS REAL) AS cx
+         |        FROM ex${t}b GROUP BY 1, 2, 3),
+         |cb${t}b AS MATERIALIZED (SELECT m, c, list(cx ORDER BY i) AS cbv
+         |        FROM mn${t}b GROUP BY m, c)""".stripMargin
+    }.mkString(",\n")
+    val cbF = s"cb${lloydIters}b"
     s"""msb AS (SELECT unnest(generate_series(0, ${numSub - 1})) AS m),""" +
-    """
+    s"""
       |pqhb AS (SELECT vec_id,
       |    ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
       |  FROM embeddings),
       |pqsb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS INT) - 1 AS c,
       |               vec_id
       |        FROM pqhb ORDER BY hh, vec_id LIMIT 16),
-      |cb0b AS (SELECT m, s.c, r.emb2[m+1 : m+1] AS cbv
+      |cb0b AS (SELECT m, s.c, ${slice("r")} AS cbv
       |        FROM pqsb s JOIN rotv r USING (vec_id), msb),
-      |subb AS MATERIALIZED (SELECT r.vec_id AS id, m, r.emb2[m+1 : m+1] AS sv
+      |subb AS MATERIALIZED (SELECT r.vec_id AS id, m, ${slice("r")} AS sv
       |        FROM rotv r, msb),
-      |d0b AS (SELECT s.id, s.m, cb0b.c,
-      |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
-      |     FROM (SELECT unnest(s.sv) a, unnest(cb0b.cbv) b) x) AS d
-      |  FROM subb s JOIN cb0b USING (m)),
-      |a0b AS (SELECT id, m, c FROM (
-      |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
-      |    FROM d0b) WHERE rn = 1),
-      |ex0b AS (SELECT a.m, a.c, unnest(s.sv) AS x,
-      |               unnest(generate_series(1, len(s.sv))) AS i
-      |        FROM a0b a JOIN subb s ON s.id = a.id AND s.m = a.m),
-      |mn0b AS (SELECT m, c, i,
-      |          CAST(ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-      |               / COUNT(*), 8) AS REAL) AS cx
-      |        FROM ex0b GROUP BY 1, 2, 3),
-      |cbrb AS MATERIALIZED (SELECT m, c, list(cx ORDER BY i) AS cbv
-      |        FROM mn0b GROUP BY m, c),
-      |d1b AS (SELECT s.id, s.m, cb.c,
+      |$lloyd,
+      |dEb AS (SELECT s.id, s.m, cb.c,
       |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
       |     FROM (SELECT unnest(s.sv) a, unnest(cb.cbv) b) x) AS d
-      |  FROM subb s JOIN cbrb cb USING (m)),
+      |  FROM subb s JOIN $cbF cb USING (m)),
       |encb AS MATERIALIZED (SELECT id, m, c AS code FROM (
       |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
-      |    FROM d1b) WHERE rn = 1),
+      |    FROM dEb) WHERE rn = 1),
       |qtabb AS (SELECT cb.m, cb.c,
       |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
-      |     FROM (SELECT unnest(cb.cbv) a, unnest(q.emb2[cb.m+1 : cb.m+1]) b) x) AS p
-      |  FROM cbrb cb CROSS JOIN (SELECT emb2 FROM rotv WHERE vec_id = 0) q)""".stripMargin
+      |     FROM (SELECT unnest(cb.cbv) a, unnest(q.emb2[cb.m*$subDim+1 : cb.m*$subDim+$subDim]) b) x) AS p
+      |  FROM $cbF cb CROSS JOIN (SELECT emb2 FROM rotv WHERE vec_id = 0) q)""".stripMargin
+  }
+
+  /** Shared final SELECT of every OPQ ADC oracle: the per-(id) score is
+    * round₆(Σₘ dec12(pₘ)) in shortest-form semantics, mirroring
+    * [[graft.operators.Similarity.pqAdcScore]]'s
+    * `sum(p.cast(decimal(18,12))).cast(double)` + round(6). */
+  private val opqScoreSelect: String =
+    s"""SELECT e.id AS vec_id,
+       |       ${sfRound(s"CAST(SUM(CAST(CAST(q.p AS VARCHAR) AS DECIMAL(18,12))) AS DOUBLE)", 6)} AS score
+       |FROM encb e JOIN qtabb q ON q.m = e.m AND q.c = e.code
+       |GROUP BY 1 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
   private val opqM2CodesCtes: String = opqCodesCtes(2)
 
@@ -781,12 +812,11 @@ object SparkEntry {
 
   /** REDUCED-m OPQ twin artifacts (VERDICT r10 #1): the same
     * rotate → allocate → Lloyd-refine → encode code path as
-    * [[OpqArtifacts]] but at CTE-expressible geometry — 2 components
-    * (one rank-1 deflation, exactly what [[opqM2Ctes]] unrolls), 4
-    * power rounds per component, 2×1 sub-quantizers, ONE Lloyd
-    * refinement. This gives the OPQ serving path a hash-pinned DuckDB
-    * oracle end-to-end (`sim_opq_adc_m2`); the full 16-component
-    * geometry stays on the realistic rows-only `sim_opq_adc`. */
+    * [[OpqArtifacts]] at the smallest geometry — 2 components
+    * (one rank-1 deflation, [[opqDeflateCtes]](2)), 4 power rounds per
+    * component, 2×1 sub-quantizers, ONE Lloyd refinement. Kept as the
+    * cheap canary of the generator family now that the full
+    * 16-component `sim_opq_adc` is oracle-backed directly. */
   private[graft] object OpqM2Artifacts {
     val (numSub, subDim, numCodes) = (2, 1, 16)
     def build(s: SparkSession, dir: String): OpqM4Artifacts.Opq =
@@ -5636,12 +5666,12 @@ object SparkEntry {
     // OPQ-STYLE rotated-PQ ADC serving from the persisted rotation +
     // rotated codes (OpqArtifacts: top-16 principal basis, eigenvalue
     // allocation across the 4x4 sub-quantizers, Lloyd-refined codebooks).
-    // NO SQL oracle — the 16-component deflation chain is not practically
-    // expressible as CTEs (pcaPowerCtes unrolls ONE component); the
-    // rows-only driver check covers determinism while OpqSpec pins the
-    // substance: score-neutral rotation, the measured distortion drop vs
-    // unrotated codebooks at the same budget, and serving parity between
-    // pqAdcScoreRotated and manual rotate-then-ADC.
+    // FULLY ORACLE-BACKED as of r17 (VERDICT r16 #2 — the last rows-only
+    // exception): the parametric generators now carry the complete
+    // geometry — 15 rank-1 deflations at SIX power rounds each, the 4x4
+    // eigenvalue-allocated slot order in `rotv`, TWO Lloyd refinements —
+    // in shortest-form decimal semantics (see [[sfDec]]; the binary-value
+    // rounding DuckDB does natively drifts 6.8e-7 by component 15).
     ("sim_opq_adc",
       (s, dir) => {
         val opq = OpqArtifacts.build(s, dir)
@@ -5650,16 +5680,16 @@ object SparkEntry {
         Similarity.pqAdcScoreRotated(opq.codes, opq.codebooks, opq.rotation,
           qv, k = 10, OpqArtifacts.numSub, OpqArtifacts.subDim)
       },
-      None),
+      Some(s"""${opqDeflateCtes(16, iters = 6, numSub = 4, subDim = 4)},
+             |${opqCodesCtes(4, subDim = 4, lloydIters = 2)}
+             |$opqScoreSelect""".stripMargin)),
 
     // REDUCED-m OPQ twin (VERDICT r10 #1): the SAME
     // rotateVectors/pqRefineCodebooks/pqEncode/pqAdcScoreRotated code
-    // path as sim_opq_adc, at oracle-expressible geometry — 2 principal
-    // components (one rank-1 deflation, unrolled by opqM2Ctes exactly
-    // like the kmeans/BPE CTE precedents), 2x1 sub-quantizers, one
-    // Lloyd refinement. Hash-pins the OPQ serving semantics end-to-end
-    // (fit -> deflate -> rotate -> refine -> encode -> rotated ADC);
-    // the full 16-component form keeps its rows-only check + OpqSpec.
+    // path as sim_opq_adc, at the smallest geometry — 2 principal
+    // components (one rank-1 deflation), 2x1 sub-quantizers, one
+    // Lloyd refinement. Kept as the cheap canary of the parametric
+    // generator family now that the full form is oracle-backed.
     ("sim_opq_adc_m2",
       (s, dir) => {
         val opq = OpqM2Artifacts.build(s, dir)
@@ -5668,12 +5698,9 @@ object SparkEntry {
         Similarity.pqAdcScoreRotated(opq.codes, opq.codebooks, opq.rotation,
           qv, k = 10, OpqM2Artifacts.numSub, OpqM2Artifacts.subDim)
       },
-      Some(s"""$opqM2Ctes,
+      Some(s"""${opqDeflateCtes(2)},
              |$opqM2CodesCtes
-             |SELECT e.id AS vec_id,
-             |       ROUND(CAST(SUM(CAST(q.p AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
-             |FROM encb e JOIN qtabb q ON q.m = e.m AND q.c = e.code
-             |GROUP BY 1 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+             |$opqScoreSelect""".stripMargin)),
 
     // MID-geometry OPQ twin (VERDICT r14 #8: shrink the sim_opq_adc
     // rows-only exception's unpinned surface): m=4 components via THREE
@@ -5691,10 +5718,7 @@ object SparkEntry {
       },
       Some(s"""${opqDeflateCtes(4)},
              |${opqCodesCtes(4)}
-             |SELECT e.id AS vec_id,
-             |       ROUND(CAST(SUM(CAST(q.p AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
-             |FROM encb e JOIN qtabb q ON q.m = e.m AND q.c = e.code
-             |GROUP BY 1 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+             |$opqScoreSelect""".stripMargin)),
 
     // the m=8 pin (VERDICT r15 #6): SEVEN rank-1 deflations, 8x1
     // sub-quantizers — half the full 16-component sim_opq_adc geometry,
@@ -5710,10 +5734,25 @@ object SparkEntry {
       },
       Some(s"""${opqDeflateCtes(8)},
              |${opqCodesCtes(8)}
-             |SELECT e.id AS vec_id,
-             |       ROUND(CAST(SUM(CAST(q.p AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
-             |FROM encb e JOIN qtabb q ON q.m = e.m AND q.c = e.code
-             |GROUP BY 1 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+             |$opqScoreSelect""".stripMargin)),
+
+    // the FULL-DEPTH pin (VERDICT r16 #2): FIFTEEN rank-1 deflations,
+    // 16x1 sub-quantizers — the complete 16-component deflate-and-refit
+    // chain of sim_opq_adc, one more doubling past the m=8 pin, generated
+    // by the same parametric CTEs. With this, every deflation the full
+    // geometry executes is hash-checked; sim_opq_adc's own 4x4 allocated
+    // form gets its oracle below.
+    ("sim_opq_adc_m16",
+      (s, dir) => {
+        val opq = OpqM4Artifacts.build(s, dir, m = 16, variant = "opq-m16")
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.pqAdcScoreRotated(opq.codes, opq.codebooks, opq.rotation,
+          qv, k = 10, 16, OpqM4Artifacts.subDim)
+      },
+      Some(s"""${opqDeflateCtes(16)},
+             |${opqCodesCtes(16)}
+             |$opqScoreSelect""".stripMargin)),
 
     // OPQ × IVF end-to-end: the ROTATION-AWARE pruned serving path
     // (this round's basis-discipline fix) oracle-checked, not just
@@ -5736,7 +5775,7 @@ object SparkEntry {
           rotation = Some(opq.rotation))
       },
       Some(s"""$ivfCellCtes,
-             |${opqM2Ctes.stripPrefix("WITH ")},
+             |${opqDeflateCtes(2).stripPrefix("WITH ")},
              |$opqM2CodesCtes,
              |qc AS (SELECT c.cluster,
              |    ROUND((SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
@@ -5746,7 +5785,7 @@ object SparkEntry {
              |    SELECT cluster, ROW_NUMBER() OVER (ORDER BY sim DESC, cluster) AS rn
              |    FROM qc) WHERE rn <= 2)
              |SELECT e.id AS vec_id,
-             |       ROUND(CAST(SUM(CAST(qt.p AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
+             |       ${sfRound("CAST(SUM(CAST(CAST(qt.p AS VARCHAR) AS DECIMAL(18,12))) AS DOUBLE)", 6)} AS score
              |FROM encb e
              |JOIN a3 ON a3.vec_id = e.id
              |JOIN prb ON prb.cluster = a3.cluster
@@ -6102,21 +6141,21 @@ object SparkEntry {
           .select(col("query_id"), col("n_hit"), col("recall"))
           .orderBy(col("query_id"))
       },
-      Some(s"""$opqM2Ctes,
+      Some(s"""${opqDeflateCtes(2)},
              |$opqM2CodesCtes,
              |qsr AS (SELECT vec_id AS query_id, emb2 FROM rotv
              |        WHERE vec_id IN (0, 1, 2)),
              |qtabq AS (SELECT q.query_id, cb.m, cb.c,
              |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
              |     FROM (SELECT unnest(cb.cbv) a, unnest(q.emb2[cb.m+1 : cb.m+1]) b) x) AS p
-             |  FROM cbrb cb CROSS JOIN qsr q),
+             |  FROM cb1b cb CROSS JOIN qsr q),
              |scq AS (SELECT qt.query_id, e.id,
-             |         CAST(SUM(CAST(qt.p AS DECIMAL(18,12))) AS DOUBLE) AS score
+             |         CAST(SUM(CAST(CAST(qt.p AS VARCHAR) AS DECIMAL(18,12))) AS DOUBLE) AS score
              |       FROM encb e JOIN qtabq qt ON qt.m = e.m AND qt.c = e.code
              |       GROUP BY 1, 2),
              |approx AS (SELECT query_id, id AS vec_id FROM (
-             |    SELECT query_id, id, ROUND(score, 6) AS score, ROW_NUMBER() OVER (
-             |      PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, id) AS rn FROM scq) x
+             |    SELECT query_id, id, ${sfRound("score", 6)} AS score, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY ${sfRound("score", 6)} DESC, id) AS rn FROM scq) x
              |  WHERE rn <= 10),
              |qse AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
              |        WHERE vec_id IN (0, 1, 2)),

@@ -133,7 +133,8 @@ object IncrementalIndex {
       radiiDir: Option[String] = None,
       rotation: Option[DataFrame] = None,
       int8Dir: Option[String] = None,
-      binDir: Option[String] = None): Unit = {
+      binDir: Option[String] = None,
+      hierarchy: Option[(DataFrame, DataFrame)] = None): Unit = {
     import org.apache.spark.sql.functions._
     // half-specifying the PQ leg would SILENTLY skip it and leave the codes
     // artifact stale — the exact staleness this maintenance job exists to
@@ -239,19 +240,32 @@ object IncrementalIndex {
         // and it is the knnJoin one (an unservable vector does not land).
         val assignable = batch.select(col(idCol), col(vecCol))
           .filter(col(vecCol).isNotNull)
-        val assigned = (if (nSeeds <= 64)
+        // hierarchy-serving index (VERDICT r16 #3): a landed batch assigns
+        // THROUGH the published l1/l2 — the same IMI-style two-stage
+        // argmax the BUILD uses past HierarchyMinNlist
+        // ([[graft.operators.Similarity.assignCellsHierarchical]], at this
+        // path's round-4 grain) — so maintenance never pays the flat
+        // argmax the hierarchy exists to avoid (~25x at nlist≈10⁵,
+        // BigNlistProbe).
+        val assigned = (hierarchy match {
+          case Some((l1, l2)) =>
+            graft.operators.Similarity
+              .assignCellsHierarchical(assignable, l1, l2,
+                vecCol = vecCol, clusterCol = "cluster", simRound = 4)
+              .select(col(idCol), col("cluster").cast("long").as(cc))
+          case None if nSeeds <= 64 =>
             graft.operators.Similarity
               .knnJoin(assignable, seeds, k = 1,
                 idCol = idCol, vecCol = vecCol)
               .select(col(idCol), col("seed_id").as(cc))
-          else
+          case None =>
             graft.operators.Similarity
               .assignCellsBulk(assignable,
                 centroids.select(col(centroidIdCol).cast("int").as("cluster"),
                   col("cv")),
                 vecCol = vecCol, clusterCol = "cluster", simRound = 4)
               .select(col(idCol), col("cluster").cast("long").as(cc))
-          ).persist()
+          }).persist()
         // every leg below reads the persisted assignment: if one
         // throws, the retried micro-batch must not inherit a leaked
         // cached copy (it would accumulate in the block manager across
@@ -978,8 +992,10 @@ object IncrementalIndex {
     * `l1`/`l2` so serving dispatches two-level after a swap. Landed
     * BATCHES never stale the hierarchy: it is a function of the coarse
     * centroids alone (which only a retrain moves), so [[updateDenseIndex]]
-    * needs no per-batch hierarchy leg — republish-on-retrain is the whole
-    * maintenance story. */
+    * writes no per-batch hierarchy leg — republish-on-retrain is the whole
+    * maintenance story. It DOES consume it: [[updateDenseIndexVersioned]]
+    * threads the pair into the landing's cell assignment so each batch
+    * pays the IMI-style two-stage argmax, not the flat one (r17). */
   def currentHierarchy(
       spark: SparkSession,
       indexRoot: String): Option[(DataFrame, DataFrame)] = {
@@ -1168,6 +1184,7 @@ object IncrementalIndex {
       statsDir: Option[String] = None,
       radiiDir: Option[String] = None,
       opqRotateIters: Option[Int] = None,
+      int8Dir: Option[String] = None,
       binDir: Option[String] = None,
       coarseHierarchy: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
@@ -1203,7 +1220,11 @@ object IncrementalIndex {
         Some(dist), driftTolerance, centroidIdCol, cc,
         statsCols, statsDir, radiiDir,
         rotation = currentRotation(spark, indexRoot),
-        int8Dir = None, binDir = binDir)
+        int8Dir = int8Dir, binDir = binDir,
+        // the published version's l1/l2 (when it carries one — retrains
+        // republish it per version) routes every landed batch through the
+        // hierarchical assign instead of the flat argmax (VERDICT r16 #3)
+        hierarchy = currentHierarchy(spark, indexRoot))
     }
     try runOnce()
     catch {

@@ -125,6 +125,62 @@ class CoarseHierarchySpec extends AnyFunSuite {
     assert(idx.defaultNprobeL1 === Some(idx.l1.get.count().toInt))
   }
 
+  test("hierarchical assign: one group == flat bulk assign, bit-for-bit") {
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(300)
+    val out = java.nio.file.Files.createTempDirectory("graft_hassign1").toString
+    val cents = Similarity.kmeansFit(emb, 12, iters = 1)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
+    cents.unpersist()
+    val centArt = spark.read.parquet(s"$out/centroids")
+    // groups=1: the within-group argmax ranges over ALL centroids, so the
+    // IMI approximation vanishes and the two-stage assign must equal flat
+    val (l1, l2) = Similarity.buildCoarseHierarchy(centArt, out, groups = 1)
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getAs[Number](1).intValue)).toMap
+    assert(cellMap(Similarity.assignCellsHierarchical(emb, l1, l2)) ===
+      cellMap(Similarity.assignCellsBulk(emb, centArt)))
+  }
+
+  test("hierarchical assign: cells stay within the nearest group (IMI property); null vector -> NULL cell") {
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(300)
+    val out = java.nio.file.Files.createTempDirectory("graft_hassign3").toString
+    val cents = Similarity.kmeansFit(emb, 12, iters = 1)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
+    cents.unpersist()
+    val centArt = spark.read.parquet(s"$out/centroids")
+    val (l1, l2) = Similarity.buildCoarseHierarchy(centArt, out, groups = 3)
+    // membership: every row's landed cell belongs to the row's nearest
+    // NON-EMPTY group — recompute the level-1 winner directly
+    val memb = l2.select(col("gid"), col("cluster"))
+      .collect().map(r => r.getInt(1) -> r.getInt(0)).toMap
+    val usedGids = memb.values.toSet
+    val byGid = Similarity.assignCellsBulk(emb,
+        l1.filter(col("gid").isin(usedGids.toSeq: _*))
+          .select(col("gid").as("cluster"), col("gv").as("cv")))
+      .select(col("vec_id"), col("cluster").as("gid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val assigned = Similarity.assignCellsHierarchical(emb, l1, l2)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(assigned.nonEmpty)
+    assigned.foreach { case (id, cell) =>
+      assert(memb(cell) === byGid(id),
+        s"row $id landed in cell $cell of group ${memb(cell)}, " +
+          s"but its nearest group is ${byGid(id)}")
+    }
+    // null-vector rows get a NULL cell (the assignCells contract)
+    val withNull = emb.select(col("vec_id"),
+      when(col("vec_id") === 5L, lit(null)).otherwise(col("embedding"))
+        .as("embedding"))
+    val nulled = Similarity.assignCellsHierarchical(withNull, l1, l2)
+    assert(nulled.filter(col("vec_id") === 5L)
+      .select("cluster").head.isNullAt(0))
+    assert(nulled.filter(col("vec_id") =!= 5L)
+      .filter(col("cluster").isNull).count() === 0)
+  }
+
   test("partial level-1 probe draws only from the probed groups") {
     val (emb, _, l1, l2) = fixture()
     val qDf = emb.filter(col("vec_id") === 3L)

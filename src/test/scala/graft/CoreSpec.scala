@@ -169,10 +169,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // practically SQL-expressible (the driver then records a rows-only
     // check and a spec carries the substance). Growing this set is a
     // review decision, not a convenience.
-    val rowsOnly = Set(
-      // 16-component deflation chain; OpqSpec pins substance and
-      // sim_opq_adc_m2 hash-pins the SAME code path at oracle geometry
-      "sim_opq_adc")
+    // EMPTY as of r17: sim_opq_adc — the last exception — is now
+    // oracle-backed at its full geometry (15 deflations x 6 power
+    // rounds, 4x4 eigenvalue allocation, 2 Lloyd refinements) via the
+    // shortest-form-decimal parametric generators.
+    val rowsOnly = Set.empty[String]
     assert(SparkEntry.queries.keySet -- rowsOnly === SparkEntry.oracleSql.keySet)
     assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
     assert(rowsOnly.intersect(SparkEntry.oracleSql.keySet).isEmpty,

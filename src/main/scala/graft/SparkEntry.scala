@@ -2995,6 +2995,62 @@ object SparkEntry {
              |FROM embeddings e JOIN shortlist sl ON sl.id = e.vec_id CROSS JOIN q
              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
 
+    // IVF-PQ + refine through the TWO-LEVEL coarse probe (VERDICT r16
+    // #4): the quantized serving path no longer needs the flat centroid
+    // table — the probe ranks the 3-group L1, opens the best 2 groups'
+    // centroid partitions for the 2 best cells (PARTIAL L1, pinning the
+    // coverage trade like sim_ivf_twolevel), then the ADC stage
+    // shortlists from the probed cells' persisted codes and the exact
+    // stage rescores only the shortlist. At big-nlist geometry this is
+    // what lets the PQ/SQ8/binary batch and stream paths serve without
+    // the 259 MB flat table the facade already avoids.
+    ("sim_ivfpq_twolevel",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.ivfPqRefineSearch(
+          idx.cells, idx.codes, idx.codebooks, idx.centroids, qv,
+          nprobe = 2, kCoarse = 50, k = 20,
+          hierarchy = Some(DenseArtifacts.hierarchy(s, dir)),
+          nprobeL1 = Some(2))
+      },
+      Some(s"""$ivfCellCtes,
+             |$coarse2Ctes,
+             |$pqRefinedCbCtes,
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |l1p AS (SELECT g.gid FROM g2 g CROSS JOIN q
+             |        ORDER BY ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |          FROM (SELECT unnest(g.gv) a, unnest(q.qv) b) y), 6) DESC, g.gid
+             |        LIMIT 2),
+             |probe AS (SELECT t.cid AS cluster FROM gtag t JOIN hh2 h USING (cid) CROSS JOIN q
+             |        WHERE t.gid IN (SELECT gid FROM l1p)
+             |        ORDER BY ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |          FROM (SELECT unnest(h.cv) a, unnest(q.qv) b) y), 6) DESC, t.cid
+             |        LIMIT 2),
+             |dist AS (SELECT s.id, s.m, cbr.c,
+             |    (SELECT SUM((x.a::DOUBLE - x.b::DOUBLE) * (x.a::DOUBLE - x.b::DOUBLE))
+             |     FROM (SELECT unnest(s.sv) a, unnest(cbr.cbv) b) x) AS d
+             |  FROM sub s JOIN a3 ON a3.vec_id = s.id
+             |  JOIN probe p ON a3.cluster = p.cluster
+             |  JOIN cbr USING (m)),
+             |code AS (SELECT id, m, c AS code FROM (
+             |    SELECT id, m, c, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, c) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |qtab AS (SELECT cbr.m, cbr.c,
+             |    (SELECT SUM(x.a::DOUBLE * x.b::DOUBLE)
+             |     FROM (SELECT unnest(cbr.cbv) a, unnest(q.qv[cbr.m*8+1 : cbr.m*8+8]) b) x) AS p
+             |  FROM cbr CROSS JOIN q),
+             |sc AS (SELECT id, CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE) AS score
+             |       FROM code JOIN qtab ON code.m = qtab.m AND code.code = qtab.c
+             |       GROUP BY id),
+             |shortlist AS (SELECT id FROM (SELECT id, ROUND(score, 6) AS score FROM sc) x
+             |              ORDER BY score DESC, id LIMIT 50)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e JOIN shortlist sl ON sl.id = e.vec_id CROSS JOIN q
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
     // IVF + SCALAR-int8 + exact refine (FAISS IndexIVFScalarQuantizer +
     // RefineFlat): the coarse stage scans the probed cells of the
     // persisted BYTE-per-dim store in pure integer arithmetic (bit-exact

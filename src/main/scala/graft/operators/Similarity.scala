@@ -2650,6 +2650,45 @@ object Similarity {
     probeCellsL2(l2, gids, queryDf, nprobe, clusterCol)
   }
 
+  /** Coarse-probe DISPATCH shared by the quantized/refine serving paths
+    * (VERDICT r16 #4): with a two-level hierarchy the probe ranks the
+    * sqrt(nlist)-row L1 table and the opened groups' L2 partitions
+    * ([[probeCellsTwoLevel]]) — the flat centroid table is never
+    * materialized; without one it falls back to flat [[probeCells]].
+    * `nprobeL1` defaults to FULL level-1 probe, which reproduces the flat
+    * probe bit-for-bit (the [[probeCellsTwoLevel]] parity contract), so a
+    * caller without a calibrated pair loses no recall — only the
+    * calibrated partial probe trades recall for the sqrt driver bound. */
+  private[graft] def probeDispatch(
+      centroids: DataFrame,
+      hierarchy: Option[(DataFrame, DataFrame)],
+      queryDf: DataFrame,
+      nprobeL1: Option[Int],
+      nprobe: Int,
+      clusterCol: String): Seq[Int] =
+    hierarchy match {
+      case Some((l1, l2)) =>
+        probeCellsTwoLevel(l1, l2, queryDf,
+          nprobeL1.getOrElse(l1.count().toInt), nprobe, clusterCol)
+      case None => probeCells(centroids, queryDf, nprobe, clusterCol)
+    }
+
+  /** Batch form of [[probeDispatch]] ([[probeCellsTwoLevelBatch]] /
+    * [[probeCellsBatch]]). */
+  private[graft] def probeDispatchBatch(
+      centroids: DataFrame,
+      hierarchy: Option[(DataFrame, DataFrame)],
+      queries: DataFrame,
+      nprobeL1: Option[Int],
+      nprobe: Int,
+      clusterCol: String): Seq[(Long, Int)] =
+    hierarchy match {
+      case Some((l1, l2)) =>
+        probeCellsTwoLevelBatch(l1, l2, queries,
+          nprobeL1.getOrElse(l1.count().toInt), nprobe, clusterCol)
+      case None => probeCellsBatch(centroids, queries, nprobe, clusterCol)
+    }
+
   /** The LEVEL-2 stage of the two-level probe — rank the opened groups'
     * centroids (a gid-partition-pruned scan of the `l2` store) and return
     * the `nprobe` best cell ids. Shared by [[probeCellsTwoLevel]] and the
@@ -3197,14 +3236,16 @@ object Similarity {
       clusterCol: String = "cluster",
       restrictIds: Option[DataFrame] = None,
       excludeIds: Option[DataFrame] = None,
-      rotation: Option[DataFrame] = None): DataFrame = {
+      rotation: Option[DataFrame] = None,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame = {
     // BASIS DISCIPLINE (an OPQ index stores codes/codebooks in the
     // ROTATED coordinates while IVF geometry stays raw — buildDenseIndex):
     // the cell probe ranks RAW centroids against the RAW query; only the
     // ADC stage sees the rotated query. Pass `DenseIndex.rotation` here
     // whenever the index was built with `opqRotateIters` — feeding a
     // rotated codes store a raw query silently scores in mismatched bases.
-    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    val probed = probeDispatch(centroids, hierarchy, queryDf, nprobeL1, nprobe, clusterCol)
     pqAdcScore(
       applyCandidateFilters(codes.filter(col(clusterCol).isin(probed: _*)),
         idCol, restrictIds, excludeIds),
@@ -3256,12 +3297,14 @@ object Similarity {
       roundTo: Int = 4,
       restrictIds: Option[DataFrame] = None,
       excludeIds: Option[DataFrame] = None,
-      rotation: Option[DataFrame] = None): DataFrame = {
+      rotation: Option[DataFrame] = None,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame = {
     require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
     // OPQ basis discipline (see [[ivfPqSearchPruned]]): probe raw, ADC
     // rotated, exact refine raw — the refine stage re-scores ORIGINAL
     // vectors, so the raw query is already the right operand there.
-    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    val probed = probeDispatch(centroids, hierarchy, queryDf, nprobeL1, nprobe, clusterCol)
     val shortlist = pqAdcScore(
       applyCandidateFilters(codes.filter(col(clusterCol).isin(probed: _*)),
         idCol, restrictIds, excludeIds),
@@ -3302,12 +3345,14 @@ object Similarity {
       vecCol: String = "embedding",
       clusterCol: String = "cluster",
       roundTo: Int = 4,
-      rotation: Option[DataFrame] = None): DataFrame = {
+      rotation: Option[DataFrame] = None,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame = {
     require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
     // ONE probe pass shared by both stages (mirrors
     // [[ivfInt8RefineSearchBatch]]'s shared probed list — ADVICE r12):
     // the ADC stage and the exact stage prune to the same cell union.
-    val probed = probeCellsBatch(centroids, queries, nprobe, clusterCol)
+    val probed = probeDispatchBatch(centroids, hierarchy, queries, nprobeL1, nprobe, clusterCol)
     val shortlist = ivfPqSearchBatchProbed(
       codes, codebooks, queries, probed, kCoarse,
       numSub, subDim, idCol, clusterCol, rotation)
@@ -3412,9 +3457,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "cluster",
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame = {
     require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
-    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    val probed = probeDispatch(centroids, hierarchy, queryDf, nprobeL1, nprobe, clusterCol)
     val packed = ranges
       .agg(array_sort(collect_list(struct(col("dim"), col("maxabs")))).as("__r"))
       .select(transform(col("__r"), s => s.getField("maxabs")).as("__ma"))
@@ -3461,9 +3508,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "cluster",
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame = {
     require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
-    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    val probed = probeDispatch(centroids, hierarchy, queryDf, nprobeL1, nprobe, clusterCol)
     // SAME saturation clamp as the corpus store ([[int8EncodeCells]]):
     // an out-of-range query coordinate must quantize symmetrically with
     // the corpus side or the integer score diverges from a
@@ -3509,11 +3558,13 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "cluster",
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame = {
     require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
     val spark = int8Store.sparkSession
     import spark.implicits._
-    val probed = probeCellsBatch(centroids, queries, nprobe, clusterCol)
+    val probed = probeDispatchBatch(centroids, hierarchy, queries, nprobeL1, nprobe, clusterCol)
     val probedDf = probed.toDF("query_id", clusterCol)
     val cellUnion = probed.map(_._2).distinct
     // query-side saturation clamp mirrors [[int8EncodeCells]] (ADVICE r12)
@@ -3622,9 +3673,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "cluster",
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame = {
     require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
-    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    val probed = probeDispatch(centroids, hierarchy, queryDf, nprobeL1, nprobe, clusterCol)
     // query packs through the SAME [[binarySig]] convention as the store
     val qsig = broadcast(queryDf.select(binarySig(col("qv")).as("qsig")))
     val shortlist = binStore.filter(col(clusterCol).isin(probed: _*))
@@ -3662,11 +3715,13 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "cluster",
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame = {
     require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
     val spark = binStore.sparkSession
     import spark.implicits._
-    val probed = probeCellsBatch(centroids, queries, nprobe, clusterCol)
+    val probed = probeDispatchBatch(centroids, hierarchy, queries, nprobeL1, nprobe, clusterCol)
     val probedDf = probed.toDF("query_id", clusterCol)
     val cellUnion = probed.map(_._2).distinct
     val qsig = queries.select(col("query_id"), binarySig(col("qv")).as("qsig"))
@@ -3709,12 +3764,14 @@ object Similarity {
       subDim: Int = 8,
       idCol: String = "vec_id",
       clusterCol: String = "cluster",
-      rotation: Option[DataFrame] = None): DataFrame =
+      rotation: Option[DataFrame] = None,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame =
     // OPQ basis discipline (see [[ivfPqSearchPruned]]): the probe ranks
     // raw centroids against the raw batch; the ADC lookup table builds
     // from the ROTATED queries when the codes store is rotated.
     ivfPqSearchBatchProbed(codes, codebooks, queries,
-      probeCellsBatch(centroids, queries, nprobe, clusterCol), k,
+      probeDispatchBatch(centroids, hierarchy, queries, nprobeL1, nprobe, clusterCol), k,
       numSub, subDim, idCol, clusterCol, rotation)
 
   /** [[ivfPqSearchBatchPruned]] body over a PRECOMPUTED per-query probe

@@ -1525,17 +1525,29 @@ object IncrementalIndex {
       centroids: DataFrame,
       nprobe: Int,
       k: Int,
-      maxFilesPerTrigger: Int = 2): DataFrame = {
+      maxFilesPerTrigger: Int = 2,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(queryLandingDir).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(queryLandingDir)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    // hierarchy dispatch like the facade (VERDICT r16 #4): a big-nlist
+    // stream-serving job probes the sqrt-bounded l1/l2 pair per batch
+    // instead of materializing the flat centroid table; full-L1 default
+    // keeps bit parity with the flat probe
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val res = graft.operators.Similarity
-          .ivfSearchBatchPruned(cells, centroids, batch, nprobe, k)
-          .collect()
+        val res = (hierarchy match {
+          case Some((l1, l2)) =>
+            graft.operators.Similarity.ivfSearchBatchPrunedTwoLevel(
+              cells, l1, l2, batch,
+              nprobeL1.getOrElse(l1.count().toInt), nprobe, k)
+          case None =>
+            graft.operators.Similarity
+              .ivfSearchBatchPruned(cells, centroids, batch, nprobe, k)
+        }).collect()
         buf.synchronized {
           buf ++= res.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         }

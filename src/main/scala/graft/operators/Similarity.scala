@@ -370,24 +370,28 @@ object Similarity {
         // once, share across all calibrations
         val truth = calibrationTruth(cellsArt, sample, calibrateK,
           idCol, vecCol)
-        val np0 = calibrateNprobe(cellsArt, centArt2, sample, calibrateK,
-          target, idCol, vecCol, truth = Some(truth))
-        // kCoarse for the 1-bit store is calibrated AT the nprobe just
-        // chosen, so the persisted pair (default_nprobe,
-        // default_kcoarse_bq) serves the target together — reachable by
-        // construction (see [[calibrateKCoarseBinary]] reachability note)
-        val kc = calibrateKCoarseBinary(binArt, cellsArt, centArt2, sample,
-          np0, calibrateK, target, nRows, idCol, vecCol,
-          truth = Some(truth))
-        // when the hierarchy exists, measure recall THROUGH the two-level
-        // probe at the calibrated nprobe and persist the (nprobeL1,
-        // nprobe) pair — a partial L1 probe changes which cells open, so
-        // the flat-calibrated nprobe alone no longer certifies recall
-        val l1cal = hierArt.map { case (l1a, l2a) =>
-          calibrateNprobeL1(cellsArt, l1a, l2a, sample, np0, calibrateK,
-            target, idCol, vecCol, truth = Some(truth))
+        // when the hierarchy exists, calibrate the (nprobeL1, nprobe)
+        // pair JOINTLY (VERDICT r16 #7): the two knobs trade off and the
+        // recall surface has non-monotone cross terms, so fixing nprobe
+        // at the flat optimum first and searching nprobeL1 second can
+        // land a costlier pair than the target needs — the joint sweep
+        // picks the min-serving-cost pair on the measured surface.
+        // Hierarchy-less builds keep the single-axis flat calibration.
+        val pair = hierArt.map { case (l1a, l2a) =>
+          calibrateNprobePair(cellsArt, l1a, l2a, sample, calibrateK,
+            target, nRows, idCol, vecCol, truth = Some(truth))
         }
-        (np0, Some(kc), l1cal)
+        val npServe = pair.map(_._2).getOrElse(
+          calibrateNprobe(cellsArt, centArt2, sample, calibrateK,
+            target, idCol, vecCol, truth = Some(truth)))
+        // kCoarse for the 1-bit store is calibrated AT the nprobe that
+        // will actually serve, so the persisted (default_nprobe,
+        // default_kcoarse_bq) pair serves the target together —
+        // reachable by construction (see [[calibrateKCoarseBinary]])
+        val kc = calibrateKCoarseBinary(binArt, cellsArt, centArt2, sample,
+          npServe, calibrateK, target, nRows, idCol, vecCol,
+          truth = Some(truth))
+        (npServe, Some(kc), pair.map(_._1))
       case None =>
         // uncalibrated hierarchy serves FULL level-1 probe (bit-parity
         // with the flat probe) — safe by construction, no measured knob
@@ -2859,6 +2863,82 @@ object Similarity {
       if (recallAt(mid) >= targetRecall) hi = mid else lo = mid + 1
     }
     lo
+  }
+
+  /** JOINT (nprobeL1, nprobe) calibration (VERDICT r16 #7): the two
+    * knobs TRADE OFF — opening more L1 groups widens the candidate
+    * centroid pool while probing more cells deepens the corpus scan —
+    * and the measured surface has non-monotone cross terms (RECALL.md
+    * r16: 0.885@16/64 vs 0.870@32/64), so calibrating nprobe flat first
+    * and nprobeL1 second ([[calibrateNprobeL1]]) can land a costlier
+    * pair than the target needs. This sweeps the exponential nprobeL1
+    * ladder 1, 2, 4, ..., groups; AT A FIXED rung recall is monotone in
+    * nprobe (the opened-group set is fixed, so probing more cells scans
+    * a superset) and the minimum feasible nprobe binary-searches in
+    * O(log nlist) sample-sized serving runs. Among feasible rungs the
+    * pair minimizing SERVING COST wins — cost = L2 centroids opened +
+    * corpus rows scanned = npL1·(nlist/groups) + np·(nRows/nlist), both
+    * d-dim dot streams so the sum is the probe's total dot count up to
+    * the shared constant. Reachable by construction: the npL1 = groups
+    * rung IS the flat probe (bit-parity contract), where any target the
+    * flat calibration could meet is met. O(log groups · log nlist)
+    * sample-sized searches, build-once. */
+  def calibrateNprobePair(
+      cells: DataFrame,
+      l1: DataFrame,
+      l2: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      targetRecall: Double,
+      nRows: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      truth: Option[Map[Long, Set[Long]]] = None): (Int, Int) = {
+    require(targetRecall > 0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val exact = truth.getOrElse(
+      calibrationTruth(cells, queries, k, idCol, vecCol))
+    require(exact.nonEmpty, "calibration query sample is empty")
+    val groups = math.max(1, l1.count().toInt)
+    val nlist = math.max(1, l2.count().toInt)
+    val memo = scala.collection.mutable.Map.empty[(Int, Int), Double]
+    def recallAt(npL1: Int, np: Int): Double =
+      memo.getOrElseUpdate((npL1, np), {
+        val ann = ivfSearchBatchPrunedTwoLevel(cells, l1, l2, queries,
+            npL1, np, k, idCol, vecCol, clusterCol)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        exact.map { case (q, ids) =>
+          ids.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / ids.size
+        }.sum / exact.size
+      })
+    // min feasible nprobe at a fixed rung, or None when even probing
+    // every cell of the opened groups misses the target
+    def minNp(npL1: Int): Option[Int] = {
+      if (recallAt(npL1, nlist) < targetRecall) return None
+      var lo = 1
+      var hi = 1
+      while (hi < nlist && recallAt(npL1, hi) < targetRecall) {
+        lo = hi + 1
+        hi = math.min(nlist, hi * 2)
+      }
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (recallAt(npL1, mid) >= targetRecall) hi = mid else lo = mid + 1
+      }
+      Some(lo)
+    }
+    val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < groups) ++
+      Iterator.single(groups)).toSeq
+    def cost(pair: (Int, Int)): Double =
+      pair._1.toDouble * nlist / groups + pair._2.toDouble * nRows / nlist
+    val feasible = ladder.flatMap(npL1 => minNp(npL1).map(np => (npL1, np)))
+    // groups rung == flat probe, and full probe there is exact — the set
+    // can only be empty if the target itself is unreachable at this k
+    require(feasible.nonEmpty,
+      f"no (nprobeL1, nprobe) pair meets recall@$k >= $targetRecall%.3f")
+    feasible.minBy(cost)
   }
 
   /** Batch form of [[probeCells]]: per-query `nprobe` best cells for a

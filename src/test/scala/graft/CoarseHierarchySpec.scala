@@ -125,6 +125,37 @@ class CoarseHierarchySpec extends AnyFunSuite {
     assert(idx.defaultNprobeL1 === Some(idx.l1.get.count().toInt))
   }
 
+  test("joint (nprobeL1, nprobe) calibration meets the target and never costs more than the flat rung") {
+    val (emb, centArt, l1, l2) = fixture()
+    val cells = Similarity.assignCellsBulk(emb, centArt)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val n = emb.count()
+    val truth = Similarity.calibrationTruth(cells, queries, 10)
+    val (npL1, np) = Similarity.calibrateNprobePair(cells, l1, l2,
+      queries, k = 10, targetRecall = 0.85, nRows = n, truth = Some(truth))
+    val groups = l1.count().toInt
+    val nlist = centArt.count().toInt
+    assert(npL1 >= 1 && npL1 <= groups && np >= 1 && np <= nlist)
+    // the pair's MEASURED recall through the serving path meets target
+    val ann = Similarity.ivfSearchBatchPrunedTwoLevel(cells, l1, l2,
+        queries, npL1, np, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = truth.map { case (q, ids) =>
+      ids.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / ids.size
+    }.sum / truth.size
+    assert(recall >= 0.85, f"joint pair ($npL1, $np) serves $recall%.3f")
+    // cost dominance over the always-feasible flat rung: the joint sweep
+    // considered (groups, minNp(groups)), so its winner cannot cost more
+    val npFlat = Similarity.calibrateNprobe(cells, centArt, queries,
+      10, 0.85, truth = Some(truth))
+    def cost(a: Int, b: Int): Double =
+      a.toDouble * nlist / groups + b.toDouble * n / nlist
+    assert(cost(npL1, np) <= cost(groups, npFlat) + 1e-9,
+      s"joint pair ($npL1, $np) costs more than the flat rung ($groups, $npFlat)")
+  }
+
   test("hierarchical assign: one group == flat bulk assign, bit-for-bit") {
     val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(300)
     val out = java.nio.file.Files.createTempDirectory("graft_hassign1").toString

@@ -1,6 +1,5 @@
 package graft
 
-import graft.functions.VectorOps
 import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -52,7 +51,11 @@ object BigNlistProbe {
     val out = s"$root/bignlist"
     val doneP = new org.apache.hadoop.fs.Path(s"$out/_graft_built")
     val fs = doneP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val emb = spark.read.parquet(s"$root/emb")
+    // self-provision the 1M x d=768 corpus (build-once, shared with
+    // IvfPqScaleProbe) — r17: the probe no longer requires a prior
+    // scale-probe run just for emb/
+    val emb = FlagshipCorpus.ensure(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), root)
 
     if (!fs.exists(doneP)) {
       val n = emb.count()
@@ -106,24 +109,15 @@ object BigNlistProbe {
         f"(driver holds ${l1.count() * 768 * 4 / 1e6}%.1f MB vs " +
         f"${trained * 768L * 4 / 1e6}%.0f MB flat)")
 
-      // ---- corpus assignment THROUGH the hierarchy (see scaladoc)
+      // ---- corpus assignment THROUGH the hierarchy (see scaladoc) —
+      // r17: the inline two-stage argmax became the shipped operator
+      // ([[Similarity.assignCellsHierarchical]], the same path
+      // buildDenseIndex and the incremental landing now dispatch to)
       val (_, tAssign) = time {
-        val byGid = Similarity.assignCellsBulk(
-          emb.select(col("vec_id"), col("embedding")),
-          l1.select(col("gid").as("cluster"), col("gv").as("cv")))
-          .withColumnRenamed("cluster", "gid")
-        val grouped = l2.groupBy(col("gid")).agg(
-          array_sort(collect_list(struct(col("cluster").as("c"), col("cv"))))
-            .as("__cents"))
-        val best = array_max(transform(col("__cents"), c =>
-          struct(
-            round(VectorOps.dot(col("embedding"), c.getField("cv")), 6).as("sim"),
-            (lit(0) - c.getField("c")).as("negc"))))
-        val assigned = byGid.join(broadcast(grouped), Seq("gid"))
-          .withColumn("__best", best)
-          .select(col("vec_id"), col("embedding"),
-            (lit(0) - col("__best.negc")).as("cluster"))
-        graft.sources.Store.writeClustered(assigned, s"$out/cells", "cluster")
+        graft.sources.Store.writeClustered(
+          Similarity.assignCellsHierarchical(
+            emb.select(col("vec_id"), col("embedding")), l1, l2),
+          s"$out/cells", "cluster")
       }
       println(f"hierarchical corpus assign + cells write: ${tAssign}%.0f s")
       fs.create(doneP, true).close()

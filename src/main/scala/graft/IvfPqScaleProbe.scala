@@ -47,29 +47,10 @@ object IvfPqScaleProbe {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    val baseN = base.count()
-    val times = math.max(1, math.ceil(targetRows.toDouble / baseN).toInt)
     // permutation x wide jitter (new directions), then tile 12x to d=768
-    val corpus = (0 until times).map { r =>
-      val d64 =
-        if (r == 0) base
-        else {
-          val s = 2 * (r % 32) + 1
-          base.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
-            expr(s"transform(sequence(0, 63), j -> cast(" +
-              s"element_at(embedding, cast((j * $s) % 64 + 1 as int)) * " +
-              s"(0.5d + pmod(${r}L * 2654435761L + j * 40503L, 1024) / 1024.0d)" +
-              s" as float))").as("embedding"))
-        }
-      d64.select(col("vec_id"),
-        expr("flatten(transform(sequence(0, 11), t -> " +
-          "transform(embedding, x -> CAST(x * (1.0d + t * 0.01d) AS FLOAT))))")
-          .as("embedding"))
-    }.reduce(_ unionByName _)
-    corpus.write.mode("overwrite").parquet(s"$outDir/emb")
-    val emb = spark.read.parquet(s"$outDir/emb")
+    // — build-once via the shared corpus helper (r17: the big-nlist
+    // probes provision the same corpus without this probe's index build)
+    val emb = FlagshipCorpus.ensure(spark, sfDir, outDir, targetRows)
     val n = emb.count()
     val p = Similarity.IvfParams.auto(n, 768)
     println(s"IvfPqScaleProbe: $n rows x d=768, auto geometry: " +

@@ -57,8 +57,13 @@ object BigNlistRetrainProbe {
     val indexRoot = s"$base/index"
     val nlist = cents.count()
 
-    // ---- phase 1: bootstrap v=0 from a 100k-row landing batch
-    emb.filter(col("vec_id") < 100000L).write.mode("append").parquet(landing)
+    // ---- phase 1: bootstrap v=0 from a ~100k-row landing batch.
+    // Batch selection is modulo-based: flagship vec_ids are the 2000 base
+    // ids plus replica offsets of r*10^7, so a `< 100000` range filter
+    // would catch only the base replica — pmod slices uniformly.
+    val batch1 = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val n1 = batch1.count()
+    batch1.write.mode("append").parquet(landing)
     val (_, tBoot) = time {
       IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
         cents, indexRoot, numSub = 96, subDim = 8, coarseHierarchy = true)
@@ -68,8 +73,9 @@ object BigNlistRetrainProbe {
     require(IncrementalIndex.currentHierarchy(spark, indexRoot).isDefined,
       "bootstrap version carries no hierarchy")
     val landed0 = spark.read.parquet(sink).count()
-    println(f"phase 1 bootstrap (100k batch, nlist=$nlist, hierarchical " +
-      f"landing assign): ${tBoot}%.0f s, store $landed0 rows, v=0 published")
+    require(landed0 == n1, s"store has $landed0 rows, expected $n1")
+    println(f"phase 1 bootstrap ($n1 rows, nlist=$nlist, hierarchical " +
+      f"landing assign): ${tBoot}%.0f s, v=0 published")
 
     // ---- continuity reader: poll CURRENT during the retrain swap
     @volatile var stop = false
@@ -96,10 +102,11 @@ object BigNlistRetrainProbe {
     reader.setDaemon(true)
     reader.start()
 
-    // ---- phase 2: drifted 50k batch -> gate -> retrain -> v=1 -> replay
-    emb.filter(col("vec_id") >= 100000L && col("vec_id") < 150000L)
+    // ---- phase 2: drifted ~50k batch -> gate -> retrain -> v=1 -> replay
+    val batch2 = emb.filter(pmod(col("vec_id"), lit(20)) === 1)
       .withColumn("embedding", expr("transform(embedding, x -> x + 10.0f)"))
-      .write.mode("append").parquet(landing)
+    val n2 = batch2.count()
+    batch2.write.mode("append").parquet(landing)
     val (_, tCycle) = time {
       IncrementalIndex.updateDenseIndexVersioned(spark, landing, sink, ckpt,
         cents, indexRoot, numSub = 96, subDim = 8, coarseHierarchy = true)
@@ -111,14 +118,14 @@ object BigNlistRetrainProbe {
     val v1 = IncrementalIndex.currentVersion(spark, indexRoot)
     require(v1 == Some(1L), s"expected v=1 after the drift cycle, got $v1")
     val landed1 = spark.read.parquet(sink).count()
-    require(landed1 == 150000L, s"store has $landed1 rows, expected 150000")
+    require(landed1 == n1 + n2, s"store has $landed1 rows, expected ${n1 + n2}")
     // the republished hierarchy keeps full-L1 parity with the flat probe
     val (l1v, l2v) = IncrementalIndex.currentHierarchy(spark, indexRoot).get
     val qDf = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val parity = Similarity.probeCellsTwoLevel(l1v, l2v, qDf,
         l1v.count().toInt, 8) ==
       Similarity.probeCells(cents, qDf, 8)
-    println(f"phase 2 drift cycle (gate + retrain 150k rows at 96x8 + " +
+    println(f"phase 2 drift cycle (gate + retrain ${n1 + n2} rows at 96x8 + " +
       f"atomic v=1 + replay): ${tCycle}%.0f s; mid-swap reader: $reads " +
       f"successful CURRENT reads, 0 failures; post-swap full-L1 parity: " +
       f"$parity")

@@ -2595,9 +2595,13 @@ object Similarity {
     * Contract mirrors [[assignCells]] per stage: round-`simRound` HALF_UP
     * dots, ties to the LOWER id at both levels, null vector → NULL cell.
     * Groups that own no level-2 centroids are excluded from the level-1
-    * ranking (a row can never be sent to an empty group). The per-group
-    * packed centroid array is ≈ √nlist·d floats per row — the same
-    * sqrt-bounded broadcast discipline as the `l1` table itself. */
+    * ranking (a row can never be sent to an empty group). Cost honesty:
+    * what shrinks is the COMPUTE (2·√k dots/row instead of k) and the
+    * DRIVER-resident stage (the √k-row l1 matrix in the bulk kernel);
+    * the grouped l2 table still ships once per executor as a broadcast
+    * (nlist·d floats — the same volume any flat assign must get to the
+    * workers, ~260 MB at k=84k·d=768; past ~10⁶ centroids swap the
+    * broadcast for a shuffle join on `__gid`). */
   def assignCellsHierarchical(
       emb: DataFrame,
       l1: DataFrame,

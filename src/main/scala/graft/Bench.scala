@@ -121,7 +121,10 @@ object Bench {
     // exists yet, a canary-less run can never BECOME the reference (ADVICE
     // r16 — the refTxt.isDefined conjunct let exactly that happen).
     val canaryBroken = hot <= 0
-    if (canaryBroken)
+    // subset runs route to .subset before the canary matters — warning
+    // there would misreport a failure on healthy iteration runs
+    // (ADVICE r17); the flag itself stays unconditional
+    if (canaryBroken && only.isEmpty)
       System.err.println("[bench] hot-knn canary leg failed — diverting; a " +
         "canary-less artifact cannot be the adjudicated reference")
     // the committed reference only adjudicates runs of the SAME geometry:

@@ -13,6 +13,50 @@ import org.apache.spark.sql.functions._
   * invalidates on a target change (the ServeMixFlagshipBench marker
   * discipline). */
 object FlagshipCorpus {
+
+  /** Replica count the recipe needs for `targetRows` over this sf base. */
+  def replicasFor(spark: SparkSession, sfDir: String, targetRows: Long): Int = {
+    val baseN = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    math.max(1, math.ceil(targetRows.toDouble / baseN).toInt)
+  }
+
+  /** The LAZY generator plan for replicas `[replicaLo, replicaHi)` — no
+    * write, no materialization (r18: the 10M probe assigns and lands the
+    * corpus in bounded replica chunks, the same no-100-TB-intermediate
+    * posture a production ingest has, so the full corpus never needs to
+    * exist on local disk at once). The replica dimension is an EXPLODE,
+    * not a times-way union (a 10M target means 5000 replicas — a
+    * 5000-leg union tree is a Catalyst plan explosion, while one
+    * generator column keeps the plan constant-size at any target).
+    * Arithmetic is identical to the committed per-replica form: replica
+    * r reads stride s = 2*(r%32)+1 with the r-keyed multiplicative
+    * jitter, replica 0 is the verbatim base, and every replica tiles
+    * 12x to d=768 with the (1 + t*0.01) ramp. */
+  def generate(
+      spark: SparkSession,
+      sfDir: String,
+      replicaLo: Int,
+      replicaHi: Int): DataFrame = {
+    require(replicaLo >= 0 && replicaHi > replicaLo,
+      s"replica range must be non-empty, got [$replicaLo, $replicaHi)")
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(replicaLo), lit(replicaHi - 1))).as("r"))
+      .select(
+        (col("vec_id") + col("r").cast("long") * 10000000L).as("vec_id"),
+        when(col("r") === 0, col("embedding")).otherwise(
+          expr("transform(sequence(0, 63), j -> cast(" +
+            "element_at(embedding, cast((j * (2 * pmod(r, 32) + 1)) % 64 + 1 as int)) * " +
+            "(0.5d + pmod(cast(r as long) * 2654435761L + j * 40503L, 1024) / 1024.0d)" +
+            " as float))")).as("embedding"))
+      .select(col("vec_id"),
+        expr("flatten(transform(sequence(0, 11), t -> " +
+          "transform(embedding, x -> CAST(x * (1.0d + t * 0.01d) AS FLOAT))))")
+          .as("embedding"))
+  }
+
   def ensure(
       spark: SparkSession,
       sfDir: String,
@@ -20,34 +64,24 @@ object FlagshipCorpus {
       targetRows: Long = 1000000L): DataFrame = {
     val done = new org.apache.hadoop.fs.Path(s"$root/emb/_graft_built")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseN = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val times = math.max(1, math.ceil(targetRows.toDouble / baseN).toInt)
+    // EXACT-count marker (ADVICE r17): the corpus this target produces
+    // has exactly times*baseN rows — a `>=` acceptance would silently
+    // reuse a LARGER stale corpus when a caller lowers targetRows,
+    // serving probes against a mismatched geometry (the same hazard the
+    // ServeMixFlagshipBench marker discipline closed). The baseN count
+    // is a sf-table read — trivial next to any use of the corpus.
+    val expect = times.toLong * baseN
     val stale = !fs.exists(done) || {
       val in = fs.open(done)
       val txt = try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
-      !txt.toLongOption.exists(_ >= targetRows)
+      !txt.toLongOption.contains(expect)
     }
     if (stale) {
-      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding"))
-      val baseN = base.count()
-      val times = math.max(1, math.ceil(targetRows.toDouble / baseN).toInt)
-      val corpus = (0 until times).map { r =>
-        val d64 =
-          if (r == 0) base
-          else {
-            val s = 2 * (r % 32) + 1
-            base.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
-              expr(s"transform(sequence(0, 63), j -> cast(" +
-                s"element_at(embedding, cast((j * $s) % 64 + 1 as int)) * " +
-                s"(0.5d + pmod(${r}L * 2654435761L + j * 40503L, 1024) / 1024.0d)" +
-                s" as float))").as("embedding"))
-          }
-        d64.select(col("vec_id"),
-          expr("flatten(transform(sequence(0, 11), t -> " +
-            "transform(embedding, x -> CAST(x * (1.0d + t * 0.01d) AS FLOAT))))")
-            .as("embedding"))
-      }.reduce(_ unionByName _)
-      corpus.write.mode("overwrite").parquet(s"$root/emb")
+      generate(spark, sfDir, 0, times)
+        .write.mode("overwrite").parquet(s"$root/emb")
       val n = spark.read.parquet(s"$root/emb").count()
       val outS = fs.create(done, true)
       try outS.write(n.toString.getBytes("UTF-8")) finally outS.close()

@@ -384,13 +384,18 @@ object Similarity {
         val npServe = pair.map(_._2).getOrElse(
           calibrateNprobe(cellsArt, centArt2, sample, calibrateK,
             target, idCol, vecCol, truth = Some(truth)))
-        // kCoarse for the 1-bit store is calibrated AT the nprobe that
-        // will actually serve, so the persisted (default_nprobe,
-        // default_kcoarse_bq) pair serves the target together —
-        // reachable by construction (see [[calibrateKCoarseBinary]])
+        // kCoarse for the 1-bit store is calibrated AT the probe shape
+        // that will actually serve — the (nprobeL1, nprobe) pair through
+        // the hierarchy when one exists (ADVICE r17: a flat-probe
+        // measurement certifies a different cell set than the partial-L1
+        // serving probe opens), flat nprobe otherwise — so the persisted
+        // (default_nprobe_l1, default_nprobe, default_kcoarse_bq) triple
+        // serves the target together, reachable by construction
+        // (see [[calibrateKCoarseBinary]])
         val kc = calibrateKCoarseBinary(binArt, cellsArt, centArt2, sample,
           npServe, calibrateK, target, nRows, idCol, vecCol,
-          truth = Some(truth))
+          truth = Some(truth), hierarchy = hierArt,
+          nprobeL1 = pair.map(_._1))
         (npServe, Some(kc), pair.map(_._1))
       case None =>
         // uncalibrated hierarchy serves FULL level-1 probe (bit-parity
@@ -519,7 +524,9 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "cluster",
-      truth: Option[Map[Long, Set[Long]]] = None): Int = {
+      truth: Option[Map[Long, Set[Long]]] = None,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): Int = {
     require(targetRecall > 0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
     val exact = truth.getOrElse(
@@ -534,7 +541,15 @@ object Similarity {
     val cellSizes = cells.filter(col(clusterCol).isNotNull)
       .groupBy(col(clusterCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val reach = probeCellsBatch(centroids, queries, nprobe, clusterCol)
+    // PROBE-SHAPE DISCIPLINE (ADVICE r17): a hierarchy-carrying index
+    // serves the binary path through the two-level probe at its
+    // calibrated (nprobeL1, nprobe) pair — a partial-L1 probe opens a
+    // DIFFERENT cell set than the flat one, so measuring kCoarse through
+    // the flat probe would certify a default the serving path never
+    // runs. Both the reachability bound and every recall evaluation
+    // below go through the SAME dispatch the serving forms use.
+    val reach = probeDispatchBatch(centroids, hierarchy, queries,
+        nprobeL1, nprobe, clusterCol)
       .groupBy(_._1).values
       .map(_.map(p => cellSizes.getOrElse(p._2, 0L)).sum)
       .foldLeft(0L)(math.max)
@@ -543,7 +558,8 @@ object Similarity {
     val memo = scala.collection.mutable.Map.empty[Int, Double]
     def recallAt(kc: Int): Double = memo.getOrElseUpdate(kc, {
       val ann = ivfBinaryRefineSearchBatch(binStore, cells, centroids,
-          queries, nprobe, kc, k, idCol, vecCol, clusterCol)
+          queries, nprobe, kc, k, idCol, vecCol, clusterCol,
+          hierarchy = hierarchy, nprobeL1 = nprobeL1)
         .collect().map(r => r.getLong(0) -> r.getLong(1))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       exact.map { case (q, ids) =>
@@ -2667,6 +2683,29 @@ object Similarity {
     * probe bit-for-bit (the [[probeCellsTwoLevel]] parity contract), so a
     * caller without a calibrated pair loses no recall — only the
     * calibrated partial probe trades recall for the sqrt driver bound. */
+  /** Cached L1 group counts for the full-L1 default (ADVICE r17): with
+    * `nprobeL1` unset the dispatch probes every group (flat-parity mode),
+    * and resolving that default with `l1.count()` launched a Spark job
+    * PER SEARCH — and per micro-batch in [[graft.streaming
+    * .IncrementalIndex.serveAnnStream]]. The count is a property of the
+    * hierarchy artifact, so cache it per L1 DataFrame reference (weak
+    * keys — a retrain-and-swap hands out new DataFrames, exactly like
+    * the facade's probe caches, so a stale count cannot survive a
+    * version swap). */
+  private val l1GroupCounts =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Integer])
+
+  private[graft] def l1GroupCount(l1: DataFrame): Int = {
+    val cached = l1GroupCounts.get(l1)
+    if (cached != null) cached.intValue
+    else {
+      val n = l1.count().toInt
+      l1GroupCounts.put(l1, Int.box(n))
+      n
+    }
+  }
+
   private[graft] def probeDispatch(
       centroids: DataFrame,
       hierarchy: Option[(DataFrame, DataFrame)],
@@ -2677,7 +2716,7 @@ object Similarity {
     hierarchy match {
       case Some((l1, l2)) =>
         probeCellsTwoLevel(l1, l2, queryDf,
-          nprobeL1.getOrElse(l1.count().toInt), nprobe, clusterCol)
+          nprobeL1.getOrElse(l1GroupCount(l1)), nprobe, clusterCol)
       case None => probeCells(centroids, queryDf, nprobe, clusterCol)
     }
 
@@ -2693,7 +2732,7 @@ object Similarity {
     hierarchy match {
       case Some((l1, l2)) =>
         probeCellsTwoLevelBatch(l1, l2, queries,
-          nprobeL1.getOrElse(l1.count().toInt), nprobe, clusterCol)
+          nprobeL1.getOrElse(l1GroupCount(l1)), nprobe, clusterCol)
       case None => probeCellsBatch(centroids, queries, nprobe, clusterCol)
     }
 

@@ -1541,9 +1541,12 @@ object IncrementalIndex {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val res = (hierarchy match {
           case Some((l1, l2)) =>
+            // full-L1 default resolves from the cached group count
+            // (ADVICE r17) — not a count job per micro-batch
             graft.operators.Similarity.ivfSearchBatchPrunedTwoLevel(
               cells, l1, l2, batch,
-              nprobeL1.getOrElse(l1.count().toInt), nprobe, k)
+              nprobeL1.getOrElse(
+                graft.operators.Similarity.l1GroupCount(l1)), nprobe, k)
           case None =>
             graft.operators.Similarity
               .ivfSearchBatchPruned(cells, centroids, batch, nprobe, k)

@@ -41,9 +41,18 @@ object FlagshipCorpus {
       s"replica range must be non-empty, got [$replicaLo, $replicaHi)")
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    base
-      .select(col("vec_id"), col("embedding"),
-        explode(sequence(lit(replicaLo), lit(replicaHi - 1))).as("r"))
+    // PARALLELISM comes from the replica axis, not the base read: the sf
+    // base is one small parquet file (one input partition), so deriving
+    // the replica column by exploding base rows would run the whole
+    // generated corpus — and everything downstream of it — in a single
+    // task. A repartitioned range cross-joined with the BROADCAST base
+    // spreads replicas across the cluster with no shuffle of generated
+    // rows (measured: the single-task form ran the 10M coarse-fit sample
+    // pass >70 min without completing; this shape streams it wide).
+    val reps = spark.range(replicaLo, replicaHi)
+      .select(col("id").cast("int").as("r"))
+      .repartition(math.max(spark.sparkContext.defaultParallelism, 16))
+    reps.crossJoin(broadcast(base))
       .select(
         (col("vec_id") + col("r").cast("long") * 10000000L).as("vec_id"),
         when(col("r") === 0, col("embedding")).otherwise(

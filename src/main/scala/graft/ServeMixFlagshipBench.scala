@@ -101,16 +101,47 @@ object ServeMixFlagshipBench {
     // facade serves id / clip — a rename projection, under which the
     // cluster partition filter still prunes (projections don't block
     // partition pruning)
-    val params = spark.read.parquet(s"$root/index/params").head
-    val idx = Similarity.DenseIndex(
-      centroids = spark.read.parquet(s"$root/index/centroids"),
-      cells = spark.read.parquet(s"$root/index/cells")
-        .withColumnRenamed("vec_id", "id")
-        .withColumnRenamed("embedding", "clip"),
-      codebooks = spark.read.parquet(s"$root/index/codebooks"),
-      codes = spark.read.parquet(s"$root/index/codes"),
-      defaultNprobe = Some(params.getAs[Int]("default_nprobe")),
-      radii = Some(spark.read.parquet(s"$root/index/radii")))
+    //
+    // r18: the bench reads EITHER store layout — the IvfPqScaleProbe
+    // `index/` tree (flat coarse, persisted params) or the big-nlist
+    // `bignlist/` tree (84k trained centroids + l1/l2 hierarchy + the
+    // pq/ leg), preferring the latter so the mix measures the serving
+    // shape RECALL.md r17 calls the 100 TB one: two-level probe at the
+    // jointly calibrated (nprobeL1=8, nprobe=42) pair, ADC + exact
+    // refine over cell-clustered codes.
+    val bn = s"$root/bignlist"
+    val haveBn = {
+      val p = new org.apache.hadoop.fs.Path(s"$bn/_graft_built")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val idx =
+      if (haveBn) Similarity.DenseIndex(
+        centroids = spark.read.parquet(s"$bn/centroids"),
+        cells = spark.read.parquet(s"$bn/cells")
+          .withColumnRenamed("vec_id", "id")
+          .withColumnRenamed("embedding", "clip"),
+        codebooks = spark.read.parquet(s"$bn/pq/codebooks"),
+        codes = spark.read.parquet(s"$bn/pq/codes")
+          .withColumnRenamed("vec_id", "id"),
+        defaultNprobe = Some(sys.env.getOrElse("SPARK_GRAFT_NP", "42").toInt),
+        l1 = Some(spark.read.parquet(s"$bn/l1")),
+        l2 = Some(spark.read.parquet(s"$bn/l2")),
+        defaultNprobeL1 =
+          Some(sys.env.getOrElse("SPARK_GRAFT_NPL1", "8").toInt),
+        numSub = 96, subDim = 8)
+      else {
+        val params = spark.read.parquet(s"$root/index/params").head
+        Similarity.DenseIndex(
+          centroids = spark.read.parquet(s"$root/index/centroids"),
+          cells = spark.read.parquet(s"$root/index/cells")
+            .withColumnRenamed("vec_id", "id")
+            .withColumnRenamed("embedding", "clip"),
+          codebooks = spark.read.parquet(s"$root/index/codebooks"),
+          codes = spark.read.parquet(s"$root/index/codes")
+            .withColumnRenamed("vec_id", "id"),
+          defaultNprobe = Some(params.getAs[Int]("default_nprobe")),
+          radii = Some(spark.read.parquet(s"$root/index/radii")))
+      }
 
     // ---- panel channel at FLAGSHIP size (VERDICT r15 #4): a synthetic
     // 1M-doc tag corpus (vocabulary of 1000 terms, 3 deterministic terms
@@ -152,17 +183,22 @@ object ServeMixFlagshipBench {
       (0 until 10).map(j => (((i * 7 + j * 3) % baseN), 0.9 - 0.05 * j))
         .toDF("id", "score")
 
-    def mixRequest(i: Int): (String, () => DataFrame) = {
+    // r18: `pqDense` swaps the dense /textsearch channel onto the
+    // QUANTIZED serving path (textSearchAnnPq — ADC over M-byte codes
+    // through the hierarchy probe + exact refine of the kCoarse
+    // shortlist); the other endpoints are unchanged, so the two metric
+    // lines isolate exactly the quantized-leg delta under the same mix.
+    def mixRequest(i: Int, pqDense: Boolean): (String, () => DataFrame) = {
       val qv = qvById((i.toLong * 13) % baseN)
+      def dense(f: Filters): DataFrame =
+        if (pqDense) engine.textSearchAnnPq(idx, qv, k = 50, f)
+        else engine.textSearchAnn(idx, qv, k = 50, f)
       i % 10 match {
-        case 0 | 1 => ("textsearch",
-          () => engine.textSearchAnn(idx, qv, k = 50))
+        case 0 | 1 => ("textsearch", () => dense(Filters()))
         case 2 => ("textsearch",
-          () => engine.textSearchAnn(idx, qv, k = 50,
-            Filters(partitionTag = Some(i % 4))))
+          () => dense(Filters(partitionTag = Some(i % 4))))
         case 3 => ("textsearch",
-          () => engine.textSearchAnn(idx, qv, k = 50,
-            Filters(ignoreIds = Seq((i.toLong * 11) % baseN))))
+          () => dense(Filters(ignoreIds = Seq((i.toLong * 11) % baseN))))
         case 4 | 9 => ("imgsearch",
           () => engine.imageSearchAnn(idx, (i.toLong * 17) % baseN, k = 50))
         case 5 => ("panel",
@@ -178,58 +214,66 @@ object ServeMixFlagshipBench {
       }
     }
 
-    // ---- serial pass (warms scans/codegen; per-endpoint walls)
-    val walls = scala.collection.mutable.Map.empty[String, (Int, Double)]
-    val (_, tTotal) = time {
-      for (i <- 0 until 100) {
-        val (ep, thunk) = mixRequest(i)
-        val (rows, t) = time(thunk().collect())
-        require(rows.nonEmpty, s"$ep returned 0 rows — serving broke")
-        val (c, w) = walls.getOrElse(ep, (0, 0.0))
-        walls(ep) = (c + 1, w + t)
+    def runMix(metric: String, pqDense: Boolean): Unit = {
+      // ---- serial pass (warms scans/codegen; per-endpoint walls)
+      val walls = scala.collection.mutable.Map.empty[String, (Int, Double)]
+      val (_, tTotal) = time {
+        for (i <- 0 until 100) {
+          val (ep, thunk) = mixRequest(i, pqDense)
+          val (rows, t) = time(thunk().collect())
+          require(rows.nonEmpty, s"$ep returned 0 rows — serving broke")
+          val (c, w) = walls.getOrElse(ep, (0, 0.0))
+          walls(ep) = (c + 1, w + t)
+        }
       }
+
+      // ---- concurrent replays, one FAIR pool per client thread.
+      // Concurrency 4 runs TWICE (VERDICT r15 #3: the 17.8 s conc-4 max —
+      // first-fill vs steady-state is decided by the repeat), and every leg
+      // records per-request (endpoint, latency) so an outlier is NAMED in
+      // the artifact instead of guessed at.
+      val concRows = Seq(("4", 4), ("4b", 4), ("8", 8)).map { case (tag, conc) =>
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+        val lat = new Array[Double](100)
+        val eps = new Array[String](100)
+        val t0 = System.nanoTime()
+        val futures = (0 until 100).map { i =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", s"serve-${i % conc}")
+              val (ep, thunk) = mixRequest(i, pqDense)
+              val s0 = System.nanoTime()
+              val rows = thunk().collect()
+              require(rows.nonEmpty, s"$ep returned 0 rows — serving broke")
+              lat(i) = (System.nanoTime() - s0) / 1e9
+              eps(i) = ep
+            }
+          })
+        }
+        futures.foreach(_.get())
+        pool.shutdown()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val sorted = lat.sorted
+        val slowest = lat.zipWithIndex.sortBy(-_._1).take(3)
+          .map { case (l, i) => f"""{"i":$i,"ep":"${eps(i)}","sec":$l%.3f}""" }
+          .mkString("[", ",", "]")
+        f""""$tag":{"wall_sec":$wall%.3f,"req_per_sec":${100.0 / wall}%.2f,""" +
+          f""""p50_sec":${sorted(49)}%.3f,"p95_sec":${sorted(94)}%.3f,""" +
+          f""""max_sec":${sorted(99)}%.3f,"slowest":$slowest}"""
+      }.mkString(",")
+
+      val perEp = walls.toSeq.sortBy(_._1)
+        .map { case (ep, (c, w)) => f""""$ep":{"requests":$c,"sec":$w%.3f}""" }
+        .mkString(",")
+      val npL1 = idx.defaultNprobeL1.map(_.toString).getOrElse("null")
+      println(f"""{"metric":"$metric","value":$tTotal%.3f,"unit":"sec","requests":100,"corpus_rows":$n,"d":768,"nprobe":${idx.defaultNprobe.get},"nprobe_l1":$npL1,"endpoints":{$perEp},"concurrency":{$concRows}}""")
     }
 
-    // ---- concurrent replays, one FAIR pool per client thread.
-    // Concurrency 4 runs TWICE (VERDICT r15 #3: the 17.8 s conc-4 max —
-    // first-fill vs steady-state is decided by the repeat), and every leg
-    // records per-request (endpoint, latency) so an outlier is NAMED in
-    // the artifact instead of guessed at.
-    val concRows = Seq(("4", 4), ("4b", 4), ("8", 8)).map { case (tag, conc) =>
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
-      val lat = new Array[Double](100)
-      val eps = new Array[String](100)
-      val t0 = System.nanoTime()
-      val futures = (0 until 100).map { i =>
-        pool.submit(new Runnable {
-          def run(): Unit = {
-            spark.sparkContext.setLocalProperty(
-              "spark.scheduler.pool", s"serve-${i % conc}")
-            val (ep, thunk) = mixRequest(i)
-            val s0 = System.nanoTime()
-            val rows = thunk().collect()
-            require(rows.nonEmpty, s"$ep returned 0 rows — serving broke")
-            lat(i) = (System.nanoTime() - s0) / 1e9
-            eps(i) = ep
-          }
-        })
-      }
-      futures.foreach(_.get())
-      pool.shutdown()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val sorted = lat.sorted
-      val slowest = lat.zipWithIndex.sortBy(-_._1).take(3)
-        .map { case (l, i) => f"""{"i":$i,"ep":"${eps(i)}","sec":$l%.3f}""" }
-        .mkString("[", ",", "]")
-      f""""$tag":{"wall_sec":$wall%.3f,"req_per_sec":${100.0 / wall}%.2f,""" +
-        f""""p50_sec":${sorted(49)}%.3f,"p95_sec":${sorted(94)}%.3f,""" +
-        f""""max_sec":${sorted(99)}%.3f,"slowest":$slowest}"""
-    }.mkString(",")
-
-    val perEp = walls.toSeq.sortBy(_._1)
-      .map { case (ep, (c, w)) => f""""$ep":{"requests":$c,"sec":$w%.3f}""" }
-      .mkString(",")
-    println(f"""{"metric":"serve_mix_flagship","value":$tTotal%.3f,"unit":"sec","requests":100,"corpus_rows":$n,"d":768,"nprobe":${idx.defaultNprobe.get},"endpoints":{$perEp},"concurrency":{$concRows}}""")
+    runMix("serve_mix_flagship", pqDense = false)
+    // the quantized leg needs the pq codes store — present in the
+    // bignlist layout (and in index/ trees built with codes)
+    if (idx.codes.columns.nonEmpty) runMix("serve_mix_flagship_pq", pqDense = true)
     spark.stop()
   }
 }

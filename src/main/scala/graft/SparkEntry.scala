@@ -1986,6 +1986,64 @@ object SparkEntry {
              |SELECT query_id, vec_id, sim FROM rk2 WHERE rn <= 10
              |ORDER BY query_id, sim DESC, vec_id""".stripMargin)),
 
+    // ADAPTIVE filtered ANN planned THROUGH the two-level hierarchy
+    // (VERDICT r17 #3 — the last flat-probing planner): the flat form
+    // ranks ALL cells per request, which at big nlist re-materializes the
+    // centroid scan the hierarchy exists to avoid. Here the planner ranks
+    // the sqrt-scale L1 groups, opens an exponentially growing prefix
+    // (1, 2, 4, ... groups, starting at the supplied hint) until the
+    // opened groups' histogram-admissible count reaches k, then applies
+    // the SAME minimal-prefix rule over the opened cells' ranking. The
+    // oracle replays the growth ladder, the opened-cell ranking and the
+    // cumulative-count cut in SQL — a filter that exhausts every group
+    // degenerates to f1d's flat plan by construction.
+    ("f1g_knn_adaptive_twolevel",
+      (s, dir) => {
+        val idx = DenseArtifacts.ivf(s, dir)
+        val (l1, l2) = DenseArtifacts.hierarchy(s, dir)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.ivfSearchAdaptivePruned(idx.cells, idx.centroids, qv, k = 20,
+          cellStats = idx.cellStats, admissible = Some(col("label") === 3),
+          hierarchy = Some((l1, l2)), nprobeL1 = Some(1))
+      },
+      Some(s"""$ivfCellCtes,
+             |$coarse2Ctes,
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |l1r AS (SELECT g.gid, ROW_NUMBER() OVER (
+             |          ORDER BY ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |            FROM (SELECT unnest(g.gv) a, unnest(q.qv) b) y), 6) DESC,
+             |          g.gid) AS grk
+             |        FROM g2 g CROSS JOIN q),
+             |adm AS (SELECT a3.cluster, COUNT(*) AS cnt
+             |        FROM a3 JOIN embeddings e USING (vec_id)
+             |        WHERE e.label = 3 GROUP BY a3.cluster),
+             |cg AS (SELECT t.cid AS cluster, l.grk FROM gtag t JOIN l1r l USING (gid)),
+             |gtot AS (SELECT gl.g, (SELECT COALESCE(SUM(adm.cnt), 0)
+             |           FROM cg JOIN adm USING (cluster) WHERE cg.grk <= gl.g) AS tot
+             |         FROM (SELECT unnest([1, 2, 3]) AS g) gl),
+             |gsel AS (SELECT COALESCE(MIN(CASE WHEN tot >= 20 THEN g END), 3) AS g
+             |         FROM gtot),
+             |rkc AS (SELECT h.cid AS cluster, COALESCE(adm.cnt, 0) AS cnt,
+             |          ROW_NUMBER() OVER (
+             |            ORDER BY ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |              FROM (SELECT unnest(h.cv) a, unnest(q.qv) b) y), 6) DESC,
+             |            h.cid) AS rk
+             |        FROM hh2 h JOIN cg ON cg.cluster = h.cid
+             |        LEFT JOIN adm ON adm.cluster = h.cid
+             |        CROSS JOIN q CROSS JOIN gsel
+             |        WHERE cg.grk <= gsel.g),
+             |cum AS (SELECT cluster, rk, SUM(cnt) OVER (ORDER BY rk) AS cum FROM rkc),
+             |lmin AS (SELECT COALESCE(MIN(CASE WHEN cum >= 20 THEN rk END), MAX(rk)) AS l
+             |         FROM cum),
+             |probe AS (SELECT cluster FROM cum CROSS JOIN lmin WHERE rk <= l)
+             |SELECT e.vec_id, ROUND((SELECT SUM(y.a::DOUBLE * y.b::DOUBLE)
+             |         FROM (SELECT unnest(e.embedding) a, unnest(q.qv) b) y), 4) AS score
+             |FROM embeddings e JOIN a3 USING (vec_id) CROSS JOIN q
+             |WHERE a3.cluster IN (SELECT cluster FROM probe)
+             |  AND e.label = 3
+             |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)),
+
     // ---- T1 temporal re-query ---------------------------------------------
 
     ("t1_neighbor_expand_requery",

@@ -56,10 +56,15 @@ object Verify {
     // under SPARK_GRAFT_ONLY, dump only the selected queries' oracles:
     // check.py unions declared oracles with dumped dirs, so a full
     // oracle_sql.json against a subset dump would FAIL every unselected
-    // query as "no output parquet"
+    // query as "no output parquet". SPARK_GRAFT_ORACLE_ALL=1 overrides —
+    // for re-running a few queries INTO a complete dump dir (a subset
+    // repair run) where the full oracle map must survive.
+    val oracleAll =
+      sys.env.get("SPARK_GRAFT_ORACLE_ALL").exists(v => v == "1" || v == "true")
     val oracles = only match {
-      case Some(names) => SparkEntry.oracleSql.filter { case (n, _) => names(n) }
-      case None => SparkEntry.oracleSql
+      case Some(names) if !oracleAll =>
+        SparkEntry.oracleSql.filter { case (n, _) => names(n) }
+      case _ => SparkEntry.oracleSql
     }
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

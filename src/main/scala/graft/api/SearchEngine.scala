@@ -371,6 +371,87 @@ class SearchEngine(
     GroupShaping.groupResults(ranked, "video_id", "id", "score")
   }
 
+  /** One PQ-served dense channel: ADC-score the probed cells' PERSISTED
+    * codes (M bytes/row — the scan-heavy stage never touches d-float
+    * vectors), shortlist `kCoarse` ADMISSIBLE candidates (the request's
+    * candidate set semi-joins the code scan BEFORE the cut — the F1
+    * discipline, so a tight filter cannot starve the refine), then fetch
+    * only the shortlist's original vectors from the same probed cell
+    * partitions and exactly re-score. OPQ basis discipline: probe raw,
+    * ADC rotated (`index.rotation`), exact refine raw. */
+  private def annPqChannel(
+      index: Similarity.DenseIndex, vecCol: String, qv: Array[Float],
+      k: Int, kc: Int, nprobe: Int, cands: DataFrame): DataFrame = {
+    val spark = corpus.embeddings.sparkSession
+    val probed = cachedProbe(index, qv, nprobe)
+    val qDf = spark.range(1).select(lit(qv).as("qv"))
+    val shortlist = Similarity.pqAdcScore(
+      index.codes.filter(col("cluster").isin(probed: _*))
+        .join(cands.select("id"), Seq("id"), "left_semi"),
+      index.codebooks,
+      Similarity.rotateQueries(qDf, index.rotation, index.numSub, index.subDim),
+      kc, index.numSub, index.subDim, idCol = "id")
+    val scored = index.cells.filter(col("cluster").isin(probed: _*))
+      .join(broadcast(shortlist.select("id")), Seq("id"), "left_semi")
+      .withColumn("qv", lit(qv))
+      .select(col("id"),
+        round(VectorOps.dot(col(vecCol), col("qv")), 6).as("score"))
+    // the scored side is kCoarse-bounded — request-sized by construction
+    broadcast(scored).join(cands, Seq("id"))
+      .select(col("id"), col("video_id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** §3.1 /textsearch served through the QUANTIZED store (VERDICT r17 #2
+    * — the facade entry point for the 100 TB serving shape RECALL.md r17
+    * measures: ADC + exact refine through the coarse hierarchy): same
+    * request surface as [[textSearchAnn]] — k, per-request candidate
+    * filters, optional second model channel — with the scan-heavy stage
+    * reading M-byte PQ codes instead of d-float vectors and the corpus
+    * floats touched for exactly `kCoarse` rows per channel. The probe
+    * dispatches two-level at the index's persisted calibrated
+    * (default_nprobe_l1, default_nprobe) pair when the hierarchy is
+    * present ([[cachedProbe]]), flat otherwise. `kCoarse` defaults to
+    * 16·k — the measured float-recall-parity multiple at the calibrated
+    * pair on the 1M x d=768 / 84k-centroid store (RECALL.md r17:
+    * ADC+refine at kCoarse=16k reaches the float path's 0.850@20);
+    * indexes with a different quantization error profile pass their own.
+    * The index must carry codes with the facade id column
+    * (`id`, `cluster`, `m`, `code`) and its `numSub`/`subDim` geometry. */
+  def textSearchAnnPq(
+      index: Similarity.DenseIndex,
+      queryVec: Array[Float], k: Int,
+      filters: Filters = Filters(),
+      nprobe: Option[Int] = None,
+      kCoarse: Option[Int] = None,
+      queryVec2: Option[Array[Float]] = None,
+      index2: Option[Similarity.DenseIndex] = None): DataFrame = {
+    requireDim(queryVec, clipDim, "clip")
+    queryVec2.foreach(requireDim(_, clipv2Dim, "clipv2"))
+    require(queryVec2.isEmpty || index2.isDefined,
+      "dual-model PQ ANN needs the clipv2 channel's own fitted index (index2)")
+    require(index.codes.columns.nonEmpty,
+      "this index carries no PQ codes store — build with buildDenseIndex " +
+        "(or serve the float/binary paths)")
+    val kc = kCoarse.getOrElse(16 * k)
+    require(kc >= k, s"coarse shortlist $kc must cover final k=$k")
+    val cands = candidates(filters).select("id", "video_id")
+    val ch1 = annPqChannel(index, "clip", queryVec, k, kc,
+      resolveNprobe(nprobe, index), cands)
+    val fused = queryVec2 match {
+      case Some(q2) =>
+        Fusion.fuseByAddition(Seq(ch1.drop("video_id"),
+            annPqChannel(index2.get, "clipv2", q2, k, kc,
+              resolveNprobe(nprobe, index2.get), cands).drop("video_id")))
+          .join(corpus.keyframes.select("id", "video_id"), Seq("id"))
+      case None => ch1
+    }
+    GroupShaping.groupResults(
+      fused.withColumn("score", round(col("score"), 6)),
+      groupCol = "video_id", idCol = "id", scoreCol = "score")
+  }
+
   /** Hybrid dense+sparse retrieval fused by reciprocal rank
     * ([[Fusion.fuseByRrf]], k0=60): the dense leg serves from the persisted
     * ANN index ([[annChannel]] — probed centroids + pruned cell partitions),

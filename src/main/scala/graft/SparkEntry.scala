@@ -500,6 +500,18 @@ object SparkEntry {
     * stale artifacts instead of rebuilding. */
   private object ArtifactMemo {
     private val built = scala.collection.mutable.Set.empty[String]
+    /** Loaded-HANDLE memo (r18, guide §1/§7: ~12 of the 19 jobs a single
+      * `sim_*` query ran were `spark.read.parquet` schema-inference jobs
+      * re-resolving the same immutable artifact dir — ~35 ms each). What
+      * is memoized is the LAZY DataFrame handles plus the fitted scalar
+      * params of the index (the `read` closure's value) — never query
+      * results or materialized data: every action over a memoized handle
+      * still scans the parquet files. This is the load-the-index-once
+      * half of the load-don't-refit convention. Keyed by session (a
+      * DataFrame is session-bound; per-suite sessions re-read) and the
+      * stamped artifact path (data regeneration re-keys via [[root]]). */
+    private val handles =
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Any]()
     /** Source-data stamp folded into the artifact path: the driver
       * REGENERATES the testdata between rounds under the same directory
       * names, and a fitted artifact reused across a regeneration would
@@ -520,7 +532,15 @@ object SparkEntry {
       * Verify-vs-test-suite race that transiently corrupted a shared
       * artifact dir. The in-memory memo keeps the common single-JVM case
       * lock-free after the first call. */
-    def apply[A](p: String)(build: => A)(read: => A): A = synchronized {
+    def apply[A](s: SparkSession, p: String)(build: => A)(read: => A): A = {
+      val k = (s, p)
+      val h = handles.get(k)
+      if (h != null) return h.asInstanceOf[A]
+      val v = locked(p)(build)(read)
+      handles.put(k, v)
+      v
+    }
+    private def locked[A](p: String)(build: => A)(read: => A): A = synchronized {
       if (built(p)) return read
       new java.io.File(p).getParentFile.mkdirs()
       val ch = java.nio.channels.FileChannel.open(
@@ -545,12 +565,12 @@ object SparkEntry {
   private object SparseArtifacts {
     def unigram(s: SparkSession, dir: String): Lexical.SparseIndex = {
       val p = ArtifactMemo.root(dir, "unigram")
-      ArtifactMemo(p)(Lexical.writeIndex(s, t(s, dir, "documents"), "doc_id", "text", p))(
+      ArtifactMemo(s, p)(Lexical.writeIndex(s, t(s, dir, "documents"), "doc_id", "text", p))(
         Lexical.readIndex(s, p))
     }
     def ngram13(s: SparkSession, dir: String): Lexical.SparseIndex = {
       val p = ArtifactMemo.root(dir, "ngram13")
-      ArtifactMemo(p)(Lexical.writeIndexNgrams(s, t(s, dir, "documents"), "doc_id", "text", 1, 3, p))(
+      ArtifactMemo(s, p)(Lexical.writeIndexNgrams(s, t(s, dir, "documents"), "doc_id", "text", 1, 3, p))(
         Lexical.readIndex(s, p))
     }
     /** Word-BIGRAM postings index — the LM quality gate's fitted model
@@ -558,7 +578,7 @@ object SparkEntry {
       * bigram counts and instances; unigram counts come from [[unigram]]). */
     def bigram(s: SparkSession, dir: String): Lexical.SparseIndex = {
       val p = ArtifactMemo.root(dir, "bigram")
-      ArtifactMemo(p)(Lexical.writeIndexNgrams(s, t(s, dir, "documents"), "doc_id", "text", 2, 2, p))(
+      ArtifactMemo(s, p)(Lexical.writeIndexNgrams(s, t(s, dir, "documents"), "doc_id", "text", 2, 2, p))(
         Lexical.readIndex(s, p))
     }
     /** Fitted LM model tables (the relational KenLM file): corpus bigram /
@@ -575,7 +595,7 @@ object SparkEntry {
       def clustered(df: DataFrame, key: String, path: String): Unit =
         df.repartition(8, col(key)).sortWithinPartitions(key)
           .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(path)
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         clustered(bigram(s, dir).postings
           .groupBy(col("term")).agg(sum(col("tf")).as("c_bg"))
           .select(col("term").as("ngram"), col("c_bg")), "ngram", s"$p/bgCounts")
@@ -588,7 +608,7 @@ object SparkEntry {
     }
     def panel(s: SparkSession, dir: String): Lexical.MultiSparseIndex = {
       val p = ArtifactMemo.root(dir, "panel")
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         val docs = t(s, dir, "documents")
         Lexical.writeMultiIndex(s, Seq(
           ("bbox", bboxDocs(docs), "doc_id", "bbox_text"),
@@ -630,7 +650,7 @@ object SparkEntry {
           binary = Some(s.read.parquet(s"$p/bin")),
           defaultKCoarseBq = Some(params.getAs[Int]("default_kcoarse_bq")))
       }
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         // geometry pinned explicitly (NOT IvfParams.auto) because the
         // oracle SQL unrolls the training at exactly k=8 cells / 16 codes;
         // production callers omit params and get the k ~ sqrt(N) sizing.
@@ -658,7 +678,7 @@ object SparkEntry {
     def hierarchy(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
       val p = ArtifactMemo.root(dir, "coarse2h")
       def read = (s.read.parquet(s"$p/l1"), s.read.parquet(s"$p/l2"))
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         Similarity.buildCoarseHierarchy(ivf(s, dir).centroids, p,
           groups = 3, lloydIters = 2)
       }(read)
@@ -674,7 +694,7 @@ object SparkEntry {
     def kmeans32(s: SparkSession, dir: String): DataFrame = {
       val p = ArtifactMemo.root(dir, "kmeans32")
       def read = s.read.parquet(s"$p/centroids")
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         val c = Similarity.kmeansFit(t(s, dir, "embeddings"), k = 32, iters = 2)
         c.coalesce(1).write.mode(SaveMode.Overwrite)
           .option("compression", "zstd").parquet(s"$p/centroids")
@@ -699,7 +719,7 @@ object SparkEntry {
       def read = Pca(
         components = s.read.parquet(s"$p/components"),
         projections = s.read.parquet(s"$p/projections"))
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         val emb = t(s, dir, "embeddings")
         Similarity.pcaPowerFit(emb, "embedding", iters = 4)
           .coalesce(1).write.mode(SaveMode.Overwrite)
@@ -733,7 +753,7 @@ object SparkEntry {
         rotation = s.read.parquet(s"$p/rotation"),
         codebooks = s.read.parquet(s"$p/codebooks"),
         codes = s.read.parquet(s"$p/codes"))
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         val emb = t(s, dir, "embeddings")
         Similarity.pcaTopComponents(emb, "embedding",
             m = numSub * subDim, iters = 6)
@@ -773,7 +793,7 @@ object SparkEntry {
       def read = Mh(
         hashes = s.read.parquet(s"$p/shingle_hashes"),
         buckets = s.read.parquet(s"$p/buckets"))
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         val docs = t(s, dir, "documents")
         Dedup.shingles(docs, "doc_id", "text")
           .select(col("id"), Dedup.hash60(col("s")).as("hv"))
@@ -801,7 +821,7 @@ object SparkEntry {
     def fingerprints(s: SparkSession, dir: String): DataFrame = {
       val p = ArtifactMemo.root(dir, "simhash")
       def read = s.read.parquet(s"$p/fingerprints")
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
           .write.mode(SaveMode.Overwrite)
           .option("compression", "zstd").parquet(s"$p/fingerprints")
@@ -841,7 +861,7 @@ object SparkEntry {
         rotation = s.read.parquet(s"$p/rotation"),
         codebooks = s.read.parquet(s"$p/codebooks"),
         codes = s.read.parquet(s"$p/codes"))
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         val emb = t(s, dir, "embeddings")
         Similarity.pcaTopComponents(emb, "embedding",
             m = m * subDim, iters = 4)
@@ -903,7 +923,7 @@ object SparkEntry {
         codes = s.read.parquet(s"$p/codes"),
         int8 = s.read.parquet(s"$p/int8"),
         bin = s.read.parquet(s"$p/bin"))
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         val e768 = expand768(t(s, dir, "embeddings"))
         val hw = Window.orderBy(col("__h"), col("vec_id"))
         e768
@@ -964,7 +984,7 @@ object SparkEntry {
       def read = SplitIndex(
         centroids = s.read.parquet(s"$p/centroids"),
         cells = s.read.parquet(s"$p/cells"))
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         val emb = t(s, dir, "embeddings")
         val skewed = emb.withColumn("cluster",
           when(col("vec_id") % 10 < 8, lit(0))
@@ -1003,7 +1023,7 @@ object SparkEntry {
       val cents = DenseArtifacts.ivf(s, dir).centroids
       def read = Deleted(IncrementalIndex.loadDenseStore(s, s"$p/cells"), cents,
         IncrementalIndex.loadRadii(s, s"$p/radii"))
-      ArtifactMemo(p) {
+      ArtifactMemo(s, p) {
         val hadoop = s.sparkContext.hadoopConfiguration
         // the landing write must be IDEMPOTENT ACROSS JVMS: an overwrite
         // would land the same rows under fresh file names and the

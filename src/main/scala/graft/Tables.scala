@@ -18,8 +18,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+  /** Resolved-HANDLE memo (r18): `spark.read.parquet` runs a schema
+    * inference / listing job (~30 ms) on EVERY call, and every query
+    * calls this 1-3 times — resolving each table once per (session,
+    * path, mtime) removes that fixed per-query driver cost. The memo
+    * holds a LAZY DataFrame only (no data; every action still scans the
+    * files); the mtime key re-resolves when the driver regenerates the
+    * testdata in place. */
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    handles.computeIfAbsent(
+      (spark, path, new java.io.File(path).lastModified()),
+      _ => normalizeTs(spark.read.parquet(path)))
+  }
 
   /** Normalize an events-style `ts` column to the session TIMESTAMP type at
     * MICROS precision, whatever physical type the generator wrote:

@@ -1634,10 +1634,15 @@ object SparkEntry {
         val two = docs.join(succ, Seq("doc_id"))
           .select(col("doc_id").as("id"),
             concat_ws(" ", col("text"), col("__t2")).as("text"))
-        val gated = Dedup.removeDuplicateSpans(two, "id", "text", k = 5)
-          .select(col("id"), col("text"),
-            (col("n_tokens") - col("n_dropped")).as("n_tokens"))
-          .filter(col("n_tokens") >= 20)
+        // the gated (span-excised) corpus feeds the DSIR fit (twice: counts
+        // + totals), the DSIR score featurize, and the packer input — five
+        // evaluations of the census pipeline without staging (r18): one
+        // materialization here collapses them
+        val gated = Mat.stageIfExpensive(
+          Dedup.removeDuplicateSpans(two, "id", "text", k = 5)
+            .select(col("id"), col("text"),
+              (col("n_tokens") - col("n_dropped")).as("n_tokens"))
+            .filter(col("n_tokens") >= 20))
         val target = docs.filter(col("source") === "src0")
           .select(col("doc_id").as("id"), col("text"))
         val sel = Curation.dsirSelect(gated.select(col("id"), col("text")),
@@ -5429,10 +5434,13 @@ object SparkEntry {
     ("eval_lsh_recall",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val lsh = MinhashArtifacts.pairs(s, dir)
-          .select(col("i"), col("j"))
-        val exact = Dedup.jaccardPairs(docs, "doc_id", "text")
-          .select(col("i"), col("j"))
+        // both pair lists feed the hit join AND their own count aggregate:
+        // stage each once (r18) — the exact jaccard pass in particular ran
+        // twice without it
+        val lsh = Mat.stageIfExpensive(MinhashArtifacts.pairs(s, dir)
+          .select(col("i"), col("j")))
+        val exact = Mat.stageIfExpensive(Dedup.jaccardPairs(docs, "doc_id", "text")
+          .select(col("i"), col("j")))
         val hit = lsh.join(exact, Seq("i", "j")).agg(count(lit(1)).as("n_hit"))
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
@@ -6451,8 +6459,12 @@ object SparkEntry {
         val emb = t(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id").isin(0, 1, 2))
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
-          "query_id", "vec_id", "sim")
+        // the exact ground truth feeds all three nprobe rungs (and two
+        // consumers inside each annQuality): stage it once (r18) so the
+        // exact corpus pass runs once, not six times
+        val truth = Mat.stageIfExpensive(
+          Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
+            "query_id", "vec_id", "sim"))
         Seq(1, 2, 3).map { np =>
           val ann = Eval.ranked(
             Similarity.ivfSearchBatchPruned(idx.cells, idx.centroids, queries,

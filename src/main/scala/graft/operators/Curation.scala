@@ -291,11 +291,7 @@ object Curation {
     // materialize the narrow projection once (the chunk aggregate + row
     // pass below are two consumers) — but only when the upstream is
     // worth it, and never through the driver's filesystem (see Scaladoc)
-    val t =
-      if (!hasExpensiveUpstream(toks)) toks
-      else if (spark.sparkContext.getCheckpointDir.isDefined)
-        toks.checkpoint(eager = true)
-      else toks.localCheckpoint(eager = true)
+    val t = Mat.stageIfExpensive(toks)
     // exact floor-div for any long id (negative ids included): SQL `div`
     // truncates toward zero, so subtract the positive remainder first;
     // all-integral (Column `/` would route the quotient through double)
@@ -339,17 +335,8 @@ object Curation {
     * nondeterministic expression (rand()/uuid()/monotonically_increasing_id):
     * then the two evaluations can diverge and silently corrupt the packing
     * prefix, so materialization is mandatory regardless of plan cost. */
-  private[graft] def hasExpensiveUpstream(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    val plan = df.queryExecution.optimizedPlan
-    val costly = plan.collectFirst {
-      case p @ (_: Join | _: Aggregate | _: Window | _: Sort |
-                _: Generate | _: Distinct) => p
-    }.isDefined
-    val nondeterministic =
-      plan.find(p => p.expressions.exists(e => !e.deterministic)).isDefined
-    costly || nondeterministic
-  }
+  private[graft] def hasExpensiveUpstream(df: DataFrame): Boolean =
+    Mat.isExpensive(df)
 
   /** The single-window form of [[packSequences]] — ONE task per `byCol`
     * stream, the exact declarative spelling of the packing contract. Kept

@@ -59,10 +59,16 @@ object Eval {
     * [[annQuality]]'s zero-hit queries). */
   def rankCorrelation(a: DataFrame, b: DataFrame,
       queryCol: String = "query_id", idCol: String = "vec_id"): DataFrame = {
-    val universe = a.select(col(queryCol)).union(b.select(col(queryCol))).distinct()
-    val both = a.select(col(queryCol), col(idCol), col("rank").as("__ra"))
-      .join(b.select(col(queryCol), col(idCol), col("rank").as("__rb")),
-        Seq(queryCol, idCol))
+    // a and b feed the universe AND the intersection join; `both` feeds
+    // the per-query m-count AND a self-join (twice). All are q×k-bounded
+    // evaluation batches — stage the expensive ones once (r18) instead of
+    // re-running the ranking plans per consumer.
+    val (as, bs) = (Mat.stageIfExpensive(a), Mat.stageIfExpensive(b))
+    val universe = as.select(col(queryCol)).union(bs.select(col(queryCol))).distinct()
+    val both = Mat.stageIfExpensive(
+      as.select(col(queryCol), col(idCol), col("rank").as("__ra"))
+        .join(bs.select(col(queryCol), col(idCol), col("rank").as("__rb")),
+          Seq(queryCol, idCol)))
     val m = universe.join(
       both.groupBy(col(queryCol)).agg(count(lit(1)).as("__m")),
       Seq(queryCol), "left")
@@ -102,9 +108,12 @@ object Eval {
       queryCol: String = "query_id", idCol: String = "vec_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val annK = ann.filter(col("rank") <= k)
-    val truthK =
+    // truthK feeds both the per-query IDCG aggregate and the hit join —
+    // stage an expensive truth plan (typically ranked exact top-k) once
+    // (r18) instead of running the exact pass per consumer
+    val truthK = Mat.stageIfExpensive(
       if (truth.columns.contains("rank")) truth.filter(col("rank") <= k)
-      else truth
+      else truth)
     // per-query IDCG over the truth-list size, with the SAME engine ops
     // the per-query DCG uses (decimal-exact sum of 1/log2(i+1)) so the
     // ratio is bit-stable against the oracle

@@ -26,9 +26,14 @@ object Fusion {
   /** Min-max normalize `scoreCol` across the whole frame (epsilon matches the
     * reference's `+ 1e-6` denominator guard). */
   def minMaxNormalize(df: DataFrame, scoreCol: String): DataFrame = {
-    val stats = df.agg(
+    // the stats aggregate + the normalize pass are two consumers of the
+    // channel: stage an expensive channel once (r18; channels are top-k-
+    // bounded serving results by this object's contract, so the staged
+    // frame is serving-scale) instead of re-running its plan twice
+    val ch = Mat.stageIfExpensive(df)
+    val stats = ch.agg(
       min(col(scoreCol)).as("__mn"), max(col(scoreCol)).as("__mx"))
-    df.crossJoin(broadcast(stats))
+    ch.crossJoin(broadcast(stats))
       .withColumn(
         scoreCol,
         (col(scoreCol) - col("__mn")) / (col("__mx") - col("__mn") + lit(1e-6)))
@@ -62,9 +67,10 @@ object Fusion {
       chCol: String = "ch",
       idCol: String = "id",
       scoreCol: String = "score"): DataFrame = {
-    val stats = tagged.groupBy(col(chCol))
+    val t = Mat.stageIfExpensive(tagged)
+    val stats = t.groupBy(col(chCol))
       .agg(min(col(scoreCol)).as("__mn"), max(col(scoreCol)).as("__mx"))
-    tagged
+    t
       .join(broadcast(stats), Seq(chCol))
       .withColumn(scoreCol,
         (col(scoreCol) - col("__mn")) / (col("__mx") - col("__mn") + lit(1e-6)))
@@ -110,7 +116,9 @@ object Fusion {
       idCol: String = "id",
       scoreCol: String = "score"): DataFrame = {
     require(channels.nonEmpty, "fusion needs at least one channel")
-    val normed = channels.map { ch =>
+    val normed = channels.map { raw =>
+      // same two-consumer staging as [[minMaxNormalize]] (r18)
+      val ch = Mat.stageIfExpensive(raw)
       val stats = ch.agg(sqrt(sum(col(scoreCol) * col(scoreCol))).as("__l2"))
       ch.select(col(idCol), col(scoreCol))
         .crossJoin(broadcast(stats))

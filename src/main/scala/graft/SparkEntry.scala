@@ -26,6 +26,31 @@ object SparkEntry {
 
   private def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
 
+  /** Stage one-query-per-file parquet landing files for the streaming
+    * serving queries in ONE Spark job (r18: the per-id `coalesce(1)`
+    * write loop ran five sequential jobs, ~80-115 ms each): a single
+    * partitionBy write on a duplicated partition column (so `query_id`
+    * stays IN the file bytes — partitionBy strips its own column), then
+    * the part files move into a flat landing dir. File count and
+    * per-file contents are identical to the old loop, so micro-batch
+    * structure under `maxFilesPerTrigger` is unchanged. */
+  private def stageQueryFiles(
+      emb: DataFrame, ids: Seq[Int], prefix: String): String = {
+    val stage = java.nio.file.Files.createTempDirectory(s"${prefix}_src")
+    val tmp = java.nio.file.Files.createTempDirectory(s"${prefix}_tmp")
+    emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("vec_id").as("__p"))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("__p").parquet(tmp.toString)
+    ids.foreach { i =>
+      val part = new java.io.File(s"$tmp/__p=$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, stage.resolve(s"q$i.parquet"))
+    }
+    stage.toString
+  }
+
   /** Shared DuckDB oracle prefix: the unrolled 2-iteration k-means fit of
     * [[Similarity.kmeansFit]] (salt "kmeans", sims rounded to 6,
     * coordinates to 8, decimal-exact refit sums), parameterized by k —
@@ -6810,18 +6835,9 @@ object SparkEntry {
       (s, dir) => {
         val idx = DenseArtifacts.ivf(s, dir)
         val emb = t(s, dir, "embeddings")
-        val stage = java.nio.file.Files.createTempDirectory("graft_annq_src")
-        (0 to 4).foreach { i =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft_annq_tmp$i")
-          emb.filter(col("vec_id") === i)
-            .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          java.nio.file.Files.move(part.toPath, stage.resolve(s"q$i.parquet"))
-        }
+        val stage = stageQueryFiles(emb, 0 to 4, "graft_annq")
         graft.streaming.IncrementalIndex.serveAnnStream(
-            s, stage.toString, idx.cells, idx.centroids, nprobe = 2, k = 10)
+            s, stage, idx.cells, idx.centroids, nprobe = 2, k = 10)
           .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
       },
       Some(s"""$ivfCellCtes,
@@ -6853,18 +6869,9 @@ object SparkEntry {
       (s, dir) => {
         val idx = DenseArtifacts.ivf(s, dir)
         val emb = t(s, dir, "embeddings")
-        val stage = java.nio.file.Files.createTempDirectory("graft_rangeq_src")
-        (0 to 4).foreach { i =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft_rangeq_tmp$i")
-          emb.filter(col("vec_id") === i)
-            .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          java.nio.file.Files.move(part.toPath, stage.resolve(s"q$i.parquet"))
-        }
+        val stage = stageQueryFiles(emb, 0 to 4, "graft_rangeq")
         graft.streaming.IncrementalIndex.serveRangeStream(
-            s, stage.toString, idx.cells, idx.centroids, idx.radii.get,
+            s, stage, idx.cells, idx.centroids, idx.radii.get,
             minScore = 0.25)
           .orderBy(col("query_id"), col("score").desc, col("vec_id"))
       },

@@ -162,10 +162,15 @@ object Curation {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
     val rawB = dsirFeatures(raw, idCol, textCol, buckets)
     val tgtB = dsirFeatures(target, idCol, textCol, buckets)
-    val cR = rawB.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
-    val cT = tgtB.groupBy(col("b")).agg(count(lit(1)).as("c_t"))
-    val nR = rawB.agg(count(lit(1)).as("n_r"))
-    val nT = tgtB.agg(count(lit(1)).as("n_t"))
+    val cR = Mat.stageIfExpensive(
+      rawB.groupBy(col("b")).agg(count(lit(1)).as("c_r")))
+    val cT = Mat.stageIfExpensive(
+      tgtB.groupBy(col("b")).agg(count(lit(1)).as("c_t")))
+    // instance totals = the sum of the per-bucket counts (identical by
+    // definition; buckets are non-null) — derived from the staged count
+    // tables instead of a SECOND featurize pass over each corpus (r18)
+    val nR = cR.agg(sum(col("c_r")).as("n_r"))
+    val nT = cT.agg(sum(col("c_t")).as("n_t"))
     // buckets absent from the raw corpus can never be scored — the model
     // only needs raw-occupied rows, each add-one smoothed on both sides
     cR.join(cT, Seq("b"), "left")

@@ -114,8 +114,11 @@ object TextAnalysis {
             / col("n_words")))
       .withColumn("symbol_ratio",
         when(col("n_words") > 0,
-          ((length(col("__t")) - length(regexp_replace(col("__t"), "#", ""))) +
-            (length(col("__t")) - length(regexp_replace(col("__t"), "\\.\\.\\.", "")))
+          // literal replace, not regexp_replace: same non-overlapping
+          // left-to-right substitution for a meta-free pattern, without
+          // compiling and running a regex over the whole text (r18)
+          ((length(col("__t")) - length(expr("replace(__t, '#', '')"))) +
+            (length(col("__t")) - length(expr("replace(__t, '...', '')")))
               / lit(3)).cast("double") / col("n_words")))
       .withColumn("bullet_ratio",
         expr("size(filter(__l, l -> trim(l) RLIKE '^[-*]'))").cast("double")

@@ -135,7 +135,12 @@ object Dedup {
       textCol: String = "text",
       k: Int = 5): DataFrame = {
     require(k >= 1, s"shingle width must be positive, got $k")
-    val sh = tokenShingles(docs, idCol, textCol, k)
+    // the positional shingle pass (regex tokenize + explode + hash) feeds
+    // the census aggregate AND the marking join's instance side — staging
+    // the 20-byte/row hash frame runs that CPU pass once (r18); the
+    // marking join still reads it through a fresh ENSURE_REQUIREMENTS
+    // exchange, so the AQE skew-split shape (SkewCensusSpec) is unchanged
+    val sh = Mat.stageIfExpensive(tokenShingles(docs, idCol, textCol, k))
     // every instance joins its hash's first occurrence; instances that ARE
     // the first drop out, which also silently drops singleton shingles
     val firsts = sh.groupBy(col("__h"))
@@ -404,9 +409,13 @@ object Dedup {
   /** [[verifyJaccard]] against PRE-HASHED shingles `(id, hv)` — the
     * artifact-fed serving form ([[minhashBucketsFromHashes]]' sibling). */
   def verifyJaccardHashed(pairs: DataFrame, hashed: DataFrame): DataFrame = {
-    val sizes = hashed.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val shA = hashed.select(col("id").as("i"), col("hv"))
-    val shB = hashed.select(col("id").as("j"), col("hv"))
+    // three consumers (sizes + both join sides): stage a computed shingle
+    // pipeline once (r18); the artifact-fed form passes a parquet scan,
+    // which the cost gate leaves un-staged
+    val h = Mat.stageIfExpensive(hashed)
+    val sizes = h.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shA = h.select(col("id").as("i"), col("hv"))
+    val shB = h.select(col("id").as("j"), col("hv"))
     pairs
       .join(shA, Seq("i")).join(shB, Seq("j", "hv"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
@@ -422,7 +431,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 2,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleN)
+    // the shingle pass feeds the banding aggregate AND the verify side
+    // (which reads it three more times) — stage it once (r18)
+    val sh = Mat.stageIfExpensive(shingles(docs, idCol, textCol, shingleN))
     val cands = lshCandidates(minhashBuckets(sh, numHashes, rowsPerBand))
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
@@ -468,9 +479,13 @@ object Dedup {
         s"$maxRows (a hot shared shingle makes its block quadratic). Use " +
         "minhashLshPairs (banded candidates + exact verify), or raise " +
         "maxRows deliberately.")
-    // hash-first (see verifyJaccard): the blocked self-join shuffles longs
-    val sh = shingles(docs, idCol, textCol, shingleN)
-      .select(col("id"), hash60(col("s")).as("hv"))
+    // hash-first (see verifyJaccard): the blocked self-join shuffles longs.
+    // The hashed-shingle frame feeds the size aggregate AND both self-join
+    // sides — without staging, the tokenize + explode + DISTINCT shuffle
+    // ran three times (r18; this oracle form is corpus-bounded by maxRows,
+    // so the staged frame is bounded too)
+    val sh = Mat.stageIfExpensive(shingles(docs, idCol, textCol, shingleN)
+      .select(col("id"), hash60(col("s")).as("hv")))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     sh.select(col("id").as("i"), col("hv"))
       .join(sh.select(col("id").as("j"), col("hv")), Seq("hv"))

@@ -575,9 +575,12 @@ object Dedup {
     // evaluates the fingerprint exactly once. (At artifact scale the
     // caller persists fingerprints like any other fitted store; the
     // barrier covers the compute-inline usage.)
-    val spark = fp.sparkSession
+    // r18: the RDD round-trip was a pure optimizer BARRIER — as an
+    // unpersisted lineage it still recomputed the cells-many-md5
+    // fingerprint once per join side. Mat.materialize is the same barrier
+    // (LogicalRDD) with the compute pinned to ONE evaluation.
     val fpCols = fp.select(col("id"), col("ahash"))
-    val fpM = spark.createDataFrame(fpCols.rdd, fpCols.schema)
+    val fpM = Mat.materialize(fpCols)
     val bucketed = fpM
       // pigeonhole precondition, enforced per row: with <= maxHamming
       // words, maxHamming differing bits CAN touch every band and the

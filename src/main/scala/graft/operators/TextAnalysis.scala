@@ -68,8 +68,12 @@ object TextAnalysis {
     docs
       .select(col(idCol).as("id"), col(textCol).as("__t"),
         split(col(textCol), "\n").as("__lines"))
+      // terminal-punctuation check as a plain substring test (r18): on a
+      // trimmed line `RLIKE '[.!?\"]$'` is exactly "last char in the set"
+      // (no line terminators survive the split+trim), without running a
+      // regex per line
       .withColumn("__kept", expr(
-        "filter(__lines, l -> trim(l) RLIKE '[.!?\"]$' AND " +
+        "filter(__lines, l -> substring(trim(l), -1, 1) IN ('.', '!', '?', '\"') AND " +
           s"size(regexp_extract_all(trim(l), '\\\\S+', 0)) >= $minLineWords AND " +
           "NOT contains(lower(l), 'javascript'))"))
       .select(col("id"),
@@ -120,11 +124,13 @@ object TextAnalysis {
           ((length(col("__t")) - length(expr("replace(__t, '#', '')"))) +
             (length(col("__t")) - length(expr("replace(__t, '...', '')")))
               / lit(3)).cast("double") / col("n_words")))
+      // anchored single-char / literal-suffix line tests as plain string
+      // ops (r18): identical on trimmed lines, no per-line regex
       .withColumn("bullet_ratio",
-        expr("size(filter(__l, l -> trim(l) RLIKE '^[-*]'))").cast("double")
-          / size(col("__l")))
+        expr("size(filter(__l, l -> substring(trim(l), 1, 1) IN ('-', '*')))")
+          .cast("double") / size(col("__l")))
       .withColumn("ellipsis_ratio",
-        expr("size(filter(__l, l -> trim(l) RLIKE '\\\\.\\\\.\\\\.$'))").cast("double")
+        expr("size(filter(__l, l -> endswith(trim(l), '...')))").cast("double")
           / size(col("__l")))
       .withColumn("alpha_ratio",
         when(col("n_words") > 0,
@@ -284,10 +290,12 @@ object TextAnalysis {
             s"i -> array_join(slice(__a, i, $n), ' '))")).as(Seq("__p", "__s")))
       .select(col("id"), (col("__p") + 1).cast("long").as("st"),
         graft.operators.Dedup.hash60(col("__s")).as("__h"))
-    val firsts = sh.groupBy(col("__h"))
+    // census + instance side: two consumers of the shingle pass (r18)
+    val shS = graft.operators.Mat.stageIfExpensive(sh)
+    val firsts = shS.groupBy(col("__h"))
       .agg(min(struct(col("id"), col("st"))).as("__first"))
     // the skew-splittable census join shape — see [[Dedup.censusJoin]]
-    graft.operators.Dedup.censusJoin(sh, firsts)
+    graft.operators.Dedup.censusJoin(shS, firsts)
       .withColumn("__novel",
         when(col("id") === col("__first").getField("id") &&
           col("st") === col("__first").getField("st"), 1L).otherwise(0L))
@@ -345,12 +353,17 @@ object TextAnalysis {
     * materialize independently (acceptable for a run-once batch gate —
     * hand in materialized postings when the corpus is large). */
   def lmQualityFromPostings(bgPost: DataFrame, uniPost: DataFrame): DataFrame = {
-    val bgCounts = bgPost.filter(col("tf") > 0)
+    // bgPost feeds the corpus counts AND the instance scoring join;
+    // uniCounts feeds the scoring join AND the vocab scalar — stage the
+    // computed forms once (r18); artifact-fed postings are parquet scans
+    // the cost gate leaves un-staged
+    val bg = Mat.stageIfExpensive(bgPost)
+    val bgCounts = bg.filter(col("tf") > 0)
       .groupBy(col("ngram")).agg(sum(col("tf")).as("c_bg"))
-    val uniCounts = uniPost.filter(col("utf") > 0)
-      .groupBy(col("term")).agg(sum(col("utf")).as("c_uni"))
+    val uniCounts = Mat.stageIfExpensive(uniPost.filter(col("utf") > 0)
+      .groupBy(col("term")).agg(sum(col("utf")).as("c_uni")))
     val vocab = uniCounts.agg(count(lit(1)).as("v"))
-    lmQualityFromModel(bgPost, bgCounts, uniCounts, vocab)
+    lmQualityFromModel(bg, bgCounts, uniCounts, vocab)
   }
 
   /** The fully-fitted form: score bigram instances against a PERSISTED LM

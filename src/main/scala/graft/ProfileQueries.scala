@@ -65,9 +65,10 @@ object ProfileQueries {
           val w0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable => System.err.println(s"[profile] $n: $e") }
-          // let straggling listener events drain before the snapshot
-          Thread.sleep(50)
           val sec = (System.nanoTime() - w0) / 1e9
+          // let straggling listener events drain before the snapshot
+          // (outside the timed region — the sleep is instrument overhead)
+          Thread.sleep(50)
           val (j1, s1, t1, m1) = snap()
           val r = Row(n, pass, sec, j1 - j0, s1 - s0, t1 - t0, (m1 - m0) / 1e3)
           out += r

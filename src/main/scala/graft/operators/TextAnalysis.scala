@@ -80,9 +80,14 @@ object TextAnalysis {
         array_join(col("__kept"), "\n").as("text_clean"),
         size(col("__lines")).cast("long").as("n_lines"),
         size(col("__kept")).cast("long").as("n_kept"),
-        (size(col("__kept")) >= minKeptLines &&
-          !col("__t").contains("{") &&
-          !lower(col("__t")).contains("lorem ipsum")).as("keep_doc"))
+        // Pinned: a filter on keep_doc must not be rewritten below this
+        // projection — pushdown would re-derive the full line-filter
+        // pipeline inside the pushed condition, once per consumer
+        // ([[graft.functions.Pinned]], r19)
+        graft.functions.Pinned.pin(
+          size(col("__kept")) >= minKeptLines &&
+            !col("__t").contains("{") &&
+            !lower(col("__t")).contains("lorem ipsum")).as("keep_doc"))
   }
 
   /** Gopher document-quality rules (Rae et al. 2021, Appendix A1.1 — the
@@ -106,47 +111,57 @@ object TextAnalysis {
       maxWords: Int = 100000,
       carryText: Boolean = false): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // r19: every signal is defined in ONE projection over the shared
+    // token/line arrays (and `keep` in one more over the signals) instead
+    // of a withColumn cascade. Stacked single-use projections collapse
+    // pairwise, and each collapse inlines the array expression into the
+    // consumer — the cascaded form ended up re-tokenizing the document
+    // once per signal (q38's plan carried 26 copies of the upstream
+    // text_clean expression). With all consumers in one list the arrays
+    // are multi-referenced non-cheap aliases, which CollapseProject and
+    // predicate pushdown both refuse to inline, so the document is
+    // tokenized once per row — in batch AND streaming plans alike.
     docs
       .select(col(idCol).as("id"), col(textCol).as("__t"),
         expr(s"regexp_extract_all($textCol, '\\\\S+', 0)").as("__w"),
         split(col(textCol), "\n").as("__l"),
         expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("__tok"))
-      .withColumn("n_words", size(col("__w")).cast("long"))
-      .withColumn("mean_word_len",
-        when(col("n_words") > 0,
+      .select(col("id"), col("__t"),
+        size(col("__w")).cast("long").as("n_words"),
+        when(size(col("__w")) > 0,
           expr("aggregate(__w, 0L, (a, w) -> a + length(w))").cast("double")
-            / col("n_words")))
-      .withColumn("symbol_ratio",
-        when(col("n_words") > 0,
+            / size(col("__w")).cast("long")).as("mean_word_len"),
+        when(size(col("__w")) > 0,
           // literal replace, not regexp_replace: same non-overlapping
           // left-to-right substitution for a meta-free pattern, without
           // compiling and running a regex over the whole text (r18)
           ((length(col("__t")) - length(expr("replace(__t, '#', '')"))) +
             (length(col("__t")) - length(expr("replace(__t, '...', '')")))
-              / lit(3)).cast("double") / col("n_words")))
-      // anchored single-char / literal-suffix line tests as plain string
-      // ops (r18): identical on trimmed lines, no per-line regex
-      .withColumn("bullet_ratio",
+              / lit(3)).cast("double") / size(col("__w")).cast("long"))
+          .as("symbol_ratio"),
+        // anchored single-char / literal-suffix line tests as plain string
+        // ops (r18): identical on trimmed lines, no per-line regex
         expr("size(filter(__l, l -> substring(trim(l), 1, 1) IN ('-', '*')))")
-          .cast("double") / size(col("__l")))
-      .withColumn("ellipsis_ratio",
+          .cast("double").divide(size(col("__l"))).as("bullet_ratio"),
         expr("size(filter(__l, l -> endswith(trim(l), '...')))").cast("double")
-          / size(col("__l")))
-      .withColumn("alpha_ratio",
-        when(col("n_words") > 0,
+          .divide(size(col("__l"))).as("ellipsis_ratio"),
+        when(size(col("__w")) > 0,
           expr("size(filter(__w, w -> w RLIKE '[a-zA-Z]'))").cast("double")
-            / col("n_words")))
-      .withColumn("n_stop_kinds",
+            / size(col("__w")).cast("long")).as("alpha_ratio"),
         expr(s"size(filter(array(${stops.map("'" + _ + "'").mkString(",")}), " +
-          "sw -> array_contains(__tok, sw)))").cast("long"))
+          "sw -> array_contains(__tok, sw)))").cast("long").as("n_stop_kinds"))
       .withColumn("keep",
-        col("n_words").between(minWords, maxWords) &&
-          col("mean_word_len").between(3.0, 10.0) &&
-          col("symbol_ratio") <= 0.1 &&
-          col("bullet_ratio") <= 0.9 &&
-          col("ellipsis_ratio") <= 0.3 &&
-          col("alpha_ratio") >= 0.8 &&
-          col("n_stop_kinds") >= 2)
+        // Pinned: keeps a downstream filter(keep) from being inlined
+        // below the signal/array projections (one re-tokenization per
+        // gate conjunct otherwise — [[graft.functions.Pinned]], r19)
+        graft.functions.Pinned.pin(
+          col("n_words").between(minWords, maxWords) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") <= 0.1 &&
+            col("bullet_ratio") <= 0.9 &&
+            col("ellipsis_ratio") <= 0.3 &&
+            col("alpha_ratio") >= 0.8 &&
+            col("n_stop_kinds") >= 2))
       .select(Seq(col("id"), col("n_words"),
         round(col("mean_word_len"), 6).as("mean_word_len"),
         round(col("symbol_ratio"), 6).as("symbol_ratio"),

@@ -32,6 +32,7 @@ object CurationStreaming {
   private def stateSession(spark: SparkSession, n: Int): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    ScratchCheckpoints.install(s) // cloned session: no restore needed
     s
   }
 

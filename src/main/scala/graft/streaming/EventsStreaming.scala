@@ -30,7 +30,8 @@ object EventsStreaming {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    val restoreCkpt = ScratchCheckpoints.install(spark)
+    try body finally { spark.conf.set(key, prev); restoreCkpt() }
   }
 
   /** Tumbling 1-hour windowed counts per event type, executed as a real

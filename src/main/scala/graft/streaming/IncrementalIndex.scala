@@ -1533,6 +1533,7 @@ object IncrementalIndex {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(queryLandingDir)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val restoreCkpt = ScratchCheckpoints.install(spark)
     // hierarchy dispatch like the facade (VERDICT r16 #4): a big-nlist
     // stream-serving job probes the sqrt-bounded l1/l2 pair per batch
     // instead of materializing the flat centroid table; full-L1 default
@@ -1558,7 +1559,7 @@ object IncrementalIndex {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination() finally restoreCkpt()
     import spark.implicits._
     buf.toSeq.toDF("query_id", "vec_id", "sim")
   }
@@ -1587,6 +1588,7 @@ object IncrementalIndex {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(queryLandingDir)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val restoreCkpt = ScratchCheckpoints.install(spark)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val res = graft.operators.Similarity
@@ -1599,7 +1601,7 @@ object IncrementalIndex {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination() finally restoreCkpt()
     import spark.implicits._
     buf.toSeq.toDF("query_id", "vec_id", "score")
   }

@@ -5566,13 +5566,13 @@ object SparkEntry {
         val emb = t(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id").isin(0, 1, 2))
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val approx = Seq(0L, 1L, 2L).map { q =>
-          Similarity.ivfInt8RefineSearch(
-              idx.int8.get, idx.cells, idx.centroids,
-              emb.filter(col("vec_id") === q).select(col("embedding").as("qv")),
-              nprobe = 2, kCoarse = 20, k = 10)
-            .select(lit(q).as("query_id"), col("vec_id"), col("score").as("sim"))
-        }.reduce(_ unionByName _)
+        // ONE batch search (spec-pinned parity with the per-query form)
+        // instead of a 3-branch union — a third of the plan, broadcast
+        // futures and probed-cell scans (r19)
+        val approx = Similarity.ivfInt8RefineSearchBatch(
+            idx.int8.get, idx.cells, idx.centroids, queries,
+            nprobe = 2, kCoarse = 20, k = 10)
+          .select(col("query_id"), col("vec_id"), col("score").as("sim"))
         val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
           "query_id", "vec_id", "sim")
         Eval.annQuality(Eval.ranked(approx, "query_id", "vec_id", "sim"),
@@ -5639,13 +5639,12 @@ object SparkEntry {
         val store = idx.binary.get
         val queries = emb.filter(col("vec_id").isin(0, 1, 2))
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val approx = Seq(0L, 1L, 2L).map { q =>
-          Similarity.ivfBinaryRefineSearch(
-              store, idx.cells, idx.centroids,
-              emb.filter(col("vec_id") === q).select(col("embedding").as("qv")),
-              nprobe = 2, kCoarse = 20, k = 10)
-            .select(lit(q).as("query_id"), col("vec_id"), col("score").as("sim"))
-        }.reduce(_ unionByName _)
+        // ONE batch search (spec-pinned parity with the per-query form)
+        // instead of a 3-branch union (r19)
+        val approx = Similarity.ivfBinaryRefineSearchBatch(
+            store, idx.cells, idx.centroids, queries,
+            nprobe = 2, kCoarse = 20, k = 10)
+          .select(col("query_id"), col("vec_id"), col("score").as("sim"))
         val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
           "query_id", "vec_id", "sim")
         Eval.annQuality(Eval.ranked(approx, "query_id", "vec_id", "sim"),
@@ -5705,13 +5704,12 @@ object SparkEntry {
         val emb = t(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id").isin(0, 1, 2))
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val approx = Seq(0L, 1L, 2L).map { q =>
-          Similarity.matryoshkaRefineSearch(
-              idx.cells, idx.centroids,
-              emb.filter(col("vec_id") === q).select(col("embedding").as("qv")),
-              dPrime = 16, nprobe = 2, kCoarse = 20, k = 10)
-            .select(lit(q).as("query_id"), col("vec_id"), col("score").as("sim"))
-        }.reduce(_ unionByName _)
+        // ONE batch search (spec-pinned parity with the per-query form)
+        // instead of a 3-branch union (r19)
+        val approx = Similarity.matryoshkaRefineSearchBatch(
+            idx.cells, idx.centroids, queries,
+            dPrime = 16, nprobe = 2, kCoarse = 20, k = 10)
+          .select(col("query_id"), col("vec_id"), col("score").as("sim"))
         val truth = Eval.ranked(Similarity.knnBatch(emb, queries, k = 10),
           "query_id", "vec_id", "sim")
         Eval.annQuality(Eval.ranked(approx, "query_id", "vec_id", "sim"),

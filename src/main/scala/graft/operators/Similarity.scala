@@ -3356,6 +3356,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch form of [[matryoshkaRefineSearch]] — the two-pruned-pass shape
+    * of [[ivfInt8RefineSearchBatch]] over the truncated-prefix coarse
+    * rank (r19): one scan of the probed cells scores each row's FIRST
+    * `dPrime` coordinates against the queries probing its cell (rounded
+    * at 6 like the single form, ties to the lower id), per-query
+    * `kCoarse` shortlists, then one scan of the same cells re-scores only
+    * the broadcast shortlist pairs at full dimension for the final
+    * per-query top-k. Single-form parity is spec-pinned
+    * (CoarseHierarchySpec). */
+  def matryoshkaRefineSearchBatch(
+      cells: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      dPrime: Int,
+      nprobe: Int,
+      kCoarse: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "cluster",
+      roundTo: Int = 4,
+      hierarchy: Option[(DataFrame, DataFrame)] = None,
+      nprobeL1: Option[Int] = None): DataFrame = {
+    require(kCoarse >= k, s"coarse shortlist $kCoarse must cover final k=$k")
+    require(dPrime > 0, s"truncation dimension must be positive, got $dPrime")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val probed = probeDispatchBatch(centroids, hierarchy, queries, nprobeL1, nprobe, clusterCol)
+    val probedDf = probed.toDF("query_id", clusterCol)
+    val cellUnion = probed.map(_._2).distinct
+    val qTrunc = queries.select(col("query_id"), slice(col("qv"), 1, dPrime).as("qtv"))
+    val shortlist = topKPerQuery(
+      cells.filter(col(clusterCol).isin(cellUnion: _*))
+        .join(broadcast(probedDf), Seq(clusterCol))
+        .join(broadcast(qTrunc), Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          round(VectorOps.dot(slice(col(vecCol), 1, dPrime), col("qtv")), 6)
+            .as("score")),
+      kCoarse, idCol, "score")
+      .select(col("query_id"), col(idCol))
+    topKPerQuery(
+      cells.filter(col(clusterCol).isin(cellUnion: _*))
+        .join(broadcast(shortlist), Seq(idCol))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          round(VectorOps.dot(col(vecCol), col("qv")), roundTo).as("score")),
+      k, idCol, "score")
+  }
+
   /** Filtered-ANN probe PLANNING: a fixed nprobe under a selective
     * candidate filter silently returns fewer than k rows — the probed
     * cells may simply not hold k admissible ids (the reference hits the

@@ -217,6 +217,33 @@ class CoarseHierarchySpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshka batch form == per-query form, bit-for-bit (r19)") {
+    val (emb, centArt, l1, l2) = fixture()
+    val cells = Similarity.assignCellsBulk(emb, centArt)
+    val qids = Seq(0L, 7L, 11L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(identity)
+    val batch = rows(Similarity.matryoshkaRefineSearchBatch(cells, centArt,
+      queries, dPrime = 16, nprobe = 4, kCoarse = 40, k = 10)
+      .select(col("query_id"), col("vec_id"), col("score")))
+    val single = qids.flatMap { q =>
+      val qDf = emb.filter(col("vec_id") === q).select(col("embedding").as("qv"))
+      Similarity.matryoshkaRefineSearch(cells, centArt, qDf,
+          dPrime = 16, nprobe = 4, kCoarse = 40, k = 10)
+        .collect().toSeq.map(r => (q, r.getLong(0), r.getDouble(1)))
+    }.sortBy(identity)
+    assert(batch === single, "matryoshka batch form diverged from per-query form")
+    // hierarchy dispatch at full L1 keeps the same parity
+    val batchTwo = rows(Similarity.matryoshkaRefineSearchBatch(cells, centArt,
+      queries, dPrime = 16, nprobe = 4, kCoarse = 40, k = 10,
+      hierarchy = Some((l1, l2)))
+      .select(col("query_id"), col("vec_id"), col("score")))
+    assert(batchTwo === single)
+  }
+
   test("adaptive planner through the hierarchy: full opening == flat planner, bit-for-bit; growth loop fills k") {
     val (emb, centArt, l1, l2) = fixture()
     val cells = Similarity.assignCellsBulk(emb, centArt)

@@ -2195,7 +2195,10 @@ object SparkEntry {
     // reference's empty-vocabulary fallback (`object_retrieval.py:75-89`)
     ("c1_charwb_corpus",
       (s, dir) =>
-        t(s, dir, "documents")
+        // fanOutNarrow: the char-(3,5)-gram generator is the most
+        // expensive per-row expression in the suite and the one-file
+        // corpus scans as ONE task (no-op at scale — guide §2.5)
+        operators.Skew.fanOutNarrow(t(s, dir, "documents").select(col("text")))
           .select(explode(Lexical.charWbNgrams(lower(col("text")), 3, 5)).as("gram"))
           .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("gram"))

@@ -181,7 +181,9 @@ object Dedup {
     * carry only the 8-byte hash. */
   private[graft] def tokenShingles(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs
+    // fanOutNarrow: a one-file local corpus scans as ONE task; spread the
+    // tokenize + shingle generation across the cores (no-op at scale)
+    Skew.fanOutNarrow(docs.select(col(idCol), col(textCol)))
       .select(col(idCol),
         expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("__a"))
       // guard: sequence(1, 0) is the DESCENDING [1, 0] (see Lexical.ngrams)

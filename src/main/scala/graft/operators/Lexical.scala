@@ -39,8 +39,11 @@ object Lexical {
   /** `\w+` word tokenization after lowercasing — the vectorizer's
     * `\b\w+\b` analyzer (reference `object_retrieval.py:64-73`). */
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-      explode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)")).as("term"))
+    // fanOutNarrow: a one-file local corpus scans as ONE task; spread the
+    // regex tokenization across the cores (no-op at scale — guide §2.5)
+    Skew.fanOutNarrow(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"),
+        explode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)")).as("term"))
 
   /** Postings list `(id, term, tf)` — CSR matrix, relationally. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -552,8 +555,10 @@ object Lexical {
     * channels (reference `ocr_retrieval.py:27-35`). Position-aware via
     * posexplode, assembled with a self-join-free slide over the array. */
   def ngrams(docs: DataFrame, idCol: String, textCol: String, nGram: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("toks"))
+    // fanOutNarrow: see [[tokens]] — no-op at scale
+    val toks = Skew.fanOutNarrow(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"),
+        expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)").as("toks"))
     // guard: sequence(1, 0) in Spark is the DESCENDING [1,0], so short docs
     // must yield an empty array explicitly
     toks.select(col("id"),

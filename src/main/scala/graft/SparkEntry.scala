@@ -44,7 +44,12 @@ object SparkEntry {
       .coalesce(1)
       .write.mode("overwrite").partitionBy("__p").parquet(tmp.toString)
     ids.foreach { i =>
-      val part = new java.io.File(s"$tmp/__p=$i").listFiles()
+      // Option-guard (ADVICE r18): partitionBy writes no __p=<i> dir for
+      // an id with no embeddings row — fail with a nameable message
+      // instead of an NPE from listFiles()
+      val part = Option(new java.io.File(s"$tmp/__p=$i").listFiles())
+        .getOrElse(throw new IllegalArgumentException(
+          s"query id $i has no row in embeddings — nothing staged"))
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.move(part.toPath, stage.resolve(s"q$i.parquet"))
     }
@@ -5972,18 +5977,15 @@ object SparkEntry {
     // hash-pins the serving numerics at production dimensionality.
     ("sim_ivf_d768",
       (s, dir) => {
-        val e768 = expand768(t(s, dir, "embeddings"))
-        val hw = Window.orderBy(col("__h"), col("vec_id"))
-        val cents = e768
-          .select(col("vec_id"), col("embedding"), Dedup.hash60(
-            concat(lit("c768:"), col("vec_id").cast("string"))).as("__h"))
-          .orderBy(col("__h"), col("vec_id")).limit(4)
-          .select((row_number().over(hw) - 1).cast("int").as("cluster"),
-            col("embedding").as("cv"))
-        val cells = Similarity.assignCells(e768, cents)
-        val qv = e768.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qv"))
-        Similarity.ivfSearchPruned(cells, cents, qv, nprobe = 2, k = 10)
+        // serve from the persisted d=768 store (load-don't-refit, r19):
+        // [[D768Artifacts.build]] fits the SAME hash-sampled 4-cell init
+        // and cell assignment this query previously re-derived inline on
+        // every invocation — a full-corpus expand768 + assign per run.
+        // The oracle still unrolls the training, pinning equivalence.
+        val a = D768Artifacts.build(s, dir)
+        val qv = expand768(t(s, dir, "embeddings"))
+          .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.ivfSearchPruned(a.cells, a.centroids, qv, nprobe = 2, k = 10)
       },
       Some("""WITH e768 AS MATERIALIZED (SELECT vec_id,
              |    list_transform(generate_series(0, 767), j ->

@@ -26,13 +26,17 @@ object Tables {
     * files); the mtime key re-resolves when the driver regenerates the
     * testdata in place. */
   private val handles =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Long, DataFrame)]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    handles.computeIfAbsent(
-      (spark, path, new java.io.File(path).lastModified()),
-      _ => normalizeTs(spark.read.parquet(path)))
+    // mtime lives in the VALUE, not the key (ADVICE r18): a regenerated
+    // table replaces its superseded handle instead of pinning every
+    // (path, mtime) generation in the map for the JVM lifetime
+    val mtime = new java.io.File(path).lastModified()
+    handles.compute((spark, path), (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else (mtime, normalizeTs(spark.read.parquet(path))))._2
   }
 
   /** Normalize an events-style `ts` column to the session TIMESTAMP type at

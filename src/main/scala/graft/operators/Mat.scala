@@ -13,12 +13,16 @@ import org.apache.spark.sql.DataFrame
   * when it is a pure scan/filter/project, re-reading the parquet twice is
   * cheaper than any round-trip, so the gate skips it.
   *
-  * Channels are CLUSTER-SAFE only: a reliable `checkpoint` when the
-  * session has a checkpoint dir configured (cluster FS), else an eager
-  * `localCheckpoint` through the block manager (executor-resident
-  * blocks, freed by the ContextCleaner once the plan is GC'd). Never a
-  * driver-local tmpdir parquet — correct at local[*] but silent data
-  * loss on a multi-node cluster.
+  * Channels: a reliable `checkpoint` when the session has a checkpoint
+  * dir configured (cluster FS), else an eager `localCheckpoint` through
+  * the block manager (executor-resident blocks, freed by the
+  * ContextCleaner once the plan is GC'd). Never a driver-local tmpdir
+  * parquet — correct at local[*] but silent data loss on a multi-node
+  * cluster. NOTE (ADVICE r18): the localCheckpoint branch TRUNCATES
+  * LINEAGE without durability — an executor lost after staging fails the
+  * query instead of recomputing. Acceptable for local[*] bench runs; a
+  * cluster deployment must configure `sparkContext.setCheckpointDir` so
+  * the reliable branch is taken, and only that branch is fault-tolerant.
   *
   * This is NOT result caching across runs: materialization happens at
   * query-construction time inside the timed region, is keyed to nothing,

@@ -69,9 +69,13 @@ object TextAnalysis {
       .select(col(idCol).as("id"), col(textCol).as("__t"),
         split(col(textCol), "\n").as("__lines"))
       // terminal-punctuation check as a plain substring test (r18): on a
-      // trimmed line `RLIKE '[.!?\"]$'` is exactly "last char in the set"
-      // (no line terminators survive the split+trim), without running a
-      // regex per line
+      // trimmed line `RLIKE '[.!?\"]$'` is exactly "last char in the set",
+      // without running a regex per line. CRLF caveat (ADVICE r18): the
+      // split is on '\n' and Spark `trim` strips SPACES only, so a line
+      // ending "foo.\r" fails this test where Java's '$' (which matches
+      // before a trailing \r) passed it — equal on \r-free corpora like
+      // this one; a CRLF corpus needs split(text, '\r?\n') in BOTH
+      // engines first
       .withColumn("__kept", expr(
         "filter(__lines, l -> substring(trim(l), -1, 1) IN ('.', '!', '?', '\"') AND " +
           s"size(regexp_extract_all(trim(l), '\\\\S+', 0)) >= $minLineWords AND " +

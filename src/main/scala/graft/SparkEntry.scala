@@ -5470,10 +5470,12 @@ object SparkEntry {
         // both pair lists feed the hit join AND their own count aggregate:
         // stage each once (r18) — the exact jaccard pass in particular ran
         // twice without it
-        val lsh = Mat.stageIfExpensive(MinhashArtifacts.pairs(s, dir)
-          .select(col("i"), col("j")))
-        val exact = Mat.stageIfExpensive(Dedup.jaccardPairs(docs, "doc_id", "text")
-          .select(col("i"), col("j")))
+        // the two pair lists are independent: stage them CONCURRENTLY
+        // (Mat.stageAllIfExpensive, r19) — the exact jaccard audit pass
+        // overlaps the LSH banding instead of following it
+        val Seq(lsh, exact) = Mat.stageAllIfExpensive(Seq(
+          MinhashArtifacts.pairs(s, dir).select(col("i"), col("j")),
+          Dedup.jaccardPairs(docs, "doc_id", "text").select(col("i"), col("j"))))
         val hit = lsh.join(exact, Seq("i", "j")).agg(count(lit(1)).as("n_hit"))
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))

@@ -162,10 +162,11 @@ object Curation {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
     val rawB = dsirFeatures(raw, idCol, textCol, buckets)
     val tgtB = dsirFeatures(target, idCol, textCol, buckets)
-    val cR = Mat.stageIfExpensive(
-      rawB.groupBy(col("b")).agg(count(lit(1)).as("c_r")))
-    val cT = Mat.stageIfExpensive(
-      tgtB.groupBy(col("b")).agg(count(lit(1)).as("c_t")))
+    // the two count tables are independent: stage them CONCURRENTLY
+    // (Mat.stageAllIfExpensive, r19) instead of two serial blocking jobs
+    val Seq(cR, cT) = Mat.stageAllIfExpensive(Seq(
+      rawB.groupBy(col("b")).agg(count(lit(1)).as("c_r")),
+      tgtB.groupBy(col("b")).agg(count(lit(1)).as("c_t"))))
     // instance totals = the sum of the per-bucket counts (identical by
     // definition; buckets are non-null) — derived from the staged count
     // tables instead of a SECOND featurize pass over each corpus (r18)

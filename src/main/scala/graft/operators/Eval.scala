@@ -63,7 +63,7 @@ object Eval {
     // the per-query m-count AND a self-join (twice). All are q×k-bounded
     // evaluation batches — stage the expensive ones once (r18) instead of
     // re-running the ranking plans per consumer.
-    val (as, bs) = (Mat.stageIfExpensive(a), Mat.stageIfExpensive(b))
+    val Seq(as, bs) = Mat.stageAllIfExpensive(Seq(a, b)) // independent: concurrent (r19)
     val universe = as.select(col(queryCol)).union(bs.select(col(queryCol))).distinct()
     val both = Mat.stageIfExpensive(
       as.select(col(queryCol), col(idCol), col("rank").as("__ra"))

@@ -57,4 +57,27 @@ object Mat {
     * frame unchanged otherwise. Call on frames consumed 2+ times. */
   def stageIfExpensive(df: DataFrame): DataFrame =
     if (isExpensive(df)) materialize(df) else df
+
+  /** [[stageIfExpensive]] over INDEPENDENT frames concurrently (r19):
+    * each eager materialization is a BLOCKING driver action, so staging
+    * n frames one after another serializes n jobs the scheduler would
+    * happily overlap (guide §2.6 — actions are only sequential because
+    * the driver calls them sequentially). The threads only submit Spark
+    * jobs; values are exactly what per-frame [[stageIfExpensive]]
+    * returns. Callers must pass frames with NO dependency on each
+    * other's staged result. */
+  def stageAllIfExpensive(dfs: Seq[DataFrame]): Seq[DataFrame] =
+    if (dfs.lengthCompare(2) < 0) dfs.map(stageIfExpensive)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(dfs.size, 4))
+      try {
+        val futs = dfs.map { df =>
+          pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            override def call(): DataFrame = stageIfExpensive(df)
+          })
+        }
+        futs.map(_.get())
+      } finally pool.shutdown()
+    }
 }

@@ -376,11 +376,13 @@ object TextAnalysis {
     // uniCounts feeds the scoring join AND the vocab scalar — stage the
     // computed forms once (r18); artifact-fed postings are parquet scans
     // the cost gate leaves un-staged
-    val bg = Mat.stageIfExpensive(bgPost)
+    // bg and uniCounts are independent: stage them CONCURRENTLY (r19)
+    val Seq(bg, uniCounts) = Mat.stageAllIfExpensive(Seq(
+      bgPost,
+      uniPost.filter(col("utf") > 0)
+        .groupBy(col("term")).agg(sum(col("utf")).as("c_uni"))))
     val bgCounts = bg.filter(col("tf") > 0)
       .groupBy(col("ngram")).agg(sum(col("tf")).as("c_bg"))
-    val uniCounts = Mat.stageIfExpensive(uniPost.filter(col("utf") > 0)
-      .groupBy(col("term")).agg(sum(col("utf")).as("c_uni")))
     val vocab = uniCounts.agg(count(lit(1)).as("v"))
     lmQualityFromModel(bg, bgCounts, uniCounts, vocab)
   }
